@@ -1,0 +1,78 @@
+"""Table IO: load the canonical test tables from a scale-factor dir.
+
+The corpus (TESTDATA.md / FIXTURES.md) is a TPC-H-ish star schema plus
+``events`` (stream-shaped), ``documents`` and ``embeddings`` (AI
+tables), one Parquet file per table.
+
+Scale note: ``spark.read.parquet`` on a directory of files yields
+splittable columnar scans with predicate pushdown and column pruning;
+at 100 TB the same call reads a partitioned lake layout unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor: their
+# cardinality is fixed by the schema (5 regions, 25 nations) or grows
+# sublinearly. Joins against these must never shuffle the fact side.
+BROADCASTABLE = {"region", "nation", "supplier", "part", "customer"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Schema comes from the Parquet footer (declared,
+    machine-readable — requirements.yaml:25-27); we never infer.
+
+    ``events.ts`` is stored as Parquet TIMESTAMP(NANOS); with
+    ``nanosAsLong`` Spark surfaces raw int64 nanos. All values in the
+    corpus are whole microseconds, so ``ts DIV 1000`` (integer division
+    — float division would lose precision above 2^53 ns) followed by
+    ``timestamp_micros`` reconstructs the exact same µs timestamp that
+    DuckDB reads natively.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every canonical table present in ``sf_dir``.
+
+    Missing tables are skipped so the loader also works on partial
+    layouts (e.g. a dir holding only documents+embeddings).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        if os.path.exists(table_path(sf_dir, name)):
+            out[name] = load_table(spark, sf_dir, name)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view for spark.sql use."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,649 @@
+"""Relational/dataflow core (SURVEY.md §2.2: P*, J1-J8, A1-A7, W1-W3,
+O1-O3, U1-U3, scalar-function families).
+
+Grounding: the reference's 48 checks are all scan → (join) → predicate
+→ conditional aggregate shapes (/root/reference/factors/requirements.yaml:3);
+this module is the operator set those shapes and the workload paths
+(2-consumable.md, 3-current.md) require.
+
+Scale notes baked into each query:
+- filters and projections are expressed natively so Catalyst pushes
+  them into the Parquet scan (PushedFilters / ReadSchema);
+- dimension joins take an explicit ``broadcast()`` hint — at 100 TB the
+  fact side must never shuffle for a 5-row region or 25-row nation;
+- aggregates rely on partial (map-side) aggregation, which Spark's
+  HashAggregate gives automatically for algebraic functions;
+- window top-k uses the ``row_number() <= k`` shape Catalyst rewrites
+  into WindowGroupLimit (per-partition early pruning, Spark >= 3.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_ready_data_framework_spark.io import load_table
+from ai_ready_data_framework_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Projection / filter (P1, P2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: projection + computed columns. The scan must read exactly the
+    5 referenced columns (column pruning) — verify via ReadSchema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
+    "q_filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1998-01-01' AND TIMESTAMP '1998-12-31'
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 30
+      AND l_returnflag IN ('A', 'R')
+      AND NOT (l_linestatus = 'O' AND l_tax > 0.05)
+    """,
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: compound predicate (=, <, BETWEEN, IN, AND/OR/NOT). All
+    conjuncts are native, so they reach the Parquet reader as
+    PushedFilters and prune row groups via min/max statistics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between("1998-01-01", "1998-12-31")
+        & F.col("l_discount").between(0.02, 0.08)
+        & (F.col("l_quantity") < 30)
+        & F.col("l_returnflag").isin("A", "R")
+        & ~((F.col("l_linestatus") == "O") & (F.col("l_tax") > 0.05))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (A1, A2, A3, A4, A6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_group",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (flagship): TPC-H-Q1-style pricing summary. Pure hash
+    aggregate with map-side partials; cardinality of the group key is
+    tiny so the shuffle is a few KB regardless of input size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: exact multi-distinct. Spark plans this as Expand + two-phase
+    aggregate; exact distinct is the expensive path — see q_agg_approx
+    for the sketch-based alternative used at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("q_agg_approx")  # no oracle: HLL sketch values are engine-specific
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 [NS]: HyperLogLog++ approximate distinct — the scale path for
+    cardinality at 100 TB (fixed-size sketch, no Expand explosion;
+    mergeable across partitions). rsd=0.01 keeps error ~1%."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: multi-granularity rollup — the factor x workload score
+    aggregation shape (README.md:45 'dashboards'). Spark expands one
+    scan into all grouping sets; partial aggregation still applies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_price",
+            "n_rows",
+        )
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50_price,
+           ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90_price,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact percentiles (serving_latency_compliance p99 shape,
+    requirements.yaml:50-52). Exact `percentile` matches DuckDB's
+    quantile_cont (linear interpolation); at 100 TB swap in
+    percentile_approx (t-digest-like sketch, single pass, mergeable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (O1, O2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           ROUND(o_totalprice, 4) AS total_price,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2: global top-k. orderBy().limit(k) compiles to
+    TakeOrderedAndProject — each partition keeps only its local top-k
+    heap, so no global sort materializes even at 100 TB. Tie-break on
+    o_orderkey keeps results deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 4).alias("total_price"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J6, J8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 4) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: star join orders⋈customer⋈nation (relationship_declaration,
+    requirements.yaml:13-15). customer and nation are dimensions —
+    broadcast both so the orders fact table never shuffles; the only
+    shuffle left is the final tiny group-by on n_name."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: fact⋈dim with an explicit broadcast hint. At 100 TB the
+    lineitem side is thousands of partitions; broadcasting part turns
+    the join into a map-side hash probe with zero fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_mktsegment,
+           COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 4) AS total_price
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left outer join preserving order-less customers (the
+    '1 - missing/total' coverage-check shape, e.g. requirements.yaml:54-56)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: existence filter (left semi). Only left columns survive; the
+    right side reduces to a distinct-key build — cheaper than an inner
+    join + dropDuplicates at any scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 100000)
+    return customer.join(
+        big, big.o_custkey == customer.c_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: absence filter (left anti) — the embedding_coverage check
+    shape (requirements.yaml:54-56): entities missing a counterpart
+    (here: customers with no high-value order)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        big, big.o_custkey == customer.c_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT b.band_name,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e
+    JOIN (
+        SELECT * FROM (VALUES
+            ('low',    0.0,  10.0),
+            ('mid',   10.0, 100.0),
+            ('high', 100.0, 1e18)
+        ) AS t(band_name, lo, hi)
+    ) b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_name
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: theta/range join (temporal_scope_declaration shape,
+    requirements.yaml:21-23). The band table is tiny and broadcast, so
+    the non-equi predicate runs as BroadcastNestedLoopJoin — the right
+    physical plan for a 3-row build side at any fact-table scale."""
+    events = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e18)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        events.join(
+            F.broadcast(bands),
+            (events.value >= bands.lo) & (events.value < bands.hi),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r1.r_name AS region_a, r2.r_name AS region_b
+    FROM region r1
+    CROSS JOIN region r2
+    WHERE r1.r_regionkey < r2.r_regionkey
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: cartesian product over tiny dims only (distribution-baseline
+    shape, check 45). Guarded: never cross-join fact tables."""
+    region = load_table(spark, sf_dir, "region")
+    r1 = region.select(F.col("r_regionkey").alias("k1"), F.col("r_name").alias("region_a"))
+    r2 = region.select(F.col("r_regionkey").alias("k2"), F.col("r_name").alias("region_b"))
+    return (
+        r1.crossJoin(r2)
+        .filter(F.col("k1") < F.col("k2"))
+        .select("region_a", "region_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (U1-U3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_set_union",
+    oracle="""
+    SELECT entity_kind, entity_key FROM (
+        SELECT 'customer' AS entity_kind, c_custkey AS entity_key
+        FROM customer WHERE c_acctbal > 0
+        UNION ALL
+        SELECT 'supplier' AS entity_kind, s_suppkey AS entity_key
+        FROM supplier WHERE s_acctbal > 0
+    ) u
+    """,
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union-all by name — the shape that appends 48 per-check
+    result rows into one score table (SURVEY.md §2.1)."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.filter(F.col("c_acctbal") > 0).select(
+        F.lit("customer").alias("entity_kind"), F.col("c_custkey").alias("entity_key")
+    )
+    s = supplier.filter(F.col("s_acctbal") > 0).select(
+        F.lit("supplier").alias("entity_kind"), F.col("s_suppkey").alias("entity_key")
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "q_set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: distinct intersection (lineage reconciliation, check 31)."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "q_set_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: distinct difference (impact analysis, check 37): customers
+    who ordered but never above the high-value threshold."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(F.col("o_custkey").alias("custkey")).subtract(
+        orders.filter(F.col("o_totalprice") > 250000).select(
+            F.col("o_custkey").alias("custkey")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (W1, W2, W3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS total_price, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS BIGINT) AS rn
+        FROM orders
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+O3: per-group top-k via row_number. This exact shape
+    (rn-filter directly above the window) is what Catalyst's
+    WindowGroupLimit rule recognizes, pruning each group to k rows
+    before the full sort — essential when groups are huge."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("total_price"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_us
+    FROM events
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: inter-event deltas (propagation_latency_compliance,
+    requirements.yaml:99-101). Partition by user, order by event time
+    with event_id tie-break for determinism."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS running_value
+    FROM events
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: running per-user sum (freshness-trend shape, 3-current.md:15).
+    Rows-frame with full ordering so both engines accumulate in the
+    identical order (sum-order determinism)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured (S2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: semi-structured property extraction ('Native formats
+    (Parquet, JSON, vectors)', 2-consumable.md:17). get_json_object is
+    JVM-native — no Python crossing; at scale prefer from_json with an
+    explicit schema once the property set stabilizes."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -1,0 +1,88 @@
+"""Benchmark harness: runs the headline declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver-side collect bottleneck), timed after a warmup of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from ai_ready_data_framework_spark import registry
+from ai_ready_data_framework_spark.session import get_spark
+
+# Headline set: one per operator family; anything registered but not
+# listed here still runs under t2 correctness, just not in the bench.
+HEADLINE = [
+    "q_agg_group",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_percentile",
+    "q_filter_pred",
+    "q_topk",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_range",
+    "q_window_rank",
+    "q_window_lag",
+    "q_window_running",
+    "q_json_extract",
+    "q_join_asof",
+    "q_sessionize",
+    "q_window_tumbling",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_chunk",
+    "q_text_stats",
+    "q_vector_topk",
+]
+
+
+def force(df) -> None:
+    """Execute the full plan without materializing rows on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    registry.load_all()
+    spark = get_spark(app_name="ai-ready-bench")
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    # warmup: JVM + codegen + parquet footer caches
+    force(registry.QUERIES["q_agg_group"](spark, sf_dir))
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        force(registry.QUERIES[name](spark, sf_dir))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
