@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,12 +26,40 @@ if _REPO_ROOT not in sys.path:
 
 from ai_ready_data_framework_spark import registry  # noqa: E402
 
+_PKG_ZIP: str | None = None
+_SESSIONS_WITH_PKG: set[int] = set()
+
+
+def _package_zip() -> str:
+    """Zip the engine package once per process so it can be shipped to
+    Spark's Python workers (pandas-UDF closures reference the package;
+    workers don't inherit the driver's sys.path when the driver runs
+    from outside the repo)."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        fd, path = tempfile.mkstemp(prefix="aird_pkg_", suffix=".zip")
+        os.close(fd)
+        pkg_dir = os.path.join(_REPO_ROOT, "ai_ready_data_framework_spark")
+        with zipfile.ZipFile(path, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, _REPO_ROOT))
+        _PKG_ZIP = path
+    return _PKG_ZIP
+
 
 def _ensure_nanos_readable(spark: SparkSession) -> None:
     """events.ts is Parquet TIMESTAMP(NANOS); Spark needs this flag to
-    read it (io.load_table then converts the raw nanos to exact µs)."""
+    read it (io.load_table then converts the raw nanos to exact µs).
+    Also ships the package zip to Python workers (once per session)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = id(spark)
+    if key not in _SESSIONS_WITH_PKG:
+        spark.sparkContext.addPyFile(_package_zip())
+        _SESSIONS_WITH_PKG.add(key)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,4 +1,198 @@
-"""Declared check-shaped queries (SURVEY.md §2.1 data-level checks).
+"""Declared check-shaped queries — the reference's fundamental operator
+run over real data.
 
-Filled in milestone M2.
+Every reference check reduces to
+``score = avg(CASE WHEN <predicate> THEN 1.0 ELSE 0.0 END)``
+(/root/reference/factors/requirements.yaml:3: "All checks return a
+`value` column (float, 0-1)"). These queries are the data-level (D)
+check families from SURVEY.md §2.1, oracle-validated; the full
+48-check engine (checks/engine.py) reuses the same shapes.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_ready_data_framework_spark.io import load_table
+from ai_ready_data_framework_spark.registry import query
+
+FRESHNESS_SLA_HOURS = 48
+KANON_K = 5
+N_LABELS = 10
+
+
+@query(
+    "q_check_fraction",
+    oracle="""
+    SELECT 'constraint_declaration' AS requirement,
+           'contextual' AS factor,
+           ROUND(AVG(CASE WHEN length(text) = n_chars THEN 1.0 ELSE 0.0 END), 4) AS value,
+           COUNT(*) AS n_records
+    FROM documents
+    """,
+)
+def q_check_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: the canonical conditional-mean check (requirements.yaml:3),
+    instantiated as a declared-constraint verification: documents where
+    the declared n_chars matches length(text)
+    (constraint_declaration, requirements.yaml:33-35)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.lit("constraint_declaration").alias("requirement"),
+        F.lit("contextual").alias("factor"),
+        F.round(
+            F.avg(F.when(F.length("text") == F.col("n_chars"), 1.0).otherwise(0.0)), 4
+        ).alias("value"),
+        F.count("*").alias("n_records"),
+    ).select("requirement", "factor", "value", "n_records")
+
+
+@query(
+    "q_check_freshness",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(ts) AS a FROM events)
+    SELECT event_type,
+           epoch_us(MAX(ts)) AS last_ts_us,
+           epoch_us((SELECT a FROM anchor)) - epoch_us(MAX(ts)) AS age_us,
+           CAST(CASE WHEN epoch_us((SELECT a FROM anchor)) - epoch_us(MAX(ts))
+                          <= CAST({FRESHNESS_SLA_HOURS} AS BIGINT) * 3600 * 1000000
+                     THEN 1 ELSE 0 END AS BIGINT) AS fresh
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_check_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """data_freshness (requirements.yaml:95-97): per-asset staleness
+    against the SLA. Determinism rule: the anchor is max(ts) IN THE
+    DATA, never wall clock (FIXTURES.md:130-132) — frozen test data
+    must score identically forever. Age math stays in exact integer
+    microseconds on both engines (no second-boundary semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("__anchor"))
+    per_type = events.groupBy("event_type").agg(F.max("ts").alias("__last"))
+    age_us = F.unix_micros("__anchor") - F.unix_micros("__last")
+    return per_type.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.unix_micros("__last").alias("last_ts_us"),
+        age_us.alias("age_us"),
+        F.when(age_us <= FRESHNESS_SLA_HOURS * 3600 * 1_000_000, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fresh"),
+    )
+
+
+@query(
+    "q_check_embedding_dim",
+    oracle="""
+    SELECT 'embedding_dimension_consistency' AS requirement,
+           ROUND(AVG(CASE WHEN len(embedding) = 64 THEN 1.0 ELSE 0.0 END), 4) AS value,
+           COUNT(*) AS n_vectors,
+           CAST(COUNT(DISTINCT len(embedding)) AS BIGINT) AS n_distinct_dims
+    FROM embeddings
+    """,
+)
+def q_check_embedding_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_dimension_consistency (requirements.yaml:86-88):
+    fraction of vectors with the declared model dimension (64)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.lit("embedding_dimension_consistency").alias("requirement"),
+        F.round(
+            F.avg(F.when(F.size("embedding") == 64, 1.0).otherwise(0.0)), 4
+        ).alias("value"),
+        F.count("*").alias("n_vectors"),
+        F.countDistinct(F.size("embedding")).cast("long").alias("n_distinct_dims"),
+    ).select("requirement", "value", "n_vectors", "n_distinct_dims")
+
+
+@query(
+    "q_check_distribution",
+    oracle=f"""
+    WITH shares AS (
+        SELECT label,
+               COUNT(*) AS n,
+               COUNT(*) / CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE) AS share
+        FROM embeddings GROUP BY label
+    )
+    SELECT 'demographic_representation' AS requirement,
+           ROUND(SUM(ABS(share - 1.0 / {N_LABELS})) / 2, 4) AS tv_distance,
+           ROUND(1 - SUM(ABS(share - 1.0 / {N_LABELS})) / 2, 4) AS value,
+           COUNT(*) AS n_groups
+    FROM shares
+    """,
+)
+def q_check_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """demographic_representation (requirements.yaml:189-191): measured
+    class distribution vs the uniform target, scored as
+    1 - total-variation distance. Window-free two-level aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    total = emb.count()
+    shares = emb.groupBy("label").agg((F.count("*") / F.lit(float(total))).alias("share"))
+    return shares.agg(
+        F.lit("demographic_representation").alias("requirement"),
+        F.round(F.sum(F.abs(F.col("share") - 1.0 / N_LABELS)) / 2, 4).alias(
+            "tv_distance"
+        ),
+        F.round(1 - F.sum(F.abs(F.col("share") - 1.0 / N_LABELS)) / 2, 4).alias(
+            "value"
+        ),
+        F.count("*").alias("n_groups"),
+    ).select("requirement", "tv_distance", "value", "n_groups")
+
+
+@query(
+    "q_check_kanon",
+    oracle=f"""
+    WITH groups AS (
+        SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+    )
+    SELECT 'anonymization_effectiveness' AS requirement,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           ROUND(LEAST(CAST(MIN(n) AS DOUBLE) / {KANON_K}, 1.0), 4) AS value,
+           COUNT(*) AS n_groups
+    FROM groups
+    """,
+)
+def q_check_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """anonymization_effectiveness (requirements.yaml:201-203):
+    k-anonymity over the quasi-identifier set (lang, source) — the
+    smallest group's size against k={KANON_K}, clamped to [0,1]."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    return groups.agg(
+        F.lit("anonymization_effectiveness").alias("requirement"),
+        F.min("n").cast("long").alias("min_group_size"),
+        F.round(F.least(F.min("n").cast("double") / KANON_K, F.lit(1.0)), 4).alias(
+            "value"
+        ),
+        F.count("*").alias("n_groups"),
+    ).select("requirement", "min_group_size", "value", "n_groups")
+
+
+@query(
+    "q_check_traceability",
+    oracle="""
+    SELECT 'record_level_traceability' AS requirement,
+           ROUND(AVG(CASE WHEN event_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
+               AS non_null_fraction,
+           ROUND(CAST(COUNT(DISTINCT event_id) AS DOUBLE) / COUNT(*), 4) AS value,
+           COUNT(*) AS n_records
+    FROM events
+    """,
+)
+def q_check_traceability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """record_level_traceability (requirements.yaml:152-154): unique
+    non-null correlation ids over the audit-shaped events table."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.lit("record_level_traceability").alias("requirement"),
+        F.round(
+            F.avg(F.when(F.col("event_id").isNotNull(), 1.0).otherwise(0.0)), 4
+        ).alias("non_null_fraction"),
+        F.round(F.countDistinct("event_id").cast("double") / F.count("*"), 4).alias(
+            "value"
+        ),
+        F.count("*").alias("n_records"),
+    ).select("requirement", "non_null_fraction", "value", "n_records")

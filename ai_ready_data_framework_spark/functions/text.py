@@ -1,0 +1,189 @@
+"""Text-analysis column builders (north-star LLM-data operators:
+tokenization, shingling, fingerprinting, quality, language ID).
+
+All builders return Catalyst Column expressions (JVM-side, codegen'd);
+none cross into Python. The SimHash builder composes xxhash64 + bit
+arithmetic — engine-specific hash, so queries built on it declare no
+ANSI oracle (rows-only contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword list for quality scoring: the function-word subset of the
+# corpus vocabulary (documents.text is a closed word-soup vocabulary;
+# 'the'/'a' are its function words).
+STOPWORDS = ("the", "a")
+
+SIMHASH_BITS = 63  # keep the fingerprint positive in a signed 64-bit long
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization — documents.text is single-space-joined."""
+    return F.split(F.col(text) if isinstance(text, str) else text, " ")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish regex tokenization: letter runs, digit runs, or single
+    non-space symbols — a cheap stand-in for subword counting."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(t, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+
+
+def shingles(words: Column, k: int) -> Column:
+    """All k-word shingles (space-joined) of a token array; documents
+    shorter than k yield one truncated shingle."""
+    n_sh = F.greatest(F.size(words) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_sh), lambda i: F.concat_ws(" ", F.slice(words, i, k))
+    )
+
+
+def stopword_ratio(words: Column) -> Column:
+    hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    return hits / F.greatest(F.size(words), F.lit(1))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    puncts = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return puncts / F.greatest(F.length(t), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: rewards moderate length,
+    penalizes stopword stuffing and punctuation soup. Deterministic,
+    pure-expression — usable as a training-data filter at any scale."""
+    t = F.col(text) if isinstance(text, str) else text
+    w = tokens(t)
+    n = F.size(w)
+    length_component = F.least(n / F.lit(64.0), F.lit(1.0))
+    stop_penalty = stopword_ratio(w)
+    punct_penalty = punct_ratio(t)
+    score = length_component * (1 - stop_penalty) * (1 - punct_penalty)
+    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 4)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SimHash fingerprint per document (near-dup detection,
+    north-star dedup family).
+
+    Classic construction: hash every token to 64 bits (xxhash64),
+    sum +1/-1 per bit position weighted by term frequency, take signs.
+    Expressed as explode → conditional aggregate per bit → bit
+    reassembly; one shuffle on id_col, all JVM-side. At 100 TB this is
+    a single map+reduce over tokens — no pairwise work.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    ).withColumn("__h", F.xxhash64("__tok"))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    fingerprint = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"__b{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return bit_sums.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fps: DataFrame, id_col: str, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance.
+
+    Scale path: band the 63-bit fingerprint into ``n_bands`` chunks and
+    join on band equality — any pair within hamming distance
+    ``n_bands - 1`` shares at least one exact band (pigeonhole), so the
+    candidate join is an equi-join (shuffle-hash, linear) instead of a
+    cross join. Exact hamming filter then prunes false candidates.
+    """
+    width = (SIMHASH_BITS + n_bands - 1) // n_bands
+    bands = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.chunk")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# --- Language identification (n-gram heuristic) -------------------------
+
+# Minimal character-trigram profiles per language. Real systems learn
+# these from corpora; this fixed table keeps the operator deterministic
+# and dependency-free. Unknown text scores 'en' by default.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "es": ("ción", "que ", " de ", "los ", " el "),
+    "de": ("sch", " der ", " und ", "ein", "ich"),
+    "fr": (" le ", " la ", " les ", "eau", " est "),
+    "zh": ("的", "是", "了", "在", "我"),
+    "en": (" the ", " and ", " of ", "ing ", " to "),
+}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: count marker-ngram hits per language,
+    pick the max (ties break by language code order). Pure expression —
+    a case/when cascade over instr counts."""
+    t = F.lower(F.col(text) if isinstance(text, str) else text)
+    scores = {
+        lang: sum(
+            (F.length(t) - F.length(F.replace(t, F.lit(m), F.lit(""))))
+            / F.lit(max(len(m), 1))
+            for m in markers
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    langs = sorted(scores)
+    best = None
+    best_score = None
+    for lang in langs:
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("en"))

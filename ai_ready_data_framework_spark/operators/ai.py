@@ -1,4 +1,490 @@
-"""AI/LLM-training-data operators (SURVEY.md §2.2 L1-L8).
+"""AI/LLM-training-data operators (SURVEY.md §2.2 L1-L8 + north star).
 
-Filled in milestone M4.
+Grounding: the reference names documents/chunks/embeddings as the data
+shapes AI workloads consume (/root/reference/factors/2-consumable.md:14-17,
+requirements.yaml:54-56, 70-72, 82-88); the north-star mandate adds the
+LLM-pipeline operator families: dedup (exact / n-gram Jaccard / MinHash
+/ SimHash / embedding-cosine), similarity search (brute-force + LSH),
+chunking, text analysis, PII masking (/root/repo/BASELINE.json).
+
+Scale design per family:
+- exact dedup: group on sha2(text) — constant-width shuffle key instead
+  of shipping full documents through the exchange;
+- n-gram Jaccard: inverted-index equi-join on shingles with a
+  document-frequency cap — linear in postings, never all-pairs;
+- MinHash / SimHash: sketch once (map-side), band for candidate
+  generation — equi-join shuffles only;
+- vector search: brute-force cosine is one codegen'd scan + top-k
+  (TakeOrderedAndProject); the approx path hashes into LSH buckets.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_ready_data_framework_spark.functions import text as T
+from ai_ready_data_framework_spark.functions import vector as V
+from ai_ready_data_framework_spark.io import load_table
+from ai_ready_data_framework_spark.registry import query
+
+SHINGLE_K = 2
+NEAR_DUP_JACCARD = 0.5
+# Shingles appearing in more than this many docs are dropped from the
+# candidate join (inverted-index posting cap — the standard guard that
+# keeps the self-join linear when a shingle goes viral).
+MAX_SHINGLE_DF = 100
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.shingles(T.tokens("text"), SHINGLE_K))).alias("s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (L1, L2 + variants)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies,
+           MIN(n_chars) AS n_chars
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup — group by content hash, keep the smallest
+    doc_id. Hashing first keeps the shuffle key at 32 bytes regardless
+    of document size (shipping full text through the exchange is the
+    classic 100 TB mistake)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2("text", 256).alias("__h")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("__h")
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(words[i : i + {SHINGLE_K - 1}], ' ') AS s
+        FROM (
+            SELECT doc_id, words,
+                   unnest(range(1, greatest(len(words) - {SHINGLE_K - 1}, 1) + 1)) AS i
+            FROM w
+        )
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (
+        SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    shf AS (SELECT sh.* FROM sh JOIN rare USING (s)),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared,
+           ROUND(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) AS jaccard
+    FROM p
+    JOIN n na ON p.doc_a = na.doc_id
+    JOIN n nb ON p.doc_b = nb.doc_id
+    WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= {NEAR_DUP_JACCARD}
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (exact variant): n-gram Jaccard near-dup pairs via inverted
+    index — explode distinct 2-word shingles, drop ultra-common
+    shingles (posting cap), equi-join on shingle, count shared, compute
+    Jaccard against full distinct-shingle counts. All equi-joins and
+    aggregations — linear in postings at any scale, vs the quadratic
+    all-pairs formulation."""
+    sh = _doc_shingles(spark, sf_dir)
+    n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= MAX_SHINGLE_DF
+    )
+    shf = sh.join(rare.select("s"), "s")
+    a = shf.select(F.col("doc_id").alias("doc_a"), "s")
+    b = shf.select(F.col("doc_id").alias("doc_b"), "s")
+    pairs = (
+        a.join(b, ["s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= NEAR_DUP_JACCARD)
+        .select("doc_a", "doc_b", "shared", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query("q_dedup_near")  # MinHash sketches are engine-specific → rows-only
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (approx): MinHashLSH near-dup pairs. Pipeline: 2-gram
+    shingles → binary HashingTF (2^18 dims) → MinHashLSH(8 tables,
+    seed=42) → approxSimilarityJoin at Jaccard distance <= 0.5.
+    The LSH candidate join is an equi-join on (table, band hash) under
+    the hood — the 100 TB path where the exact inverted index gets hot.
+    Validated against q_dedup_ngram's exact pairs in tests (recall)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_shingles = docs.select(
+        "doc_id", T.shingles(T.tokens("text"), SHINGLE_K).alias("sh")
+    )
+    tf = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(with_shingles)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, threshold=NEAR_DUP_JACCARD, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+@query("q_dedup_simhash")  # xxhash64-based sketch → rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (SimHash): 63-bit SimHash fingerprints, banded candidate
+    join (4 bands → any pair within hamming<=3 shares a band), exact
+    hamming filter. Pure expressions + equi-joins, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = T.simhash(docs, "doc_id", "text")
+    return T.simhash_near_pairs(fps, "doc_id", max_hamming=3, n_bands=4).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )
+
+
+EMBED_DUP_COSINE = 0.45  # corpus embeddings are random; max pair cos ~0.51
+
+
+@query("q_embed_dup")  # float-sum boundary at threshold → rows-only
+def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= threshold), brute force
+    over the pair space. At 100 TB the same semantics run through the
+    LSH bucket join (q_vector_ann's model) — this exact form is the
+    oracle for that path's recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= EMBED_DUP_COSINE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunking (L4)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 50
+
+
+@query(
+    "q_chunk",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           CAST(ci AS BIGINT) AS chunk_id,
+           array_to_string(words[ci * {CHUNK_TOKENS} + 1 : (ci + 1) * {CHUNK_TOKENS}], ' ') AS chunk,
+           CAST(len(words[ci * {CHUNK_TOKENS} + 1 : (ci + 1) * {CHUNK_TOKENS}]) AS BIGINT) AS n_chunk_tokens
+    FROM (
+        SELECT doc_id, words,
+               unnest(range(0, (len(words) + {CHUNK_TOKENS} - 1) // {CHUNK_TOKENS})) AS ci
+        FROM w
+    )
+    """,
+)
+def q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: pre-chunking documents to context-window sizes
+    (chunk_readiness, requirements.yaml:70-72; 2-consumable.md:15).
+    Pure sequence/slice/explode — no UDF, fully codegen'd, and the
+    explode keeps rows within their input partition (no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = T.tokens("text")
+    n_chunks = F.floor((F.size(words) + CHUNK_TOKENS - 1) / CHUNK_TOKENS).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            words.alias("words"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(F.col("words"), F.col("chunk_id") * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+            ).alias("chunk"),
+            F.size(
+                F.slice(F.col("words"), F.col("chunk_id") * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+            ).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (L5) + quality + fingerprint
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT source,
+           lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+           ROUND(AVG(length(text)), 4) AS avg_chars,
+           CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: corpus statistics per (source, lang) — token counts, doc
+    lengths (text-analysis north star; provenance grouping per
+    FIXTURES.md documents.source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(T.tokens("text"))
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.max(n_tok).cast("long").alias("max_tokens"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           ROUND(len(list_filter(string_split(text, ' '),
+                                 x -> x = 'the' OR x = 'a'))
+                 / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE),
+                 4) AS stop_ratio,
+           ROUND(least(len(string_split(text, ' ')) / 64.0, 1.0)
+                 * (1 - len(list_filter(string_split(text, ' '),
+                                        x -> x = 'the' OR x = 'a'))
+                        / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE))
+                 * (1 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                        / CAST(greatest(length(text), 1) AS DOUBLE)),
+                 4) AS quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5/north star: per-document quality scoring — length component x
+    (1 - stopword ratio) x (1 - punctuation ratio), the standard cheap
+    pre-training filter. Pure expressions; the oracle states the exact
+    same arithmetic so parity confirms the formula, not just the API."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.round(T.stopword_ratio(w), 4).alias("stop_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "q_token_bpe",
+    oracle=r"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])'))) AS BIGINT)
+               AS total_bpe_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: BPE-ish token counting (letter runs / digit runs / symbols)
+    — the budget estimator a training pipeline runs before tokenizing
+    100 TB for real."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(F.size(T.bpe_ish_tokens("text"))).cast("long").alias("total_bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(words[i : i + {SHINGLE_K - 1}], ' ') AS s
+        FROM (
+            SELECT doc_id, words,
+                   unnest(range(1, greatest(len(words) - {SHINGLE_K - 1}, 1) + 1)) AS i
+            FROM w
+        )
+    )
+    SELECT doc_id,
+           MIN(md5(s)) AS fp_min,
+           MAX(md5(s)) AS fp_max,
+           COUNT(*) AS n_shingles
+    FROM sh
+    GROUP BY doc_id
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star: document fingerprinting — min/max hash over the
+    shingle set (a 2-permutation MinHash; winnowing-lite). md5 on both
+    engines makes the sketch oracle-checkable, unlike xx/murmur."""
+    sh = _doc_shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("s")).alias("fp_min"),
+        F.max(F.md5("s")).alias("fp_max"),
+        F.count("*").alias("n_shingles"),
+    )
+
+
+@query("q_lang_id")  # heuristic classifier — no SQL oracle, rows-only
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star: n-gram-marker language ID over text, compared with
+    the declared lang column (agreement fraction per declared lang).
+    On this synthetic English-ish word-soup corpus the detector
+    legitimately answers 'en'; the query reports the agreement matrix
+    rather than pretending accuracy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_id("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII masking (L6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mask_pii",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS text_hash,
+           sha256(source) AS source_hash,
+           lang
+    FROM documents
+    """,
+)
+def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: deterministic hash-masking of sensitive columns
+    (field_masking, requirements.yaml:169-171). sha2-256 keeps
+    referential integrity (equal plaintexts → equal masks) while
+    destroying the raw value — the property training pipelines need to
+    keep joins working on masked data."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2("text", 256).alias("text_hash"),
+        F.sha2("source", 256).alias("source_hash"),
+        "lang",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (L3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_vector_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.embedding, q.qv)
+                 / (sqrt(list_dot_product(e.embedding, e.embedding))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY list_dot_product(e.embedding, q.qv)
+             / (sqrt(list_dot_product(e.embedding, e.embedding))
+                * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+             e.vec_id
+    LIMIT 10
+    """,
+)
+def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: brute-force cosine top-k against a query vector (vec_id 0).
+    One broadcast of the single query row, one codegen'd scan computing
+    the dot product, TakeOrderedAndProject for the top-k — no shuffle
+    of the embedding table at any scale. The approx path (q_vector_ann)
+    trades this scan for LSH bucket probes; this exact form measures
+    its recall (retrieval_recall_compliance, requirements.yaml:82-84)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = V.cosine(F.col("embedding"), F.col("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", cos.alias("__cos"))
+        .orderBy(F.desc("__cos"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("__cos", 4).alias("cosine"))
+    )
+
+
+@query("q_vector_ann")  # LSH buckets are engine-specific → rows-only
+def q_vector_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (approx): BucketedRandomProjectionLSH nearest neighbors for
+    the same query vector. At 100 TB the bucketed model prunes the
+    candidate set to matching hash buckets instead of scanning every
+    vector. Tests measure recall@10 against q_vector_topk (check 19)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(vecs)
+    key = vecs.filter(F.col("vec_id") == 0).head()
+    neighbors = model.approxNearestNeighbors(
+        vecs.filter(F.col("vec_id") != 0), key["v"], 10, distCol="l2_dist"
+    )
+    return neighbors.select("vec_id", F.round("l2_dist", 4).alias("l2_dist"))

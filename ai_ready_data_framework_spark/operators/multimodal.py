@@ -1,0 +1,157 @@
+"""Multimodal column plumbing (north star: "treat image/audio/video as
+opaque binary columns with typed metadata").
+
+Real decode libraries (PIL/ffmpeg/librosa) are not in this container,
+so the DECODE STEP IS STUBBED: ``decode_image_real`` raises
+``NotImplementedError`` and the pipeline uses a deterministic fake
+decoder instead. Everything Spark-side is real and tested: the binary
+column schema, Arrow batch transfer through ``mapInPandas``, the
+row-expanding frame-sampler shape, and partition behavior.
+
+Scale design: mapInPandas streams Arrow record batches through the
+Python worker — constant memory per batch, no driver collection, and
+binary payloads never pass through a shuffle (derive-then-project
+before any wide operation).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+from ai_ready_data_framework_spark.io import load_table
+from ai_ready_data_framework_spark.registry import query
+
+MEDIA_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("media_id", Ty.LongType()),
+        Ty.StructField("media_type", Ty.StringType()),
+        Ty.StructField("content", Ty.BinaryType()),
+    ]
+)
+
+META_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("media_id", Ty.LongType()),
+        Ty.StructField("media_type", Ty.StringType()),
+        Ty.StructField("n_bytes", Ty.LongType()),
+        Ty.StructField("content_sha", Ty.StringType()),
+        Ty.StructField("width", Ty.LongType()),
+        Ty.StructField("height", Ty.LongType()),
+    ]
+)
+
+FRAME_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("media_id", Ty.LongType()),
+        Ty.StructField("frame_index", Ty.LongType()),
+        Ty.StructField("frame_sha", Ty.StringType()),
+    ]
+)
+
+
+def decode_image_real(content: bytes) -> tuple[int, int]:
+    """Real image decode — requires an imaging library not present in
+    this environment. STUB: intentionally unimplemented."""
+    raise NotImplementedError(
+        "image decoding requires an imaging library (e.g. Pillow); "
+        "not available in this environment — use fake_decode_dims"
+    )
+
+
+def fake_decode_dims(content: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode: derive stable pseudo
+    dimensions from the content hash, so the full pipeline (schema,
+    batching, partitioning) is exercised end-to-end and testable."""
+    h = hashlib.sha256(content).digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize an opaque-binary media table from documents: the
+    UTF-8 bytes of text stand in for encoded image/audio payloads
+    (media_type cycles by doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+
+
+def extract_metadata(media: DataFrame) -> DataFrame:
+    """Typed metadata per media row via Arrow-batched mapInPandas.
+    One output row per input row; binary column is dropped on output so
+    downstream ops never shuffle payload bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["content"].map(fake_decode_dims)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "content_sha": pdf["content"].map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                    "width": dims.map(lambda d: d[0]).astype("int64"),
+                    "height": dims.map(lambda d: d[1]).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(run, META_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 256) -> DataFrame:
+    """Frame sampling shape: one input row expands to K output rows
+    (video → frames). The fake 'frame' is a hash of each byte slice;
+    the real pipeline would emit decoded frames. Row expansion happens
+    inside the Arrow batch — no shuffle, no driver round-trip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_index": [], "frame_sha": []}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                for i, off in enumerate(range(0, len(content), every_n_bytes)):
+                    chunk = bytes(content[off : off + every_n_bytes])
+                    out["media_id"].append(media_id)
+                    out["frame_index"].append(i)
+                    out["frame_sha"].append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(run, FRAME_SCHEMA)
+
+
+@query("q_multimodal_meta")  # Pandas-UDF pipeline → rows-only contract
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (multimodal): binary ingestion → Arrow-batched
+    metadata extraction → per-type profile. Deterministic because the
+    fake decoder is content-hash-driven."""
+    meta = extract_metadata(synth_media(spark, sf_dir))
+    return meta.groupBy("media_type").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.round(F.avg("height"), 4).alias("avg_height"),
+    )
+
+
+@query("q_multimodal_frames")  # Pandas-UDF pipeline → rows-only contract
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (multimodal): frame sampling — row-expanding Arrow
+    pipeline over video payloads, then per-media frame counts."""
+    frames = sample_frames(synth_media(spark, sf_dir))
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.min("frame_sha").alias("first_frame_sha"),
+    )

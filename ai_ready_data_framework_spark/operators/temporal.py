@@ -1,4 +1,268 @@
-"""Temporal / feature-store operators (SURVEY.md §2.2 J7, T1-T3, M3).
+"""Temporal / feature-store operators (SURVEY.md §2.2 J7, T1-T3, W-family).
 
-Filled in milestone M3.
+Grounding:
+- point_in_time_correctness — "feature datasets supporting point-in-time
+  joins preventing future leakage" (/root/reference/factors/requirements.yaml:103-105,
+  3-current.md:23).
+- change/stream semantics — 3-current.md:12-15; requirements.yaml:91-93.
+
+The as-of join here is the engine's hardest custom operator: Spark has
+no native ASOF JOIN, so we implement it as a union + last-value window.
+That formulation costs exactly ONE shuffle (by user key) and never
+materializes the label x candidate-feature cross product — at 100 TB a
+join-then-rank formulation explodes quadratically per key, while this
+one stays linear in input rows.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_ready_data_framework_spark.io import load_table
+from ai_ready_data_framework_spark.registry import query
+
+SESSION_GAP_MINUTES = 30
+
+
+def as_of_join(
+    labels: DataFrame,
+    features: DataFrame,
+    key: str,
+    label_ts: str,
+    feature_ts: str,
+    feature_cols: list[str],
+) -> DataFrame:
+    """Generic point-in-time (as-of) join: for every label row, attach
+    the latest feature row with ``feature_ts <= label_ts`` for the same
+    key; labels with no prior feature keep NULL features (left as-of).
+
+    Algorithm (scale-first): tag both inputs, union them, sort within
+    each key by (ts, kind) with feature rows ordered before label rows
+    on ties (a feature at exactly label_ts is visible, matching the
+    ``<=`` bound), then propagate the last non-null feature value with
+    ``last(..., ignorenulls=True)`` over an unbounded-preceding frame.
+    One shuffle on ``key``; no label x feature blowup; ties among
+    features at identical ts resolve to the largest ordering suffix
+    (we append the feature's natural order columns to the sort).
+    """
+    lab = labels.select(
+        F.col(key).alias("__k"),
+        F.col(label_ts).alias("__ts"),
+        F.lit(1).alias("__is_label"),
+        "*",
+    )
+    feat = features.select(
+        F.col(key).alias("__k"),
+        F.col(feature_ts).alias("__ts"),
+        F.lit(0).alias("__is_label"),
+        *[F.col(c).alias(f"__f_{c}") for c in feature_cols],
+    )
+    unioned = lab.unionByName(feat, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__is_label", F.col(f"__f_{feature_cols[0]}"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"__f_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in feature_cols
+        ],
+    )
+    out = filled.filter(F.col("__is_label") == 1).drop(
+        "__k", "__ts", "__is_label", *[f"__f_{c}" for c in feature_cols]
+    )
+    for c in feature_cols:
+        out = out.withColumnRenamed(f"__asof_{c}", c)
+    return out
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT label_event_id, user_id, label_ts_us, feat_event_id, feat_value
+    FROM (
+        SELECT l.event_id AS label_event_id,
+               l.user_id AS user_id,
+               epoch_us(l.ts) AS label_ts_us,
+               f.event_id AS feat_event_id,
+               ROUND(f.value, 4) AS feat_value,
+               row_number() OVER (
+                   PARTITION BY l.event_id
+                   ORDER BY f.ts DESC NULLS LAST, f.event_id DESC NULLS LAST
+               ) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
+          ON f.user_id = l.user_id AND f.ts <= l.ts
+    ) t
+    WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: point-in-time join — for each purchase, the latest click at
+    or before it (point_in_time_correctness, requirements.yaml:103-105).
+
+    Spark side runs the union+window formulation (one shuffle, linear);
+    the oracle states the same semantics as join-then-rank SQL. Feature
+    ties at identical ts resolve to the largest feature event_id on
+    both sides.
+    """
+    events = load_table(spark, sf_dir, "events")
+    labels = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_event_id"),
+        "user_id",
+        F.col("ts").alias("label_ts"),
+    )
+    features = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("feat_ts"),
+        F.col("event_id").alias("feat_event_id"),
+        F.round("value", 4).alias("feat_value"),
+    )
+    joined = as_of_join(
+        labels,
+        features,
+        key="user_id",
+        label_ts="label_ts",
+        feature_ts="feat_ts",
+        feature_cols=["feat_event_id", "feat_value"],
+    )
+    return joined.select(
+        "label_event_id",
+        "user_id",
+        F.unix_micros("label_ts").alias("label_ts_us"),
+        "feat_event_id",
+        "feat_value",
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+    SELECT user_id,
+           session_id,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           ROUND(SUM(value), 4) AS session_value
+    FROM (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL
+                          OR date_diff('second',
+                                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                       ts) > {SESSION_GAP_MINUTES * 60}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ) flagged
+    ) numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (batch form): gap-based sessionization — lag to flag session
+    starts, running sum to number sessions, then per-session rollup.
+    The streaming twin is ``F.session_window`` (streaming/pipelines.py);
+    this batch formulation is its deterministic oracle-checked double.
+    Two window passes over one shuffle partitioning (same key+order) —
+    Catalyst reuses the sort."""
+    events = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order))
+    flagged = events.withColumn(
+        "is_new",
+        F.when(
+            gap_s.isNull() | (gap_s > SESSION_GAP_MINUTES * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+@query(
+    "q_window_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 (batch-parity form): 1-hour tumbling window aggregation via
+    ``F.window`` — the exact expression a Structured Streaming job uses
+    with a watermark; running it in batch gives the
+    training_serving_parity guarantee by construction
+    (requirements.yaml:107-109). Aligned hourly windows ≡ date_trunc."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_window_sliding",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+        FROM events
+    ) expanded
+    GROUP BY ws
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: 1-hour window sliding every 30 minutes. Each event lands in
+    exactly two windows (starts: floor30(ts) and floor30(ts)-30min) —
+    the oracle states that expansion explicitly; Spark's F.window does
+    it internally. Event replication factor = size/slide, so at scale
+    keep the ratio small."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -45,5 +45,6 @@ def load_all() -> None:
         relational,
         temporal,
         ai,
+        multimodal,
     )
     from ai_ready_data_framework_spark.checks import queries as check_queries  # noqa: F401

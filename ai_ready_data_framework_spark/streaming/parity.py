@@ -1,0 +1,138 @@
+"""Batch/stream parity harness (training_serving_parity, check 25).
+
+"Fraction of features with identical computation logic between batch
+and real-time paths" (/root/reference/factors/requirements.yaml:107-109).
+Our design makes the fraction 1.0 *by construction*: a feature
+transform is a plain ``DataFrame -> DataFrame`` function applied
+unchanged to a batch read and to a ``readStream`` — Structured
+Streaming's incrementalization of the same logical plan is Spark's
+core guarantee (3-current.md:13 "Streams propagate changes
+incrementally").
+
+The harness runs the stream with ``trigger(availableNow=True)`` and a
+generous watermark so runs are deterministic and bounded — the same
+configuration a backfill uses in production, which is exactly the
+point: one code path, batch and streaming.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_ready_data_framework_spark.io import load_table
+
+Transform = Callable[[DataFrame], DataFrame]
+
+# Late-data tolerance for the deterministic harness: larger than the
+# whole events span, so watermarking is exercised without dropping
+# rows regardless of file arrival order (arrival order of files is not
+# deterministic, event time order across micro-batches isn't either).
+HARNESS_WATERMARK = "365 days"
+
+
+def hourly_event_features(df: DataFrame) -> DataFrame:
+    """Shared feature transform: per (user, hour) event counts + value
+    sums. Watermarked event-time aggregation — legal in both batch
+    (watermark is a no-op) and streaming (bounds state)."""
+    return (
+        df.withWatermark("ts", HARNESS_WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def deduped_events(df: DataFrame) -> DataFrame:
+    """Shared transform: drop duplicate event_ids (T5 stateful dedup).
+    In streaming this keeps per-key state bounded by the watermark."""
+    return df.withWatermark("ts", HARNESS_WATERMARK).dropDuplicates(["event_id"])
+
+
+def run_batch(spark: SparkSession, sf_dir: str, transform: Transform) -> DataFrame:
+    return transform(load_table(spark, sf_dir, "events"))
+
+
+def _stage_stream_dir(spark: SparkSession, sf_dir: str, n_files: int, stage_dir: str) -> str:
+    """Materialize events as n_files parquet files so availableNow
+    processes multiple micro-batches (maxFilesPerTrigger=1)."""
+    events = load_table(spark, sf_dir, "events")
+    path = os.path.join(stage_dir, "events_stream")
+    events.repartition(n_files).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    transform: Transform,
+    n_files: int = 4,
+) -> DataFrame:
+    """Run the same transform as an availableNow stream over the events
+    table staged as ``n_files`` files (=> n micro-batches), collecting
+    into a memory sink in complete/append mode as appropriate.
+    Returns the final result DataFrame."""
+    stage_dir = tempfile.mkdtemp(prefix="aird_stream_")
+    try:
+        src = _stage_stream_dir(spark, sf_dir, n_files, stage_dir)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        result = transform(stream)
+        table = f"parity_{uuid.uuid4().hex[:8]}"
+        mode = "complete" if not result.isStreaming or _is_agg(result) else "append"
+        q = (
+            result.writeStream.format("memory")
+            .queryName(table)
+            .outputMode(mode)
+            .option(
+                "checkpointLocation",
+                os.path.join(stage_dir, "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # memory sink rows live on the driver; copy before cleanup
+        out = spark.table(table)
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def _is_agg(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    return "Aggregate" in plan
+
+
+def parity_fraction(spark: SparkSession, sf_dir: str, transform: Transform) -> float:
+    """The actual check-25 measurement: fraction of batch rows whose
+    row-hash also appears in the streaming result (1.0 == identical)."""
+    batch = run_batch(spark, sf_dir, transform)
+    stream = run_stream(spark, sf_dir, transform)
+    cols = sorted(batch.columns)
+    bh = batch.select(F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256).alias("h"))
+    sh = stream.select(F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256).alias("h"))
+    total = bh.count()
+    if total == 0:
+        return 1.0
+    matched = bh.join(sh, "h", "left_semi").count()
+    return matched / total

@@ -1,0 +1,67 @@
+"""Micro-tests for the as-of join's edge semantics (SURVEY.md §7 hard
+parts: ties and missing-feature rows)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from ai_ready_data_framework_spark.operators.temporal import as_of_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_basic_tie_and_missing(spark):
+    labels = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "l1"),
+            (1, _ts("2024-01-01T12:00:00"), "l2"),
+            (2, _ts("2024-01-01T09:00:00"), "l3"),  # no prior feature
+        ],
+        "user_id int, label_ts timestamp, label string",
+    )
+    features = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), 101, 1.0),
+            (1, _ts("2024-01-01T10:00:00"), 102, 2.0),  # tie with l1: <= counts
+            (1, _ts("2024-01-01T10:00:00"), 103, 3.0),  # same ts: larger id wins
+            (1, _ts("2024-01-01T11:00:00"), 104, 4.0),
+            (2, _ts("2024-01-01T11:00:00"), 201, 9.0),  # after l3 → excluded
+        ],
+        "user_id int, feat_ts timestamp, feat_id int, feat_value double",
+    )
+    out = {
+        r.label: (r.feat_id, r.feat_value)
+        for r in as_of_join(
+            labels,
+            features,
+            key="user_id",
+            label_ts="label_ts",
+            feature_ts="feat_ts",
+            feature_cols=["feat_id", "feat_value"],
+        ).collect()
+    }
+    assert out["l1"] == (103, 3.0)  # tie at 10:00 visible, max feat_id
+    assert out["l2"] == (104, 4.0)  # latest before 12:00
+    assert out["l3"] == (None, None)  # left as-of: no prior feature
+
+
+def test_asof_no_future_leakage(spark, sf_smoke):
+    """point_in_time_correctness audit (check 24): joined feature ts
+    must never exceed label ts."""
+    from ai_ready_data_framework_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_smoke, "events")
+    labels = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("lid"), "user_id", F.col("ts").alias("lts")
+    )
+    features = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("fts"), F.col("event_id").alias("fid")
+    )
+    joined = as_of_join(
+        labels, features, "user_id", "lts", "fts", ["fid", "fts"]
+    )
+    leaks = joined.filter(F.col("fts") > F.col("lts")).count()
+    assert leaks == 0

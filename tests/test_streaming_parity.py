@@ -1,0 +1,19 @@
+"""training_serving_parity (check 25): the same transform fn run in
+batch and as an availableNow stream must produce identical rows."""
+
+from __future__ import annotations
+
+from ai_ready_data_framework_spark.streaming import parity
+
+
+def test_hourly_features_parity(spark, sf_smoke):
+    assert parity.parity_fraction(spark, sf_smoke, parity.hourly_event_features) == 1.0
+
+
+def test_dedup_parity(spark, sf_smoke):
+    batch = parity.run_batch(spark, sf_smoke, parity.deduped_events)
+    stream = parity.run_stream(spark, sf_smoke, parity.deduped_events)
+    assert batch.count() == stream.count()
+    assert (
+        batch.select("event_id").subtract(stream.select("event_id")).count() == 0
+    )
