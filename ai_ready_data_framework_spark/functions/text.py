@@ -148,6 +148,99 @@ def simhash_near_pairs(
     return pairs
 
 
+# --- MinHash (banded AND x OR amplification) ----------------------------
+
+MINHASH_HASHES = 32
+MINHASH_BANDS = 8  # 8 bands x 4 rows: P(candidate) = 1-(1-j^4)^8
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, shingle_col: str, n_hashes: int = MINHASH_HASHES
+) -> DataFrame:
+    """MinHash signature per document from a (id, shingle) posting
+    table: h_i = min over shingles of xxhash64(i, shingle).
+
+    One map-side projection computing all hashes + one hash aggregate —
+    linear in postings, mergeable partials, no pairwise work. This is
+    the 100 TB sketching pass."""
+    hashed = sh.select(
+        F.col(id_col),
+        *[
+            F.xxhash64(F.lit(i), F.col(shingle_col)).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+
+
+def banded_minhash_pairs(
+    sig: DataFrame,
+    id_col: str,
+    min_jaccard: float,
+    n_hashes: int = MINHASH_HASHES,
+    n_bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding + signature-estimated
+    Jaccard.
+
+    AND x OR amplification: hash each band of r = n_hashes/n_bands
+    minhashes to one band key; pairs sharing any band key become
+    candidates (equi-join — the only shuffle). Estimated Jaccard =
+    fraction of agreeing signature positions; pairs below
+    ``min_jaccard`` are dropped. Candidate volume stays tiny because a
+    background pair must agree on r consecutive hashes to collide at
+    all — unlike single-hash OR-only schemes whose candidates blow up
+    on skewed vocabularies."""
+    r = n_hashes // n_bands
+    sig_arr = sig.select(
+        F.col(id_col),
+        F.array(*[f"h{i}" for i in range(n_hashes)]).alias("__sig"),
+        *[
+            F.xxhash64(*[F.col(f"h{b * r + k}") for k in range(r)]).alias(f"__band{b}")
+            for b in range(n_bands)
+        ],
+    )
+    bands = sig_arr.select(
+        F.col(id_col),
+        F.col("__sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"__band{b}").alias("bk")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "__sig", "b.band", "b.bk")
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("__sig").alias("__sig_a"), "band", "bk"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("__sig").alias("__sig_b"), "band", "bk"
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(float(n_hashes))
+    )
+    return (
+        a.join(b, ["band", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sig_a", "__sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_jaccard)
+    )
+
+
 # --- Language identification (n-gram heuristic) -------------------------
 
 # Minimal character-trigram profiles per language. Real systems learn

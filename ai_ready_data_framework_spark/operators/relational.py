@@ -419,9 +419,14 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     the non-equi predicate runs as BroadcastNestedLoopJoin — the right
     physical plan for a 3-row build side at any fact-table scale."""
     events = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
-        [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e18)],
-        "band_name string, lo double, hi double",
+    # SQL VALUES → LocalTableScan (pure JVM); createDataFrame would
+    # route the literals through a Python RDD and break codegen.
+    bands = spark.sql(
+        """SELECT * FROM VALUES
+           ('low', CAST(0.0 AS DOUBLE), CAST(10.0 AS DOUBLE)),
+           ('mid', CAST(10.0 AS DOUBLE), CAST(100.0 AS DOUBLE)),
+           ('high', CAST(100.0 AS DOUBLE), CAST(1e18 AS DOUBLE))
+           AS bands(band_name, lo, hi)"""
     )
     return (
         events.join(

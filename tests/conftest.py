@@ -4,7 +4,10 @@ from __future__ import annotations
 
 import pytest
 
+from ai_ready_data_framework_spark import registry
 from ai_ready_data_framework_spark.session import get_spark
+
+registry.load_all()
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"

@@ -1,0 +1,51 @@
+"""Source/sink roundtrip tests (S1-S5)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ai_ready_data_framework_spark.io import load_table
+from ai_ready_data_framework_spark.sources import readers, writers
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 'a', 1.5), (2, 'b', 2.5) AS t(id, name, score)"
+    )
+    csv_path, json_path = str(tmp_path / "csv"), str(tmp_path / "json")
+    df.write.mode("overwrite").option("header", "true").csv(csv_path)
+    df.write.mode("overwrite").json(json_path)
+    schema = "id int, name string, score double"
+    back_csv = readers.read_csv(spark, csv_path, schema)
+    back_json = readers.read_json_lines(spark, json_path, schema)
+    assert sorted(map(tuple, back_csv.collect())) == sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, back_json.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_partitioned_write_prunes(spark, sf_smoke, tmp_path):
+    orders = load_table(spark, sf_smoke, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_part")
+    writers.write_partitioned(orders, path, ["order_year"])
+    years = [d for d in os.listdir(path) if d.startswith("order_year=")]
+    assert len(years) > 1
+    back = readers.read_parquet(spark, path).filter(F.col("order_year") == 1998)
+    plan = back._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert back.count() > 0
+    # partition pruning: the scan must touch only the matching partition
+    assert "order_year=1998" in plan or "PartitionFilters" in plan
+
+
+def test_stream_write_roundtrip(spark, sf_smoke, tmp_path):
+    events = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "src")
+    events.limit(100).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = readers.read_parquet_stream(spark, src, schema)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = writers.write_stream_parquet(stream, out, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 100
