@@ -49,3 +49,4 @@ def load_all() -> None:
     )
     from ai_ready_data_framework_spark.checks import queries as check_queries  # noqa: F401
     from ai_ready_data_framework_spark.plans import assessment  # noqa: F401
+    from ai_ready_data_framework_spark.streaming import stateful  # noqa: F401

@@ -1,0 +1,92 @@
+"""Physical-plan regression tests.
+
+Every scale claim an operator docstring makes ("broadcasts the dim",
+"no shuffle", "pushes the filter to the scan", "TakeOrderedAndProject")
+is pinned here against the actual Catalyst output, so a refactor that
+silently degrades the 100 TB plan fails CI even though correctness
+still passes. Plans are inspected AFTER execution so AQE's final
+choices (broadcast conversion, coalescing) are what we assert on.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_ready_data_framework_spark import registry
+
+registry.load_all()
+
+
+def final_plan(df) -> str:
+    df.collect()  # run so AdaptiveSparkPlan reports the final plan
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def run(name, spark, sf_dir):
+    return registry.QUERIES[name](spark, sf_dir)
+
+
+def test_filter_pushdown_and_pruning(spark, sf_smoke):
+    plan = final_plan(run("q_filter_pred", spark, sf_smoke))
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan, plan
+    # column pruning: the lineitem scan must not read all 16 columns
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert read_schema.count(",") < 10, read_schema
+
+
+def test_dim_joins_broadcast(spark, sf_smoke):
+    for q in ("q_join_broadcast", "q_join_inner"):
+        plan = final_plan(run(q, spark, sf_smoke))
+        assert "BroadcastHashJoin" in plan, (q, plan)
+        assert "SortMergeJoin" not in plan, (q, plan)
+
+
+def test_range_join_is_bnlj_with_tiny_build(spark, sf_smoke):
+    plan = final_plan(run("q_join_range", spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the literal band table must be JVM-local, not a Python RDD scan
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan, plan
+
+
+def test_topk_is_take_ordered(spark, sf_smoke):
+    plan = final_plan(run("q_topk", spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_per_group_topk_uses_window_group_limit(spark, sf_smoke):
+    plan = final_plan(run("q_window_rank", spark, sf_smoke))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_chunk_explode_has_no_shuffle(spark, sf_smoke):
+    plan = final_plan(run("q_chunk", spark, sf_smoke))
+    assert "Exchange" not in plan, plan
+
+
+def test_vector_topk_never_shuffles_embeddings(spark, sf_smoke):
+    plan = final_plan(run("q_vector_topk", spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, plan
+    # only the 1-row query vector may move: broadcast, no shuffle exchange
+    assert "ShuffleExchange" not in plan.replace(
+        "BroadcastExchange", ""
+    ), plan
+
+
+def test_agg_has_partial_and_final(spark, sf_smoke):
+    plan = final_plan(run("q_agg_group", spark, sf_smoke))
+    assert plan.count("HashAggregate") >= 2, plan  # map-side combine
+
+
+def test_whole_stage_codegen_covers_flagship(spark, sf_smoke):
+    import __spark_entry__ as e
+
+    plan = final_plan(e.entry(spark))
+    # codegen'd operators render with a "*(stageId)" prefix
+    assert "*(1)" in plan, plan
+
+
+def test_asof_join_stays_single_shuffle(spark, sf_smoke):
+    """The as-of join should shuffle each side once on the key, not
+    N times: count Exchange operators."""
+    plan = final_plan(run("q_join_asof", spark, sf_smoke))
+    assert plan.count("Exchange") <= 4, plan
