@@ -46,6 +46,12 @@ HEADLINE = [
     "q_chunk",
     "q_text_stats",
     "q_vector_topk",
+    "q_vector_ann_ivf",
+    "q_text_quality",
+    "q_token_bpe",
+    # q_embed_dup intentionally absent: it is the exact all-pairs
+    # (quadratic) oracle for the approx paths; benching it would
+    # headline a shape we tell users NOT to run at scale.
 ]
 
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ai_ready_data_framework_spark.functions import text as T
 from ai_ready_data_framework_spark.functions import vector as V
@@ -54,6 +55,46 @@ def test_vector_ann_recall(spark, sf_smoke):
     approx = {r.vec_id for r in QUERIES["q_vector_ann"](spark, sf_smoke).collect()}
     recall = len(exact & approx) / 10
     assert recall >= 0.5, f"ann recall {recall}"
+
+
+def test_vector_ivf_recall_and_shape(spark, sf_smoke):
+    """IVF probe path vs brute-force cosine top-10 for the same query
+    batch. Random embeddings are IVF's worst case; nprobe=4/16 must
+    still beat random-candidate recall (~0.25) by a wide margin."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") < ai.IVF_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact_rows = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", V.cosine(F.col("q_emb"), F.col("embedding")).alias("c")
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("c"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rk") <= ai.IVF_TOPK)
+        .collect()
+    )
+    exact: dict[int, set[int]] = {}
+    for r in exact_rows:
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+    approx_rows = QUERIES["q_vector_ann_ivf"](spark, sf_smoke).collect()
+    approx: dict[int, set[int]] = {}
+    for r in approx_rows:
+        approx.setdefault(r.q_id, set()).add(r.vec_id)
+    assert set(approx) == set(exact), "every query must return candidates"
+    recalls = [
+        len(exact[qid] & approx.get(qid, set())) / len(exact[qid]) for qid in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.4, f"ivf mean recall {mean_recall} ({recalls})"
+    for r in approx_rows:
+        assert 1 <= r.rk <= ai.IVF_TOPK
 
 
 def test_multimodal_meta_shape(spark, sf_smoke):
