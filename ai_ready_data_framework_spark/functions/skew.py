@@ -1,0 +1,86 @@
+"""Skew-handling rewrites (SURVEY.md north star: "skewed keys hurt …
+salting for skew").
+
+AQE already splits skewed partitions for sort-merge joins
+(``spark.sql.adaptive.skewJoin``, on in session.py). These helpers
+cover the planner-resistant cases:
+
+- **exact count-distinct on a hot group key** — a single reducer owns
+  the whole hot group's value set; AQE cannot split it because
+  correctness requires co-locating the group. Salting by the DISTINCT
+  column splits the value set instead: values are disjoint across
+  salts, so per-salt distinct counts sum exactly.
+- **equi-join where the probe side has hot keys and the build side is
+  too big to broadcast** — replicate the build side n ways and salt
+  the probe side deterministically, turning one hot partition into n
+  warm ones.
+
+Both rewrites are exact (tested against the unsalted forms); salt
+values derive from xxhash64 of data columns, never from randomness, so
+results stay reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    distinct_col: str,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Exact per-group COUNT(DISTINCT distinct_col) in two shuffles of
+    (group, salt) instead of one shuffle that lands every hot-group row
+    on one reducer.
+
+    Correctness: salt = hash(distinct value) % n, so equal values get
+    equal salts — each distinct value is counted in exactly one salt
+    bucket and the per-salt counts are additive. Returns
+    ``group_cols + [n_distinct]``.
+    """
+    salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salts))
+    per_salt = (
+        df.select(*group_cols, F.col(distinct_col), salt.alias("__salt"))
+        .groupBy(*group_cols, "__salt")
+        .agg(F.countDistinct(distinct_col).alias("__n"))
+    )
+    return per_salt.groupBy(*group_cols).agg(
+        F.sum("__n").alias("n_distinct")
+    )
+
+
+def replicated_skew_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    n_salts: int = DEFAULT_SALTS,
+    salt_by: Column | str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot probe-side keys when ``build`` is too
+    large to broadcast: probe rows get a deterministic salt in
+    [0, n_salts) derived from ``salt_by`` (default: the probe's own
+    join-key hash mixed with every column — pass a high-cardinality
+    column for best spread); build rows are replicated once per salt.
+    Join key becomes (on, salt): the hot key's rows now spread over
+    ``n_salts`` partitions.
+
+    Cost: build side shuffles n_salts x its size — worth it when
+    probe-side skew stalls the job, wasteful otherwise. Keep ``how`` to
+    inner/left (semantics preserved per probe row).
+    """
+    if salt_by is None:
+        salt_src = F.xxhash64(*[F.col(c) for c in probe.columns])
+    else:
+        salt_src = F.xxhash64(F.col(salt_by) if isinstance(salt_by, str) else salt_by)
+    salted_probe = probe.withColumn("__salt", F.pmod(salt_src, F.lit(n_salts)))
+    replicated_build = build.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")),
+    )
+    return salted_probe.join(replicated_build, [on, "__salt"], how).drop("__salt")

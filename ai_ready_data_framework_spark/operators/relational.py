@@ -150,6 +150,29 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_distinct_salted",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_distinct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (skew-resilient rewrite): exact count-distinct via salting on
+    the DISTINCT column — two (group, salt) shuffles instead of one
+    reducer owning a hot group's whole value set. l_returnflag has 3
+    values over the entire corpus, the canonical hot-key shape: the
+    plain form tops out at 3 useful reducers no matter the cluster
+    size; this form uses 3 x n_salts. The oracle is the plain
+    COUNT(DISTINCT) — proving the rewrite exact, not approximate."""
+    from ai_ready_data_framework_spark.functions.skew import salted_count_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_count_distinct(li, ["l_returnflag"], "l_orderkey")
+
+
 @query("q_agg_approx")  # no oracle: HLL sketch values are engine-specific
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 [NS]: HyperLogLog++ approximate distinct — the scale path for

@@ -1,0 +1,152 @@
+"""Property-based tests (hypothesis) for the custom operators whose
+edge cases hand-written fixtures tend to miss: as-of join tie/null
+handling, chunk reassembly, salted distinct.
+
+Each property runs few examples (Spark round-trip per example is
+~seconds); hypothesis still finds boundary shapes (empty sides, ties,
+single-key) far better than hand enumeration.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from ai_ready_data_framework_spark.functions.skew import salted_count_distinct
+from ai_ready_data_framework_spark.operators.temporal import as_of_join
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # key
+        st.integers(0, 20),  # ts
+        st.integers(0, 99),  # id/value
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(labels=rows, features=rows)
+@SETTINGS
+def test_asof_join_matches_reference(spark, labels, features):
+    """For every label (k, lts): attach the feature row with the max
+    (fts, fid) among rows with same k and fts <= lts, else NULLs."""
+    lab_df = spark.createDataFrame(
+        [(k, t, i) for k, t, i in labels] or [(None, None, None)],
+        "k int, lts int, lid int",
+    ).filter(F.col("k").isNotNull())
+    feat_df = spark.createDataFrame(
+        [(k, t, i) for k, t, i in features] or [(None, None, None)],
+        "k int, fts int, fid int",
+    ).filter(F.col("k").isNotNull())
+
+    out = as_of_join(
+        lab_df,
+        feat_df,
+        key="k",
+        label_ts="lts",
+        feature_ts="fts",
+        feature_cols=["fid"],
+    ).collect()
+
+    expect = sorted(
+        (
+            k,
+            lts,
+            lid,
+            max(
+                ((fts, fid) for fk, fts, fid in features if fk == k and fts <= lts),
+                default=(None, None),
+            )[1],
+        )
+        for k, lts, lid in labels
+    )
+    got = sorted((r.k, r.lts, r.lid, r.fid) for r in out)
+    assert got == expect
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),  # words + spaces
+        min_size=1,
+        max_size=80,
+    ).filter(lambda s: s.strip()),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=texts)
+@SETTINGS
+def test_chunk_reassembles_to_tokens(spark, docs):
+    """Concatenating a doc's chunks in chunk_id order must reproduce
+    exactly its token sequence — nothing lost, nothing duplicated."""
+    from ai_ready_data_framework_spark.operators.ai import CHUNK_TOKENS  # noqa: F401
+    from ai_ready_data_framework_spark.registry import QUERIES
+
+    df = spark.createDataFrame(
+        [(i, t, "src", "en", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    df.createOrReplaceTempView("__prop_docs")
+    # run the same chunk expression directly (query reads from sf_dir)
+    from ai_ready_data_framework_spark.functions import text as T
+
+    words = T.tokens("text")
+    import ai_ready_data_framework_spark.operators.ai as ai
+
+    n_chunks = F.floor(
+        (F.size(words) + ai.CHUNK_TOKENS - 1) / ai.CHUNK_TOKENS
+    ).cast("long")
+    chunks = (
+        df.select(
+            "doc_id",
+            words.alias("words"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("words"), F.col("chunk_id") * ai.CHUNK_TOKENS + 1, ai.CHUNK_TOKENS
+                ),
+            ).alias("chunk"),
+        )
+        .collect()
+    )
+    by_doc: dict[int, list[tuple[int, str]]] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk))
+    for i, t in enumerate(docs):
+        toks = t.split()
+        got = " ".join(c for _, c in sorted(by_doc.get(i, []))).split()
+        assert got == toks, (t, got)
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=40
+    )
+)
+@SETTINGS
+def test_salted_distinct_property(spark, data):
+    df = spark.createDataFrame(
+        [(g, v) for g, v in data] or [(None, None)], "g int, v int"
+    ).filter(F.col("g").isNotNull())
+    got = {
+        r.g: r.n_distinct for r in salted_count_distinct(df, ["g"], "v", 4).collect()
+    }
+    expect: dict[int, set[int]] = {}
+    for g, v in data:
+        expect.setdefault(g, set()).add(v)
+    assert got == {g: len(vs) for g, vs in expect.items()}
