@@ -217,6 +217,38 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (cube): all 2^k grouping sets in one pass — rollup's superset,
+    for dashboards slicing by any dim combination. Same Expand-based
+    plan; cost scales with the number of grouping sets, so keep k
+    small at 100 TB (k=2 → 4 sets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@query(
     "q_agg_percentile",
     oracle="""
     SELECT o_orderpriority,
@@ -644,6 +676,33 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+               AS price_quartile,
+           ROUND(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 4)
+               AS price_pct_rank
+    FROM orders
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: distribution position — ntile quartiles + percent_rank
+    (demographic_representation shape, requirements.yaml:189-191).
+    Unpartitioned window = one global sort; at 100 TB prefer
+    percentile_approx cutpoints joined back (q_agg_percentile) — this
+    exact form exists for parity with the spec's per-row rank demand."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("price_pct_rank"),
     )
 
 

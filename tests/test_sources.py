@@ -39,6 +39,31 @@ def test_partitioned_write_prunes(spark, sf_smoke, tmp_path):
     assert "order_year=1998" in plan or "PartitionFilters" in plan
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_smoke, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with
+    ZERO shuffle exchanges — the pre-paid co-location layout for
+    repeated fact-to-fact joins at scale."""
+    orders = load_table(spark, sf_smoke, "orders")
+    lineitem = load_table(spark, sf_smoke, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    writers.write_bucketed(orders, "t_orders_b", "o_orderkey", n_buckets=8)
+    writers.write_bucketed(lineitem, "t_lineitem_b", "o_orderkey", n_buckets=8)
+    try:
+        a, b = spark.table("t_orders_b"), spark.table("t_lineitem_b")
+        # disable broadcast so the join must pick SMJ over the buckets
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, "o_orderkey").select("o_orderkey", "o_totalprice", "l_quantity")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "Exchange" not in plan, plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
 def test_stream_write_roundtrip(spark, sf_smoke, tmp_path):
     events = load_table(spark, sf_smoke, "events")
     src = str(tmp_path / "src")
