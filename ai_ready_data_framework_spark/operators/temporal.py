@@ -170,8 +170,9 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 (batch form): gap-based sessionization — lag to flag session
     starts, running sum to number sessions, then per-session rollup.
-    The streaming twin is ``F.session_window`` (streaming/pipelines.py);
-    this batch formulation is its deterministic oracle-checked double.
+    The streaming twin is ``F.session_window``
+    (streaming/parity.py::session_features, parity-tested); this batch
+    formulation is its deterministic oracle-checked double.
     Two window passes over one shuffle partitioning (same key+order) —
     Catalyst reuses the sort."""
     events = load_table(spark, sf_dir, "events")

@@ -57,6 +57,30 @@ def hourly_event_features(df: DataFrame) -> DataFrame:
     )
 
 
+def session_features(df: DataFrame) -> DataFrame:
+    """Shared transform (T3 streaming form): gap-based session windows
+    via ``F.session_window`` — Spark merges overlapping per-event
+    sessions in state across micro-batches; in batch the same
+    expression computes sessions in one aggregation. Boundary
+    semantics: an event exactly gap after the previous one starts a NEW
+    session (half-open [start, last+gap) windows)."""
+    return (
+        df.withWatermark("ts", HARNESS_WATERMARK)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def deduped_events(df: DataFrame) -> DataFrame:
     """Shared transform: drop duplicate event_ids (T5 stateful dedup).
     In streaming this keeps per-key state bounded by the watermark."""

@@ -10,6 +10,12 @@ def test_hourly_features_parity(spark, sf_smoke):
     assert parity.parity_fraction(spark, sf_smoke, parity.hourly_event_features) == 1.0
 
 
+def test_session_window_parity(spark, sf_smoke):
+    """T3: session_window must produce identical sessions in batch and
+    across micro-batches (state-merged) in streaming."""
+    assert parity.parity_fraction(spark, sf_smoke, parity.session_features) == 1.0
+
+
 def test_dedup_parity(spark, sf_smoke):
     batch = parity.run_batch(spark, sf_smoke, parity.deduped_events)
     stream = parity.run_stream(spark, sf_smoke, parity.deduped_events)
