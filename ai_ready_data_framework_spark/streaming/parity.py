@@ -83,8 +83,24 @@ def session_features(df: DataFrame) -> DataFrame:
 
 def deduped_events(df: DataFrame) -> DataFrame:
     """Shared transform: drop duplicate event_ids (T5 stateful dedup).
-    In streaming this keeps per-key state bounded by the watermark."""
+    NOTE: plain dropDuplicates holds every seen key in state forever in
+    streaming — see deduped_events_bounded for the production form."""
     return df.withWatermark("ts", HARNESS_WATERMARK).dropDuplicates(["event_id"])
+
+
+def deduped_events_bounded(df: DataFrame) -> DataFrame:
+    """T5, state-bounded form: ``dropDuplicatesWithinWatermark`` evicts
+    a key's state once the watermark passes its event time — the only
+    dedup that survives an unbounded stream (plain dropDuplicates state
+    grows monotonically). Spark rejects the call on batch DataFrames,
+    so the batch path uses plain dropDuplicates — semantically
+    identical whenever duplicates arrive within the watermark, which
+    the parity test then proves on this corpus."""
+    if df.isStreaming:
+        return df.withWatermark("ts", HARNESS_WATERMARK).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return df.dropDuplicates(["event_id"])
 
 
 def run_batch(spark: SparkSession, sf_dir: str, transform: Transform) -> DataFrame:

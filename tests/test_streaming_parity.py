@@ -23,3 +23,14 @@ def test_dedup_parity(spark, sf_smoke):
     assert (
         batch.select("event_id").subtract(stream.select("event_id")).count() == 0
     )
+
+
+def test_dedup_bounded_parity(spark, sf_smoke):
+    """T5 production form: watermark-evicted dedup state must still
+    produce the batch-identical event_id set on this corpus."""
+    batch = parity.run_batch(spark, sf_smoke, parity.deduped_events_bounded)
+    stream = parity.run_stream(spark, sf_smoke, parity.deduped_events_bounded)
+    assert batch.count() == stream.count()
+    assert (
+        batch.select("event_id").subtract(stream.select("event_id")).count() == 0
+    )
