@@ -251,6 +251,87 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_MD5_THRESHOLD = "1a"  # hex-prefix < '1a' ≈ 26/256 ≈ 10.2% sample
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < '{SAMPLE_MD5_THRESHOLD}'
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (dataset mixing): deterministic hash sampling — a doc
+    is in the sample iff md5(doc_id) falls under a fixed hex threshold.
+    Unlike ``df.sample`` this is reproducible across runs, engines, and
+    partitionings (the oracle literally re-derives the same sample in
+    DuckDB), composable per stratum (rate per (source, lang) by varying
+    the threshold), and stable under data re-layout — the properties a
+    training-data pipeline needs to freeze its mixture. Pure map-side
+    filter: no shuffle, pushes nothing but bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return docs.filter(h < SAMPLE_MD5_THRESHOLD).select("doc_id", "source", "lang")
+
+
+EVAL_FOLD_MOD = 10  # doc_id % 10 == 0 → held-out eval fold
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(words[i : i + {SHINGLE_K - 1}], ' ') AS s
+        FROM (
+            SELECT doc_id, words,
+                   unnest(range(1, greatest(len(words) - {SHINGLE_K - 1}, 1) + 1)) AS i
+            FROM w
+        )
+    ),
+    train_sh AS (
+        SELECT DISTINCT s FROM sh WHERE doc_id % {EVAL_FOLD_MOD} <> 0
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           ROUND(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS containment
+    FROM sh LEFT JOIN train_sh t USING (s)
+    WHERE sh.doc_id % {EVAL_FOLD_MOD} = 0
+    GROUP BY sh.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (eval hygiene): train/eval contamination via n-gram
+    containment — for each held-out doc, the fraction of its distinct
+    shingles that appear anywhere in the training fold. The industry-
+    standard leakage check before trusting a benchmark number. Shape:
+    one distinct over train shingles, one equi-join — linear in
+    postings; the train shingle set is the big side and stays
+    partitioned by shingle (no per-doc state)."""
+    sh = _doc_shingles(spark, sf_dir)
+    is_eval = F.col("doc_id") % EVAL_FOLD_MOD == 0
+    train_sh = sh.filter(~is_eval).select("s").distinct().withColumn(
+        "__in_train", F.lit(1)
+    )
+    eval_sh = sh.filter(is_eval)
+    hit = F.when(F.col("__in_train").isNotNull(), 1).otherwise(0)
+    return (
+        eval_sh.join(train_sh, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(hit).alias("n_contaminated"),
+            F.round(F.sum(hit) / F.count("*"), 4).alias("containment"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chunking (L4)
 # ---------------------------------------------------------------------------

@@ -734,3 +734,56 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset profiling
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+
+@query(
+    "q_profile",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           ROUND(AVG(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END), 4) AS null_frac,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM orders"""
+        for c in PROFILE_COLS
+    ),
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling — the first query any training pipeline runs
+    against a new asset: per-column null fraction, exact distinct
+    count, min/max. ONE scan computes every column's metrics (all
+    aggregates in a single agg node), then the 1-row result explodes
+    into the per-column report — vs the naive per-column loop that
+    scans N times. At 100 TB swap countDistinct for
+    approx_count_distinct (the exact form is the oracle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.round(F.avg(F.when(F.col(c).isNull(), 1.0).otherwise(0.0)), 4).alias(f"nf_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"nf_{c}").alias("null_frac"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_value"),
+                F.col(f"mx_{c}").alias("max_value"),
+            )
+            for c in PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")

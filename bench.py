@@ -49,6 +49,9 @@ HEADLINE = [
     "q_vector_ann_ivf",
     "q_text_quality",
     "q_token_bpe",
+    "q_sample_stratified",
+    "q_contamination",
+    "q_profile",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.
