@@ -132,6 +132,75 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256) -> DataFrame:
     return media.filter(F.col("media_type") == "video").mapInPandas(run, FRAME_SCHEMA)
 
 
+FEATURE_DIM = 16
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction shape: binary payload → fixed-dim float
+    vector (the image/audio-embedding step). The real model call is
+    stubbed with a deterministic content-hash-derived vector; the
+    Spark-side contract — Arrow batches in, ``array<float>`` column
+    out, one row per media row, no payload past this point — is real.
+    This output feeds q_vector_* unchanged (embeddings are embeddings
+    regardless of modality)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for content in pdf["content"]:
+                h = hashlib.sha256(bytes(content)).digest()
+                feats.append([((h[i % 32] / 255.0) * 2 - 1) for i in range(dim)])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "feature": feats,
+                }
+            )
+
+    schema = Ty.StructType(
+        [
+            Ty.StructField("media_id", Ty.LongType()),
+            Ty.StructField("media_type", Ty.StringType()),
+            Ty.StructField("feature", Ty.ArrayType(Ty.FloatType())),
+        ]
+    )
+    return media.mapInPandas(run, schema)
+
+
+def resize_media(media: DataFrame, max_bytes: int = 512) -> DataFrame:
+    """Resize/downsample shape: payload transformed to a bounded-size
+    payload (image resize / audio downsample). Stub truncates bytes
+    deterministically; real pipelines swap in the codec call. Runs as a
+    native expression — resize-by-truncation needs no Python at all,
+    which is the point: keep even binary transforms JVM-side when the
+    semantics allow."""
+    return media.select(
+        "media_id",
+        "media_type",
+        F.substring("content", 1, max_bytes).alias("content"),
+        F.length("content").cast("long").alias("orig_bytes"),
+    )
+
+
+@query("q_multimodal_features")  # Pandas-UDF pipeline → rows-only contract
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (multimodal): resize → feature-extract → per-type
+    vector profile. Proves the full binary pipeline composes: bounded
+    payloads through Arrow batches into array<float> features usable by
+    the vector operators."""
+    from ai_ready_data_framework_spark.functions import vector as V
+
+    media = resize_media(synth_media(spark, sf_dir))
+    feats = extract_features(media)
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n_media"),
+        F.round(F.avg(V.norm(F.col("feature"))), 4).alias("avg_norm"),
+        F.min(F.size("feature")).cast("long").alias("min_dim"),
+        F.max(F.size("feature")).cast("long").alias("max_dim"),
+    )
+
+
 @query("q_multimodal_meta")  # Pandas-UDF pipeline → rows-only contract
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (multimodal): binary ingestion → Arrow-batched

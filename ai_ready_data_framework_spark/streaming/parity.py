@@ -57,6 +57,25 @@ def hourly_event_features(df: DataFrame) -> DataFrame:
     )
 
 
+def sliding_event_features(df: DataFrame) -> DataFrame:
+    """Shared transform (T2): 1-hour windows sliding every 30 minutes —
+    each event lands in exactly two windows (replication factor =
+    size/slide; keep that ratio small at scale)."""
+    return (
+        df.withWatermark("ts", HARNESS_WATERMARK)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_features(df: DataFrame) -> DataFrame:
     """Shared transform (T3 streaming form): gap-based session windows
     via ``F.session_window`` — Spark merges overlapping per-event

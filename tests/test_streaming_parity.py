@@ -10,6 +10,14 @@ def test_hourly_features_parity(spark, sf_smoke):
     assert parity.parity_fraction(spark, sf_smoke, parity.hourly_event_features) == 1.0
 
 
+def test_sliding_window_parity(spark, sf_smoke):
+    """T2: sliding windows must aggregate identically in batch and
+    across micro-batches."""
+    assert (
+        parity.parity_fraction(spark, sf_smoke, parity.sliding_event_features) == 1.0
+    )
+
+
 def test_session_window_parity(spark, sf_smoke):
     """T3: session_window must produce identical sessions in batch and
     across micro-batches (state-merged) in streaming."""
