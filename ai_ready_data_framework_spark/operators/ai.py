@@ -31,12 +31,15 @@ from ai_ready_data_framework_spark.registry import query
 
 SHINGLE_K = 2
 NEAR_DUP_JACCARD = 0.5
-# Shingles appearing in more than this fraction of the corpus are
-# dropped from the candidate join (inverted-index posting cap — the
-# standard guard that keeps the self-join linear when a shingle goes
-# viral). Relative, not absolute: an absolute cap silently changes
-# semantics as the corpus grows.
+# Shingles above the document-frequency cap are dropped from the
+# candidate join. TWO guards, both needed: the relative one keeps tiny
+# corpora permissive; the absolute one bounds the join — a shingle
+# with df postings contributes O(df^2) candidate rows, so an uncapped
+# 20%-of-1B-docs shingle is catastrophic while 500^2 is nothing.
+# Near-dup clusters larger than the absolute cap are the exact-dedup
+# operator's job (dedupe exact copies first, then n-gram the rest).
 MAX_SHINGLE_DF_FRACTION = 0.2
+MAX_SHINGLE_DF_ABS = 500
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,7 +95,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     rare AS (
         SELECT s FROM sh GROUP BY s
-        HAVING COUNT(*) <= {MAX_SHINGLE_DF_FRACTION} * (SELECT COUNT(*) FROM documents)
+        HAVING COUNT(*) <= LEAST({MAX_SHINGLE_DF_FRACTION} * (SELECT COUNT(*) FROM documents),
+                                 {MAX_SHINGLE_DF_ABS})
     ),
     shf AS (SELECT sh.* FROM sh JOIN rare USING (s)),
     p AS (
@@ -112,14 +116,21 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 (exact variant): n-gram Jaccard near-dup pairs via inverted
     index — explode distinct 2-word shingles, drop ultra-common
     shingles (posting cap), equi-join on shingle, count shared, compute
-    Jaccard against full distinct-shingle counts. All equi-joins and
-    aggregations — linear in postings at any scale, vs the quadratic
-    all-pairs formulation."""
+    Jaccard against full distinct-shingle counts. Candidate volume is
+    sum(df^2) over surviving shingles — fine on natural text (long-tail
+    vocabulary), expensive on small-vocabulary corpora like this
+    synthetic one (931 shingles, avg df 275 at sf0.1 → ~36M candidate
+    rows). That cost is inherent to EXACT pair generation; this query
+    is the recall oracle for q_dedup_near (banded MinHash), which is
+    the headline scale path."""
     sh = _doc_shingles(spark, sf_dir)
     n_docs = load_table(spark, sf_dir, "documents").count()
     n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= MAX_SHINGLE_DF_FRACTION * n_docs
+        F.col("df")
+        <= F.least(
+            F.lit(MAX_SHINGLE_DF_FRACTION * n_docs), F.lit(float(MAX_SHINGLE_DF_ABS))
+        )
     )
     shf = sh.join(rare.select("s"), "s")
     a = shf.select(F.col("doc_id").alias("doc_a"), "s")
