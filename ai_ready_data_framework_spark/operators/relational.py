@@ -737,6 +737,49 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           """
+    + ",\n           ".join(
+        f"ROUND(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN value END), 0), 4)"
+        f" AS {t}_value"
+        for t in EVENT_TYPES
+    )
+    + """
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: long → wide per-user value sums by event type. The value
+    list is EXPLICIT — without it Spark first runs a distinct scan to
+    discover pivot values and caps them at
+    spark.sql.pivotMaxValues; declared values make it a single-pass
+    conditional aggregation (exactly what the oracle states)."""
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.round(F.sum("value"), 4))
+    )
+    # coalesce AFTER the pivot: a (user, type) cell with no rows comes
+    # out null from pivot (the agg never ran for it), matching the
+    # oracle's COALESCE(SUM(...), 0) only if we fill here
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0.0)).alias(f"{t}_value") for t in EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dataset profiling
 # ---------------------------------------------------------------------------
 

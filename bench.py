@@ -52,6 +52,7 @@ HEADLINE = [
     "q_sample_stratified",
     "q_contamination",
     "q_profile",
+    "q_pivot",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.
