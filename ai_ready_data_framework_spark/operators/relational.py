@@ -779,6 +779,41 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UNPIVOT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, ROUND(value, 4) AS value
+    FROM (
+        """
+    + "\n        UNION ALL\n        ".join(
+        f"SELECT l_orderkey, l_linenumber, '{c}' AS metric, {c} AS value FROM lineitem"
+        for c in UNPIVOT_COLS
+    )
+    + """
+    ) u
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide → long over the numeric lineitem measures via
+    ``stack`` — one projection per input row emitting k rows, no
+    shuffle, no k-fold rescan (the oracle's UNION ALL formulation scans
+    k times; stack is the single-scan equivalent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stack_expr = "stack({}, {}) as (metric, value)".format(
+        len(UNPIVOT_COLS),
+        ", ".join(f"'{c}', {c}" for c in UNPIVOT_COLS),
+    )
+    return li.selectExpr("l_orderkey", "l_linenumber", stack_expr).select(
+        "l_orderkey",
+        "l_linenumber",
+        "metric",
+        F.round("value", 4).alias("value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dataset profiling
 # ---------------------------------------------------------------------------
