@@ -79,9 +79,55 @@ def as_of_join(
     return out
 
 
-@query(
-    "q_join_asof",
-    oracle="""
+def as_of_join_broadcast(
+    labels: DataFrame,
+    features: DataFrame,
+    key: str,
+    label_ts: str,
+    feature_ts: str,
+    feature_cols: list[str],
+) -> DataFrame:
+    """As-of join, broadcast strategy (SURVEY.md §4 watch list): when
+    the FEATURE side is broadcast-small, pack each key's features into
+    one sorted array, broadcast that, and resolve the as-of match with
+    array expressions — the label side is never shuffled or sorted,
+    which at 100 TB of labels beats the union+window plan (one full
+    shuffle of both sides) outright.
+
+    Per label row: filter the key's feature array to ``fts <= lts`` and
+    take the max element — (fts, tiebreak...) struct ordering matches
+    the union+window formulation's tie rule exactly (latest feature_ts,
+    then largest feature column value). Linear in features-per-key
+    inside codegen; choose this path when max features-per-key is
+    modest and the packed side fits the broadcast threshold."""
+    packed = features.groupBy(F.col(key).alias("__k")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(feature_ts).alias("__fts"),
+                    *[F.col(c).alias(f"__f_{c}") for c in feature_cols],
+                )
+            )
+        ).alias("__farr")
+    )
+    joined = labels.join(
+        F.broadcast(packed), labels[key] == packed["__k"], "left"
+    )
+    eligible = F.filter(
+        F.col("__farr"), lambda x: x["__fts"] <= F.col(label_ts)
+    )
+    best = F.array_max(eligible)
+    out = joined.select(
+        *labels.columns,
+        *[best[f"__f_{c}"].alias(c) for c in feature_cols],
+    )
+    return out
+
+
+# Shared by q_join_asof and q_join_asof_broadcast: the two Spark
+# implementations are alternative physical strategies for the SAME
+# semantics, so they must satisfy the same oracle.
+ASOF_ORACLE_SQL = """
     SELECT label_event_id, user_id, label_ts_us, feat_event_id, feat_value
     FROM (
         SELECT l.event_id AS label_event_id,
@@ -98,17 +144,10 @@ def as_of_join(
           ON f.user_id = l.user_id AND f.ts <= l.ts
     ) t
     WHERE rn = 1
-    """,
-)
-def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7: point-in-time join — for each purchase, the latest click at
-    or before it (point_in_time_correctness, requirements.yaml:103-105).
-
-    Spark side runs the union+window formulation (one shuffle, linear);
-    the oracle states the same semantics as join-then-rank SQL. Feature
-    ties at identical ts resolve to the largest feature event_id on
-    both sides.
     """
+
+
+def _asof_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     events = load_table(spark, sf_dir, "events")
     labels = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("label_event_id"),
@@ -121,7 +160,47 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("feat_event_id"),
         F.round("value", 4).alias("feat_value"),
     )
+    return labels, features
+
+
+@query("q_join_asof", oracle=ASOF_ORACLE_SQL)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: point-in-time join — for each purchase, the latest click at
+    or before it (point_in_time_correctness, requirements.yaml:103-105).
+
+    Spark side runs the union+window formulation (one shuffle, linear);
+    the oracle states the same semantics as join-then-rank SQL. Feature
+    ties at identical ts resolve to the largest feature event_id on
+    both sides.
+    """
+    labels, features = _asof_inputs(spark, sf_dir)
     joined = as_of_join(
+        labels,
+        features,
+        key="user_id",
+        label_ts="label_ts",
+        feature_ts="feat_ts",
+        feature_cols=["feat_event_id", "feat_value"],
+    )
+    return joined.select(
+        "label_event_id",
+        "user_id",
+        F.unix_micros("label_ts").alias("label_ts_us"),
+        "feat_event_id",
+        "feat_value",
+    )
+
+
+@query("q_join_asof_broadcast", oracle=ASOF_ORACLE_SQL)
+def q_join_asof_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7, broadcast strategy: identical point-in-time semantics (same
+    oracle as q_join_asof — the gate proves strategy equivalence), but
+    the label side is never shuffled: features pack into per-key sorted
+    arrays, broadcast, and each label row resolves its as-of match with
+    array expressions. The plan to pick when labels are 100 TB and the
+    feature table is broadcast-small."""
+    labels, features = _asof_inputs(spark, sf_dir)
+    joined = as_of_join_broadcast(
         labels,
         features,
         key="user_id",

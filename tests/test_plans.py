@@ -19,7 +19,10 @@ registry.load_all()
 
 def final_plan(df) -> str:
     df.collect()  # run so AdaptiveSparkPlan reports the final plan
-    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    # AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
+    # assertions must see only the plan that actually ran
+    return plan.split("== Initial Plan ==")[0]
 
 
 def run(name, spark, sf_dir):
@@ -90,3 +93,12 @@ def test_asof_join_stays_single_shuffle(spark, sf_smoke):
     N times: count Exchange operators."""
     plan = final_plan(run("q_join_asof", spark, sf_smoke))
     assert plan.count("Exchange") <= 4, plan
+
+
+def test_asof_broadcast_never_shuffles_labels(spark, sf_smoke):
+    """Broadcast as-of strategy: the only shuffle allowed is the tiny
+    feature-side pack aggregation; the label scan must feed a
+    BroadcastHashJoin directly."""
+    plan = final_plan(run("q_join_asof_broadcast", spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

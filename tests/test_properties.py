@@ -15,7 +15,10 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from ai_ready_data_framework_spark.functions.skew import salted_count_distinct
-from ai_ready_data_framework_spark.operators.temporal import as_of_join
+from ai_ready_data_framework_spark.operators.temporal import (
+    as_of_join,
+    as_of_join_broadcast,
+)
 
 SETTINGS = settings(
     max_examples=15,
@@ -34,11 +37,17 @@ rows = st.lists(
 )
 
 
+import pytest
+
+
+@pytest.mark.parametrize("impl", [as_of_join, as_of_join_broadcast])
 @given(labels=rows, features=rows)
 @SETTINGS
-def test_asof_join_matches_reference(spark, labels, features):
+def test_asof_join_matches_reference(spark, impl, labels, features):
     """For every label (k, lts): attach the feature row with the max
-    (fts, fid) among rows with same k and fts <= lts, else NULLs."""
+    (fts, fid) among rows with same k and fts <= lts, else NULLs.
+    Both physical strategies (union+window, broadcast+array) must
+    satisfy the identical reference."""
     lab_df = spark.createDataFrame(
         [(k, t, i) for k, t, i in labels] or [(None, None, None)],
         "k int, lts int, lid int",
@@ -48,7 +57,7 @@ def test_asof_join_matches_reference(spark, labels, features):
         "k int, fts int, fid int",
     ).filter(F.col("k").isNotNull())
 
-    out = as_of_join(
+    out = impl(
         lab_df,
         feat_df,
         key="k",
