@@ -124,6 +124,33 @@ def as_of_join_broadcast(
     return out
 
 
+# Feature-side row threshold under which the broadcast as-of strategy
+# wins; mirrors autoBroadcastJoinThreshold thinking but counts rows
+# because the packed array size, not raw bytes, is what must fit in
+# every executor.
+ASOF_BROADCAST_MAX_FEATURES = 1_000_000
+
+
+def as_of_join_auto(
+    labels: DataFrame,
+    features: DataFrame,
+    key: str,
+    label_ts: str,
+    feature_ts: str,
+    feature_cols: list[str],
+) -> DataFrame:
+    """As-of join with strategy selection (SURVEY.md §4 watch list):
+    broadcast+array when the feature side is small enough to pack and
+    ship to every executor, union+window otherwise. The count probe is
+    one cheap aggregate — at 100 TB the caller usually knows the
+    answer, but the probe makes the default safe."""
+    if features.count() <= ASOF_BROADCAST_MAX_FEATURES:
+        return as_of_join_broadcast(
+            labels, features, key, label_ts, feature_ts, feature_cols
+        )
+    return as_of_join(labels, features, key, label_ts, feature_ts, feature_cols)
+
+
 # Shared by q_join_asof and q_join_asof_broadcast: the two Spark
 # implementations are alternative physical strategies for the SAME
 # semantics, so they must satisfy the same oracle.
@@ -214,6 +241,45 @@ def q_join_asof_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("label_ts").alias("label_ts_us"),
         "feat_event_id",
         "feat_value",
+    )
+
+
+TRAILING_WINDOW_US = 3600 * 1_000_000  # 1 hour in microseconds
+
+
+@query(
+    "q_window_range_frame",
+    oracle=f"""
+    SELECT event_id,
+           user_id,
+           epoch_us(ts) AS ts_us,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+           ROUND(SUM(value) OVER w, 4) AS trailing_value
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN {TRAILING_WINDOW_US - 1} PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (range frame): trailing 1-hour per-user activity — the frame
+    is defined by event-TIME distance, not row count (rangeBetween over
+    epoch micros). Unlike rowsBetween this is robust to event density;
+    RANGE frames include all order-value peers on both engines, so ties
+    in ts stay deterministic without an id tiebreak."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-(TRAILING_WINDOW_US - 1), 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count("*").over(w).cast("long").alias("n_trailing"),
+        F.round(F.sum("value").over(w), 4).alias("trailing_value"),
     )
 
 

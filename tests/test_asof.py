@@ -65,3 +65,45 @@ def test_asof_no_future_leakage(spark, sf_smoke):
     )
     leaks = joined.filter(F.col("fts") > F.col("lts")).count()
     assert leaks == 0
+
+
+def test_asof_broadcast_same_edge_semantics(spark):
+    """Both strategies must agree on the tie/missing micro-case."""
+    from ai_ready_data_framework_spark.operators.temporal import (
+        as_of_join_auto,
+        as_of_join_broadcast,
+    )
+
+    labels = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "l1"),
+            (1, _ts("2024-01-01T12:00:00"), "l2"),
+            (2, _ts("2024-01-01T09:00:00"), "l3"),
+        ],
+        "user_id int, label_ts timestamp, label string",
+    )
+    features = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), 101, 1.0),
+            (1, _ts("2024-01-01T10:00:00"), 102, 2.0),
+            (1, _ts("2024-01-01T10:00:00"), 103, 3.0),
+            (1, _ts("2024-01-01T11:00:00"), 104, 4.0),
+            (2, _ts("2024-01-01T11:00:00"), 201, 9.0),
+        ],
+        "user_id int, feat_ts timestamp, feat_id int, feat_value double",
+    )
+    for impl in (as_of_join_broadcast, as_of_join_auto):
+        out = {
+            r.label: (r.feat_id, r.feat_value)
+            for r in impl(
+                labels,
+                features,
+                key="user_id",
+                label_ts="label_ts",
+                feature_ts="feat_ts",
+                feature_cols=["feat_id", "feat_value"],
+            ).collect()
+        }
+        assert out["l1"] == (103, 3.0), impl.__name__
+        assert out["l2"] == (104, 4.0), impl.__name__
+        assert out["l3"] == (None, None), impl.__name__
