@@ -518,6 +518,99 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           CAST(c.c_custkey IS NOT NULL AS BIGINT) AS has_customer,
+           COALESCE(o.n_orders, 0) AS n_orders
+    FROM customer c
+    FULL OUTER JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (full outer): customers without orders AND order keys without
+    a customer row both survive — the reconciliation shape for
+    cross-system integrity audits. Full outer cannot broadcast (both
+    sides must be preserved), so it is always a shuffle join: aggregate
+    the fact side FIRST so the shuffle carries one row per key."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().cast("long").alias("has_customer"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@query(
+    "q_subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery, expressed through spark.sql so
+    Catalyst's decorrelation (RewriteCorrelatedScalarSubquery family)
+    turns it into a left-semi join — same physical plan q_join_semi
+    builds explicitly; declared to prove the SQL surface handles it."""
+    from ai_ready_data_framework_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 4) AS total_price,
+           ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4)
+               AS diff_from_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: Catalyst evaluates the aggregate
+    once (ReusedSubquery) and folds it into the filter — one extra tiny
+    job, no per-row recomputation."""
+    from ai_ready_data_framework_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               ROUND(o_totalprice, 4) AS total_price,
+               ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4)
+                   AS diff_from_avg
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations (U1-U3)
 # ---------------------------------------------------------------------------
