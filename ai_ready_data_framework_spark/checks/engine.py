@@ -588,6 +588,15 @@ def _lineage_df(ctx: CheckContext) -> DataFrame:
     return ctx.artifact("lineage_df", build)  # type: ignore[return-value]
 
 
+def _assets_df(ctx: CheckContext) -> DataFrame:
+    def build() -> DataFrame:
+        return ctx.spark.createDataFrame(
+            [(a,) for a in R.ASSETS], "asset string"
+        ).cache()
+
+    return ctx.artifact("assets_df", build)  # type: ignore[return-value]
+
+
 @check("data_provenance", "correlated", "serving,training", "M", ":128-130")
 def data_provenance(ctx: CheckContext) -> float:
     return _frac(sum(1 for t in R.ASSETS if t in R.PROVENANCE), len(R.ASSETS))
@@ -598,6 +607,7 @@ def lineage_completeness(ctx: CheckContext) -> float:
     """Assets reachable from an external source via the lineage graph —
     computed by iterated self-join to a fixpoint (transitive closure)."""
     edges = _lineage_df(ctx)
+    assets = _assets_df(ctx)
     frontier = edges.filter(F.col("src").startswith("src:")).select(
         F.col("dst").alias("node")
     ).distinct()
@@ -612,8 +622,11 @@ def lineage_completeness(ctx: CheckContext) -> float:
         if nxt.count() == 0:
             break
         reached = reached.unionByName(nxt).distinct()
-    reachable = {r.node for r in reached.collect()}
-    return _frac(sum(1 for t in R.ASSETS if t in reachable), len(R.ASSETS))
+    # score via semi-join — the reached set never leaves the engine
+    n_reachable = assets.join(
+        reached, assets.asset == reached.node, "left_semi"
+    ).count()
+    return _frac(n_reachable, len(R.ASSETS))
 
 
 @check("data_version_coverage", "correlated", "training", "M", ":136-138")
@@ -651,8 +664,14 @@ def pipeline_execution_audit(ctx: CheckContext) -> float:
 @check("dependency_graph_completeness", "correlated", "serving,training", "M", ":148-150")
 def dependency_graph_completeness(ctx: CheckContext) -> float:
     edges = _lineage_df(ctx)
-    nodes = {r.src for r in edges.collect()} | {r.dst for r in edges.collect()}
-    return _frac(sum(1 for t in R.ASSETS if t in nodes), len(R.ASSETS))
+    assets = _assets_df(ctx)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    covered = assets.join(nodes, assets.asset == nodes.node, "left_semi").count()
+    return _frac(covered, len(R.ASSETS))
 
 
 @check("record_level_traceability", "correlated", "serving,training", "D", ":152-154")
@@ -669,13 +688,18 @@ def impact_analysis_capability(ctx: CheckContext) -> float:
     """Downstream impact enumerable per asset: fraction of assets whose
     transitive downstream set is computable (closure converges)."""
     edges = _lineage_df(ctx)
-    assets_with_downstream = {r.src for r in edges.collect() if not r.src.startswith("src:")}
-    terminal = set(R.ASSETS) - assets_with_downstream
-    # enumerable = has downstream edges or is declared terminal — all
-    return _frac(
-        len(assets_with_downstream & set(R.ASSETS)) + len(terminal),
-        len(R.ASSETS),
+    assets = _assets_df(ctx)
+    internal_srcs = (
+        edges.filter(~F.col("src").startswith("src:"))
+        .select(F.col("src").alias("node"))
+        .distinct()
     )
+    n_with_downstream = assets.join(
+        internal_srcs, assets.asset == internal_srcs.node, "left_semi"
+    ).count()
+    n_terminal = len(R.ASSETS) - n_with_downstream
+    # enumerable = has downstream edges or is declared terminal — all
+    return _frac(n_with_downstream + n_terminal, len(R.ASSETS))
 
 
 @check("transformation_documentation", "correlated", "serving,training", "M", ":160-162")

@@ -377,7 +377,10 @@ EVAL_FOLD_MOD = 10  # doc_id % 10 == 0 → held-out eval fold
     )
     SELECT sh.doc_id,
            COUNT(*) AS n_shingles,
-           SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           -- CAST required: DuckDB SUM(integer) yields HUGEINT vs Spark's
+           -- BIGINT — hash-mismatch on identical values (VERDICT r1).
+           CAST(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
            ROUND(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END)
                  / CAST(COUNT(*) AS DOUBLE), 4) AS containment
     FROM sh LEFT JOIN train_sh t USING (s)

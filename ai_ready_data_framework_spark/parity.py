@@ -68,6 +68,38 @@ def _values_equal(a: object, b: object) -> bool:
     return str(a) == str(b)
 
 
+def _dtype_kind(dtype: object) -> str:
+    """Collapse a pandas dtype to a comparison kind: integers 'i',
+    floats 'f', everything else its numpy kind. Unsigned folds into
+    'i'; pandas nullable extension dtypes map via their numpy kind."""
+    kind = getattr(dtype, "kind", "O")
+    return "i" if kind in ("i", "u") else kind
+
+
+def check_dtype_drift(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame
+) -> list[str]:
+    """The driver's value-hash is REPRESENTATION-sensitive: DuckDB
+    SUM(integer) → HUGEINT surfaces as decimal/float on its comparison
+    path while Spark emits int64, failing the hash on identical values
+    (VERDICT r1: q_sessionize, q_contamination). str()/isclose parity
+    cannot see that, so compare numpy dtype KINDS per column: int vs
+    float/object drift fails here exactly like it fails the driver.
+    Nullable widening (int64 → float64 when NULLs are present) hits
+    both engines' to-pandas paths identically, so kinds still agree on
+    legitimately NULL-able columns."""
+    problems = []
+    for col in sorted(set(spark_pdf.columns) & set(oracle_pdf.columns)):
+        sk, ok = _dtype_kind(spark_pdf[col].dtype), _dtype_kind(oracle_pdf[col].dtype)
+        if sk != ok:
+            problems.append(
+                f"dtype drift col={col}: spark kind {sk!r} "
+                f"({spark_pdf[col].dtype}) vs oracle kind {ok!r} "
+                f"({oracle_pdf[col].dtype}) — uncast HUGEINT/decimal in the oracle?"
+            )
+    return problems
+
+
 def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> ParityResult:
     if len(spark_pdf) != len(oracle_pdf):
         return ParityResult(
@@ -76,6 +108,9 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
     s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if s_cols != o_cols:
         return ParityResult(name, False, f"columns {s_cols} != oracle {o_cols}")
+    drift = check_dtype_drift(spark_pdf, oracle_pdf)
+    if drift:
+        return ParityResult(name, False, "; ".join(drift))
     s = _normalize(spark_pdf)
     o = _normalize(oracle_pdf)
     for col in s.columns:

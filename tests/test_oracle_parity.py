@@ -32,3 +32,41 @@ def test_query_matches_oracle(spark, sf_correctness, oracle_con, name):
     oracle_pdf = oracle_con.execute(registry.ORACLES[name]).df()
     result: ParityResult = compare_frames(name, spark_pdf, oracle_pdf)
     assert result.ok, result.detail
+
+
+def test_graded_window_is_all_oracled():
+    """The driver grades only the first 50 registered queries; every
+    one of those slots must carry a DuckDB oracle (VERDICT r1 #2)."""
+    names = list(registry.QUERIES)
+    window = names[:50]
+    assert all(n in registry.ORACLES for n in window), [
+        n for n in window if n not in registry.ORACLES
+    ]
+    # and no oracle-backed query may sit outside the graded window
+    assert all(n not in registry.ORACLES for n in names[50:]), [
+        n for n in names[50:] if n in registry.ORACLES
+    ]
+
+
+def test_profile_approx_within_tolerance(spark, sf_correctness):
+    """q_profile_approx (the 100 TB sketch path) must track the exact
+    profile: n_distinct within 5% relative error (rsd=0.01 gives ~1%),
+    null_frac and min/max identical."""
+    exact = (
+        registry.QUERIES["q_profile"](spark, sf_correctness)
+        .toPandas()
+        .set_index("col_name")
+    )
+    approx = (
+        registry.QUERIES["q_profile_approx"](spark, sf_correctness)
+        .toPandas()
+        .set_index("col_name")
+    )
+    assert sorted(exact.index) == sorted(approx.index)
+    for c in exact.index:
+        nd_e = int(exact.loc[c, "n_distinct"])
+        nd_a = int(approx.loc[c, "n_distinct"])
+        assert abs(nd_a - nd_e) <= max(0.05 * nd_e, 1.0), (c, nd_e, nd_a)
+        assert exact.loc[c, "null_frac"] == approx.loc[c, "null_frac"], c
+        assert exact.loc[c, "min_value"] == approx.loc[c, "min_value"], c
+        assert exact.loc[c, "max_value"] == approx.loc[c, "max_value"], c

@@ -88,10 +88,29 @@ def test_whole_stage_codegen_covers_flagship(spark, sf_smoke):
     assert "*(1)" in plan, plan
 
 
+def _asof_strategy_df(spark, sf_dir, impl):
+    """Build one as-of strategy's DataFrame directly (q_join_asof now
+    unions both strategies for the correctness gate, so per-strategy
+    plan properties are asserted on the underlying operators)."""
+    from ai_ready_data_framework_spark.operators.temporal import _asof_inputs
+
+    labels, features = _asof_inputs(spark, sf_dir)
+    return impl(
+        labels,
+        features,
+        key="user_id",
+        label_ts="label_ts",
+        feature_ts="feat_ts",
+        feature_cols=["feat_event_id", "feat_value"],
+    )
+
+
 def test_asof_join_stays_single_shuffle(spark, sf_smoke):
-    """The as-of join should shuffle each side once on the key, not
-    N times: count Exchange operators."""
-    plan = final_plan(run("q_join_asof", spark, sf_smoke))
+    """The union+window as-of strategy should shuffle each side once on
+    the key, not N times: count Exchange operators."""
+    from ai_ready_data_framework_spark.operators.temporal import as_of_join
+
+    plan = final_plan(_asof_strategy_df(spark, sf_smoke, as_of_join))
     assert plan.count("Exchange") <= 4, plan
 
 
@@ -99,6 +118,10 @@ def test_asof_broadcast_never_shuffles_labels(spark, sf_smoke):
     """Broadcast as-of strategy: the only shuffle allowed is the tiny
     feature-side pack aggregation; the label scan must feed a
     BroadcastHashJoin directly."""
-    plan = final_plan(run("q_join_asof_broadcast", spark, sf_smoke))
+    from ai_ready_data_framework_spark.operators.temporal import (
+        as_of_join_broadcast,
+    )
+
+    plan = final_plan(_asof_strategy_df(spark, sf_smoke, as_of_join_broadcast))
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
