@@ -266,6 +266,66 @@ FUZZY_MAX_EDIT = 2
 FUZZY_LEN_BAND = 2  # |len(a) - len(b)| <= band, necessary for edit <= 2
 
 
+def fuzzy_match_pairs(
+    df: DataFrame,
+    key: str,
+    name_col: str,
+    max_edit: int = FUZZY_MAX_EDIT,
+    len_band: int = FUZZY_LEN_BAND,
+) -> DataFrame:
+    """Blocked fuzzy matching (candidate-then-verify): candidate pairs
+    come from equi-joins on cheap blocking keys, and only candidates
+    pay the O(len^2) levenshtein. TWO blocking passes — 3-char prefix
+    and 3-char suffix — unioned then deduped, so a pair is missed only
+    if the two names disagree in BOTH their first 3 and last 3 chars
+    (impossible for edit <= 2 unless edits straddle both ends). The
+    length band is a necessary condition for edit distance <= k.
+    All-pairs similarity is quadratic; blocking keeps the join linear
+    in block sizes — the same candidate-then-verify shape as the
+    MinHash and IVF operators. Production adds phonetic passes the
+    same way: one more ``blks`` entry, one more union arm."""
+    named = df.select(
+        F.col(key).alias("k"),
+        F.upper(name_col).alias("name"),
+        F.length(name_col).alias("len"),
+    )
+    blks = (
+        F.substring("name", 1, 3),
+        F.substring("name", -3, 3),
+    )
+    candidates = None
+    for blk in blks:
+        a = named.select(
+            F.col("k").alias("key_a"),
+            F.col("name").alias("name_a"),
+            F.col("len").alias("len_a"),
+            blk.alias("blk"),
+        )
+        b = named.select(
+            F.col("k").alias("key_b"),
+            F.col("name").alias("name_b"),
+            F.col("len").alias("len_b"),
+            blk.alias("blk"),
+        )
+        arm = a.join(b, "blk").filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= len_band)
+        )
+        candidates = arm if candidates is None else candidates.unionByName(arm)
+    # dedup candidate pairs BEFORE the expensive verify so a pair
+    # caught by both blocking passes pays levenshtein once
+    return (
+        candidates.select("key_a", "key_b", "name_a", "name_b")
+        .dropDuplicates(["key_a", "key_b"])
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_edit)
+    )
+
+
 @query(
     "q_fuzzy_match",
     oracle=f"""
@@ -278,56 +338,26 @@ FUZZY_LEN_BAND = 2  # |len(a) - len(b)| <= band, necessary for edit <= 2
            CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
     FROM n a
     JOIN n b
-      ON substring(a.name, 1, 3) = substring(b.name, 1, 3)
-     AND a.c_custkey < b.c_custkey
+      ON a.c_custkey < b.c_custkey
      AND abs(a.len - b.len) <= {FUZZY_LEN_BAND}
+     AND (substring(a.name, 1, 3) = substring(b.name, 1, 3)
+          OR right(a.name, 3) = right(b.name, 3))
     WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_EDIT}
     """,
 )
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North star (entity resolution): fuzzy name matching with
-    BLOCKING — candidate pairs come from an equi-join on a cheap
-    blocking key (3-char prefix) plus a length band (a necessary
-    condition for edit distance <= k), and only candidates pay the
-    O(len^2) levenshtein. All-pairs similarity is quadratic; blocking
-    keeps the join linear in block sizes — the same
-    candidate-then-verify shape as the MinHash and IVF operators.
-    Prefix blocking misses edits in the first 3 chars; production runs
-    multiple blocking passes (prefix, suffix, phonetic) and unions.
+    """North star (entity resolution): fuzzy name matching over
+    customer names via ``fuzzy_match_pairs`` (prefix + suffix blocking
+    passes unioned; see that docstring for the scale argument). The
+    oracle states the same candidate set declaratively (prefix OR
+    suffix block match); recall vs unblocked exact edit-distance pairs
+    is asserted in tests/test_ai_ops.py.
     Corpus caveat: synthetic customer names share one long prefix and
     differ only in digit suffixes, so the TRUE edit-<=2 pair set is
     dense (~136 matches per name at sf0.01) and any exact method is
     ~quadratic here — correctness query, not a bench headline."""
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.upper("c_name").alias("name"),
-        F.length("c_name").alias("len"),
-    )
-    a = cust.select(
-        F.col("c_custkey").alias("key_a"),
-        F.col("name").alias("name_a"),
-        F.col("len").alias("len_a"),
-        F.substring("name", 1, 3).alias("blk"),
-    )
-    b = cust.select(
-        F.col("c_custkey").alias("key_b"),
-        F.col("name").alias("name_b"),
-        F.col("len").alias("len_b"),
-        F.substring("name", 1, 3).alias("blk"),
-    )
-    return (
-        a.join(b, "blk")
-        .filter(
-            (F.col("key_a") < F.col("key_b"))
-            & (F.abs(F.col("len_a") - F.col("len_b")) <= FUZZY_LEN_BAND)
-        )
-        .select(
-            "key_a",
-            "key_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") <= FUZZY_MAX_EDIT)
-    )
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_match_pairs(cust, key="c_custkey", name_col="c_name")
 
 
 SAMPLE_MD5_THRESHOLD = "1a"  # hex-prefix < '1a' ≈ 26/256 ≈ 10.2% sample

@@ -30,6 +30,41 @@ def test_minhash_recall_vs_exact(spark, sf_smoke):
     assert recall >= 0.8, f"minhash recall {recall}"
 
 
+def test_fuzzy_blocking_recall_vs_exact(spark, sf_smoke):
+    """Blocked fuzzy matching (prefix + suffix passes) vs UNBLOCKED
+    exact edit-distance pairs on a small slice: blocking must not drop
+    true matches on this corpus (names share a long prefix, so the
+    prefix pass alone already covers it — the test pins that the union
+    + dedup machinery keeps recall at 1.0, not that blocking is
+    universally lossless)."""
+    cust = load_table(spark, sf_smoke, "customer").filter(
+        F.col("c_custkey") <= 200
+    )
+    exact_pairs = (
+        cust.alias("a")
+        .crossJoin(cust.alias("b"))
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.levenshtein(
+                F.upper("a.c_name"), F.upper("b.c_name")
+            ).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= ai.FUZZY_MAX_EDIT)
+    )
+    exact = {(r.key_a, r.key_b) for r in exact_pairs.collect()}
+    blocked = {
+        (r.key_a, r.key_b)
+        for r in ai.fuzzy_match_pairs(cust, "c_custkey", "c_name").collect()
+    }
+    assert exact, "exact fuzzy pairs expected in corpus slice"
+    recall = len(exact & blocked) / len(exact)
+    assert recall == 1.0, f"blocked fuzzy recall {recall}"
+    # blocking is candidate-generation only: it must never ADD pairs
+    assert blocked <= exact
+
+
 def test_simhash_deterministic_and_bounded(spark, sf_smoke):
     a = QUERIES["q_dedup_simhash"](spark, sf_smoke).collect()
     b = QUERIES["q_dedup_simhash"](spark, sf_smoke).collect()
