@@ -226,6 +226,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_clusters")  # iterative fixpoint → rows-only
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (closure): near-dup PAIRS → duplicate GROUPS via distributed
+    connected components (functions/graph.py), then one row per group
+    with the kept representative (min doc_id) and the members dropped.
+    This is the step that makes pair detection actionable: dedup keeps
+    one doc per component, not one per pair — pairs (a,b),(b,c) must
+    collapse to one group even though (a,c) was never emitted.
+    Input is the exact n-gram pair set (deterministic), so the output
+    passes the rows-only determinism gate; the same closure runs
+    unchanged over banded-MinHash pairs at scale. Correctness vs a
+    union-find oracle is asserted in tests/test_ai_ops.py."""
+    pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    from ai_ready_data_framework_spark.functions.graph import connected_components
+
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+        .select(
+            F.col("component").alias("keep_doc_id"),
+            "cluster_size",
+            "members",
+        )
+    )
+
+
 EMBED_DUP_COSINE = 0.45  # corpus embeddings are random; max pair cos ~0.51
 
 

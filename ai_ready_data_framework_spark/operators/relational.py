@@ -287,6 +287,23 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_agg_percentile_approx")  # sketch values engine-specific → rows-only
+def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6, the 100 TB path: percentile_approx (Greenwald-Khanna-style
+    sketch, accuracy 10000 ≈ 0.01% rank error) — single pass, fixed
+    memory, mergeable across partitions, where exact `percentile`
+    materializes every group's value list. Declared so the scale form
+    is graded as ran; q_agg_percentile is its accuracy oracle in
+    pytest (per-quantile relative error < 1% asserted)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile_approx(o_totalprice, 0.50, 10000)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile_approx(o_totalprice, 0.90, 10000)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile_approx(o_totalprice, 0.99, 10000)"), 4).alias("p99_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / top-k (O1, O2)
 # ---------------------------------------------------------------------------

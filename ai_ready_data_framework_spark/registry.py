@@ -49,6 +49,8 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_stateful_freshness",  # T6 arbitrary stateful streaming
     "q_agg_approx",
     "q_profile_approx",
+    "q_agg_percentile_approx",
+    "q_dedup_clusters",
     "q_dedup_simhash",
     "q_vector_ann_ivf",
     "q_vector_ann",

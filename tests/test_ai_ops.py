@@ -65,6 +65,91 @@ def test_fuzzy_blocking_recall_vs_exact(spark, sf_smoke):
     assert blocked <= exact
 
 
+def _union_find_components(pairs):
+    """Driver-side oracle: classic union-find over the pair list,
+    components labeled by their min member."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_vs_union_find(spark, sf_smoke):
+    """Distributed label propagation must produce exactly the
+    union-find partition of the near-dup pair graph."""
+    from ai_ready_data_framework_spark.functions.graph import connected_components
+
+    pairs_df = QUERIES["q_dedup_ngram"](spark, sf_smoke).select("doc_a", "doc_b")
+    pairs = [(r.doc_a, r.doc_b) for r in pairs_df.collect()]
+    assert pairs, "near-dup pairs expected in corpus"
+    expected = _union_find_components(pairs)
+    got = {
+        r.node: r.component
+        for r in connected_components(pairs_df, "doc_a", "doc_b").collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_chain_needs_iterations(spark):
+    """A 10-node path graph forces multi-round propagation (diameter 9
+    with labels flowing from the min end); plus a disjoint pair."""
+    from ai_ready_data_framework_spark.functions.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(1, 10)] + [(20, 21)]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {r.node: r.component for r in connected_components(df, "a", "b").collect()}
+    assert all(got[i] == 1 for i in range(1, 11))
+    assert got[20] == 20 and got[21] == 20
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_smoke):
+    """Every pair's two docs land in the same cluster; cluster sizes
+    sum to the number of distinct docs appearing in any pair; each
+    representative is its cluster's min member."""
+    pairs = QUERIES["q_dedup_ngram"](spark, sf_smoke).collect()
+    clusters = QUERIES["q_dedup_clusters"](spark, sf_smoke).collect()
+    member_to_rep = {m: c.keep_doc_id for c in clusters for m in c.members}
+    for p in pairs:
+        assert member_to_rep[p.doc_a] == member_to_rep[p.doc_b]
+    docs_in_pairs = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    assert sum(c.cluster_size for c in clusters) == len(docs_in_pairs)
+    for c in clusters:
+        assert c.keep_doc_id == min(c.members)
+
+
+def test_percentile_approx_tracks_exact(spark, sf_correctness):
+    """q_agg_percentile_approx (sketch path) must track the exact
+    per-group quantiles within 1% relative error. Runs at sf0.01: the
+    sketch returns an actual data value while exact `percentile`
+    interpolates, so tiny groups bound accuracy by value granularity,
+    not sketch error."""
+    exact = {
+        r.o_orderpriority: r
+        for r in QUERIES["q_agg_percentile"](spark, sf_correctness).collect()
+    }
+    approx = {
+        r.o_orderpriority: r
+        for r in QUERIES["q_agg_percentile_approx"](spark, sf_correctness).collect()
+    }
+    assert sorted(exact) == sorted(approx)
+    for grp, e in exact.items():
+        a = approx[grp]
+        for col in ("p50_price", "p90_price", "p99_price"):
+            ev, av = getattr(e, col), getattr(a, col)
+            assert abs(av - ev) <= 0.01 * abs(ev), (grp, col, ev, av)
+        assert e.n_orders == a.n_orders
+
+
 def test_simhash_deterministic_and_bounded(spark, sf_smoke):
     a = QUERIES["q_dedup_simhash"](spark, sf_smoke).collect()
     b = QUERIES["q_dedup_simhash"](spark, sf_smoke).collect()
