@@ -47,3 +47,40 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
             lambda acc, x: acc + x,
         )
     )
+
+
+def srp_bands(
+    emb: Column | str,
+    planes: list[list[float]],
+    n_bands: int,
+    n_bits: int,
+) -> Column:
+    """Signed-random-projection (hyperplane) LSH signature, packed into
+    band values: bit i = sign(emb . planes[i]); each consecutive group
+    of ``n_bits`` bits packs into one integer band value. Two vectors
+    collide on a band with probability (1 - theta/pi)^n_bits, the
+    classic cosine-LSH guarantee (Charikar '02, public literature).
+
+    Stays fully inside Catalyst: the plane matrix is ONE nested array
+    literal and both the bit and the packing loops are higher-order
+    functions (transform/aggregate), so codegen sees two array loops —
+    not n_bands*n_bits unrolled aggregate expressions.
+    """
+    if len(planes) != n_bands * n_bits:
+        raise ValueError(f"need {n_bands * n_bits} planes, got {len(planes)}")
+    e = F.col(emb) if isinstance(emb, str) else emb
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    )
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(dot(e, p) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(bits, b * n_bits + 1, n_bits),
+            F.lit(0),
+            lambda acc, x: acc * 2 + x,
+        ),
+    )

@@ -292,6 +292,71 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_DIM = 64
+SRP_BANDS = 8
+SRP_BITS = 3
+SRP_SEED = 42
+
+
+@query("q_embed_dup_lsh")  # hyperplane sketch → rows-only
+def q_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, the SCALE path for q_embed_dup's
+    quadratic exact form: signed-random-projection LSH (seeded, so
+    deterministic) generates candidates via a band equi-join, then only
+    candidates pay the exact cosine verify — the same sketch-and-band
+    shape as the MinHash text path. Band collision probability is
+    (1 - theta/pi)^n_bits, so candidates concentrate on low-angle
+    pairs.
+
+    Corpus caveat: the synthetic embeddings are RANDOM, so the dup
+    threshold (0.45) sits barely above the background cosine and
+    8x3-bit banding prunes weakly here (recall ~0.93, candidates ~2/3
+    of all pairs — measured in tests). On a real near-dup corpus
+    (cosine >= 0.8) the same operator with n_bits 8-16 prunes by
+    orders of magnitude; parameters are exposed on srp_bands for that.
+    Recall vs the exact pair set is asserted in tests/test_ai_ops.py.
+    """
+    import numpy as np
+
+    planes = (
+        np.random.default_rng(SRP_SEED)
+        .standard_normal((SRP_BANDS * SRP_BITS, EMBED_DIM))
+        .tolist()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        V.srp_bands(F.col("embedding"), planes, SRP_BANDS, SRP_BITS).alias("bands"),
+    )
+    side = sig.select(
+        "vec_id", "embedding", F.posexplode("bands").alias("band_id", "band_val")
+    )
+    a = side.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        "band_id",
+        "band_val",
+    )
+    b = side.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        "band_id",
+        "band_val",
+    )
+    cands = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair matching in several bands pays the cosine verify once
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        cands.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= EMBED_DUP_COSINE)
+    )
+
+
 FUZZY_MAX_EDIT = 2
 FUZZY_LEN_BAND = 2  # |len(a) - len(b)| <= band, necessary for edit <= 2
 

@@ -51,6 +51,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_profile_approx",
     "q_agg_percentile_approx",
     "q_dedup_clusters",
+    "q_embed_dup_lsh",
     "q_dedup_simhash",
     "q_vector_ann_ivf",
     "q_vector_ann",

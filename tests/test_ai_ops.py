@@ -159,6 +159,25 @@ def test_simhash_deterministic_and_bounded(spark, sf_smoke):
         assert 0 <= row.hamming <= 3
 
 
+def test_embed_dup_lsh_recall_vs_exact(spark, sf_correctness):
+    """SRP-banded embedding near-dup must recover most exact cosine
+    pairs, and every emitted pair must be a true pair (the verify step
+    is exact, so precision is 1.0 by construction). Runs at sf0.01
+    where the exact set is non-trivial (14 pairs in r1's gate)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["q_embed_dup"](spark, sf_correctness).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["q_embed_dup_lsh"](spark, sf_correctness).collect()
+    }
+    assert exact, "exact embedding near-dup pairs expected"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"srp-lsh recall {recall}"
+    assert approx <= exact, "verify step must make precision exact"
+
+
 def test_vector_ann_recall(spark, sf_smoke):
     """BRP-LSH approx neighbors vs brute-force L2 top-10 (same metric)."""
     emb = load_table(spark, sf_smoke, "embeddings")
