@@ -590,6 +590,70 @@ def q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_TOKENS = 512  # context-window budget per packed sequence
+PACK_SHARDS = 16  # packing parallelism: greedy runs per (source, shard)
+
+
+@query("q_pack_sequences")  # sequential greedy per shard → rows-only
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (training batch prep): sequence packing — greedy
+    first-fit of chunks into fixed token-budget packs, the step that
+    turns chunked documents into dense training sequences (unpacked
+    batches waste the padded tail of every context window).
+
+    Greedy packing is inherently sequential (whether a chunk opens a
+    new pack depends on every prior decision), so this is the
+    documented custom-operator path: ordered ``applyInPandas`` per
+    (source, shard) group. Sharding by doc_id hash gives the
+    parallelism a global greedy lacks — packing quality is unaffected
+    (packing is shard-local in production pipelines for exactly this
+    reason) and determinism holds (shard key and order are derived
+    from data, not partitioning). Verified against a driver-side
+    greedy oracle in tests/test_ai_ops.py; every pack's n_tokens is
+    asserted <= budget."""
+    import pandas as pd
+
+    chunks = q_chunk(spark, sf_dir).select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.pmod(F.xxhash64("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    with_source = chunks.join(docs, "doc_id")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "chunk_id"])
+        pack_ids, cur_tokens, pid = [], 0, 0
+        for t in pdf["n_chunk_tokens"]:
+            if cur_tokens + t > PACK_TOKENS and cur_tokens > 0:
+                pid += 1
+                cur_tokens = 0
+            cur_tokens += t
+            pack_ids.append(pid)
+        pdf = pdf.assign(pack_id=pack_ids)
+        out = (
+            pdf.groupby("pack_id")
+            .agg(n_chunks=("chunk_id", "size"), n_tokens=("n_chunk_tokens", "sum"))
+            .reset_index()
+        )
+        out["source"] = pdf["source"].iloc[0]
+        out["shard"] = pdf["shard"].iloc[0]
+        return out[["source", "shard", "pack_id", "n_chunks", "n_tokens"]]
+
+    return (
+        with_source.groupBy("source", "shard")
+        .applyInPandas(
+            pack,
+            "source string, shard bigint, pack_id bigint, n_chunks bigint, n_tokens bigint",
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("n_tokens") / F.lit(float(PACK_TOKENS)), 4),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (L5) + quality + fingerprint
 # ---------------------------------------------------------------------------

@@ -159,6 +159,43 @@ def test_simhash_deterministic_and_bounded(spark, sf_smoke):
         assert 0 <= row.hamming <= 3
 
 
+def test_pack_sequences_matches_greedy_oracle(spark, sf_smoke):
+    """Distributed packing must equal a driver-side greedy first-fit
+    over the same (source, shard) groups in the same order, and no
+    pack may exceed the token budget."""
+    chunk_rows = (
+        QUERIES["q_chunk"](spark, sf_smoke)
+        .join(
+            load_table(spark, sf_smoke, "documents").select("doc_id", "source"),
+            "doc_id",
+        )
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(ai.PACK_SHARDS))
+        )
+        .collect()
+    )
+    groups = {}
+    for r in sorted(chunk_rows, key=lambda r: (r.doc_id, r.chunk_id)):
+        groups.setdefault((r.source, r.shard), []).append(r.n_chunk_tokens)
+    expected = set()
+    for (source, shard), tokens in groups.items():
+        pid, cur_tokens, cur_chunks = 0, 0, 0
+        for t in tokens:
+            if cur_tokens + t > ai.PACK_TOKENS and cur_tokens > 0:
+                expected.add((source, shard, pid, cur_chunks, cur_tokens))
+                pid, cur_tokens, cur_chunks = pid + 1, 0, 0
+            cur_tokens += t
+            cur_chunks += 1
+        expected.add((source, shard, pid, cur_chunks, cur_tokens))
+    got_rows = QUERIES["q_pack_sequences"](spark, sf_smoke).collect()
+    got = {
+        (r.source, r.shard, r.pack_id, r.n_chunks, r.n_tokens) for r in got_rows
+    }
+    assert got == expected
+    assert all(r.n_tokens <= ai.PACK_TOKENS for r in got_rows)
+    assert all(0 < r.fill_ratio <= 1.0 for r in got_rows)
+
+
 def test_embed_dup_lsh_recall_vs_exact(spark, sf_correctness):
     """SRP-banded embedding near-dup must recover most exact cosine
     pairs, and every emitted pair must be a true pair (the verify step
