@@ -480,6 +480,39 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(h < SAMPLE_MD5_THRESHOLD).select("doc_id", "source", "lang")
 
 
+# Per-source mixture rates (dataset mixing config); sources not listed
+# fall back to the default. Rates quantize to 1/16^8 via an 8-hex-digit
+# md5-prefix threshold so both engines compare plain strings.
+MIX_WEIGHTS = {"src0": 0.8, "src1": 0.6, "src2": 0.4, "src3": 0.2}
+MIX_DEFAULT_WEIGHT = 0.1
+
+
+def mix_threshold_hex(rate: float) -> str:
+    """8-hex-digit md5-prefix threshold selecting ~rate of rows."""
+    return format(int(rate * 16**8), "08x")
+
+
+@query("q_mix_weighted")  # rows-only: the 50 graded slots are full; its
+# DuckDB oracle runs in tests/test_ai_ops.py instead
+def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (dataset mixing): weighted per-stratum sampling — a
+    doc survives iff its md5(doc_id) 8-hex prefix falls under its
+    SOURCE's threshold, so each source contributes at its configured
+    mixture rate. Same determinism properties as q_sample_stratified
+    (reproducible across runs/engines/partitionings, stable under
+    re-layout) but with a per-stratum rate map — the operator that
+    freezes a training corpus mixture (60% web / 30% books / 10% code
+    style). Pure map-side filter: no shuffle. The threshold CASE is a
+    chained literal expression, so Catalyst folds it into the scan
+    filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.lit(mix_threshold_hex(MIX_DEFAULT_WEIGHT))
+    for src, w in MIX_WEIGHTS.items():
+        thr = F.when(F.col("source") == src, F.lit(mix_threshold_hex(w))).otherwise(thr)
+    h8 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
+    return docs.filter(h8 < thr).select("doc_id", "source", "lang")
+
+
 EVAL_FOLD_MOD = 10  # doc_id % 10 == 0 → held-out eval fold
 
 

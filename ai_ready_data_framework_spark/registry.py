@@ -53,6 +53,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_dedup_clusters",
     "q_embed_dup_lsh",
     "q_pack_sequences",
+    "q_mix_weighted",
     "q_dedup_simhash",
     "q_vector_ann_ivf",
     "q_vector_ann",

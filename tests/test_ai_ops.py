@@ -159,6 +159,41 @@ def test_simhash_deterministic_and_bounded(spark, sf_smoke):
         assert 0 <= row.hamming <= 3
 
 
+def test_mix_weighted_matches_duckdb_oracle(spark, sf_correctness):
+    """q_mix_weighted is SQL-expressible but the graded window is full,
+    so its DuckDB oracle runs here: identical row set from both engines
+    using the same per-source md5-prefix thresholds."""
+    import duckdb
+
+    from ai_ready_data_framework_spark.io import table_path
+
+    case = " ".join(
+        f"WHEN '{src}' THEN '{ai.mix_threshold_hex(w)}'"
+        for src, w in ai.MIX_WEIGHTS.items()
+    )
+    sql = f"""
+        SELECT doc_id, source, lang
+        FROM read_parquet('{table_path(sf_correctness, "documents")}')
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE source {case}
+                   ELSE '{ai.mix_threshold_hex(ai.MIX_DEFAULT_WEIGHT)}' END
+    """
+    expected = {
+        (r[0], r[1], r[2]) for r in duckdb.connect().execute(sql).fetchall()
+    }
+    got = {
+        (r.doc_id, r.source, r.lang)
+        for r in QUERIES["q_mix_weighted"](spark, sf_correctness).collect()
+    }
+    assert got == expected
+    assert got, "weighted mix should select rows"
+    # weighted sources must sample at clearly different achieved rates
+    by_src = {}
+    for _, src, _lang in got:
+        by_src[src] = by_src.get(src, 0) + 1
+    assert by_src.get("src0", 0) > by_src.get("src3", 0)
+
+
 def test_pack_sequences_matches_greedy_oracle(spark, sf_smoke):
     """Distributed packing must equal a driver-side greedy first-fit
     over the same (source, shard) groups in the same order, and no

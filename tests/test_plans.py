@@ -75,6 +75,22 @@ def test_vector_topk_never_shuffles_embeddings(spark, sf_smoke):
     ), plan
 
 
+def test_embed_dup_lsh_candidates_are_equi_join(spark, sf_smoke):
+    """SRP-banded near-dup must generate candidates via an equi-join on
+    (band_id, band_val) — never a cartesian product (that would be the
+    exact quadratic path it exists to replace)."""
+    plan = final_plan(run("q_embed_dup_lsh", spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mix_weighted_is_scan_filter_only(spark, sf_smoke):
+    """Weighted mixing is a pure map-side filter: no shuffle exchange
+    anywhere in the plan."""
+    plan = final_plan(run("q_mix_weighted", spark, sf_smoke))
+    assert "Exchange" not in plan, plan
+
+
 def test_agg_has_partial_and_final(spark, sf_smoke):
     plan = final_plan(run("q_agg_group", spark, sf_smoke))
     assert plan.count("HashAggregate") >= 2, plan  # map-side combine
