@@ -807,6 +807,40 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 5
+
+
+@query("q_tfidf_topterms")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_ai_ops.py
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 (keyword extraction): top-k TF-IDF terms per document —
+    term frequency x smoothed inverse document frequency
+    ln((N+1)/(df+1)), the classic corpus-relative salience score used
+    for topic tagging and search-index boosting. Shape: one explode,
+    two hash aggregates (tf by (doc, term), df by term), a broadcast
+    of the tiny per-term idf table, then per-doc top-k via the
+    row_number <= k pattern Catalyst rewrites into WindowGroupLimit.
+    Ranking uses the ROUNDED score with a term tie-break so both
+    engines order identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((n_docs + 1.0) / (F.col("df") + 1.0))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * idf, 4).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "score", "rn")
+    )
+
+
 @query("q_lang_id")  # heuristic classifier — no SQL oracle, rows-only
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star: n-gram-marker language ID over text, compared with

@@ -54,6 +54,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_embed_dup_lsh",
     "q_pack_sequences",
     "q_mix_weighted",
+    "q_tfidf_topterms",
     "q_dedup_simhash",
     "q_vector_ann_ivf",
     "q_vector_ann",

@@ -159,6 +159,45 @@ def test_simhash_deterministic_and_bounded(spark, sf_smoke):
         assert 0 <= row.hamming <= 3
 
 
+def test_tfidf_topterms_matches_duckdb_oracle(spark, sf_correctness):
+    """q_tfidf_topterms is SQL-expressible but the graded window is
+    full, so its DuckDB oracle runs here: identical (doc, term, score,
+    rank) sets from both engines."""
+    import duckdb
+
+    from ai_ready_data_framework_spark.io import table_path
+
+    sql = f"""
+        WITH docs AS (
+            SELECT * FROM read_parquet('{table_path(sf_correctness, "documents")}')
+        ),
+        tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM docs),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 4) AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, score, rn FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term
+            ) AS BIGINT) AS rn
+            FROM scored
+        ) WHERE rn <= {ai.TFIDF_TOP_K}
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    got = {
+        (r.doc_id, r.term, r.score, r.rn)
+        for r in QUERIES["q_tfidf_topterms"](spark, sf_correctness).collect()
+    }
+    assert got == expected
+    assert got, "tf-idf terms expected"
+
+
 def test_mix_weighted_matches_duckdb_oracle(spark, sf_correctness):
     """q_mix_weighted is SQL-expressible but the graded window is full,
     so its DuckDB oracle runs here: identical row set from both engines
