@@ -826,18 +826,29 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives FROM tf (one row per (doc, term) → row count = distinct
+    # docs) and also emits corpus_tf = sum(tf). Because sum(tf) makes
+    # this branch consume tf's aggregate output, both join sides share
+    # the identical (doc, term) shuffle subtree and Catalyst plans a
+    # ReusedExchange — one explode + one shuffle instead of two of each
+    # (pinned in test_plans.py). A bare count-only branch gets
+    # canonicalized to a distinct and loses the reuse.
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("corpus_tf"),
+    )
     idf = F.log((n_docs + 1.0) / (F.col("df") + 1.0))
     scored = tf.join(F.broadcast(dfreq), "term").select(
         "doc_id",
         "term",
         F.round(F.col("tf") * idf, 4).alias("score"),
+        "corpus_tf",
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TFIDF_TOP_K)
-        .select("doc_id", "term", "score", "rn")
+        .select("doc_id", "term", "score", "corpus_tf", "rn")
     )
 
 

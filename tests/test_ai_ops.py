@@ -175,14 +175,18 @@ def test_tfidf_topterms_matches_duckdb_oracle(spark, sf_correctness):
             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs
         ),
         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-        dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        dfreq AS (
+            SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS corpus_tf
+            FROM tf GROUP BY 1
+        ),
         n AS (SELECT COUNT(*) AS n FROM docs),
         scored AS (
             SELECT tf.doc_id, tf.term,
-                   ROUND(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 4) AS score
+                   ROUND(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 4) AS score,
+                   dfreq.corpus_tf
             FROM tf JOIN dfreq USING (term) CROSS JOIN n
         )
-        SELECT doc_id, term, score, rn FROM (
+        SELECT doc_id, term, score, corpus_tf, rn FROM (
             SELECT *, CAST(row_number() OVER (
                 PARTITION BY doc_id ORDER BY score DESC, term
             ) AS BIGINT) AS rn
@@ -191,7 +195,7 @@ def test_tfidf_topterms_matches_duckdb_oracle(spark, sf_correctness):
     """
     expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
     got = {
-        (r.doc_id, r.term, r.score, r.rn)
+        (r.doc_id, r.term, r.score, r.corpus_tf, r.rn)
         for r in QUERIES["q_tfidf_topterms"](spark, sf_correctness).collect()
     }
     assert got == expected

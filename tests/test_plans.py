@@ -91,6 +91,14 @@ def test_mix_weighted_is_scan_filter_only(spark, sf_smoke):
     assert "Exchange" not in plan, plan
 
 
+def test_tfidf_reuses_tf_exchange(spark, sf_smoke):
+    """tf and df both derive from the same (doc, term) aggregate, so
+    the plan must contain a ReusedExchange (one explode + one shuffle
+    feeding both join sides), not a second document scan."""
+    plan = final_plan(run("q_tfidf_topterms", spark, sf_smoke))
+    assert "ReusedExchange" in plan, plan
+
+
 def test_agg_has_partial_and_final(spark, sf_smoke):
     plan = final_plan(run("q_agg_group", spark, sf_smoke))
     assert plan.count("HashAggregate") >= 2, plan  # map-side combine
