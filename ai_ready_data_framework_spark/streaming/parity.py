@@ -122,6 +122,51 @@ def deduped_events_bounded(df: DataFrame) -> DataFrame:
     return df.dropDuplicates(["event_id"])
 
 
+STREAM_JOIN_WINDOW = "INTERVAL 1 HOUR"
+
+
+def purchase_click_join(df: DataFrame) -> DataFrame:
+    """Stream-stream interval self-join: each purchase joined to the
+    same user's clicks within the preceding hour — the attribution
+    shape (3-current.md:12-15 change/stream semantics). In streaming,
+    BOTH sides are unbounded, so Spark buffers each side in state and
+    the event-time range condition is what lets the engine evict
+    matched-out rows once the watermark passes (without it, join state
+    grows forever — the condition is a correctness requirement at
+    scale, not an optimization). In batch the identical expression is
+    a plain range join. Inner join → append output mode."""
+    left = (
+        df.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", HARNESS_WATERMARK)
+    )
+    right = (
+        df.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", HARNESS_WATERMARK)
+    )
+    cond = (
+        (left.p_user == right.c_user)
+        & (right.c_ts >= left.p_ts - F.expr(STREAM_JOIN_WINDOW))
+        & (right.c_ts <= left.p_ts)
+    )
+    return left.join(right, cond, "inner").select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("c_ts").alias("c_ts_us"),
+    )
+
+
 def run_batch(spark: SparkSession, sf_dir: str, transform: Transform) -> DataFrame:
     return transform(load_table(spark, sf_dir, "events"))
 

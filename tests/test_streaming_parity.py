@@ -24,6 +24,17 @@ def test_session_window_parity(spark, sf_smoke):
     assert parity.parity_fraction(spark, sf_smoke, parity.session_features) == 1.0
 
 
+def test_stream_stream_join_parity(spark, sf_smoke):
+    """Stream-stream interval self-join (purchase x preceding-hour
+    clicks) must emit exactly the batch range-join's rows across
+    micro-batches, including pairs whose two sides arrive in DIFFERENT
+    micro-batches (state-buffered join)."""
+    batch = parity.run_batch(spark, sf_smoke, parity.purchase_click_join)
+    stream = parity.run_stream(spark, sf_smoke, parity.purchase_click_join)
+    assert batch.count() == stream.count()
+    assert parity.parity_fraction(spark, sf_smoke, parity.purchase_click_join) == 1.0
+
+
 def test_dedup_parity(spark, sf_smoke):
     batch = parity.run_batch(spark, sf_smoke, parity.deduped_events)
     stream = parity.run_stream(spark, sf_smoke, parity.deduped_events)
