@@ -1004,6 +1004,73 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(per_col).alias("p")).select("p.*")
 
 
+# Deterministic synthetic changelog over orders: key % 10 picks the op.
+CDC_UPDATE_REM = 3  # price restated +10%
+CDC_DELETE_REM = 7  # order cancelled
+CDC_INSERT_REM = 1  # new order cloned under key + CDC_INSERT_KEY_SHIFT
+CDC_INSERT_KEY_SHIFT = 10_000_000
+
+
+@query("q_cdc_apply")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_oracle_parity.py
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply (3-current.md:12-15 'Change tracking
+    … Streams propagate changes'): merge an insert/update/delete
+    changelog into a base snapshot — the upsert/MERGE INTO shape every
+    incremental pipeline needs. One full-outer join on the key:
+    updates override the base value, deletes drop the row, inserts
+    survive from the change side, untouched rows pass through tagged
+    'keep'. The changelog here is derived deterministically from the
+    base table (key % 10 selects the op) so the result is
+    oracle-checkable without fixture files.
+
+    Scale note: full-outer is a shuffle join on both sides; when
+    |changes| << |base| (the normal case), production merges instead
+    rewrite only the partitions/buckets containing changed keys
+    (partition-pruned merge-on-read) — the join form here is the
+    semantics contract those layouts must reproduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("total_price")
+    )
+    rem = F.col("o_orderkey") % 10
+    src = orders.select("o_orderkey", "o_totalprice", rem.alias("rem"))
+    changes = (
+        src.filter(
+            F.col("rem").isin(CDC_UPDATE_REM, CDC_DELETE_REM, CDC_INSERT_REM)
+        )
+        .select(
+            F.when(
+                F.col("rem") == CDC_INSERT_REM,
+                F.col("o_orderkey") + CDC_INSERT_KEY_SHIFT,
+            )
+            .otherwise(F.col("o_orderkey"))
+            .alias("o_orderkey"),
+            F.when(F.col("rem") == CDC_UPDATE_REM, F.lit("update"))
+            .when(F.col("rem") == CDC_DELETE_REM, F.lit("delete"))
+            .otherwise(F.lit("insert"))
+            .alias("op"),
+            F.when(
+                F.col("rem") == CDC_UPDATE_REM,
+                F.round(F.col("o_totalprice") * 1.1, 4),
+            )
+            .when(
+                F.col("rem") == CDC_INSERT_REM, F.round("o_totalprice", 4)
+            )
+            .alias("new_price"),
+        )
+    )
+    merged = base.join(changes, "o_orderkey", "full_outer")
+    return (
+        merged.filter(F.coalesce("op", F.lit("keep")) != "delete")
+        .select(
+            "o_orderkey",
+            F.coalesce("new_price", "total_price").alias("total_price"),
+            F.coalesce("op", F.lit("keep")).alias("last_op"),
+        )
+    )
+
+
 @query("q_profile_approx")  # HLL sketch values are engine-specific → rows-only
 def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profiling, the 100 TB path: identical shape to q_profile

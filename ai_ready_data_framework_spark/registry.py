@@ -55,6 +55,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_pack_sequences",
     "q_mix_weighted",
     "q_tfidf_topterms",
+    "q_cdc_apply",
     "q_dedup_simhash",
     "q_vector_ann_ivf",
     "q_vector_ann",

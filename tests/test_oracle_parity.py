@@ -48,6 +48,51 @@ def test_graded_window_is_all_oracled():
     ]
 
 
+def test_cdc_apply_matches_duckdb_oracle(spark, sf_correctness, oracle_con):
+    """q_cdc_apply is SQL-expressible but the graded window is full, so
+    its DuckDB oracle runs here: identical merged snapshots."""
+    from ai_ready_data_framework_spark.operators import relational as rel
+
+    sql = f"""
+        WITH base AS (
+            SELECT o_orderkey, ROUND(o_totalprice, 4) AS total_price FROM orders
+        ),
+        changes AS (
+            SELECT CASE WHEN o_orderkey % 10 = {rel.CDC_INSERT_REM}
+                        THEN o_orderkey + {rel.CDC_INSERT_KEY_SHIFT}
+                        ELSE o_orderkey END AS o_orderkey,
+                   CASE o_orderkey % 10
+                        WHEN {rel.CDC_UPDATE_REM} THEN 'update'
+                        WHEN {rel.CDC_DELETE_REM} THEN 'delete'
+                        ELSE 'insert' END AS op,
+                   CASE o_orderkey % 10
+                        WHEN {rel.CDC_UPDATE_REM} THEN ROUND(o_totalprice * 1.1, 4)
+                        WHEN {rel.CDC_INSERT_REM} THEN ROUND(o_totalprice, 4)
+                        END AS new_price
+            FROM orders
+            WHERE o_orderkey % 10 IN
+                  ({rel.CDC_UPDATE_REM}, {rel.CDC_DELETE_REM}, {rel.CDC_INSERT_REM})
+        )
+        SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+               COALESCE(c.new_price, b.total_price) AS total_price,
+               COALESCE(c.op, 'keep') AS last_op
+        FROM base b FULL OUTER JOIN changes c USING (o_orderkey)
+        WHERE COALESCE(c.op, 'keep') <> 'delete'
+    """
+    expected = {tuple(r) for r in oracle_con.execute(sql).fetchall()}
+    rows = registry.QUERIES["q_cdc_apply"](spark, sf_correctness).collect()
+    got = {(r.o_orderkey, r.total_price, r.last_op) for r in rows}
+    assert got == expected
+    # semantic invariants: deleted keys absent, inserts present & keyed high
+    ops = {r.last_op for r in rows}
+    assert ops == {"keep", "update", "insert"}
+    assert all(
+        r.o_orderkey % 10 != rel.CDC_DELETE_REM
+        for r in rows
+        if r.o_orderkey < rel.CDC_INSERT_KEY_SHIFT
+    )
+
+
 def test_profile_approx_within_tolerance(spark, sf_correctness):
     """q_profile_approx (the 100 TB sketch path) must track the exact
     profile: n_distinct within 5% relative error (rsd=0.01 gives ~1%),
