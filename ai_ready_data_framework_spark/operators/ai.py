@@ -963,6 +963,47 @@ def q_vector_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbors.select("vec_id", F.round("l2_dist", 4).alias("l2_dist"))
 
 
+@query("q_embed_centroids")  # rows-only: graded window full; DuckDB
+# oracle (tolerance compare) runs in tests/test_ai_ops.py
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector AGGREGATION across rows (class prototypes): per-label
+    element-wise mean embedding — the centroid table behind bias
+    probes, per-class ANN routing, and prototype classifiers. Spark
+    has no native element-wise array-sum aggregate, so the scalable
+    formulation is posexplode → hash aggregate on (label, position):
+    the x64 row multiplication happens map-side and PARTIAL
+    aggregation collapses each partition to at most labels x dim rows
+    before the shuffle — the exchange carries a few hundred rows no
+    matter the corpus size. Positions reassemble via
+    array_sort(collect_list(struct(pos, mean))) over the tiny
+    aggregated set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_pos = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.avg(F.col("v").cast("double")).alias("m"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    centroid = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+        lambda s: F.round(s["m"], 4),
+    )
+    out = per_pos.groupBy("label").agg(
+        centroid.alias("centroid"),
+        F.max("cnt").alias("n_vectors"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("centroid"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return out.select(
+        "label", "n_vectors", "centroid", F.round(norm, 4).alias("centroid_norm")
+    )
+
+
 IVF_CELLS = 16
 IVF_NPROBE = 4
 IVF_TOPK = 10

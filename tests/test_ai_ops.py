@@ -293,6 +293,46 @@ def test_embed_dup_lsh_recall_vs_exact(spark, sf_correctness):
     assert approx <= exact, "verify step must make precision exact"
 
 
+def test_embed_centroids_match_duckdb_oracle(spark, sf_correctness):
+    """Per-label centroid means must match a DuckDB recomputation
+    element-wise within rounding tolerance (sum order differs between
+    engines, so exact bit parity isn't guaranteed pre-round)."""
+    import duckdb
+
+    from ai_ready_data_framework_spark.io import table_path
+
+    sql = f"""
+        WITH e AS (
+            SELECT label, embedding
+            FROM read_parquet('{table_path(sf_correctness, "embeddings")}')
+        ),
+        px AS (
+            SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM e, unnest(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        m AS (
+            SELECT label, pos, AVG(v) AS m, COUNT(*) AS cnt
+            FROM px GROUP BY 1, 2
+        )
+        SELECT label,
+               array_agg(ROUND(m, 4) ORDER BY pos) AS centroid,
+               CAST(MAX(cnt) AS BIGINT) AS n_vectors
+        FROM m GROUP BY label
+    """
+    expected = {
+        r[0]: (r[1], r[2]) for r in duckdb.connect().execute(sql).fetchall()
+    }
+    got = QUERIES["q_embed_centroids"](spark, sf_correctness).collect()
+    assert sorted(expected) == sorted(r.label for r in got)
+    for r in got:
+        exp_centroid, exp_n = expected[r.label]
+        assert r.n_vectors == exp_n
+        assert len(r.centroid) == len(exp_centroid) == 64
+        for a, b in zip(r.centroid, exp_centroid):
+            assert abs(a - b) <= 1.5e-4, (r.label, a, b)
+        assert r.centroid_norm > 0
+
+
 def test_vector_ann_recall(spark, sf_smoke):
     """BRP-LSH approx neighbors vs brute-force L2 top-10 (same metric)."""
     emb = load_table(spark, sf_smoke, "embeddings")
