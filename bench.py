@@ -53,9 +53,21 @@ HEADLINE = [
     "q_contamination",
     "q_profile",
     "q_pivot",
+    # round-2 additions
+    "q_profile_approx",
+    "q_agg_percentile_approx",
+    "q_tfidf_topterms",
+    "q_pack_sequences",
+    "q_mix_weighted",
+    "q_cdc_apply",
+    "q_embed_centroids",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.
+    # q_embed_dup_lsh also absent: on THIS corpus the dup threshold
+    # sits barely above background cosine, so band candidates cover
+    # ~2/3 of all pairs (~15s at sf0.1) — the corpus-adversarial case
+    # its docstring documents, not representative operator cost.
 ]
 
 
