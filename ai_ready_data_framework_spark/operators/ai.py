@@ -852,6 +852,43 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_W = 4  # winnowing window: guarantees detection of any match
+# spanning >= W + SHINGLE_K - 1 tokens (Schleimer et al. 2003, public)
+
+
+@query("q_fingerprint_winnow")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_ai_ops.py
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (fingerprinting, full form): winnowing — hash every
+    k-gram IN SEQUENCE ORDER, slide a W-hash window, keep each
+    window's minimum, emit the distinct selected hashes per document.
+    Unlike q_fingerprint's global min/max (a 2-value sketch), the
+    winnowed posting set is position-dense: any shared run of at least
+    W + k - 1 tokens between two documents is GUARANTEED to share a
+    selected hash, which is what plagiarism/derivation detection joins
+    on. Pure window-min over one shuffle on (doc, position order);
+    selected fraction ~2/(W+1) of k-grams. Documents shorter than W
+    k-grams emit no postings (no full window), the canonical
+    convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(T.shingles(T.tokens("text"), SHINGLE_K)).alias("pos", "s"),
+    )
+    h = sh.select("doc_id", "pos", F.md5("s").alias("h"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    return (
+        h.withColumn("fp_hash", F.min("h").over(win))
+        .filter(F.col("pos") >= WINNOW_W - 1)  # full windows only
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+
+
 @query("q_lang_id")  # heuristic classifier — no SQL oracle, rows-only
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star: n-gram-marker language ID over text, compared with

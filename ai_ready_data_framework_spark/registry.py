@@ -57,6 +57,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_tfidf_topterms",
     "q_cdc_apply",
     "q_embed_centroids",
+    "q_fingerprint_winnow",
     "q_dedup_simhash",
     "q_vector_ann_ivf",
     "q_vector_ann",

@@ -293,6 +293,48 @@ def test_embed_dup_lsh_recall_vs_exact(spark, sf_correctness):
     assert approx <= exact, "verify step must make precision exact"
 
 
+def test_fingerprint_winnow_matches_duckdb_oracle(spark, sf_correctness):
+    """Winnowed fingerprint postings must be the identical
+    (doc, hash) set as a DuckDB recomputation of positional shingle
+    hashes + window-min + full-window filter."""
+    import duckdb
+
+    from ai_ready_data_framework_spark.io import table_path
+
+    k = ai.SHINGLE_K
+    sql = f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM read_parquet('{table_path(sf_correctness, "documents")}')
+        ),
+        sh AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(words[i : i + {k - 1}], ' ')) AS h
+            FROM (
+                SELECT doc_id, words,
+                       unnest(range(1, greatest(len(words) - {k - 1}, 1) + 1)) AS i
+                FROM w
+            )
+        ),
+        sel AS (
+            SELECT doc_id, i,
+                   MIN(h) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN {ai.WINNOW_W - 1} PRECEDING AND CURRENT ROW
+                   ) AS fp_hash
+            FROM sh
+        )
+        SELECT DISTINCT doc_id, fp_hash FROM sel WHERE i >= {ai.WINNOW_W}
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    got = {
+        (r.doc_id, r.fp_hash)
+        for r in QUERIES["q_fingerprint_winnow"](spark, sf_correctness).collect()
+    }
+    assert got == expected
+    assert got, "winnowed postings expected"
+
+
 def test_embed_centroids_match_duckdb_oracle(spark, sf_correctness):
     """Per-label centroid means must match a DuckDB recomputation
     element-wise within rounding tolerance (sum order differs between
