@@ -342,6 +342,36 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_scd2_history")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_asof.py
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal versioning (SCD Type 2): treat each user's event stream
+    as a state-change log and build the effective-dated history table —
+    change-point compression (drop rows whose value equals the previous
+    state) then effective ranges via lead(), with the open-ended row
+    flagged current. This is the dimension-history layout that makes
+    q_join_asof's point-in-time lookups O(log ranges) in a serving
+    store, and the 'history of data' capability the reference's README
+    names (README.md:49) but never specifies. Two window passes over
+    ONE (user, time-order) shuffle — Catalyst reuses the sort."""
+    events = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(order)
+    changes = events.withColumn("__prev", prev).filter(
+        F.col("__prev").isNull() | (F.col("value") != F.col("__prev"))
+    )
+    # re-rank AFTER compression so ranges chain across dropped rows
+    corder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    eff_to = F.lead(F.unix_micros("ts")).over(corder)
+    return changes.select(
+        "user_id",
+        F.round("value", 4).alias("state_value"),
+        F.unix_micros("ts").alias("eff_from_us"),
+        eff_to.alias("eff_to_us"),
+        eff_to.isNull().cast("long").alias("is_current"),
+    )
+
+
 @query(
     "q_window_tumbling",
     oracle="""

@@ -58,6 +58,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_cdc_apply",
     "q_embed_centroids",
     "q_fingerprint_winnow",
+    "q_scd2_history",
     "q_dedup_simhash",
     "q_vector_ann_ivf",
     "q_vector_ann",

@@ -107,3 +107,53 @@ def test_asof_broadcast_same_edge_semantics(spark):
         assert out["l1"] == (103, 3.0), impl.__name__
         assert out["l2"] == (104, 4.0), impl.__name__
         assert out["l3"] == (None, None), impl.__name__
+
+
+def test_scd2_history_matches_duckdb_oracle(spark, sf_correctness):
+    """SCD2 change-point compression + effective ranges must match a
+    DuckDB recomputation row-for-row, and ranges must chain: each
+    user's history is contiguous with exactly one open (current) row."""
+    import duckdb
+
+    from ai_ready_data_framework_spark.io import table_path
+    from ai_ready_data_framework_spark.registry import QUERIES, load_all
+
+    load_all()
+    sql = f"""
+        WITH e AS (
+            SELECT user_id, event_id, ts, value
+            FROM read_parquet('{table_path(sf_correctness, "events")}')
+        ),
+        flagged AS (
+            SELECT *, lag(value) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+            ) AS prev
+            FROM e
+        ),
+        changes AS (
+            SELECT * FROM flagged WHERE prev IS NULL OR value <> prev
+        )
+        SELECT user_id,
+               ROUND(value, 4) AS state_value,
+               epoch_us(ts) AS eff_from_us,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS eff_to_us
+        FROM changes
+    """
+    expected = {
+        (r[0], r[1], r[2], r[3])
+        for r in duckdb.connect().execute(sql).fetchall()
+    }
+    rows = QUERIES["q_scd2_history"](spark, sf_correctness).collect()
+    got = {(r.user_id, r.state_value, r.eff_from_us, r.eff_to_us) for r in rows}
+    assert got == expected
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: r.eff_from_us)
+        assert sum(r.is_current for r in hist) == 1, user
+        assert hist[-1].eff_to_us is None, user
+        for a, b in zip(hist, hist[1:]):
+            assert a.eff_to_us == b.eff_from_us, user  # contiguous chain
