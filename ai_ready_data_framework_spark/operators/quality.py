@@ -1,0 +1,213 @@
+"""Training-data quality-filter operators (north-star L5/L7 family).
+
+Grounding: the reference demands fit-for-AI data with explicit quality
+gates (/root/reference/requirements.yaml:3, factors/2-consumable.md) but
+publishes no rules; the concrete rule set here is the public
+Gopher/C4-style filter battery (Rae et al. 2021 §A1.1; Raffel et al.
+2020 §2.2): word-count bounds, mean-word-length bounds, stopword
+presence, symbol-to-char ratio, alphabetic-word fraction — plus
+within-document n-gram repetition (the Gopher "repetition" signals).
+
+Scale design: every metric here is a pure per-row Catalyst expression
+over the token array — NO shuffle, NO Python. A 100 TB corpus filters
+in one codegen'd scan with predicate/column pruning intact (pinned in
+tests/test_plans.py). The heavy-hitters vocabulary profile is the one
+shuffling query (hash agg on term — map-side combinable, result is
+vocabulary-sized, orders of magnitude smaller than the corpus).
+
+All queries register rows-only (the driver's 50 graded slots are full
+— registry.ROWS_ONLY_TAIL_ORDER); their DuckDB oracles run in
+tests/test_quality_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ai_ready_data_framework_spark.functions import text as T
+from ai_ready_data_framework_spark.io import load_table
+from ai_ready_data_framework_spark.registry import query
+
+# Gopher-style rule thresholds, tuned so each rule discriminates on the
+# synthetic corpus (sf0.01: word counts 10-99, stop hits 0-~8).
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+
+REP_NGRAM_K = 3  # within-doc repetition measured on word 3-grams
+
+HEAVY_HITTERS_K = 20  # the synthetic vocabulary holds ~31 terms; K
+# must stay below it so the top-k rank filter actually selects
+
+
+def _n_words(words: Column) -> Column:
+    return F.size(words)
+
+
+def _mean_word_len(text: Column, words: Column) -> Column:
+    """documents.text is single-space-joined, so total word chars =
+    length(text) - (n_words - 1): exact, no re-scan of the array."""
+    n = F.size(words)
+    return F.round((F.length(text) - (n - 1)) / n, 4)
+
+
+def _symbol_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, "[A-Za-z0-9 ]", "")
+    return F.round(F.length(stripped) / F.greatest(F.length(text), F.lit(1)), 4)
+
+
+def _alpha_word_frac(words: Column) -> Column:
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    return F.round(alpha / F.greatest(F.size(words), F.lit(1)), 4)
+
+
+def _stop_hits(words: Column) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*T.STOPWORDS))).cast("long")
+
+
+@query("q_quality_gopher")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_quality_ops.py
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (quality filtering): the Gopher/C4 rule battery per
+    document — each rule's metric, its pass flag, and the overall keep
+    decision. Pure projection: one scan, zero shuffles, every rule a
+    codegen'd expression over the token array."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    words = T.tokens(text)
+    n_words = _n_words(words)
+    mean_len = _mean_word_len(text, words)
+    stop_hits = _stop_hits(words)
+    symbol_ratio = _symbol_ratio(text)
+    alpha_frac = _alpha_word_frac(words)
+    pass_words = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    pass_mean_len = mean_len.between(
+        GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+    )
+    pass_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    pass_symbol = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    pass_alpha = alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        pass_words.alias("pass_words"),
+        pass_mean_len.alias("pass_mean_len"),
+        pass_stop.alias("pass_stop"),
+        pass_symbol.alias("pass_symbol"),
+        pass_alpha.alias("pass_alpha"),
+        (pass_words & pass_mean_len & pass_stop & pass_symbol & pass_alpha).alias(
+            "keep"
+        ),
+    )
+
+
+@query("q_repetition")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_quality_ops.py
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (quality filtering): within-document repetition — the
+    fraction of word {k}-gram occurrences that are repeats of an
+    earlier k-gram in the SAME document (Gopher's duplicate-n-gram
+    signal; high values mark boilerplate/spam). Computed entirely with
+    array expressions (shingle list built per row, distinct counted per
+    row): no explode, no shuffle — the repetition profile of a 100 TB
+    corpus is one codegen'd scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = T.tokens("text")
+    grams = T.shingles(words, REP_NGRAM_K)
+    n_total = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        n_total.cast("long").alias("n_ngrams"),
+        n_distinct.cast("long").alias("n_distinct_ngrams"),
+        F.round((n_total - n_distinct) / F.greatest(n_total, F.lit(1)), 4).alias(
+            "dup_ngram_frac"
+        ),
+    )
+
+
+@query("q_heavy_hitters")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_quality_ops.py
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (corpus profiling): the top-{K} most frequent tokens
+    with corpus share and document frequency — the vocabulary skew
+    report a tokenizer/mixture designer reads before training. One
+    explode + one hash agg on term (map-side combinable; shuffle
+    carries vocabulary-sized partials, not the corpus), then the tiny
+    vocabulary-sized result is ranked; row_number <= K becomes a
+    WindowGroupLimit over the single empty partition — fine because it
+    runs AFTER aggregation, on |vocab| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    counts = tok.groupBy("term").agg(
+        F.count("*").alias("occurrences"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    total = tok.count()
+    w = Window.orderBy(F.desc("occurrences"), F.asc("term"))
+    return (
+        counts.withColumn("share", F.round(F.col("occurrences") / total, 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= HEAVY_HITTERS_K)
+        .select("rank", "term", "occurrences", "doc_freq", "share")
+    )
+
+
+# PII redaction fixture: the synthetic corpus contains no real PII by
+# construction, so the detect/redact pipeline runs over deterministic
+# contact notes built from the customer dimension — both engines build
+# the identical fixture, then detection and masking must agree exactly.
+PII_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@query("q_pii_redact")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_quality_ops.py
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 (full form): regex PII DETECTION + REDACTION — find emails
+    and phone-shaped tokens in free text, count them, and emit the
+    redacted text with typed placeholders. Complements q_mask_pii
+    (whole-column hashing) with span-level redaction: the shape used
+    when text must stay usable for training after scrubbing. Pure
+    projection (regexp_extract_all + regexp_replace, codegen'd): zero
+    shuffles at any scale. Patterns stay in the regex subset (character
+    classes, bounded repeats) that Java regex and RE2 interpret
+    identically."""
+    cust = load_table(spark, sf_dir, "customer")
+    email = F.concat(F.lit("c"), F.col("c_custkey").cast("string"), F.lit("@example.org"))
+    phone = F.concat(
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    note = F.concat(
+        F.lit("contact "),
+        email,
+        F.lit(" tel "),
+        phone,
+        F.lit(" segment "),
+        F.lower("c_mktsegment"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(note, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return cust.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all(note, F.lit(PII_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(note, F.lit(PII_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        redacted.alias("redacted"),
+    )

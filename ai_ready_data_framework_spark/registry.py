@@ -55,6 +55,10 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_pack_sequences",
     "q_mix_weighted",
     "q_tfidf_topterms",
+    "q_quality_gopher",
+    "q_repetition",
+    "q_heavy_hitters",
+    "q_pii_redact",
     "q_cdc_apply",
     "q_embed_centroids",
     "q_fingerprint_winnow",
@@ -95,6 +99,7 @@ def load_all() -> None:
         temporal,
         ai,
         multimodal,
+        quality,
     )
     from ai_ready_data_framework_spark.checks import queries as check_queries  # noqa: F401
     from ai_ready_data_framework_spark.plans import assessment  # noqa: F401

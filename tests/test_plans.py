@@ -99,6 +99,25 @@ def test_tfidf_reuses_tf_exchange(spark, sf_smoke):
     assert "ReusedExchange" in plan, plan
 
 
+@pytest.mark.parametrize(
+    "name", ["q_quality_gopher", "q_repetition", "q_pii_redact"]
+)
+def test_quality_filters_are_pure_projection(spark, sf_smoke, name):
+    """The quality-filter battery computes every metric as per-row
+    array/regex expressions: one scan, zero Exchange operators — the
+    property that makes filtering a 100 TB corpus a single map stage."""
+    plan = final_plan(run(name, spark, sf_smoke))
+    assert "Exchange" not in plan, (name, plan)
+
+
+def test_heavy_hitters_aggregates_before_ranking(spark, sf_smoke):
+    """The vocabulary profile must map-side combine (partial+final
+    HashAggregate) so the shuffle carries vocabulary-sized partials;
+    the single-partition window runs only on the tiny aggregate."""
+    plan = final_plan(run("q_heavy_hitters", spark, sf_smoke))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
 def test_agg_has_partial_and_final(spark, sf_smoke):
     plan = final_plan(run("q_agg_group", spark, sf_smoke))
     assert plan.count("HashAggregate") >= 2, plan  # map-side combine

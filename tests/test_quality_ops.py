@@ -1,0 +1,150 @@
+"""DuckDB oracles + invariants for the quality-filter family
+(operators/quality.py). These queries are SQL-expressible but register
+rows-only (the driver's 50 graded slots are full), so their oracles run
+here, replicating the driver's set-equality contract."""
+
+from __future__ import annotations
+
+import duckdb
+
+from ai_ready_data_framework_spark.io import table_path
+from ai_ready_data_framework_spark.operators import quality as Q
+from ai_ready_data_framework_spark.registry import QUERIES
+
+
+def _docs(sf: str) -> str:
+    return table_path(sf, "documents")
+
+
+def test_quality_gopher_matches_duckdb_oracle(spark, sf_correctness):
+    sql = f"""
+        WITH w AS (
+            SELECT doc_id, text, string_split(text, ' ') AS words
+            FROM read_parquet('{_docs(sf_correctness)}')
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   ROUND((length(text) - (len(words) - 1)) / len(words), 4)
+                       AS mean_word_len,
+                   CAST(len(list_filter(words, x -> x IN ('the', 'a'))) AS BIGINT)
+                       AS stop_hits,
+                   ROUND(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                         / greatest(length(text), 1), 4) AS symbol_ratio,
+                   ROUND(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                         / greatest(len(words), 1), 4) AS alpha_word_frac
+            FROM w
+        )
+        SELECT *,
+               n_words BETWEEN {Q.GOPHER_MIN_WORDS} AND {Q.GOPHER_MAX_WORDS}
+                   AS pass_words,
+               mean_word_len BETWEEN {Q.GOPHER_MIN_MEAN_WORD_LEN}
+                   AND {Q.GOPHER_MAX_MEAN_WORD_LEN} AS pass_mean_len,
+               stop_hits >= {Q.GOPHER_MIN_STOP_HITS} AS pass_stop,
+               symbol_ratio <= {Q.GOPHER_MAX_SYMBOL_RATIO} AS pass_symbol,
+               alpha_word_frac >= {Q.GOPHER_MIN_ALPHA_WORD_FRAC} AS pass_alpha,
+               (n_words BETWEEN {Q.GOPHER_MIN_WORDS} AND {Q.GOPHER_MAX_WORDS})
+                   AND (mean_word_len BETWEEN {Q.GOPHER_MIN_MEAN_WORD_LEN}
+                        AND {Q.GOPHER_MAX_MEAN_WORD_LEN})
+                   AND stop_hits >= {Q.GOPHER_MIN_STOP_HITS}
+                   AND symbol_ratio <= {Q.GOPHER_MAX_SYMBOL_RATIO}
+                   AND alpha_word_frac >= {Q.GOPHER_MIN_ALPHA_WORD_FRAC} AS keep
+        FROM m
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_quality_gopher"](spark, sf_correctness).collect()
+    got = {tuple(r) for r in rows}
+    assert got == expected
+    # every rule must discriminate on this corpus: both outcomes present
+    keeps = [r.keep for r in rows]
+    assert any(keeps) and not all(keeps)
+    assert any(not r.pass_words for r in rows)
+    assert any(not r.pass_stop for r in rows)
+
+
+def test_repetition_matches_duckdb_oracle(spark, sf_correctness):
+    k = Q.REP_NGRAM_K
+    sql = f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM read_parquet('{_docs(sf_correctness)}')
+        ),
+        sh AS (
+            SELECT doc_id,
+                   [array_to_string(words[i : i + {k - 1}], ' ')
+                    for i in range(1, greatest(len(words) - {k - 1}, 1) + 1)]
+                       AS grams
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_ngrams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_ngrams,
+               ROUND((len(grams) - len(list_distinct(grams)))
+                     / greatest(len(grams), 1), 4) AS dup_ngram_frac
+        FROM sh
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_repetition"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    # word-soup over a tiny vocabulary MUST show some repetition
+    assert any(r.dup_ngram_frac > 0 for r in rows)
+    assert all(0.0 <= r.dup_ngram_frac < 1.0 for r in rows)
+
+
+def test_heavy_hitters_matches_duckdb_oracle(spark, sf_correctness):
+    sql = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM read_parquet('{_docs(sf_correctness)}')
+        ),
+        counts AS (
+            SELECT term, COUNT(*) AS occurrences,
+                   COUNT(DISTINCT doc_id) AS doc_freq
+            FROM tok GROUP BY 1
+        ),
+        tot AS (SELECT COUNT(*) AS total FROM tok)
+        SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, term)
+                    AS BIGINT) AS rank,
+               term, occurrences, doc_freq,
+               ROUND(occurrences / total, 6) AS share
+        FROM counts, tot
+        QUALIFY rank <= {Q.HEAVY_HITTERS_K}
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_heavy_hitters"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    assert len(rows) == Q.HEAVY_HITTERS_K
+    # ranks are a contiguous 1..K permutation, shares sum below 1
+    assert sorted(r.rank for r in rows) == list(range(1, Q.HEAVY_HITTERS_K + 1))
+    assert sum(r.share for r in rows) < 1.0
+
+
+def test_pii_redact_matches_duckdb_oracle(spark, sf_correctness):
+    cust = table_path(sf_correctness, "customer")
+    sql = f"""
+        WITH n AS (
+            SELECT c_custkey,
+                   'contact c' || CAST(c_custkey AS VARCHAR) || '@example.org'
+                   || ' tel '
+                   || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                   || ' segment ' || lower(c_mktsegment) AS note
+            FROM read_parquet('{cust}')
+        )
+        SELECT c_custkey,
+               CAST(len(regexp_extract_all(note, '{Q.PII_EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(note, '{Q.PII_PHONE_RE}')) AS BIGINT)
+                   AS n_phones,
+               regexp_replace(
+                   regexp_replace(note, '{Q.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{Q.PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM n
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_pii_redact"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    # redaction is complete: no raw email/phone survives in any row
+    assert all("@example.org" not in r.redacted for r in rows)
+    assert all(r.n_emails == 1 and r.n_phones == 1 for r in rows)
+    assert all("<EMAIL>" in r.redacted and "<PHONE>" in r.redacted for r in rows)
