@@ -513,6 +513,33 @@ def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(h8 < thr).select("doc_id", "source", "lang")
 
 
+GROUP_SAMPLE_K = 10  # fixed-size per-stratum sample; each source holds
+# ~25 docs at sf0.01, so K must stay below that for the rank filter to
+# actually select
+
+
+@query("q_group_sample")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_ai_ops.py
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (dataset mixing, fixed-size form): deterministic
+    per-stratum reservoir — the K docs per source with the smallest
+    md5(doc_id), i.e. a uniform fixed-SIZE sample per group that is
+    reproducible across runs, engines, and partitionings (rate-based
+    q_sample_stratified / q_mix_weighted freeze a fixed RATE instead;
+    eval-set construction wants exactly-K). row_number over
+    (source, md5) with rank <= K collapses to WindowGroupLimit: each
+    executor keeps only its local top-K per group before the shuffle,
+    so the exchange carries O(groups x K), never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= GROUP_SAMPLE_K)
+        .select("doc_id", "source", "lang", "sample_rank")
+    )
+
+
 EVAL_FOLD_MOD = 10  # doc_id % 10 == 0 → held-out eval fold
 
 

@@ -1104,3 +1104,73 @@ def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+@query("q_mv_incremental")  # rows-only: graded window full; DuckDB
+# oracle + Spark self-consistency proof run in tests/test_mv.py
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (3-current.md:12-15
+    'Materialized views … stay fresh'): given the base MV aggregate
+    (orders by priority: count + sum) and a CDC changelog with
+    before/after images, produce the refreshed MV by MERGING GROUP
+    DELTAS — inserts contribute (+1, +after), deletes (-1, -before),
+    updates (0, after-before) — instead of re-aggregating the
+    snapshot. That is the 100 TB point: refresh cost scales with
+    |changes| (here: one scan of the changelog + a join on GROUP keys,
+    a group-cardinality-sized exchange), not with |base|. Full
+    recompute over the merged snapshot must give the identical MV —
+    tests/test_mv.py proves that equality in Spark AND against DuckDB.
+
+    Sums are kept in integer milli-units (round(price*1000) as BIGINT)
+    so delta-merge and recompute agree EXACTLY — float sums differ by
+    summation order, integer sums cannot. The changelog reuses
+    q_cdc_apply's deterministic generator (key % 10 picks the op)."""
+    orders = load_table(spark, sf_dir, "orders")
+    mils = F.round(F.col("o_totalprice") * 1000).cast("long")
+    upd_mils = F.round(F.col("o_totalprice") * 1100).cast("long")
+    base_mv = (
+        orders.select("o_orderpriority", mils.alias("price_mils"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price_mils").alias("sum_price_mils"),
+        )
+    )
+    rem = F.col("o_orderkey") % 10
+    changes = orders.select(
+        "o_orderpriority",
+        rem.alias("rem"),
+        mils.alias("old_mils"),
+        upd_mils.alias("new_mils"),
+    ).filter(
+        F.col("rem").isin(CDC_UPDATE_REM, CDC_DELETE_REM, CDC_INSERT_REM)
+    )
+    delta = (
+        changes.select(
+            "o_orderpriority",
+            F.when(F.col("rem") == CDC_INSERT_REM, F.lit(1))
+            .when(F.col("rem") == CDC_DELETE_REM, F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dn"),
+            F.when(F.col("rem") == CDC_INSERT_REM, F.col("old_mils"))
+            .when(F.col("rem") == CDC_DELETE_REM, -F.col("old_mils"))
+            .otherwise(F.col("new_mils") - F.col("old_mils"))
+            .alias("dmils"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum("dn").alias("dn"), F.sum("dmils").alias("dmils"))
+    )
+    merged = base_mv.join(delta, "o_orderpriority", "full_outer")
+    return merged.select(
+        "o_orderpriority",
+        (F.coalesce("n_orders", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        .cast("long")
+        .alias("n_orders"),
+        (
+            F.coalesce("sum_price_mils", F.lit(0))
+            + F.coalesce("dmils", F.lit(0))
+        )
+        .cast("long")
+        .alias("sum_price_mils"),
+    ).filter(F.col("n_orders") > 0)

@@ -443,3 +443,127 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_per_user(events: DataFrame) -> DataFrame:
+    """Per-user strict-order funnel timestamps: t1 = first step-1
+    event, t2 = first step-2 event AFTER t1, t3 = first step-3 event
+    AFTER t2 (NULL where the user never reaches the step). Three
+    nested window-mins over ONE partitioning (user_id): each step
+    conditions on the previous step's window result, and because every
+    window shares the partition key Catalyst plans a single Exchange."""
+    w = Window.partitionBy("user_id")
+    step1, step2, step3 = FUNNEL_STEPS
+    df = events.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == step1, F.col("ts"))).over(w)
+    )
+    df = df.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == step2) & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == step3) & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return df.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+
+
+@query("q_funnel")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_temporal_ops.py
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (product-analytics staple the event stream
+    exists for): per user, the first 'view', the first 'click' AFTER
+    that view, the first 'purchase' AFTER that click — then per-step
+    reached-user counts and step-to-step conversion. Strict ordering
+    (ts must increase across steps) is what separates a funnel from
+    three independent filters; tests prove it on a synthetic
+    out-of-order micro-stream where the unordered count differs.
+
+    Shape: ``funnel_per_user`` (one shuffle of events); the rollup
+    then aggregates the per-user 3-tuple, which is users-sized, not
+    events-sized."""
+    events = load_table(spark, sf_dir, "events")
+    step1, step2, step3 = FUNNEL_STEPS
+    n = funnel_per_user(events).agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+
+    # One struct per step, exploded from the SINGLE rollup row — a
+    # 3-way union here would re-derive the whole funnel subtree per
+    # branch (Catalyst duplicates non-cached scalar subtrees).
+    def step_struct(i, name, cnt, prev):
+        conv = (
+            F.round(F.col(cnt) / F.col(prev), 4)
+            if prev
+            else F.lit(None).cast("double")
+        )
+        return F.struct(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(name).alias("event_type"),
+            F.col(cnt).alias("n_users"),
+            conv.alias("conv_from_prev"),
+        )
+
+    return n.select(
+        F.explode(
+            F.array(
+                step_struct(1, step1, "n1", None),
+                step_struct(2, step2, "n2", "n1"),
+                step_struct(3, step3, "n3", "n2"),
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+EWMA_ALPHA = 0.3
+
+
+def _ewma_schema() -> str:
+    return "user_id long, event_id long, value double, ewma_value double"
+
+
+@query("q_ewma")  # recursive per-key state — not ANSI-window
+# expressible; pandas oracle runs in tests/test_temporal_ops.py
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of event value per user in
+    event-time order — the classic online feature (decayed engagement
+    score) whose recursion s_t = a*x_t + (1-a)*s_{t-1} no ANSI window
+    frame can state. Implemented as Arrow ``applyInPandas`` per user:
+    the canonical pattern for per-key SEQUENTIAL state in a distributed
+    engine — partition by key (one shuffle), order within the pandas
+    batch, recurse vectorized (pandas ewm, C loop, not per-row Python).
+    The same recursion runs streaming via applyInPandasWithState
+    (streaming/stateful.py proves that pattern on freshness state).
+    Output rounds to 4 decimals (float-order robustness; ties in ts
+    broken by event_id so the recursion order is total)."""
+    events = load_table(spark, sf_dir, "events")
+
+    def ewma(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["ewma_value"] = (
+            pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().round(4)
+        )
+        return pdf[["user_id", "event_id", "value", "ewma_value"]]
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(ewma, schema=_ewma_schema())
+    )

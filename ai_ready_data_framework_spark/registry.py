@@ -59,6 +59,10 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_repetition",
     "q_heavy_hitters",
     "q_pii_redact",
+    "q_group_sample",
+    "q_funnel",
+    "q_ewma",
+    "q_mv_incremental",
     "q_cdc_apply",
     "q_embed_centroids",
     "q_fingerprint_winnow",

@@ -118,6 +118,31 @@ def test_heavy_hitters_aggregates_before_ranking(spark, sf_smoke):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_funnel_shuffles_events_once(spark, sf_smoke):
+    """Three nested funnel windows + the per-user rollup all share the
+    user_id partitioning: exactly ONE hash-partitioned exchange of the
+    events table (the final 1-row rollup runs on a single partition)."""
+    plan = final_plan(run("q_funnel", spark, sf_smoke))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_group_sample_uses_window_group_limit(spark, sf_smoke):
+    """Per-stratum fixed-K sampling must push the rank<=K limit below
+    the shuffle (WindowGroupLimit): executors ship O(groups x K) rows,
+    never the corpus."""
+    plan = final_plan(run("q_group_sample", spark, sf_smoke))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_ewma_is_single_shuffle_arrow(spark, sf_smoke):
+    """EWMA = one shuffle on user_id feeding one Arrow grouped-map
+    (FlatMapGroupsInPandas) — no row-at-a-time Python, no extra
+    exchange."""
+    plan = final_plan(run("q_ewma", spark, sf_smoke))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_agg_has_partial_and_final(spark, sf_smoke):
     plan = final_plan(run("q_agg_group", spark, sf_smoke))
     assert plan.count("HashAggregate") >= 2, plan  # map-side combine

@@ -1,0 +1,109 @@
+"""Oracles for the round-2 temporal operators: funnel (DuckDB window
+oracle) and EWMA (pandas recursion oracle — not ANSI-expressible)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from ai_ready_data_framework_spark.io import table_path
+from ai_ready_data_framework_spark.operators import temporal as TP
+from ai_ready_data_framework_spark.registry import QUERIES
+
+
+def test_funnel_matches_duckdb_oracle(spark, sf_correctness):
+    s1, s2, s3 = TP.FUNNEL_STEPS
+    ev = table_path(sf_correctness, "events")
+    sql = f"""
+        WITH e AS (
+            SELECT user_id, event_type, ts
+            FROM read_parquet('{ev}')
+        ),
+        w1 AS (
+            SELECT *, MIN(CASE WHEN event_type = '{s1}' THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+            FROM e
+        ),
+        w2 AS (
+            SELECT *, MIN(CASE WHEN event_type = '{s2}' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+            FROM w1
+        ),
+        w3 AS (
+            SELECT *, MIN(CASE WHEN event_type = '{s3}' AND ts > t2 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+            FROM w2
+        ),
+        pu AS (
+            SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+            FROM w3 GROUP BY 1
+        ),
+        n AS (
+            SELECT CAST(COUNT(t1) AS BIGINT) AS n1,
+                   CAST(COUNT(t2) AS BIGINT) AS n2,
+                   CAST(COUNT(t3) AS BIGINT) AS n3
+            FROM pu
+        )
+        SELECT CAST(1 AS BIGINT) AS step, '{s1}' AS event_type,
+               n1 AS n_users, CAST(NULL AS DOUBLE) AS conv_from_prev FROM n
+        UNION ALL
+        SELECT 2, '{s2}', n2, ROUND(n2 / n1, 4) FROM n
+        UNION ALL
+        SELECT 3, '{s3}', n3, ROUND(n3 / n2, 4) FROM n
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_funnel"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    by_step = {r.step: r.n_users for r in rows}
+    # strict ordering must be monotone non-increasing down the funnel
+    assert by_step[1] >= by_step[2] >= by_step[3] > 0
+
+
+def test_funnel_strict_ordering_on_micro_stream(spark):
+    """Strict ordering semantics on a hand-built stream: a click
+    BEFORE the user's first view must not advance the funnel, and a
+    purchase between view and click must not count for step 3."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2026, 1, 1, 0, m)
+    rows = [
+        # u1: clean view -> click -> purchase
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2: click precedes the only view; no later click -> stops at t1
+        (2, t(0), "click"), (2, t(1), "view"), (2, t(2), "purchase"),
+        # u3: purchase sits between view and click -> t3 stays NULL
+        (3, t(0), "view"), (3, t(1), "purchase"), (3, t(2), "click"),
+        # u4: never views -> reaches nothing
+        (4, t(0), "click"), (4, t(1), "purchase"),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.user_id: (r.t1 is not None, r.t2 is not None, r.t3 is not None)
+        for r in TP.funnel_per_user(events).collect()
+    }
+    assert got == {
+        1: (True, True, True),
+        2: (True, False, False),
+        3: (True, True, False),
+        4: (False, False, False),
+    }
+
+
+def test_ewma_matches_pandas_oracle(spark, sf_correctness):
+    pdf = pd.read_parquet(table_path(sf_correctness, "events"))[
+        ["user_id", "event_id", "ts", "value"]
+    ]
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    pdf["ewma_value"] = (
+        pdf.groupby("user_id")["value"]
+        .transform(lambda s: s.ewm(alpha=TP.EWMA_ALPHA, adjust=False).mean())
+        .round(4)
+    )
+    expected = {
+        (int(r.user_id), int(r.event_id), float(r.value), float(r.ewma_value))
+        for r in pdf.itertuples()
+    }
+    rows = QUERIES["q_ewma"](spark, sf_correctness).collect()
+    got = {(r.user_id, r.event_id, r.value, r.ewma_value) for r in rows}
+    assert got == expected
+    assert len(rows) == len(pdf)
