@@ -1145,3 +1145,37 @@ def q_vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= IVF_TOPK)
         .select("q_id", "vec_id", F.round("__cos", 4).alias("cosine"), "rk")
     )
+
+
+QUANT_MAX = 127  # symmetric int8 range
+
+
+@query("q_embed_quantize")  # rows-only: graded window full; DuckDB
+# oracle + reconstruction invariants run in tests/test_ai_ops.py
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (embedding storage): symmetric int8 quantization —
+    per-vector scale = max|x|/127, q_i = round(x_i/scale) — the 4x
+    shrink an ANN index applies before a 100 TB embedding table is
+    servable (reconstruction error bounded by scale/2 per element,
+    proven in tests). Pure higher-order array expressions (transform /
+    aggregate): no Python, no shuffle — quantizing the corpus is one
+    codegen'd scan. Zero vectors (scale 0) pass through with NULL
+    scale and NULL q, the convention that keeps downstream dequant
+    NULL-safe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    df = emb.withColumn("scale", F.when(absmax != 0, absmax / QUANT_MAX))
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") / F.col("scale")).cast("int"),
+    )
+    return df.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.when(F.col("scale").isNotNull(), q).alias("q"),
+    )

@@ -1031,11 +1031,21 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics contract those layouts must reproduce."""
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
-        "o_orderkey", F.round("o_totalprice", 4).alias("total_price")
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("total_price"),
+        F.lit("keep").alias("last_op"),
     )
+    return cdc_merge(base, cdc_changes(orders))
+
+
+def cdc_changes(orders: DataFrame) -> DataFrame:
+    """Deterministic synthetic changelog over orders (key % 10 picks
+    the op): columns (o_orderkey, op, new_price). Shared by the batch
+    merge (q_cdc_apply), the incremental MV (q_mv_incremental's
+    before/after variant), and the streaming foreachBatch sink."""
     rem = F.col("o_orderkey") % 10
     src = orders.select("o_orderkey", "o_totalprice", rem.alias("rem"))
-    changes = (
+    return (
         src.filter(
             F.col("rem").isin(CDC_UPDATE_REM, CDC_DELETE_REM, CDC_INSERT_REM)
         )
@@ -1060,14 +1070,18 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("new_price"),
         )
     )
-    merged = base.join(changes, "o_orderkey", "full_outer")
-    return (
-        merged.filter(F.coalesce("op", F.lit("keep")) != "delete")
-        .select(
-            "o_orderkey",
-            F.coalesce("new_price", "total_price").alias("total_price"),
-            F.coalesce("op", F.lit("keep")).alias("last_op"),
-        )
+
+
+def cdc_merge(snapshot: DataFrame, changes: DataFrame) -> DataFrame:
+    """One MERGE INTO step: apply an insert/update/delete changelog to
+    a snapshot of (o_orderkey, total_price, last_op). Idempotent in
+    shape — the output is again a valid snapshot, so the streaming
+    sink can fold micro-batches through it (streaming/cdc.py)."""
+    merged = snapshot.join(changes, "o_orderkey", "full_outer")
+    return merged.filter(F.coalesce("op", F.lit("keep")) != "delete").select(
+        "o_orderkey",
+        F.coalesce("new_price", "total_price").alias("total_price"),
+        F.coalesce("op", F.col("last_op"), F.lit("keep")).alias("last_op"),
     )
 
 

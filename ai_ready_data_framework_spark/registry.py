@@ -63,6 +63,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_funnel",
     "q_ewma",
     "q_mv_incremental",
+    "q_embed_quantize",
     "q_cdc_apply",
     "q_embed_centroids",
     "q_fingerprint_winnow",

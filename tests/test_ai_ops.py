@@ -489,3 +489,69 @@ def test_check_values_normalized(spark, sf_smoke):
     ):
         row = QUERIES[name](spark, sf_smoke).collect()[0]
         assert 0.0 <= row.value <= 1.0, name
+
+
+def test_embed_quantize_matches_duckdb_oracle(spark, sf_correctness):
+    """int8 quantization must agree with DuckDB's list-expression
+    recompute: same per-vector scale, same quantized codes. Both
+    engines round half-away-from-zero on doubles, so the codes match
+    exactly."""
+    import duckdb
+
+    from ai_ready_data_framework_spark.io import table_path
+    from ai_ready_data_framework_spark.operators import ai
+
+    sql = f"""
+        SELECT vec_id, label,
+               CASE WHEN m <> 0 THEN m / {ai.QUANT_MAX} END AS scale,
+               CASE WHEN m <> 0 THEN
+                   [CAST(round(CAST(x AS DOUBLE) / (m / {ai.QUANT_MAX})) AS INT)
+                    for x in embedding]
+               END AS q
+        FROM (
+            SELECT vec_id, label, embedding,
+                   list_max(list_transform(embedding,
+                                           x -> abs(CAST(x AS DOUBLE)))) AS m
+            FROM read_parquet('{table_path(sf_correctness, "embeddings")}')
+        )
+    """
+    expected = {
+        (r[0], r[1], r[2], tuple(r[3]) if r[3] is not None else None)
+        for r in duckdb.connect().execute(sql).fetchall()
+    }
+    rows = QUERIES["q_embed_quantize"](spark, sf_correctness).collect()
+    got = {
+        (r.vec_id, r.label, r.scale, tuple(r.q) if r.q is not None else None)
+        for r in rows
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_embed_quantize_reconstruction_bounds(spark, sf_smoke):
+    """Quantization invariants: codes fit int8, per-element
+    reconstruction error <= scale/2, dequantized cosine vs the
+    original > 0.999."""
+    import math
+
+    from ai_ready_data_framework_spark.io import load_table
+    from ai_ready_data_framework_spark.operators import ai
+
+    orig = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf_smoke, "embeddings").collect()
+    }
+    rows = QUERIES["q_embed_quantize"](spark, sf_smoke).collect()
+    assert len(rows) == len(orig)
+    for r in rows:
+        if r.scale is None:
+            continue
+        x = orig[r.vec_id]
+        assert all(abs(qi) <= ai.QUANT_MAX for qi in r.q)
+        deq = [qi * r.scale for qi in r.q]
+        max_err = max(abs(d - float(v)) for d, v in zip(deq, x))
+        assert max_err <= r.scale / 2 + 1e-9, (r.vec_id, max_err, r.scale)
+        dot = sum(d * float(v) for d, v in zip(deq, x))
+        na = math.sqrt(sum(d * d for d in deq))
+        nb = math.sqrt(sum(float(v) ** 2 for v in x))
+        assert dot / (na * nb) > 0.999, r.vec_id

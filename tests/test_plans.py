@@ -143,6 +143,14 @@ def test_ewma_is_single_shuffle_arrow(spark, sf_smoke):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_embed_quantize_is_pure_projection(spark, sf_smoke):
+    """int8 quantization is higher-order array expressions only: no
+    Exchange, no Python evaluator in the plan."""
+    plan = final_plan(run("q_embed_quantize", spark, sf_smoke))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
 def test_agg_has_partial_and_final(spark, sf_smoke):
     plan = final_plan(run("q_agg_group", spark, sf_smoke))
     assert plan.count("HashAggregate") >= 2, plan  # map-side combine
