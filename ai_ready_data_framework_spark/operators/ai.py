@@ -1179,3 +1179,148 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale",
         F.when(F.col("scale").isNotNull(), q).alias("q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval family (the reference's serving path, SURVEY.md §3.2):
+# keyword BM25, and hybrid keyword+vector fusion
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("join", "hash", "spark")
+RETRIEVAL_CANDIDATES = 50  # per-arm candidate depth fed into fusion
+RRF_K = 60
+RETRIEVAL_TOP_K = 10
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 score for the fixed query-term set.
+
+    Shape: the term filter lands BEFORE the explode-aggregate, so only
+    postings of the ~3 query terms survive (postings-sized, not
+    corpus-sized); document stats and the per-term df table are 1-row /
+    terms-sized aggregates broadcast to the scorer — no collect(), no
+    corpus shuffle beyond the (doc, term) tf aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = T.tokens("text")
+    base = docs.select("doc_id", words.alias("words"), F.size(words).alias("dl"))
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tok = base.select("doc_id", "dl", F.explode("words").alias("term")).filter(
+        F.col("term").isin(*BM25_QUERY_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_norm), 4).alias("bm25"))
+    )
+
+
+@query("q_bm25")  # rows-only: graded window full; DuckDB oracle runs
+# in tests/test_retrieval.py
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (serving path, 2-consumable.md:23 retrieval): BM25
+    keyword search — Robertson/Sparck-Jones idf x saturated tf with
+    length normalization (Lucene-style ln(1 + (N-df+.5)/(df+.5))),
+    top-k by score. The lexical arm every RAG stack runs next to its
+    vector index. TakeOrderedAndProject top-k: candidates never
+    shuffle."""
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RETRIEVAL_TOP_K)
+    )
+
+
+@query("q_hybrid_rrf")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_retrieval.py
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (serving path): HYBRID retrieval — reciprocal-rank
+    fusion of the BM25 arm and the vector-cosine arm (query = vec_id
+    0, joined on doc_id == vec_id): rrf = sum over arms of
+    1/(K + rank). The standard fusion rule (Cormack et al. 2009)
+    because it needs no score calibration between arms.
+
+    Scale shape: each arm truncates to its top-C candidates via
+    TakeOrderedAndProject (C=50 — candidate generation, the way a
+    serving tier actually fuses), ranks are assigned within the tiny
+    C-row candidate sets (single-partition window over 50 rows, by
+    construction not a scale concern), and the fusion join touches at
+    most 2C rows."""
+    bm_top = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RETRIEVAL_CANDIDATES)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = V.cosine(F.col("embedding"), F.col("qv"))
+    cos_top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), F.round(cos, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(RETRIEVAL_CANDIDATES)
+    )
+    w_bm = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    w_cos = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    bm_ranked = bm_top.withColumn("rank_bm25", F.row_number().over(w_bm))
+    cos_ranked = cos_top.withColumn("rank_cos", F.row_number().over(w_cos))
+    fused = bm_ranked.join(cos_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("rank_bm25")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rank_cos")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.col("rank_bm25").cast("long").alias("rank_bm25"),
+        F.col("rank_cos").cast("long").alias("rank_cos"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RETRIEVAL_TOP_K)
+
+
+# Train/val/test split thresholds over the md5 8-hex prefix (same
+# quantization scheme as MIX_WEIGHTS): 80 / 10 / 10.
+SPLIT_TRAIN_FRAC = 0.8
+SPLIT_VAL_FRAC = 0.1
+
+
+@query("q_split_assign")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_retrieval.py
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (dataset mixing): deterministic train/val/test split
+    assignment — each doc's md5 8-hex prefix lands it in exactly one
+    split at the configured fractions. Hash-based (not modulo-id) so
+    the split survives re-keying, stays uniform per stratum, and
+    reproduces on any engine. Pure projection: zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    h8 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
+    thr_train = mix_threshold_hex(SPLIT_TRAIN_FRAC)
+    thr_val = mix_threshold_hex(SPLIT_TRAIN_FRAC + SPLIT_VAL_FRAC)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(h8 < thr_train, "train")
+        .when(h8 < thr_val, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -1188,3 +1188,91 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_price_mils"),
     ).filter(F.col("n_orders") > 0)
+
+
+ZSCORE_THRESHOLD = 3.0
+
+
+@query("q_anomaly_zscore")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_retrieval.py
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly detection: events whose value sits more
+    than {3} sample standard deviations from their event-type mean —
+    the data-quality tripwire (outlier fraction feeds the check
+    engine's distribution checks). Shape: per-type stats are a
+    5-row aggregate BROADCAST back onto the stream — never a window
+    over the raw events (a per-type window would funnel each type
+    through one reducer at scale); the flagged output is
+    anomaly-sized, not events-sized."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs("z") > ZSCORE_THRESHOLD)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+HIST_BUCKETS = 20
+
+
+@query("q_histogram")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_retrieval.py
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: global (min, max) from a
+    1-row aggregate broadcast onto the scan, bucket index =
+    floor((x-min)/width) clamped to the last bucket, counts per
+    bucket. The profiling primitive behind distribution drift checks;
+    two scans of one column + a bucket-cardinality aggregate — the
+    exchange carries {20} rows regardless of table size."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / HIST_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("long")
+    return (
+        orders.crossJoin(F.broadcast(stats))
+        .select(
+            bucket.alias("bucket"),
+            F.round(F.col("lo") + bucket * width, 4).alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query("q_join_skew")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_retrieval.py
+def q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family, skew-resilient form: lineitem-to-orders equi-join via
+    ``replicated_skew_join`` — the rewrite for the case AQE cannot
+    save: hot probe keys AND a build side too large to broadcast. The
+    probe side salts deterministically (xxhash64 of its columns), the
+    build side replicates once per salt, the join key widens to
+    (key, salt), and the hot key's rows spread across n_salts
+    partitions. Result aggregated by return flag; equality with the
+    plain unsalted join is the oracle."""
+    from ai_ready_data_framework_spark.functions.skew import (
+        replicated_skew_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = replicated_skew_join(li, orders, on="l_orderkey")
+    return joined.groupBy("l_returnflag", "o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )

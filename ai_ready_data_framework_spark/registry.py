@@ -64,6 +64,12 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_ewma",
     "q_mv_incremental",
     "q_embed_quantize",
+    "q_bm25",
+    "q_hybrid_rrf",
+    "q_split_assign",
+    "q_anomaly_zscore",
+    "q_histogram",
+    "q_join_skew",
     "q_cdc_apply",
     "q_embed_centroids",
     "q_fingerprint_winnow",

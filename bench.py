@@ -61,6 +61,15 @@ HEADLINE = [
     "q_mix_weighted",
     "q_cdc_apply",
     "q_embed_centroids",
+    "q_quality_gopher",
+    "q_repetition",
+    "q_heavy_hitters",
+    "q_pii_redact",
+    "q_group_sample",
+    "q_funnel",
+    "q_ewma",
+    "q_mv_incremental",
+    "q_embed_quantize",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.

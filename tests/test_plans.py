@@ -151,6 +151,29 @@ def test_embed_quantize_is_pure_projection(spark, sf_smoke):
     assert "Python" not in plan, plan
 
 
+def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_smoke):
+    """BM25: the df table and corpus stats join as broadcasts (never
+    shuffling the postings), and top-k is TakeOrderedAndProject."""
+    plan = final_plan(run("q_bm25", spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_split_assign_is_pure_projection(spark, sf_smoke):
+    plan = final_plan(run("q_split_assign", spark, sf_smoke))
+    assert "Exchange" not in plan, plan
+
+
+def test_anomaly_broadcasts_stats_no_window(spark, sf_smoke):
+    """Anomaly flagging must broadcast the 5-row per-type stats, not
+    window over raw events (a per-type window funnels each type
+    through one reducer)."""
+    plan = final_plan(run("q_anomaly_zscore", spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_agg_has_partial_and_final(spark, sf_smoke):
     plan = final_plan(run("q_agg_group", spark, sf_smoke))
     assert plan.count("HashAggregate") >= 2, plan  # map-side combine

@@ -1,0 +1,186 @@
+"""DuckDB oracles for the retrieval family (BM25, hybrid RRF), split
+assignment, and the round-2 relational stats ops (anomaly z-score,
+histogram, skew join). All SQL-expressible but registered rows-only
+(the driver's 50 graded slots are full)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from ai_ready_data_framework_spark.io import table_path
+from ai_ready_data_framework_spark.operators import ai
+from ai_ready_data_framework_spark.operators import relational as rel
+from ai_ready_data_framework_spark.registry import QUERIES
+
+
+def _bm25_sql(sf: str, limit: int) -> str:
+    terms = ", ".join(f"'{t}'" for t in ai.BM25_QUERY_TERMS)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS words,
+                   len(string_split(text, ' ')) AS dl
+            FROM read_parquet('{table_path(sf, "documents")}')
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+            FROM base
+        ),
+        tok AS (
+            SELECT doc_id, dl, unnest(words) AS term FROM base
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, COUNT(*) AS tf
+            FROM tok WHERE term IN ({terms})
+            GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+        SELECT doc_id,
+               ROUND(SUM(
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * tf.tf * ({ai.BM25_K1} + 1.0)
+                     / (tf.tf + {ai.BM25_K1}
+                        * (1.0 - {ai.BM25_B} + {ai.BM25_B} * tf.dl / s.avgdl))
+               ), 4) AS bm25
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {limit}
+    """
+
+
+def test_bm25_matches_duckdb_oracle(spark, sf_correctness):
+    sql = _bm25_sql(sf_correctness, ai.RETRIEVAL_TOP_K)
+    expected = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    rows = QUERIES["q_bm25"](spark, sf_correctness).collect()
+    # ORDER + values must both match (ranking operator)
+    assert [tuple(r) for r in rows] == expected
+    assert len(rows) == ai.RETRIEVAL_TOP_K
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_rrf_matches_duckdb_oracle(spark, sf_correctness):
+    e = table_path(sf_correctness, "embeddings")
+    sql = f"""
+        WITH bm AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS BIGINT) AS rank_bm25
+            FROM ({_bm25_sql(sf_correctness, ai.RETRIEVAL_CANDIDATES)})
+        ),
+        q AS (SELECT embedding AS qv FROM read_parquet('{e}') WHERE vec_id = 0),
+        cos AS (
+            SELECT vec_id AS doc_id,
+                   ROUND(list_dot_product(embedding, q.qv)
+                         / (sqrt(list_dot_product(embedding, embedding))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+            FROM read_parquet('{e}'), q
+            WHERE vec_id <> 0
+            ORDER BY cosine DESC, doc_id
+            LIMIT {ai.RETRIEVAL_CANDIDATES}
+        ),
+        cr AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+                        AS BIGINT) AS rank_cos
+            FROM cos
+        )
+        SELECT doc_id,
+               ROUND(COALESCE(1.0 / ({ai.RRF_K} + rank_bm25), 0)
+                     + COALESCE(1.0 / ({ai.RRF_K} + rank_cos), 0), 6) AS rrf,
+               rank_bm25, rank_cos
+        FROM bm FULL OUTER JOIN cr USING (doc_id)
+        ORDER BY rrf DESC, doc_id
+        LIMIT {ai.RETRIEVAL_TOP_K}
+    """
+    expected = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    rows = QUERIES["q_hybrid_rrf"](spark, sf_correctness).collect()
+    assert [tuple(r) for r in rows] == expected
+    # fusion must actually draw from both arms
+    assert any(r.rank_bm25 is not None for r in rows)
+    assert any(r.rank_cos is not None for r in rows)
+
+
+def test_split_assign_matches_duckdb_oracle(spark, sf_correctness):
+    thr_train = ai.mix_threshold_hex(ai.SPLIT_TRAIN_FRAC)
+    thr_val = ai.mix_threshold_hex(ai.SPLIT_TRAIN_FRAC + ai.SPLIT_VAL_FRAC)
+    sql = f"""
+        SELECT doc_id, source,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{thr_train}' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{thr_val}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM read_parquet('{table_path(sf_correctness, "documents")}')
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_split_assign"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    # partition: every doc in exactly one split, fractions near 80/10/10
+    n = len(rows)
+    by = {}
+    for r in rows:
+        by[r.split] = by.get(r.split, 0) + 1
+    assert set(by) == {"train", "val", "test"}
+    assert abs(by["train"] / n - 0.8) < 0.06
+
+
+def test_anomaly_zscore_matches_duckdb_oracle(spark, sf_correctness):
+    ev = table_path(sf_correctness, "events")
+    sql = f"""
+        WITH s AS (
+            SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sigma
+            FROM read_parquet('{ev}') GROUP BY 1
+        )
+        SELECT event_id, e.event_type, value,
+               ROUND((value - mu) / sigma, 4) AS z
+        FROM read_parquet('{ev}') e JOIN s ON e.event_type = s.event_type
+        WHERE abs(ROUND((value - mu) / sigma, 4)) > {rel.ZSCORE_THRESHOLD}
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_anomaly_zscore"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    assert 0 < len(rows) < 1000  # anomalies exist and are rare
+
+
+def test_histogram_matches_duckdb_oracle(spark, sf_correctness):
+    o = table_path(sf_correctness, "orders")
+    b = rel.HIST_BUCKETS
+    sql = f"""
+        WITH s AS (
+            SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+            FROM read_parquet('{o}')
+        ),
+        bk AS (
+            SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / {b})),
+                              {b - 1}) AS BIGINT) AS bucket,
+                   lo, hi
+            FROM read_parquet('{o}'), s
+        )
+        SELECT bucket,
+               ROUND(lo + bucket * ((hi - lo) / {b}), 4) AS bucket_lo,
+               COUNT(*) AS n_orders
+        FROM bk GROUP BY 1, 2
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_histogram"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    assert sum(r.n_orders for r in rows) == 15000  # every order bucketed
+
+
+def test_join_skew_matches_duckdb_oracle(spark, sf_correctness):
+    li, o = table_path(sf_correctness, "lineitem"), table_path(
+        sf_correctness, "orders"
+    )
+    sql = f"""
+        SELECT l_returnflag, o_orderstatus,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice), 4) AS sum_price
+        FROM read_parquet('{li}') l
+        JOIN read_parquet('{o}') x ON l.l_orderkey = x.o_orderkey
+        GROUP BY 1, 2
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_join_skew"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    assert len(rows) > 0
