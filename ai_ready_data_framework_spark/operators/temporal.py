@@ -567,3 +567,33 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(ewma, schema=_ewma_schema())
     )
+
+
+@query("q_time_rollup")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_temporal_ops.py
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (the hypertable continuous-
+    aggregate shape): ONE pass over events producing hourly rows,
+    daily rows, and the grand total via GROUPING SETS ((day, hour),
+    (day), ()) with grouping_id disambiguating levels. At 100 TB this
+    replaces three separate scans with one; Catalyst plans a single
+    Expand (x3 — one replica per grouping set, the same machinery as
+    rollup/cube) feeding one hash aggregate whose output is
+    calendar-sized, not events-sized."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+            "hour"
+        ),
+        "value",
+    )
+    return (
+        base.groupingSets([["day", "hour"], ["day"], []], "day", "hour")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("day", "hour", "gid", "n_events", "sum_value")
+    )

@@ -107,3 +107,33 @@ def test_ewma_matches_pandas_oracle(spark, sf_correctness):
     got = {(r.user_id, r.event_id, r.value, r.ewma_value) for r in rows}
     assert got == expected
     assert len(rows) == len(pdf)
+
+
+def test_time_rollup_matches_duckdb_oracle(spark, sf_correctness):
+    """Multi-granularity GROUPING SETS rollup: identical (day, hour,
+    gid, count, sum) rows from both engines; level counts must be
+    conservative (hourly sums to daily sums to the grand total)."""
+    ev = table_path(sf_correctness, "events")
+    sql = f"""
+        WITH base AS (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   value
+            FROM read_parquet('{ev}')
+        )
+        SELECT day, hour,
+               CAST(GROUPING(day, hour) AS BIGINT) AS gid,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM base
+        GROUP BY GROUPING SETS ((day, hour), (day), ())
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_time_rollup"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    total = [r for r in rows if r.gid == 3]
+    hourly = [r for r in rows if r.gid == 0]
+    daily = [r for r in rows if r.gid == 1]
+    assert len(total) == 1
+    assert sum(r.n_events for r in hourly) == total[0].n_events
+    assert sum(r.n_events for r in daily) == total[0].n_events
