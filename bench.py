@@ -70,6 +70,13 @@ HEADLINE = [
     "q_ewma",
     "q_mv_incremental",
     "q_embed_quantize",
+    "q_bm25",
+    "q_hybrid_rrf",
+    "q_split_assign",
+    "q_anomaly_zscore",
+    "q_histogram",
+    "q_join_skew",
+    "q_time_rollup",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.

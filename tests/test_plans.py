@@ -135,12 +135,20 @@ def test_group_sample_uses_window_group_limit(spark, sf_smoke):
 
 
 def test_ewma_is_single_shuffle_arrow(spark, sf_smoke):
-    """EWMA = one shuffle on user_id feeding one Arrow grouped-map
-    (FlatMapGroupsInPandas) — no row-at-a-time Python, no extra
-    exchange."""
+    """EWMA (shipped partition-batched form) = one hash repartition on
+    user_id, key-sorted within partitions, one Arrow MapInPandas — no
+    row-at-a-time Python, no extra exchange. The per-group reference
+    form must plan FlatMapGroupsInPandas, also single-shuffle."""
     plan = final_plan(run("q_ewma", spark, sf_smoke))
-    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "MapInPandas" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    from ai_ready_data_framework_spark.io import load_table
+    from ai_ready_data_framework_spark.operators.temporal import ewma_grouped
+
+    gplan = final_plan(ewma_grouped(load_table(spark, sf_smoke, "events")))
+    assert "FlatMapGroupsInPandas" in gplan, gplan
+    assert gplan.count("Exchange hashpartitioning") == 1, gplan
 
 
 def test_embed_quantize_is_pure_projection(spark, sf_smoke):

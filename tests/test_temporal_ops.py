@@ -109,6 +109,27 @@ def test_ewma_matches_pandas_oracle(spark, sf_correctness):
     assert len(rows) == len(pdf)
 
 
+def test_ewma_strategies_identical(spark, sf_correctness):
+    """Partition-batched mapInPandas EWMA (shipped) must equal the
+    per-group applyInPandas reference exactly — including across
+    Arrow batch boundaries (exercised below with a tiny batch size so
+    user runs straddle batches)."""
+    from ai_ready_data_framework_spark.io import load_table
+    from ai_ready_data_framework_spark.operators.temporal import (
+        ewma_grouped,
+        ewma_partition_batched,
+    )
+
+    events = load_table(spark, sf_correctness, "events")
+    ref = {tuple(r) for r in ewma_grouped(events).collect()}
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        batched = {tuple(r) for r in ewma_partition_batched(events).collect()}
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert batched == ref
+
+
 def test_time_rollup_matches_duckdb_oracle(spark, sf_correctness):
     """Multi-granularity GROUPING SETS rollup: identical (day, hour,
     gid, count, sum) rows from both engines; level counts must be
