@@ -211,3 +211,52 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         redacted.alias("redacted"),
     )
+
+
+LM_SMOOTH_K = 1.0  # add-k (Laplace) smoothing
+
+
+@query("q_perplexity")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_quality_ops.py
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (quality filtering): perplexity-style scoring — each
+    document's mean bigram log-probability under an add-k-smoothed
+    bigram model TRAINED ON THE CORPUS ITSELF, exp(-mean) as
+    perplexity. The CCNet-style filter signal: documents whose token
+    transitions are improbable under the corpus model (spam, garbled
+    text) score high and get dropped/downweighted.
+
+    Shape: bigram + unigram count aggregates (map-side combinable;
+    results are vocab- and vocab^2-sized — model tables, not corpus-
+    sized), then each doc's positional bigrams equi-join the bigram
+    model on the bigram key (linear in postings) with the
+    unigram/vocab tables broadcast. All counts stay exact integers;
+    only the final log ratio is floating point."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = T.tokens("text")
+    grams = docs.select(
+        "doc_id",
+        F.explode(T.shingles(words, 2)).alias("bg"),
+    ).filter(F.size(F.split("bg", " ")) == 2)  # drop the short-doc pad
+    bg_counts = grams.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    uni = docs.select(F.explode(words).alias("w"))
+    uni_counts = uni.groupBy("w").agg(F.count("*").alias("c_w"))
+    vocab = uni_counts.agg(F.count("*").alias("v"))
+    scored = (
+        grams.join(bg_counts, "bg")
+        .withColumn("w1", F.split("bg", " ")[0])
+        .join(F.broadcast(uni_counts), F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c_bg") + LM_SMOOTH_K)
+                / (F.col("c_w") + LM_SMOOTH_K * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("avg_logp"),
+        F.round(F.exp(-F.avg("logp")), 4).alias("perplexity"),
+    )

@@ -77,6 +77,7 @@ HEADLINE = [
     "q_histogram",
     "q_join_skew",
     "q_time_rollup",
+    "q_perplexity",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.

@@ -148,3 +148,50 @@ def test_pii_redact_matches_duckdb_oracle(spark, sf_correctness):
     assert all("@example.org" not in r.redacted for r in rows)
     assert all(r.n_emails == 1 and r.n_phones == 1 for r in rows)
     assert all("<EMAIL>" in r.redacted and "<PHONE>" in r.redacted for r in rows)
+
+
+def test_perplexity_matches_duckdb_oracle(spark, sf_correctness):
+    """Bigram-LM perplexity: identical (doc, n_bigrams, avg_logp,
+    perplexity) from both engines under the same add-1-smoothed
+    corpus model."""
+    sql = f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM read_parquet('{_docs(sf_correctness)}')
+        ),
+        grams AS (
+            SELECT doc_id, array_to_string(words[i : i + 1], ' ') AS bg
+            FROM (
+                SELECT doc_id, words,
+                       unnest(range(1, greatest(len(words) - 1, 1) + 1)) AS i
+                FROM w
+            )
+            WHERE len(words) >= 2
+        ),
+        bgc AS (SELECT bg, COUNT(*) AS c_bg FROM grams GROUP BY 1),
+        unic AS (
+            SELECT w, COUNT(*) AS c_w FROM (
+                SELECT unnest(string_split(text, ' ')) AS w
+                FROM read_parquet('{_docs(sf_correctness)}')
+            ) GROUP BY 1
+        ),
+        v AS (SELECT COUNT(*) AS v FROM unic)
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(AVG(ln((c_bg + {Q.LM_SMOOTH_K}) / (c_w + {Q.LM_SMOOTH_K} * v))), 4)
+                   AS avg_logp,
+               ROUND(exp(-AVG(ln((c_bg + {Q.LM_SMOOTH_K}) / (c_w + {Q.LM_SMOOTH_K} * v)))), 4)
+                   AS perplexity
+        FROM grams
+        JOIN bgc USING (bg)
+        JOIN unic ON string_split(bg, ' ')[1] = unic.w
+        CROSS JOIN v
+        GROUP BY doc_id
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_perplexity"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    # perplexity must vary across docs (a constant score filters nothing)
+    ppls = {r.perplexity for r in rows}
+    assert len(ppls) > 10
+    assert all(r.perplexity > 1.0 for r in rows)
