@@ -182,6 +182,15 @@ def test_anomaly_broadcasts_stats_no_window(spark, sf_smoke):
     assert "Window" not in plan, plan
 
 
+def test_perplexity_joins_model_without_cartesian(spark, sf_smoke):
+    """Perplexity: doc bigrams equi-join the bigram model; unigram +
+    vocab tables broadcast. No CartesianProduct anywhere (the 1-row
+    vocab cross join must plan as a broadcast nested loop)."""
+    plan = final_plan(run("q_perplexity", spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_agg_has_partial_and_final(spark, sf_smoke):
     plan = final_plan(run("q_agg_group", spark, sf_smoke))
     assert plan.count("HashAggregate") >= 2, plan  # map-side combine
