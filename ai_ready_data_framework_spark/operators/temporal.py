@@ -649,21 +649,27 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces three separate scans with one; Catalyst plans a single
     Expand (x3 — one replica per grouping set, the same machinery as
     rollup/cube) feeding one hash aggregate whose output is
-    calendar-sized, not events-sized."""
+    calendar-sized, not events-sized.
+
+    The grand-total level sums EVERY event's value in one aggregate;
+    float summation order varies with partition scheduling (caught by
+    the determinism suite), so the sum runs over exact integer cents
+    (event values carry 2 decimals) and divides once at the end —
+    bit-stable across runs and engines."""
     events = load_table(spark, sf_dir, "events")
     base = events.select(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
             "hour"
         ),
-        "value",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return (
         base.groupingSets([["day", "hour"], ["day"], []], "day", "hour")
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            (F.sum("cents") / 100.0).alias("sum_value"),
         )
         .select("day", "hour", "gid", "n_events", "sum_value")
     )

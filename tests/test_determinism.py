@@ -23,10 +23,16 @@ ROWS_ONLY = sorted(
 )
 
 
+def _null_safe_key(row: tuple) -> tuple:
+    """Sort key tolerating NULLs (grouping-sets rollup levels emit
+    None in the rolled-up columns): NULLs order last within a column."""
+    return tuple((v is None, 0 if v is None else v) for v in row)
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_query_is_deterministic(spark, sf_smoke, name):
     fn = registry.QUERIES[name]
-    a = sorted(map(tuple, fn(spark, sf_smoke).collect()))
-    b = sorted(map(tuple, fn(spark, sf_smoke).collect()))
+    a = sorted(map(tuple, fn(spark, sf_smoke).collect()), key=_null_safe_key)
+    b = sorted(map(tuple, fn(spark, sf_smoke).collect()), key=_null_safe_key)
     assert a == b, f"{name} differs across runs"
     assert a, f"{name} returned no rows at smoke SF"

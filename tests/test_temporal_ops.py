@@ -139,13 +139,13 @@ def test_time_rollup_matches_duckdb_oracle(spark, sf_correctness):
         WITH base AS (
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
-                   value
+                   CAST(round(value * 100) AS BIGINT) AS cents
             FROM read_parquet('{ev}')
         )
         SELECT day, hour,
                CAST(GROUPING(day, hour) AS BIGINT) AS gid,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 4) AS sum_value
+               SUM(cents) / 100.0 AS sum_value
         FROM base
         GROUP BY GROUPING SETS ((day, hour), (day), ())
     """
