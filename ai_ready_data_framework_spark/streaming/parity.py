@@ -240,3 +240,27 @@ def parity_fraction(spark: SparkSession, sf_dir: str, transform: Transform) -> f
         return 1.0
     matched = bh.join(sh, "h", "left_semi").count()
     return matched / total
+
+
+def make_enriched_events(spark: SparkSession, sf_dir: str) -> Transform:
+    """T9 stream-static join: enrich the event stream with a broadcast
+    dimension (customer segment) — the canonical serving-side
+    enrichment. The STATIC side is a plain batch DataFrame captured by
+    the closure; Structured Streaming re-joins it per micro-batch
+    (stream-static joins need no watermark or state), so the same
+    closure runs unchanged in batch and streaming — parity by
+    construction, verified by hash in tests."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def enriched(df: DataFrame) -> DataFrame:
+        return df.join(F.broadcast(cust), "user_id").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "c_mktsegment",
+            F.round("value", 4).alias("value"),
+        )
+
+    return enriched

@@ -53,3 +53,15 @@ def test_dedup_bounded_parity(spark, sf_smoke):
     assert (
         batch.select("event_id").subtract(stream.select("event_id")).count() == 0
     )
+
+
+def test_stream_static_join_parity(spark, sf_smoke):
+    """T9: stream-static dimension enrichment — the broadcast join
+    against the static customer dim must emit identical enriched rows
+    in batch and across micro-batches (and must not drop events whose
+    user exists: inner-join row count pinned against the batch side)."""
+    transform = parity.make_enriched_events(spark, sf_smoke)
+    batch = parity.run_batch(spark, sf_smoke, transform)
+    stream = parity.run_stream(spark, sf_smoke, transform)
+    assert batch.count() == stream.count() > 0
+    assert parity.parity_fraction(spark, sf_smoke, transform) == 1.0
