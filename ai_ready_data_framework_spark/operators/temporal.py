@@ -673,3 +673,39 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "hour", "gid", "n_events", "sum_value")
     )
+
+
+@query("q_retention")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_temporal_ops.py
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (the other product-analytics staple
+    next to q_funnel): users cohorted by FIRST-ACTIVE day, then for
+    each (cohort_day, day_offset) the count of cohort users active
+    that day and the fraction of the cohort they represent.
+
+    Shape: per-user first-day aggregate (shuffle on user), distinct
+    (user, day) activity (one shuffle), equi-join on user, then a
+    (cohort, offset) aggregate — every stage linear, every exchange
+    keyed; the retention matrix itself is calendar^2-sized, so the
+    final cohort-size window runs on a tiny aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cell = (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    w = Window.partitionBy("cohort_day")
+    cohort_size = F.max(F.when(F.col("day_offset") == 0, F.col("n_users"))).over(w)
+    return cell.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+        F.round(F.col("n_users") / cohort_size, 4).alias("retention_frac"),
+    )

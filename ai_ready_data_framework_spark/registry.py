@@ -72,6 +72,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_join_skew",
     "q_time_rollup",
     "q_perplexity",
+    "q_retention",
     "q_cdc_apply",
     "q_embed_centroids",
     "q_fingerprint_winnow",

@@ -78,6 +78,7 @@ HEADLINE = [
     "q_join_skew",
     "q_time_rollup",
     "q_perplexity",
+    "q_retention",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.

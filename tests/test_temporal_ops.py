@@ -158,3 +158,37 @@ def test_time_rollup_matches_duckdb_oracle(spark, sf_correctness):
     assert len(total) == 1
     assert sum(r.n_events for r in hourly) == total[0].n_events
     assert sum(r.n_events for r in daily) == total[0].n_events
+
+
+def test_retention_matches_duckdb_oracle(spark, sf_correctness):
+    ev = table_path(sf_correctness, "events")
+    sql = f"""
+        WITH first AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM read_parquet('{ev}') GROUP BY 1
+        ),
+        active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM read_parquet('{ev}')
+        ),
+        cell AS (
+            SELECT cohort_day,
+                   CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM active JOIN first USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+               day_offset, n_users,
+               ROUND(n_users / (MAX(CASE WHEN day_offset = 0 THEN n_users END)
+                                OVER (PARTITION BY cohort_day)), 4)
+                   AS retention_frac
+        FROM cell
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_retention"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    # day-0 cells exist for every cohort and carry retention 1.0
+    d0 = [r for r in rows if r.day_offset == 0]
+    assert d0 and all(r.retention_frac == 1.0 for r in d0)
+    assert all(r.day_offset >= 0 for r in rows)
