@@ -221,42 +221,54 @@ LM_SMOOTH_K = 1.0  # add-k (Laplace) smoothing
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (quality filtering): perplexity-style scoring — each
     document's mean bigram log-probability under an add-k-smoothed
-    bigram model TRAINED ON THE CORPUS ITSELF, exp(-mean) as
-    perplexity. The CCNet-style filter signal: documents whose token
-    transitions are improbable under the corpus model (spam, garbled
-    text) score high and get dropped/downweighted.
+    conditional bigram model TRAINED ON THE CORPUS ITSELF, exp(-mean)
+    as perplexity. The CCNet-style filter signal: documents whose
+    token transitions are improbable under the corpus model (spam,
+    garbled text) score high and get dropped/downweighted.
+    P(w2|w1) = (c(w1,w2)+k) / (c(w1,·)+k·V): the denominator is the
+    bigram-PREFIX count (proper conditional normalization) and V the
+    number of distinct prefixes.
 
-    Shape: bigram + unigram count aggregates (map-side combinable;
-    results are vocab- and vocab^2-sized — model tables, not corpus-
-    sized), then each doc's positional bigrams equi-join the bigram
-    model on the bigram key (linear in postings) with the
-    unigram/vocab tables broadcast. All counts stay exact integers;
-    only the final log ratio is floating point."""
+    Shape: ONE corpus-sized shuffle total. Per-doc bigram term
+    frequencies aggregate the exploded bigrams on (doc, bg); the
+    model — bigram counts, prefix counts, vocab size — derives from
+    tf's output (vocab^2-sized, shuffles only model-table partials;
+    the two scans Catalyst keeps share the same pruned explode) and
+    is BROADCAST back onto tf, so scoring never reshuffles the
+    corpus; the per-occurrence average Σ(tf·logp)/Σ(tf) then reuses
+    doc-keyed partial aggregation. At natural-text scale where the
+    bigram model outgrows the broadcast threshold, swap the broadcast
+    hint for an equi-join on bg — same semantics, one more shuffle.
+    Counts stay exact integers; only the final log ratio floats.
+    Pinned in test_plans.py: no corpus re-shuffle, no cartesian."""
     docs = load_table(spark, sf_dir, "documents")
     words = T.tokens("text")
     grams = docs.select(
         "doc_id",
         F.explode(T.shingles(words, 2)).alias("bg"),
     ).filter(F.size(F.split("bg", " ")) == 2)  # drop the short-doc pad
-    bg_counts = grams.groupBy("bg").agg(F.count("*").alias("c_bg"))
-    uni = docs.select(F.explode(words).alias("w"))
-    uni_counts = uni.groupBy("w").agg(F.count("*").alias("c_w"))
-    vocab = uni_counts.agg(F.count("*").alias("v"))
-    scored = (
-        grams.join(bg_counts, "bg")
-        .withColumn("w1", F.split("bg", " ")[0])
-        .join(F.broadcast(uni_counts), F.col("w1") == F.col("w"))
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            F.log(
-                (F.col("c_bg") + LM_SMOOTH_K)
-                / (F.col("c_w") + LM_SMOOTH_K * F.col("v"))
-            ).alias("logp"),
-        )
+    tf = grams.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    bg_counts = tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
+    prefix_counts = (
+        bg_counts.withColumn("w1", F.split("bg", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c_bg").alias("c_prefix"))
     )
+    vocab = prefix_counts.agg(F.count("*").alias("v"))
+    logp = F.log(
+        (F.col("c_bg") + LM_SMOOTH_K)
+        / (F.col("c_prefix") + LM_SMOOTH_K * F.col("v"))
+    )
+    scored = (
+        tf.join(F.broadcast(bg_counts), "bg")
+        .withColumn("w1", F.split("bg", " ")[0])
+        .join(F.broadcast(prefix_counts), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "tf", (F.col("tf") * logp).alias("tf_logp"))
+    )
+    avg_logp = F.sum("tf_logp") / F.sum("tf")
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.avg("logp"), 4).alias("avg_logp"),
-        F.round(F.exp(-F.avg("logp")), 4).alias("perplexity"),
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.round(avg_logp, 4).alias("avg_logp"),
+        F.round(F.exp(-avg_logp), 4).alias("perplexity"),
     )

@@ -169,22 +169,21 @@ def test_perplexity_matches_duckdb_oracle(spark, sf_correctness):
             WHERE len(words) >= 2
         ),
         bgc AS (SELECT bg, COUNT(*) AS c_bg FROM grams GROUP BY 1),
-        unic AS (
-            SELECT w, COUNT(*) AS c_w FROM (
-                SELECT unnest(string_split(text, ' ')) AS w
-                FROM read_parquet('{_docs(sf_correctness)}')
-            ) GROUP BY 1
+        pfx AS (
+            SELECT string_split(bg, ' ')[1] AS w1,
+                   CAST(SUM(c_bg) AS BIGINT) AS c_prefix
+            FROM bgc GROUP BY 1
         ),
-        v AS (SELECT COUNT(*) AS v FROM unic)
+        v AS (SELECT COUNT(*) AS v FROM pfx)
         SELECT doc_id,
                COUNT(*) AS n_bigrams,
-               ROUND(AVG(ln((c_bg + {Q.LM_SMOOTH_K}) / (c_w + {Q.LM_SMOOTH_K} * v))), 4)
+               ROUND(AVG(ln((c_bg + {Q.LM_SMOOTH_K}) / (c_prefix + {Q.LM_SMOOTH_K} * v))), 4)
                    AS avg_logp,
-               ROUND(exp(-AVG(ln((c_bg + {Q.LM_SMOOTH_K}) / (c_w + {Q.LM_SMOOTH_K} * v)))), 4)
+               ROUND(exp(-AVG(ln((c_bg + {Q.LM_SMOOTH_K}) / (c_prefix + {Q.LM_SMOOTH_K} * v)))), 4)
                    AS perplexity
         FROM grams
         JOIN bgc USING (bg)
-        JOIN unic ON string_split(bg, ' ')[1] = unic.w
+        JOIN pfx ON string_split(bg, ' ')[1] = pfx.w1
         CROSS JOIN v
         GROUP BY doc_id
     """
