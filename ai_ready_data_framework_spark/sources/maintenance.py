@@ -1,0 +1,81 @@
+"""Table maintenance + training-layout writers (S4 family).
+
+Grounding: clustered layouts for access optimization
+(/root/reference/factors/requirements.yaml:42-44); batch-columnar
+training consumption (2-consumable.md:23-25). Three operations every
+production lake needs that the reference implies but never specifies:
+
+- ``write_training_shards`` — the terminal step of a training-data
+  pipeline: a DETERMINISTIC global shuffle (hash order, not RNG) into
+  N balanced shard files, so data loaders stream shards without a
+  seek-scattering global sort and reruns produce byte-identical
+  shards.
+- ``compact`` — small-files compaction toward a target in-memory
+  partition size; the fix for streaming sinks and over-parallel
+  writers whose thousand tiny files destroy scan throughput.
+- schema evolution is exercised in tests via ``mergeSchema`` reads
+  (old files gain NULL columns) — the read-side contract for additive
+  column evolution.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_training_shards(
+    df: DataFrame, path: str, key_col: str, n_shards: int
+) -> None:
+    """Deterministic global shuffle into ``n_shards`` parquet shard
+    DIRECTORIES (``__shard=K/``): shard = md5-hash bucket of the key
+    (reproducible across runs, engines, and input layouts — unlike
+    ``orderBy(rand())``), rows ordered within each shard by the same
+    hash (so a shard's content AND order are stable). One repartition
+    exchange, no global sort; the directory layout (not flat part
+    files) guarantees every shard materializes even when the
+    repartition hash collides two shard ids into one task."""
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    shard = F.pmod(F.xxhash64(h), F.lit(n_shards))
+    (
+        df.withColumn("__shard", shard)
+        .withColumn("__h", h)
+        .repartition(n_shards, "__shard")
+        .sortWithinPartitions("__shard", "__h")
+        .drop("__h")
+        .write.mode("overwrite")
+        .partitionBy("__shard")
+        .parquet(path)
+    )
+
+
+def dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
+def compact(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Rewrite a parquet dir into ceil(total_bytes / target) files
+    (>=1). Returns the new file count. At 100 TB this runs per
+    partition of a partitioned table (compact the partitions whose
+    file count exceeds a threshold), not over the whole table — the
+    loop structure is identical."""
+    n_files = max(1, math.ceil(dir_bytes(path) / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap: verify the rewrite before replacing the original
+    assert spark.read.parquet(tmp).count() == df.count()
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
