@@ -74,3 +74,27 @@ def test_stream_write_roundtrip(spark, sf_smoke, tmp_path):
     q = writers.write_stream_parquet(stream, out, ckpt)
     q.awaitTermination()
     assert spark.read.parquet(out).count() == 100
+
+
+def test_json_quarantine_splits_bad_records(spark, tmp_path):
+    """Corrupt JSON lines must land in the quarantine frame with their
+    raw text; good rows parse against the declared schema; nothing is
+    dropped."""
+    p = str(tmp_path / "mixed.jsonl")
+    lines = [
+        '{"id": 1, "name": "a", "score": 1.5}',
+        'this is not json at all',
+        '{"id": 2, "name": "b", "score": 2.5}',
+        '{"id": "NOT_A_NUMBER", "name": "c", "score": 3.5}',
+    ]
+    with open(p, "w") as f:
+        f.write("\n".join(lines))
+    good, bad = readers.read_json_quarantine(
+        spark, p, "id long, name string, score double"
+    )
+    good_rows = {(r.id, r.name, r.score) for r in good.collect()}
+    bad_rows = [r.raw_line for r in bad.collect()]
+    assert good_rows == {(1, "a", 1.5), (2, "b", 2.5)}
+    assert len(bad_rows) == 2
+    assert "not json" in bad_rows[0] or "not json" in bad_rows[1]
+    assert good.count() + bad.count() == len(lines)
