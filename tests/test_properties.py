@@ -159,3 +159,77 @@ def test_salted_distinct_property(spark, data):
     for g, v in data:
         expect.setdefault(g, set()).add(v)
     assert got == {g: len(vs) for g, vs in expect.items()}
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_zvalue_matches_bit_interleave_reference(spark, pairs):
+    """The Catalyst z-value expression must equal the classic Python
+    bit-interleave for any 16-bit pair (Morton order correctness)."""
+    from ai_ready_data_framework_spark.functions.layout import zvalue
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = [
+        r.z for r in df.select(zvalue(F.col("a"), F.col("b")).alias("z")).collect()
+    ]
+
+    def morton(a: int, b: int) -> int:
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    assert sorted(got) == sorted(morton(a, b) for a, b in pairs)
+
+
+@given(
+    base=st.dictionaries(st.integers(0, 9), st.integers(0, 99), max_size=8),
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 12),  # key (some beyond base -> inserts)
+            st.sampled_from(["insert", "update", "delete"]),
+            st.integers(100, 199),  # new value
+        ),
+        max_size=8,
+        unique_by=lambda t: t[0],  # one op per key, like real CDC compaction
+    ),
+)
+@SETTINGS
+def test_cdc_merge_matches_dict_reference(spark, base, ops):
+    """cdc_merge == applying the changelog to a Python dict: updates
+    override, deletes remove, inserts add, untouched keys pass
+    through tagged 'keep'."""
+    from ai_ready_data_framework_spark.operators.relational import cdc_merge
+
+    snap_rows = [(k, float(v), "keep") for k, v in base.items()]
+    ch_rows = [
+        (k, op, float(nv) if op != "delete" else None) for k, op, nv in ops
+    ]
+    snap = spark.createDataFrame(
+        snap_rows or [(None, None, None)],
+        "o_orderkey long, total_price double, last_op string",
+    ).filter(F.col("o_orderkey").isNotNull())
+    ch = spark.createDataFrame(
+        ch_rows or [(None, None, None)],
+        "o_orderkey long, op string, new_price double",
+    ).filter(F.col("o_orderkey").isNotNull())
+
+    got = {
+        r.o_orderkey: (r.total_price, r.last_op)
+        for r in cdc_merge(snap, ch).collect()
+    }
+
+    expect = {k: (float(v), "keep") for k, v in base.items()}
+    for k, op, nv in ops:
+        if op == "delete":
+            expect.pop(k, None)
+        else:  # insert/update both land the new value with their tag
+            expect[k] = (float(nv), op)
+    assert got == expect
