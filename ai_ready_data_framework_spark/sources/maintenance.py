@@ -79,3 +79,43 @@ def compact(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+class AuditFailure(RuntimeError):
+    """Raised when a write-audit-publish audit rejects the staged data;
+    the staging directory is kept for inspection/replay."""
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    audits: dict[str, "callable"],
+) -> str:
+    """Write-Audit-Publish: materialize ``df`` to a staging directory,
+    run every audit against the STAGED data (what readers will
+    actually see, not the logical plan), and only then move it to
+    ``path``. Failed audits raise ``AuditFailure`` listing the
+    offenders and LEAVE the staging dir for inspection — consumers of
+    ``path`` never observe unaudited rows.
+
+    ``audits`` maps audit name -> (DataFrame -> bool). This is the
+    write-side enforcement hook for the check engine (the reference's
+    0-1-scored checks thresholded at publish time); at 100 TB the same
+    structure publishes per-partition. The publish step is a directory
+    rename: atomic on POSIX filesystems, and on object stores the
+    rename becomes a metadata-catalog pointer swap — same protocol."""
+    import shutil
+
+    staging = path.rstrip("/") + "__staging"
+    df.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    failed = [name for name, check in audits.items() if not check(staged)]
+    if failed:
+        raise AuditFailure(
+            f"audits failed: {failed}; staged data kept at {staging}"
+        )
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)
+    return path

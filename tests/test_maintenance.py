@@ -72,3 +72,33 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None and rows[3].score == 0.5
     assert merged.count() == 3
+
+
+def test_write_audit_publish_gates_bad_data(spark, sf_correctness, tmp_path):
+    """WAP: passing audits publish atomically; a failing audit raises,
+    keeps staging for inspection, and never creates the published
+    path."""
+    import pytest
+
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        AuditFailure,
+        write_audit_publish,
+    )
+
+    docs = load_table(spark, sf_correctness, "documents")
+    good_path = str(tmp_path / "published")
+    audits = {
+        "nonempty": lambda d: d.count() > 0,
+        "no_null_ids": lambda d: d.filter(F.col("doc_id").isNull()).count() == 0,
+    }
+    write_audit_publish(spark, docs, good_path, audits)
+    assert spark.read.parquet(good_path).count() == docs.count()
+    assert not os.path.exists(good_path + "__staging")
+
+    bad_path = str(tmp_path / "rejected")
+    with pytest.raises(AuditFailure, match="impossible"):
+        write_audit_publish(
+            spark, docs, bad_path, {"impossible": lambda d: d.count() > 10**9}
+        )
+    assert not os.path.exists(bad_path)  # nothing published
+    assert os.path.exists(bad_path + "__staging")  # kept for inspection
