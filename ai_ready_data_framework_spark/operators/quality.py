@@ -153,7 +153,10 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("occurrences"),
         F.count_distinct("doc_id").alias("doc_freq"),
     )
-    total = tok.count()
+    # corpus total from the vocabulary-sized aggregate (window over the
+    # |vocab| rows), NOT tok.count() — that would re-explode the corpus
+    # for one scalar
+    total = F.sum("occurrences").over(Window.partitionBy())
     w = Window.orderBy(F.desc("occurrences"), F.asc("term"))
     return (
         counts.withColumn("share", F.round(F.col("occurrences") / total, 6))
