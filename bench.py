@@ -129,7 +129,11 @@ def main() -> None:
 # per key is EXPECTED, not a perf regression.
 MERGED_IN_R2 = {"q_agg_distinct", "q_agg_rollup", "q_join_asof", "q_join_semi"}
 REGRESSION_FACTOR = 1.5
-MIN_REGRESSION_SECONDS = 0.3  # below Spark job overhead, timing is noise
+# Below this, per-query wall time is dominated by fixed Spark job
+# overhead plus host scheduling noise (measured: identical code swings
+# 0.4s -> 0.7s run-to-run on a quiet box); only flag queries where the
+# signal can exceed that noise.
+MIN_REGRESSION_SECONDS = 0.8
 
 
 def compare_to_previous(per_query: dict[str, float]) -> dict | None:
