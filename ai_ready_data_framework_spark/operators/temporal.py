@@ -709,3 +709,61 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.round(F.col("n_users") / cohort_size, 4).alias("retention_frac"),
     )
+
+
+@query("q_dedup_latest")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_temporal_ops.py
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot dedup: keep each user's most recent event (by
+    ts, event_id tiebreak) — the 'current state' compaction every CDC
+    topic and mutable-entity table needs before serving. row_number
+    over (user, ts DESC) == 1 collapses to WindowGroupLimit: each
+    executor keeps one row per key before the exchange, so the
+    shuffle carries |keys| rows, not |events|."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+
+@query("q_period_over_period")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_temporal_ops.py
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period report: daily event totals with previous-day
+    value and percent change (lag over the daily aggregate) — the
+    dashboard staple layered on W2. The window runs on the
+    calendar-sized aggregate, never the raw events; integer-cents
+    sums keep day totals bit-stable (same rationale as
+    q_time_rollup)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("cents") / 100.0).alias("sum_value"),
+        )
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("sum_value").over(w)
+    return daily.select(
+        "day",
+        "n_events",
+        "sum_value",
+        F.round(prev, 4).alias("prev_value"),
+        F.round((F.col("sum_value") - prev) / prev * 100.0, 4).alias("pct_change"),
+    )

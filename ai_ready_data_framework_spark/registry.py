@@ -73,6 +73,8 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_time_rollup",
     "q_perplexity",
     "q_retention",
+    "q_dedup_latest",
+    "q_period_over_period",
     "q_cdc_apply",
     "q_embed_centroids",
     "q_fingerprint_winnow",

@@ -182,6 +182,13 @@ def test_anomaly_broadcasts_stats_no_window(spark, sf_smoke):
     assert "Window" not in plan, plan
 
 
+def test_dedup_latest_uses_window_group_limit(spark, sf_smoke):
+    """Latest-snapshot compaction must push rank==1 below the shuffle
+    (WindowGroupLimit): one row per key crosses the exchange."""
+    plan = final_plan(run("q_dedup_latest", spark, sf_smoke))
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_perplexity_joins_model_without_cartesian(spark, sf_smoke):
     """Perplexity: doc bigrams equi-join the bigram model; unigram +
     vocab tables broadcast. No CartesianProduct anywhere (the 1-row

@@ -192,3 +192,46 @@ def test_retention_matches_duckdb_oracle(spark, sf_correctness):
     d0 = [r for r in rows if r.day_offset == 0]
     assert d0 and all(r.retention_frac == 1.0 for r in d0)
     assert all(r.day_offset >= 0 for r in rows)
+
+
+def test_dedup_latest_matches_duckdb_oracle(spark, sf_correctness):
+    ev = table_path(sf_correctness, "events")
+    sql = f"""
+        SELECT user_id, event_id, event_type,
+               ROUND(value, 4) AS value, epoch_us(ts) AS ts_us
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM read_parquet('{ev}')
+        ) WHERE rn = 1
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_dedup_latest"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    # exactly one row per user
+    assert len({r.user_id for r in rows}) == len(rows)
+
+
+def test_period_over_period_matches_duckdb_oracle(spark, sf_correctness):
+    ev = table_path(sf_correctness, "events")
+    sql = f"""
+        WITH daily AS (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+            FROM read_parquet('{ev}')
+            GROUP BY 1
+        )
+        SELECT day, n_events, sum_value,
+               ROUND(lag(sum_value) OVER (ORDER BY day), 4) AS prev_value,
+               ROUND((sum_value - lag(sum_value) OVER (ORDER BY day))
+                     / lag(sum_value) OVER (ORDER BY day) * 100.0, 4)
+                   AS pct_change
+        FROM daily
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_period_over_period"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    firsts = [r for r in rows if r.prev_value is None]
+    assert len(firsts) == 1  # only the first day lacks a predecessor
