@@ -79,6 +79,8 @@ HEADLINE = [
     "q_time_rollup",
     "q_perplexity",
     "q_retention",
+    "q_dedup_latest",
+    "q_period_over_period",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.
