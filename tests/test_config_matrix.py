@@ -1,0 +1,47 @@
+"""Partitioning-invariance matrix: results must not depend on
+``spark.sql.shuffle.partitions``. The driver grades under its own
+default config (200 partitions) while this suite runs at 8 — any
+partition-count-dependent nondeterminism (float sum order, per-
+partition state, unseeded sampling) would pass here and fail there.
+Run a representative query slice at 2 / 8 / 200 partitions and require
+identical row sets."""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_ready_data_framework_spark.registry import QUERIES
+
+# One per risk class: window sessionization, grouped floats, sketch
+# banding, grouping-sets totals, single-partition ranking, Arrow
+# recursion, greedy packing, model-broadcast scoring.
+MATRIX_QUERIES = [
+    "q_sessionize",
+    "q_agg_group",
+    "q_dedup_near",
+    "q_time_rollup",
+    "q_heavy_hitters",
+    "q_ewma",
+    "q_pack_sequences",
+    "q_perplexity",
+]
+
+
+def _null_safe_key(row: tuple) -> tuple:
+    return tuple((v is None, 0 if v is None else v) for v in row)
+
+
+@pytest.mark.parametrize("name", MATRIX_QUERIES)
+def test_result_invariant_to_shuffle_partitions(spark, sf_smoke, name):
+    fn = QUERIES[name]
+    results = {}
+    for n_part in ("2", "8", "200"):
+        spark.conf.set("spark.sql.shuffle.partitions", n_part)
+        try:
+            results[n_part] = sorted(
+                map(tuple, fn(spark, sf_smoke).collect()), key=_null_safe_key
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert results["2"] == results["8"] == results["200"], name
+    assert results["8"], name
