@@ -98,3 +98,19 @@ def test_json_quarantine_splits_bad_records(spark, tmp_path):
     assert len(bad_rows) == 2
     assert "not json" in bad_rows[0] or "not json" in bad_rows[1]
     assert good.count() + bad.count() == len(lines)
+
+
+def test_stream_sink_is_exactly_once_on_rerun(spark, sf_smoke, tmp_path):
+    """S5 exactly-once: re-starting the same availableNow stream
+    against the SAME checkpoint must process nothing new — the file
+    sink's commit log makes re-runs idempotent (no duplicated rows)."""
+    events = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "src")
+    events.limit(100).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for _ in range(2):  # second run: same checkpoint, no new input
+        stream = readers.read_parquet_stream(spark, src, schema)
+        q = writers.write_stream_parquet(stream, out, ckpt)
+        q.awaitTermination()
+    assert spark.read.parquet(out).count() == 100
