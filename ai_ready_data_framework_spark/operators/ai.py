@@ -1324,3 +1324,63 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query("q_containment_pairs")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_ai_ops.py
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (dedup family, asymmetric form): containment pairs —
+    shared winnowing fingerprints divided by the SMALLER document's
+    posting count. Jaccard near-dup misses the quote/subset case (a
+    short doc embedded in a long one has tiny Jaccard but containment
+    ~1); this operator is that detector, the dedup family's asymmetric
+    complement (q_contamination applies the same idea to train/eval
+    folds; this is the general pairwise form).
+
+    Shape: winnowed postings (q_fingerprint_winnow's output — position
+    -dense, guarantees any shared run >= W+k-1 tokens shares a hash),
+    df-capped inverted-index self-join on the fingerprint (identical
+    candidate-bounding to q_dedup_ngram: posting lists above the cap
+    are dropped, so candidate volume is sum(df^2) over SURVIVING
+    hashes, never all-pairs), then containment against per-doc posting
+    counts."""
+    postings = q_fingerprint_winnow(spark, sf_dir)
+    n = postings.groupBy("doc_id").agg(F.count("*").alias("n"))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rare = (
+        postings.groupBy("fp_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(
+            F.col("df")
+            <= F.least(
+                F.lit(MAX_SHINGLE_DF_FRACTION * n_docs),
+                F.lit(float(MAX_SHINGLE_DF_ABS)),
+            )
+        )
+    )
+    pf = postings.join(rare.select("fp_hash"), "fp_hash")
+    a = pf.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = pf.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    pairs = (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    containment = F.col("shared") / F.least("na", "nb")
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(containment >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(containment, 4).alias("containment"),
+        )
+    )

@@ -75,6 +75,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_retention",
     "q_dedup_latest",
     "q_period_over_period",
+    "q_containment_pairs",
     "q_cdc_apply",
     "q_embed_centroids",
     "q_fingerprint_winnow",

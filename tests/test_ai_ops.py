@@ -555,3 +555,57 @@ def test_embed_quantize_reconstruction_bounds(spark, sf_smoke):
         na = math.sqrt(sum(d * d for d in deq))
         nb = math.sqrt(sum(float(v) ** 2 for v in x))
         assert dot / (na * nb) > 0.999, r.vec_id
+
+
+def test_containment_pairs_matches_duckdb_oracle(spark, sf_correctness):
+    """Asymmetric containment over winnowed fingerprints: identical
+    pair sets from both engines under the same posting-frequency cap;
+    containment must exceed Jaccard's reach (pairs the symmetric
+    near-dup threshold misses)."""
+    import duckdb
+
+    from ai_ready_data_framework_spark.io import table_path
+
+    n_docs = 500
+    cap = min(ai.MAX_SHINGLE_DF_FRACTION * n_docs, ai.MAX_SHINGLE_DF_ABS)
+    sql = f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM read_parquet('{table_path(sf_correctness, "documents")}')
+        ),
+        sh AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(words[i : i + {ai.SHINGLE_K - 1}], ' ')) AS h
+            FROM (
+                SELECT doc_id, words,
+                       unnest(range(1, greatest(len(words) - {ai.SHINGLE_K - 1}, 1) + 1)) AS i
+                FROM w
+            )
+        ),
+        win AS (
+            SELECT DISTINCT doc_id,
+                   MIN(h) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN {ai.WINNOW_W - 1} PRECEDING AND CURRENT ROW
+                   ) AS fp
+            FROM sh QUALIFY i >= {ai.WINNOW_W}
+        ),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM win GROUP BY 1),
+        rare AS (SELECT fp FROM win GROUP BY fp HAVING COUNT(*) <= {cap}),
+        pf AS (SELECT win.* FROM win JOIN rare USING (fp)),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+            FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, shared,
+               ROUND(shared / LEAST(na.n, nb.n), 4) AS containment
+        FROM p JOIN n na ON p.doc_a = na.doc_id
+               JOIN n nb ON p.doc_b = nb.doc_id
+        WHERE shared / LEAST(na.n, nb.n) >= {ai.CONTAINMENT_THRESHOLD}
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_containment_pairs"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    assert len(rows) > 0
+    assert all(0 < r.containment <= 1.0 for r in rows)
