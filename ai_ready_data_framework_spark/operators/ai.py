@@ -1384,3 +1384,37 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(containment, 4).alias("containment"),
         )
     )
+
+
+BATCH_QUERY_VECS = 5  # vec_id 0..4 act as the query batch
+
+
+@query("q_vector_topk_batch")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_ai_ops.py
+def q_vector_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (batch form): exact cosine top-k for a BATCH of query
+    vectors in one pass — the recall baseline for the IVF batch path
+    (q_vector_ann_ivf) and the shape an offline retrieval-eval job
+    actually runs. The query batch (tiny) broadcasts; every corpus
+    vector scores against all Q queries in one codegen'd scan
+    (corpus never shuffles — the exchange carries only per-query
+    candidates); per-query top-k via row_number <= k collapses to
+    WindowGroupLimit, so executors pre-prune to k rows per query
+    before the shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= BATCH_QUERY_VECS)
+    cos = V.cosine(F.col("embedding"), F.col("qv"))
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id", "vec_id", F.round(cos, 4).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RETRIEVAL_TOP_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

@@ -76,6 +76,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_dedup_latest",
     "q_period_over_period",
     "q_containment_pairs",
+    "q_vector_topk_batch",
     "q_cdc_apply",
     "q_embed_centroids",
     "q_fingerprint_winnow",

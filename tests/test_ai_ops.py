@@ -609,3 +609,43 @@ def test_containment_pairs_matches_duckdb_oracle(spark, sf_correctness):
     assert {tuple(r) for r in rows} == expected
     assert len(rows) > 0
     assert all(0 < r.containment <= 1.0 for r in rows)
+
+
+def test_vector_topk_batch_matches_duckdb_oracle(spark, sf_correctness):
+    """Batch exact top-k: per-query ranked lists identical to DuckDB's
+    cross-join + qualify formulation."""
+    import duckdb
+
+    from ai_ready_data_framework_spark.io import table_path
+
+    e = table_path(sf_correctness, "embeddings")
+    sql = f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM read_parquet('{e}') WHERE vec_id < {ai.BATCH_QUERY_VECS}
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id,
+                   ROUND(list_dot_product(c.embedding, q.qv)
+                         / (sqrt(list_dot_product(c.embedding, c.embedding))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+            FROM read_parquet('{e}') c CROSS JOIN q
+            WHERE c.vec_id >= {ai.BATCH_QUERY_VECS}
+        )
+        SELECT query_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id
+               ) AS BIGINT) AS rank,
+               vec_id, cosine
+        FROM scored
+        QUALIFY rank <= {ai.RETRIEVAL_TOP_K}
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_vector_topk_batch"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    # every query got a full top-k list
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert len(per_q) == ai.BATCH_QUERY_VECS
+    assert all(sorted(v) == list(range(1, ai.RETRIEVAL_TOP_K + 1)) for v in per_q.values())

@@ -182,6 +182,15 @@ def test_anomaly_broadcasts_stats_no_window(spark, sf_smoke):
     assert "Window" not in plan, plan
 
 
+def test_vector_topk_batch_pre_prunes_per_query(spark, sf_smoke):
+    """Batch exact top-k: query batch broadcasts (no corpus shuffle
+    before scoring) and per-query rank<=k collapses to
+    WindowGroupLimit."""
+    plan = final_plan(run("q_vector_topk_batch", spark, sf_smoke))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
 def test_dedup_latest_uses_window_group_limit(spark, sf_smoke):
     """Latest-snapshot compaction must push rank==1 below the shuffle
     (WindowGroupLimit): one row per key crosses the exchange."""
