@@ -1276,3 +1276,42 @@ def q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
     )
+
+
+@query("q_feature_bins")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_retrieval.py
+def q_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature discretization (quantile binning): per-priority exact
+    quartile boundaries, each order assigned to its bin, per-(group,
+    bin) counts with observed min/max — the feature-engineering step
+    that turns a continuous column into categorical model input with
+    balanced bins. Boundaries come from a group-cardinality-sized
+    aggregate BROADCAST back onto the scan; comparisons use the
+    4-decimal ROUNDED boundaries on both engines so an ulp of
+    interpolation drift can't flip a boundary row's bin. At 100 TB
+    swap the exact percentile for percentile_approx (same shape —
+    see q_agg_percentile_approx)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("q2"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q3"),
+    )
+    x = F.col("o_totalprice")
+    bin_col = (
+        F.when(x <= F.col("q1"), 0)
+        .when(x <= F.col("q2"), 1)
+        .when(x <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    return (
+        orders.join(F.broadcast(bounds), "o_orderpriority")
+        .select("o_orderpriority", bin_col.alias("bin"), x.alias("price"))
+        .groupBy("o_orderpriority", "bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("price"), 4).alias("min_price"),
+            F.round(F.max("price"), 4).alias("max_price"),
+        )
+    )

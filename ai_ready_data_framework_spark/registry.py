@@ -77,6 +77,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_period_over_period",
     "q_containment_pairs",
     "q_vector_topk_batch",
+    "q_feature_bins",
     "q_cdc_apply",
     "q_embed_centroids",
     "q_fingerprint_winnow",

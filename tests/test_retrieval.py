@@ -184,3 +184,36 @@ def test_join_skew_matches_duckdb_oracle(spark, sf_correctness):
     rows = QUERIES["q_join_skew"](spark, sf_correctness).collect()
     assert {tuple(r) for r in rows} == expected
     assert len(rows) > 0
+
+
+def test_feature_bins_matches_duckdb_oracle(spark, sf_correctness):
+    o = table_path(sf_correctness, "orders")
+    sql = f"""
+        WITH bounds AS (
+            SELECT o_orderpriority,
+                   ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+                   ROUND(quantile_cont(o_totalprice, 0.50), 4) AS q2,
+                   ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q3
+            FROM read_parquet('{o}') GROUP BY 1
+        )
+        SELECT o_orderpriority,
+               CAST(CASE WHEN o_totalprice <= q1 THEN 0
+                         WHEN o_totalprice <= q2 THEN 1
+                         WHEN o_totalprice <= q3 THEN 2
+                         ELSE 3 END AS BIGINT) AS bin,
+               COUNT(*) AS n_orders,
+               ROUND(MIN(o_totalprice), 4) AS min_price,
+               ROUND(MAX(o_totalprice), 4) AS max_price
+        FROM read_parquet('{o}') JOIN bounds USING (o_orderpriority)
+        GROUP BY 1, 2
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_feature_bins"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    # quartile bins are balanced within each group (25% +- a few ties)
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.o_orderpriority, []).append(r.n_orders)
+    for g, counts in by_grp.items():
+        assert len(counts) == 4, (g, counts)
+        assert max(counts) <= 1.2 * min(counts), (g, counts)
