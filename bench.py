@@ -136,6 +136,10 @@ REGRESSION_FACTOR = 1.5
 # 0.4s -> 0.7s run-to-run on a quiet box); only flag queries where the
 # signal can exceed that noise.
 MIN_REGRESSION_SECONDS = 0.8
+# ... and require the ABSOLUTE slowdown to clear the same noise band:
+# a 0.6s query drifting to 0.95s under host load is not a regression,
+# a 2s query hitting 4s is.
+MIN_REGRESSION_DELTA_SECONDS = 0.8
 
 
 def compare_to_previous(per_query: dict[str, float]) -> dict | None:
@@ -164,6 +168,8 @@ def compare_to_previous(per_query: dict[str, float]) -> dict | None:
     for name, secs in per_query.items():
         p = prev.get(name)
         if p is None or secs < MIN_REGRESSION_SECONDS:
+            continue
+        if secs - p < MIN_REGRESSION_DELTA_SECONDS:
             continue
         ratio = secs / p if p > 0 else float("inf")
         if ratio > REGRESSION_FACTOR:
