@@ -51,9 +51,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``timestamp_micros`` reconstructs the exact same µs timestamp that
     DuckDB reads natively.
     """
+    # The corpus stores wall-clock-UTC timestamps (isAdjustedToUTC=false);
+    # DuckDB reads them as naive-UTC. Pin the session zone so the NTZ->LTZ
+    # normalization below is the identity on the wall clock and epoch math
+    # (unix_micros etc.) agrees with the oracle on every executor.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Spark 4 infers parquet isAdjustedToUTC=false as TIMESTAMP_NTZ, which
+    # unix_micros/to_utc_timestamp reject. Normalize to TIMESTAMP (LTZ in
+    # the UTC session) so every operator sees one timestamp type.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

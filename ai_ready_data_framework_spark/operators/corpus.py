@@ -1,0 +1,260 @@
+"""Corpus-level statistics and mixture operators (north-star L5/L7
+family: dataset composition, bias measurement, training-mixture
+design, semantic clustering).
+
+Grounding: the reference demands representative, bias-audited data
+(/root/reference/requirements.yaml distribution/bias checks;
+factors/1-trustworthy.md) and a governed path from raw corpus to
+training consumable (factors/2-consumable.md) but publishes no
+implementation. The concrete operators here are the public
+training-data recipes: per-source token-distribution divergence
+(bias at the vocabulary level, not just row counts), temperature-based
+mixture reweighting (multilingual-LM alpha sampling, Conneau & Lample
+2019 §3.1), token-entropy quality signals, and k-means semantic
+clustering of the embedding table (the coarse structure behind
+cluster-balanced sampling and semantic dedup).
+
+Scale design notes are per-operator; the common theme: the ONLY
+corpus-sized shuffle in any of them is one map-side-combinable hash
+aggregate; everything downstream operates on vocabulary-, source-, or
+cluster-sized aggregates that broadcast.
+
+All queries register rows-only (the driver's 50 graded slots are
+full — registry.ROWS_ONLY_TAIL_ORDER); the SQL-expressible ones run
+DuckDB oracles in tests/test_corpus_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ai_ready_data_framework_spark.functions import text as T
+from ai_ready_data_framework_spark.io import load_table
+from ai_ready_data_framework_spark.registry import query
+
+# Temperature for mixture reweighting: alpha < 1 upsamples small
+# sources (the multilingual-LM convention; 0.3 is the XLM-R setting).
+MIX_ALPHA = 0.3
+# Budget the expected-document column is computed against.
+MIX_BUDGET_DOCS = 10_000
+
+# Semantic clustering: coarse k chosen like the IVF quantizer — enough
+# cells to expose structure, few enough that the centroid table stays
+# trivially broadcastable at any corpus size.
+CLUSTER_K = 16
+CLUSTER_SEED = 42
+
+
+@query("q_source_divergence")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_corpus_ops.py
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (bias profiling): per-source token-distribution
+    divergence vs the whole corpus — KL(P_source || P_corpus) and
+    Jensen-Shannon distance², both under add-1 smoothing over the joint
+    vocabulary, in nats, rounded to 4 decimals.
+
+    Row-count distribution checks (q_check_distribution) cannot see a
+    source whose SHARE is fine but whose vocabulary is skewed; this
+    operator profiles composition at the token level.
+
+    Scale: explode → ONE hash aggregate keyed (source, term) — the only
+    corpus-sized shuffle, map-side combinable. The per-source and
+    corpus marginals derive from that vocabulary-sized table; the
+    (source × vocab) smoothing grid is sources·|V| rows, built from two
+    broadcast-joined aggregates. At 100 TB the token aggregate is the
+    cost; everything after is driver-trivial but stays distributed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
+    st = toks.groupBy("source", "term").agg(F.count("*").alias("c_st"))
+
+    src_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    term_tot = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    totals = term_tot.agg(
+        F.sum("c_t").alias("n_corpus"), F.count("*").alias("v_size")
+    )
+
+    # smoothing grid: every (source, term) pair, zero-filled counts.
+    # Broadcast the SOURCE side: at 100 TB the vocabulary marginal can
+    # hold 10^8 terms while sources stay enumerable — the grid build
+    # must stream the vocab, not ship it.
+    grid = (
+        term_tot.crossJoin(F.broadcast(src_tot))
+        .crossJoin(F.broadcast(totals))
+        .join(F.broadcast(st), ["source", "term"], "left")
+        .withColumn("c_st", F.coalesce(F.col("c_st"), F.lit(0)))
+    )
+    p_s = (F.col("c_st") + 1) / (F.col("n_s") + F.col("v_size"))
+    p_c = (F.col("c_t") + 1) / (F.col("n_corpus") + F.col("v_size"))
+    m = (p_s + p_c) / 2
+    contrib = grid.select(
+        "source",
+        "n_s",
+        "v_size",
+        (p_s * F.log(p_s / p_c)).alias("kl_term"),
+        (p_s * F.log(p_s / m) / 2 + p_c * F.log(p_c / m) / 2).alias("js_term"),
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(
+            F.first("n_s").cast("long").alias("n_tokens"),
+            F.first("v_size").cast("long").alias("vocab_size"),
+            F.round(F.sum("kl_term"), 4).alias("kl_vs_corpus"),
+            F.round(F.sum("js_term"), 4).alias("js_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("q_mix_temperature")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_corpus_ops.py
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (mixture design): temperature-scaled source weights —
+    w_i ∝ p_i^alpha with alpha=0.3 (upsamples small sources, the
+    multilingual-LM sampling rule), plus the expected document count
+    each source contributes to a MIX_BUDGET_DOCS-document training mix
+    and the resulting over/under-sampling factor vs natural share.
+
+    Complements q_mix_weighted (which FREEZES a mixture given rates) by
+    COMPUTING the rates from corpus composition.
+
+    Scale: one count aggregate keyed by source (map-side combinable,
+    source-cardinality result); the softmax-style normalization is a
+    window over the source-sized aggregate. Zero corpus-sized joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    everything = Window.partitionBy()
+    # staged: window functions cannot nest, so materialize the natural
+    # share column before normalizing its temperature-scaled form
+    shares = counts.select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(everything)).alias("p"),
+    ).select("*", F.pow("p", F.lit(MIX_ALPHA)).alias("scaled"))
+    w = F.col("scaled") / F.sum("scaled").over(everything)
+    return shares.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("p", 4).alias("natural_share"),
+        F.round(w, 4).alias("mix_weight"),
+        F.floor(w * MIX_BUDGET_DOCS).cast("long").alias("expected_docs"),
+        F.round(w / F.col("p"), 4).alias("oversample_factor"),
+    ).orderBy("source")
+
+
+@query("q_token_entropy")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_corpus_ops.py
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (quality filtering): per-document Shannon entropy of
+    the token distribution (nats) plus entropy normalized by log of the
+    distinct-token count — low values mark repetitive/boilerplate text
+    the way CCNet-style filters use LM surprise, without needing a
+    model table.
+
+    Scale: explode → hash aggregate keyed (doc_id, term) → second
+    aggregate keyed doc_id. Both shuffles are map-side combinable and
+    keyed so a document's terms co-locate; output is corpus-row-sized.
+    The alternative per-row higher-order-function construction is
+    shuffle-free but O(len²) per document — worse above ~1k tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_unique"),
+        # H = ln(n) - (1/n) * sum c*ln(c): exact entropy from raw
+        # counts in one pass, no per-term p column needed
+        (
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+        ).alias("h"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        F.round(F.col("h"), 4).alias("entropy"),
+        F.round(
+            F.when(F.col("n_unique") > 1, F.col("h") / F.log("n_unique")).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("entropy_norm"),
+    )
+
+
+@query("q_cluster_assign")  # rows-only by contract: k-means is
+# engine-specific (no ANSI oracle CAN exist); invariants + determinism
+# proven in tests/test_corpus_ops.py
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (semantic clustering): k-means over the embedding
+    table → per-cluster profile (size, dominant label, label purity,
+    mean cosine to the cluster centroid). This is the coarse semantic
+    structure behind cluster-balanced sampling, semantic dedup, and
+    topic-composition audits of a pretraining corpus.
+
+    Scale: same recipe as the IVF quantizer (operators/ai.py,
+    q_vector_ann_ivf) — fit on a deterministic ~4k-row sample (centroid
+    quality needs a sample, not the corpus), broadcast centroids,
+    assign every vector in one codegen'd scan. The profile aggregate is
+    keyed by (cluster, label) — cluster-cardinality result. The corpus
+    never shuffles; the one exchange carries cluster×label rows.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ai_ready_data_framework_spark.functions import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    n = vecs.count()
+    m = max(1, n // 4096)
+    km = KMeans(
+        k=CLUSTER_K,
+        seed=CLUSTER_SEED,
+        maxIter=10,
+        featuresCol="v",
+        predictionCol="cluster_id",
+    )
+    model = km.fit(vecs.filter(F.col("vec_id") % m == 0).select("v"))
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster_id int, centroid array<double>",
+    )
+    assigned = (
+        model.transform(vecs)
+        .join(F.broadcast(centroids), "cluster_id")
+        .select(
+            "cluster_id",
+            "label",
+            V.cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
+        )
+    )
+    by_label = assigned.groupBy("cluster_id", "label").agg(
+        F.count("*").alias("n"), F.sum("cos").alias("cos_sum")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        by_label.withColumn("rk", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.sum("n").cast("long").alias("size"),
+            F.max(F.when(F.col("rk") == 1, F.col("label"))).alias("dominant_label"),
+            F.round(F.max(F.when(F.col("rk") == 1, F.col("n"))) / F.sum("n"), 4).alias(
+                "label_purity"
+            ),
+            F.round(F.sum("cos_sum") / F.sum("n"), 4).alias("mean_cos_to_centroid"),
+        )
+        .orderBy("cluster_id")
+    )

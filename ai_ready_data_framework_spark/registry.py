@@ -78,6 +78,10 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_containment_pairs",
     "q_vector_topk_batch",
     "q_feature_bins",
+    "q_source_divergence",
+    "q_mix_temperature",
+    "q_token_entropy",
+    "q_cluster_assign",
     "q_cdc_apply",
     "q_embed_centroids",
     "q_fingerprint_winnow",
@@ -119,6 +123,7 @@ def load_all() -> None:
         ai,
         multimodal,
         quality,
+        corpus,
     )
     from ai_ready_data_framework_spark.checks import queries as check_queries  # noqa: F401
     from ai_ready_data_framework_spark.plans import assessment  # noqa: F401

@@ -81,6 +81,11 @@ HEADLINE = [
     "q_retention",
     "q_dedup_latest",
     "q_period_over_period",
+    # round-3 additions
+    "q_source_divergence",
+    "q_mix_temperature",
+    "q_token_entropy",
+    "q_cluster_assign",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.
@@ -154,15 +159,22 @@ def compare_to_previous(per_query: dict[str, float]) -> dict | None:
         glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
-    if not benches:
-        return None
-    prev_path = benches[-1]
-    try:
-        with open(prev_path) as f:
-            data = json.load(f)
-        # the driver wraps bench stdout under "parsed"
-        prev = data.get("queries") or data.get("parsed", {}).get("queries") or {}
-    except (OSError, json.JSONDecodeError):
+    # newest bench that actually recorded per-query data (a crashed
+    # round writes rc!=0 with parsed:null — compare against the last
+    # good one instead of silently comparing against nothing)
+    prev_path, prev = None, {}
+    for cand in reversed(benches):
+        try:
+            with open(cand) as f:
+                data = json.load(f)
+            # the driver wraps bench stdout under "parsed"
+            got = data.get("queries") or (data.get("parsed") or {}).get("queries")
+        except (OSError, json.JSONDecodeError):
+            continue
+        if got:
+            prev_path, prev = cand, got
+            break
+    if prev_path is None:
         return None
     flagged = {}
     for name, secs in per_query.items():

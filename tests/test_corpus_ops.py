@@ -1,0 +1,156 @@
+"""DuckDB oracles + invariants for the corpus-statistics family
+(operators/corpus.py). The SQL-expressible queries replicate the
+driver's set-equality contract here (graded window is full); k-means
+clustering gets determinism + conservation invariants instead (no ANSI
+oracle can exist for an iterative fitted model)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from ai_ready_data_framework_spark.io import table_path
+from ai_ready_data_framework_spark.operators import corpus as C
+from ai_ready_data_framework_spark.registry import QUERIES
+
+
+def _docs(sf: str) -> str:
+    return table_path(sf, "documents")
+
+
+def test_source_divergence_matches_duckdb_oracle(spark, sf_correctness):
+    sql = f"""
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM read_parquet('{_docs(sf_correctness)}')
+        ),
+        st AS (
+            SELECT source, term, COUNT(*) AS c_st FROM toks GROUP BY 1, 2
+        ),
+        src_tot AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY 1),
+        term_tot AS (SELECT term, SUM(c_st) AS c_t FROM st GROUP BY 1),
+        totals AS (
+            SELECT SUM(c_t) AS n_corpus, COUNT(*) AS v_size FROM term_tot
+        ),
+        grid AS (
+            SELECT s.source, t.term, s.n_s, t.c_t, x.n_corpus, x.v_size,
+                   COALESCE(st.c_st, 0) AS c_st
+            FROM src_tot s CROSS JOIN term_tot t CROSS JOIN totals x
+            LEFT JOIN st ON st.source = s.source AND st.term = t.term
+        ),
+        probs AS (
+            SELECT source, n_s, v_size,
+                   (c_st + 1) / (n_s + v_size) AS p_s,
+                   (c_t + 1) / (n_corpus + v_size) AS p_c
+            FROM grid
+        )
+        SELECT source,
+               CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+               CAST(MIN(v_size) AS BIGINT) AS vocab_size,
+               ROUND(SUM(p_s * ln(p_s / p_c)), 4) AS kl_vs_corpus,
+               ROUND(SUM(p_s * ln(p_s / ((p_s + p_c) / 2)) / 2
+                         + p_c * ln(p_c / ((p_s + p_c) / 2)) / 2), 4)
+                   AS js_vs_corpus
+        FROM probs GROUP BY source ORDER BY source
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_source_divergence"](spark, sf_correctness).collect()
+    got = {tuple(r) for r in rows}
+    assert got == expected
+    # divergences are nonnegative and JS is bounded by ln(2)
+    for r in rows:
+        assert r.kl_vs_corpus >= 0.0
+        assert 0.0 <= r.js_vs_corpus <= math.log(2) + 1e-9
+
+
+def test_mix_temperature_matches_duckdb_oracle(spark, sf_correctness):
+    sql = f"""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n_docs
+            FROM read_parquet('{_docs(sf_correctness)}') GROUP BY 1
+        ),
+        shares0 AS (
+            SELECT source, n_docs,
+                   n_docs / SUM(n_docs) OVER () AS p
+            FROM counts
+        ),
+        shares AS (
+            SELECT source, n_docs, p,
+                   POW(p, {C.MIX_ALPHA})
+                       / SUM(POW(p, {C.MIX_ALPHA})) OVER () AS w
+            FROM shares0
+        )
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               ROUND(p, 4) AS natural_share,
+               ROUND(w, 4) AS mix_weight,
+               CAST(FLOOR(w * {C.MIX_BUDGET_DOCS}) AS BIGINT) AS expected_docs,
+               ROUND(w / p, 4) AS oversample_factor
+        FROM shares ORDER BY source
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_mix_temperature"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    # alpha < 1 compresses shares: small sources oversample (factor > 1),
+    # the largest source undersamples — both directions must appear
+    factors = {r.source: r.oversample_factor for r in rows}
+    shares = {r.source: r.natural_share for r in rows}
+    biggest = max(shares, key=shares.get)
+    smallest = min(shares, key=shares.get)
+    if shares[biggest] != shares[smallest]:
+        assert factors[biggest] < 1.0 < factors[smallest]
+    # weights sum to ~1
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-2
+
+
+def test_token_entropy_matches_duckdb_oracle(spark, sf_correctness):
+    sql = f"""
+        WITH tf AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM read_parquet('{_docs(sf_correctness)}')
+        ),
+        counts AS (
+            SELECT doc_id, term, COUNT(*) AS c FROM tf GROUP BY 1, 2
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_unique,
+                   ln(SUM(c)) - SUM(c * ln(c)) / SUM(c) AS h
+            FROM counts GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_unique,
+               ROUND(h, 4) AS entropy,
+               ROUND(CASE WHEN n_unique > 1 THEN h / ln(n_unique)
+                          ELSE 0.0 END, 4) AS entropy_norm
+        FROM per_doc
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_token_entropy"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    # entropy bounded by ln(n_unique); normalized entropy in [0, 1]
+    for r in rows:
+        # 1e-4: the entropy column is rounded to 4 decimals, which can
+        # land a hair above the exact ln(n_unique) bound
+        assert r.entropy <= math.log(max(r.n_unique, 2)) + 1e-4
+        assert 0.0 <= r.entropy_norm <= 1.0 + 1e-9
+
+
+def test_cluster_assign_invariants(spark, sf_correctness):
+    """k-means has no ANSI oracle; the contract is conservation,
+    bounds, and bitwise determinism across two runs (fixed seed +
+    deterministic sample)."""
+    import pyarrow.parquet as pq
+
+    rows = QUERIES["q_cluster_assign"](spark, sf_correctness).collect()
+    total = pq.ParquetFile(
+        table_path(sf_correctness, "embeddings")
+    ).metadata.num_rows
+    assert sum(r.size for r in rows) == total  # every vector assigned once
+    assert 1 <= len(rows) <= C.CLUSTER_K
+    for r in rows:
+        assert 0.0 < r.label_purity <= 1.0
+        assert -1.0 - 1e-9 <= r.mean_cos_to_centroid <= 1.0 + 1e-9
+    rows2 = QUERIES["q_cluster_assign"](spark, sf_correctness).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))

@@ -257,3 +257,30 @@ def test_asof_broadcast_never_shuffles_labels(spark, sf_smoke):
     plan = final_plan(_asof_strategy_df(spark, sf_smoke, as_of_join_broadcast))
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_source_divergence_single_corpus_shuffle(spark, sf_smoke):
+    """q_source_divergence: the only corpus-sized exchange is the
+    (source, term) hash aggregate; the smoothing grid must broadcast
+    the source marginal onto the vocabulary stream, never the reverse,
+    and the corpus-sized explode must feed a partial aggregate."""
+    plan = final_plan(run("q_source_divergence", spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # partial_count before the exchange = map-side combine on the big agg
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_mix_temperature_no_corpus_join(spark, sf_smoke):
+    """q_mix_temperature: windows run on the source-sized aggregate —
+    a single-partition exchange of a handful of rows is fine, a join
+    or corpus-sized window is not."""
+    plan = final_plan(run("q_mix_temperature", spark, sf_smoke))
+    assert "Join" not in plan, plan
+
+
+def test_token_entropy_two_keyed_aggregates(spark, sf_smoke):
+    """q_token_entropy: exactly the two map-side-combinable hash
+    aggregates the docstring promises — no joins, no windows."""
+    plan = final_plan(run("q_token_entropy", spark, sf_smoke))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
