@@ -1,0 +1,142 @@
+"""End-to-end training-data pipeline funnel (north-star composition).
+
+Grounding: the reference's whole point is a governed path from raw
+corpus to AI-ready consumable (/root/reference/README.md:43-45,
+factors/2-consumable.md) — but it specifies the FACTORS, not the
+pipeline. This operator composes the engine's own building blocks into
+the canonical LLM pretraining-data pipeline and reports the funnel:
+
+    raw → near dedup (greedy 8-gram-overlap drop: a doc survives iff
+          no smaller-id doc shares an 8-token shingle with it — exact
+          duplicates share every shingle, so this subsumes sha2 dedup,
+          and this corpus's duplicates are near-dups, not bitwise)
+        → quality filter (Gopher battery, operators/quality.py)
+        → eval decontamination (8-gram containment vs the held-out
+          fold — longer shingles than q_contamination's bigrams
+          because decontamination needs rare-by-chance n-grams)
+        → mixture freeze (per-source md5 thresholds, q_mix_weighted's
+          rates)
+
+    Dedup-then-filter is the C4 ordering. The greedy smaller-id-wins
+    rule is deterministic and engine-portable (no iterative clustering
+    in the funnel; q_dedup_clusters has the full connected-components
+    treatment).
+
+Each stage reports rows_in / rows_out / keep_frac — the number every
+data-curation report leads with, and the first thing a user checks
+when a pipeline change shifts downstream eval numbers.
+
+Scale: every stage is the same shape as its standalone operator —
+pure filters (quality, mix), one 32-byte-key aggregate (dedup), one
+distinct + equi-join on shingle (decontam). Stage composition adds NO
+new shuffles beyond the standalone ops; counting rows per stage is a
+tiny aggregate union. The funnel over 100 TB costs what its most
+expensive stage costs.
+
+Registered rows-only (the driver's 50 graded slots are full); the
+full-funnel DuckDB oracle runs in tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_ready_data_framework_spark.functions import text as T
+from ai_ready_data_framework_spark.io import load_table
+from ai_ready_data_framework_spark.operators.ai import (
+    EVAL_FOLD_MOD,
+    MIX_DEFAULT_WEIGHT,
+    MIX_WEIGHTS,
+    mix_threshold_hex,
+)
+from ai_ready_data_framework_spark.operators.quality import gopher_keep
+from ai_ready_data_framework_spark.registry import query
+
+# Decontamination shingle length: long enough that sharing one is
+# evidence of copying, not chance (the public-pipeline convention is
+# 8-13 tokens; bigrams like q_contamination's would collide on any
+# shared phrase and empty the corpus).
+DECONTAM_SHINGLE_K = 8
+
+
+def _stage_counts(name: str, rows_in: DataFrame, rows_out: DataFrame) -> DataFrame:
+    n_in = rows_in.agg(F.count("*").alias("rows_in"))
+    n_out = rows_out.agg(F.count("*").alias("rows_out"))
+    return n_in.crossJoin(n_out).select(
+        F.lit(name).alias("stage"),
+        F.col("rows_in").cast("long").alias("rows_in"),
+        F.col("rows_out").cast("long").alias("rows_out"),
+        F.round(F.col("rows_out") / F.col("rows_in"), 4).alias("keep_frac"),
+    )
+
+
+@query("q_pipeline_e2e")  # rows-only: graded window full; full-funnel
+# DuckDB oracle runs in tests/test_pipeline.py
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (composition): the standard pretraining-data funnel
+    built from this engine's own operators; returns one row per stage
+    with rows_in / rows_out / keep_frac. See module docstring."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    # stage 1 — near dedup: drop any doc sharing an 8-gram with a
+    # smaller-id doc (inverted-index self-join on shingle; candidate
+    # volume is sum(df^2) over 8-gram postings — near-unique outside
+    # genuine copies, so linear in practice)
+    def doc_shingles(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(T.shingles(T.tokens("text"), DECONTAM_SHINGLE_K))
+            ).alias("s"),
+        )
+
+    sh_raw = doc_shingles(docs)
+    dup_drop = (
+        sh_raw.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(sh_raw.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    deduped = docs.join(dup_drop, "doc_id", "left_anti")
+
+    # stage 2 — quality: the Gopher battery's keep decision
+    quality = deduped.filter(gopher_keep(F.col("text")))
+
+    # stage 3 — decontamination: the held-out fold leaves the corpus,
+    # and any training doc sharing one DECONTAM_SHINGLE_K-gram with it
+    # is dropped as leaked
+    is_eval = F.col("doc_id") % EVAL_FOLD_MOD == 0
+    shingled = doc_shingles(quality).withColumn(
+        "__eval", F.col("doc_id") % EVAL_FOLD_MOD == 0
+    )
+    eval_sh = shingled.filter("__eval").select("s").distinct()
+    leaked = (
+        shingled.filter(~F.col("__eval"))
+        .join(eval_sh, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        quality.filter(~is_eval)
+        .join(leaked, "doc_id", "left_anti")
+    )
+
+    # stage 4 — mixture freeze: per-source md5-threshold sampling at
+    # q_mix_weighted's configured rates
+    thr = F.lit(mix_threshold_hex(MIX_DEFAULT_WEIGHT))
+    for src, wgt in MIX_WEIGHTS.items():
+        thr = F.when(F.col("source") == src, F.lit(mix_threshold_hex(wgt))).otherwise(
+            thr
+        )
+    h8 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
+    mixed = clean.filter(h8 < thr)
+
+    funnel = (
+        _stage_counts("1_dedup_near", docs, deduped)
+        .unionByName(_stage_counts("2_quality", deduped, quality))
+        .unionByName(_stage_counts("3_decontam", quality, clean))
+        .unionByName(_stage_counts("4_mix", clean, mixed))
+    )
+    return funnel.orderBy("stage")

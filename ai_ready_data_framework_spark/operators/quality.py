@@ -71,6 +71,22 @@ def _stop_hits(words: Column) -> Column:
     return F.size(F.filter(words, lambda w: w.isin(*T.STOPWORDS))).cast("long")
 
 
+def gopher_keep(text: Column) -> Column:
+    """The battery's overall keep decision as one reusable predicate —
+    the quality gate q_pipeline_e2e (operators/pipeline.py) applies as
+    its first stage. Same expressions as q_quality_gopher's flags."""
+    words = T.tokens(text)
+    return (
+        _n_words(words).between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & _mean_word_len(text, words).between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+        )
+        & (_stop_hits(words) >= GOPHER_MIN_STOP_HITS)
+        & (_symbol_ratio(text) <= GOPHER_MAX_SYMBOL_RATIO)
+        & (_alpha_word_frac(words) >= GOPHER_MIN_ALPHA_WORD_FRAC)
+    )
+
+
 @query("q_quality_gopher")  # rows-only: graded window full; DuckDB
 # oracle runs in tests/test_quality_ops.py
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:

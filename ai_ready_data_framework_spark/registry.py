@@ -78,6 +78,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_containment_pairs",
     "q_vector_topk_batch",
     "q_feature_bins",
+    "q_pipeline_e2e",
     "q_source_divergence",
     "q_mix_temperature",
     "q_token_entropy",
@@ -124,6 +125,7 @@ def load_all() -> None:
         multimodal,
         quality,
         corpus,
+        pipeline,
     )
     from ai_ready_data_framework_spark.checks import queries as check_queries  # noqa: F401
     from ai_ready_data_framework_spark.plans import assessment  # noqa: F401

@@ -1,0 +1,126 @@
+"""Full-funnel DuckDB oracle for q_pipeline_e2e (operators/pipeline.py):
+an independent engine recomputes every stage — quality battery, sha256
+dedup group-pick, 8-gram decontamination, md5 mixture thresholds — and
+the per-stage (rows_in, rows_out, keep_frac) funnel must match exactly."""
+
+from __future__ import annotations
+
+import duckdb
+
+from ai_ready_data_framework_spark.io import table_path
+from ai_ready_data_framework_spark.operators import pipeline as P
+from ai_ready_data_framework_spark.operators import quality as Q
+from ai_ready_data_framework_spark.operators.ai import (
+    EVAL_FOLD_MOD,
+    MIX_DEFAULT_WEIGHT,
+    MIX_WEIGHTS,
+    mix_threshold_hex,
+)
+from ai_ready_data_framework_spark.registry import QUERIES
+
+
+def _funnel_oracle_sql(sf: str) -> str:
+    mix_case = " ".join(
+        f"WHEN source = '{src}' THEN '{mix_threshold_hex(w)}'"
+        for src, w in MIX_WEIGHTS.items()
+    )
+    k = P.DECONTAM_SHINGLE_K
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, source, text,
+                   string_split(text, ' ') AS words
+            FROM read_parquet('{table_path(sf, "documents")}')
+        ),
+        sh_raw AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(words[i : i + {k - 1}], ' ') AS s
+            FROM (
+                SELECT doc_id, words,
+                       unnest(range(1, greatest(len(words) - {k - 1}, 1) + 1)) AS i
+                FROM docs
+            )
+        ),
+        dup_drop AS (
+            SELECT DISTINCT b.doc_id
+            FROM sh_raw a JOIN sh_raw b ON a.s = b.s AND a.doc_id < b.doc_id
+        ),
+        deduped AS (
+            SELECT d.* FROM docs d ANTI JOIN dup_drop x ON d.doc_id = x.doc_id
+        ),
+        quality AS (
+            SELECT * FROM deduped
+            WHERE len(words) BETWEEN {Q.GOPHER_MIN_WORDS} AND {Q.GOPHER_MAX_WORDS}
+              AND ROUND((length(text) - (len(words) - 1)) / len(words), 4)
+                  BETWEEN {Q.GOPHER_MIN_MEAN_WORD_LEN} AND {Q.GOPHER_MAX_MEAN_WORD_LEN}
+              AND len(list_filter(words, x -> x IN ('the', 'a')))
+                  >= {Q.GOPHER_MIN_STOP_HITS}
+              AND ROUND(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                        / greatest(length(text), 1), 4) <= {Q.GOPHER_MAX_SYMBOL_RATIO}
+              AND ROUND(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                        / greatest(len(words), 1), 4)
+                  >= {Q.GOPHER_MIN_ALPHA_WORD_FRAC}
+        ),
+        shingled AS (
+            SELECT DISTINCT doc_id, doc_id % {EVAL_FOLD_MOD} = 0 AS is_eval,
+                   array_to_string(words[i : i + {k - 1}], ' ') AS s
+            FROM (
+                SELECT doc_id, words,
+                       unnest(range(1, greatest(len(words) - {k - 1}, 1) + 1)) AS i
+                FROM quality
+            )
+        ),
+        eval_sh AS (SELECT DISTINCT s FROM shingled WHERE is_eval),
+        leaked AS (
+            SELECT DISTINCT sh.doc_id
+            FROM shingled sh SEMI JOIN eval_sh e ON sh.s = e.s
+            WHERE NOT sh.is_eval
+        ),
+        clean AS (
+            SELECT q.* FROM quality q
+            ANTI JOIN leaked l ON q.doc_id = l.doc_id
+            WHERE q.doc_id % {EVAL_FOLD_MOD} <> 0
+        ),
+        mixed AS (
+            SELECT * FROM clean
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < (CASE {mix_case} ELSE '{mix_threshold_hex(MIX_DEFAULT_WEIGHT)}' END)
+        ),
+        funnel(stage, rows_in, rows_out) AS (
+            SELECT '1_dedup_near', (SELECT COUNT(*) FROM docs),
+                   (SELECT COUNT(*) FROM deduped)
+            UNION ALL
+            SELECT '2_quality', (SELECT COUNT(*) FROM deduped),
+                   (SELECT COUNT(*) FROM quality)
+            UNION ALL
+            SELECT '3_decontam', (SELECT COUNT(*) FROM quality),
+                   (SELECT COUNT(*) FROM clean)
+            UNION ALL
+            SELECT '4_mix', (SELECT COUNT(*) FROM clean),
+                   (SELECT COUNT(*) FROM mixed)
+        )
+        SELECT stage, CAST(rows_in AS BIGINT) AS rows_in,
+               CAST(rows_out AS BIGINT) AS rows_out,
+               ROUND(rows_out / rows_in, 4) AS keep_frac
+        FROM funnel ORDER BY stage
+    """
+
+
+def test_pipeline_funnel_matches_duckdb_oracle(spark, sf_correctness):
+    expected = [
+        tuple(r)
+        for r in duckdb.connect().execute(_funnel_oracle_sql(sf_correctness)).fetchall()
+    ]
+    rows = [tuple(r) for r in QUERIES["q_pipeline_e2e"](spark, sf_correctness).collect()]
+    assert rows == expected
+    # every stage must actually discriminate on this corpus: strictly
+    # fewer rows out than in at quality, dedup, decontam, and mix
+    by_stage = {r[0]: r for r in rows}
+    assert len(by_stage) == 4
+    for stage, (_, rows_in, rows_out, frac) in by_stage.items():
+        assert 0 < rows_out < rows_in, (stage, rows_in, rows_out)
+        assert 0.0 < frac < 1.0
+    # stages chain: rows_out of each stage == rows_in of the next,
+    # except decontam whose input is deduped (eval docs leave there)
+    assert by_stage["1_dedup_near"][2] == by_stage["2_quality"][1]
+    assert by_stage["2_quality"][2] == by_stage["3_decontam"][1]
+    assert by_stage["3_decontam"][2] == by_stage["4_mix"][1]
