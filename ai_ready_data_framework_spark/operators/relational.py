@@ -1004,6 +1004,46 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(per_col).alias("p")).select("p.*")
 
 
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query("q_corr_matrix")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_corpus_ops.py (rounding-tolerant compare: corr is
+# a ratio of large floating sums, so the 4th decimal can differ by one
+# ulp-rounding step between engines)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (relationships): pairwise Pearson correlation
+    over the fact table's numeric columns — the feature-redundancy /
+    leakage-screen profile run before any feature set ships. All
+    C(n,2) correlations compute in ONE aggregate over one scan (each
+    corr is a handful of accumulating sums; Catalyst fuses them), then
+    the 1-row result explodes to the pair-per-row report. Map-side
+    combinable, output C(n,2) rows at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1 :]
+    ]
+    one = li.agg(
+        F.count("*").alias("n"),
+        *[
+            F.corr(a, b).alias(f"c_{a}_{b}")
+            for a, b in pairs
+        ],
+    )
+    per_pair = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(F.col(f"c_{a}_{b}"), 4).alias("pearson_r"),
+                F.col("n").cast("long").alias("n_rows"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return one.select(F.explode(per_pair).alias("p")).select("p.*")
+
+
 # Deterministic synthetic changelog over orders: key % 10 picks the op.
 CDC_UPDATE_REM = 3  # price restated +10%
 CDC_DELETE_REM = 7  # order cancelled

@@ -79,6 +79,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_vector_topk_batch",
     "q_feature_bins",
     "q_pipeline_e2e",
+    "q_corr_matrix",
     "q_source_divergence",
     "q_mix_temperature",
     "q_token_entropy",

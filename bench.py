@@ -87,6 +87,7 @@ HEADLINE = [
     "q_token_entropy",
     "q_cluster_assign",
     "q_pipeline_e2e",
+    "q_corr_matrix",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.

@@ -154,3 +154,30 @@ def test_cluster_assign_invariants(spark, sf_correctness):
         assert -1.0 - 1e-9 <= r.mean_cos_to_centroid <= 1.0 + 1e-9
     rows2 = QUERIES["q_cluster_assign"](spark, sf_correctness).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_corr_matrix_matches_duckdb_oracle(spark, sf_correctness):
+    """Pearson correlations vs DuckDB, tolerant to one rounding step in
+    the 4th decimal (corr divides large floating sums; partial-sum
+    order differs between engines)."""
+    from ai_ready_data_framework_spark.operators.relational import CORR_COLS
+
+    pair_sql = "\nUNION ALL\n".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+                   corr({a}, {b}) AS pearson_r,
+                   COUNT(*) AS n_rows
+            FROM read_parquet('{table_path(sf_correctness, "lineitem")}')"""
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1 :]
+    )
+    expected = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in duckdb.connect().execute(pair_sql).fetchall()
+    }
+    rows = QUERIES["q_corr_matrix"](spark, sf_correctness).collect()
+    assert len(rows) == len(expected) == 6
+    for r in rows:
+        exp_r, exp_n = expected[(r.col_a, r.col_b)]
+        assert r.n_rows == exp_n
+        assert abs(r.pearson_r - exp_r) <= 2e-4, (r.col_a, r.col_b, r.pearson_r, exp_r)
+        assert -1.0 <= r.pearson_r <= 1.0
