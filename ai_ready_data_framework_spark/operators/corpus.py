@@ -220,10 +220,12 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = vecs.count()
     m = max(1, n // 4096)
+    # maxIter=5 like the IVF quantizer: coarse-cluster quality converges
+    # fast and the profile is about composition, not centroid polish
     km = KMeans(
         k=CLUSTER_K,
         seed=CLUSTER_SEED,
-        maxIter=10,
+        maxIter=5,
         featuresCol="v",
         predictionCol="cluster_id",
     )
