@@ -99,10 +99,16 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    deduped = docs.join(dup_drop, "doc_id", "left_anti")
+    # Stage outputs feed BOTH the next stage and the funnel's counts,
+    # so without a cache every _stage_counts re-runs all upstream
+    # stages (the 8-gram self-join would execute 4x). The cached frames
+    # are document-survivor-sized — at 100 TB this materialization is
+    # the same "persist between pipeline stages" every production
+    # curation run does anyway.
+    deduped = docs.join(dup_drop, "doc_id", "left_anti").cache()
 
     # stage 2 — quality: the Gopher battery's keep decision
-    quality = deduped.filter(gopher_keep(F.col("text")))
+    quality = deduped.filter(gopher_keep(F.col("text"))).cache()
 
     # stage 3 — decontamination: the held-out fold leaves the corpus,
     # and any training doc sharing one DECONTAM_SHINGLE_K-gram with it
@@ -121,6 +127,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = (
         quality.filter(~is_eval)
         .join(leaked, "doc_id", "left_anti")
+        .cache()
     )
 
     # stage 4 — mixture freeze: per-source md5-threshold sampling at
