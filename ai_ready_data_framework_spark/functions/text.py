@@ -280,3 +280,52 @@ def lang_id(text: Column | str) -> Column:
             best = F.when(cond, F.lit(lang)).otherwise(best)
             best_score = F.when(cond, s).otherwise(best_score)
     return F.when(best_score > 0, best).otherwise(F.lit("en"))
+
+
+# --- BPE merge learning (tokenizer induction) ---------------------------
+
+
+def bpe_merges(vocab: dict[str, int], n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Classic byte-pair-encoding merge learning (Sennrich et al. 2016)
+    over a word-count histogram: repeatedly merge the most frequent
+    adjacent symbol pair. Returns [(rank, left, right, pair_count)].
+
+    Deterministic tie-break: highest count, then lexicographically
+    smallest (left, right). Pair counts follow get_stats semantics
+    (every adjacent index position counts); merges apply greedily
+    left-to-right, non-overlapping.
+
+    This loop is intentionally DRIVER-SIDE: production BPE trainers
+    (subword-nmt, HF tokenizers) all run corpus-scale word COUNTING
+    first, then learn merges on the compressed vocabulary histogram —
+    the histogram is bounded by vocabulary size no matter how large
+    the corpus. The distributed part of q_bpe_train is the counting;
+    this function consumes its (small) result.
+    """
+    seqs: dict[str, list[str]] = {w: list(w) for w in vocab}
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, c in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        (left, right), best = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        out.append((rank, left, right, best))
+        merged = left + right
+        for w in vocab:
+            s = seqs[w]
+            new_s, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == left and s[i + 1] == right:
+                    new_s.append(merged)
+                    i += 2
+                else:
+                    new_s.append(s[i])
+                    i += 1
+            seqs[w] = new_s
+    return out

@@ -189,6 +189,42 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_N_MERGES = 20
+
+
+@query("q_bpe_train")  # rows-only: graded window full; cross-engine
+# oracle (DuckDB word histogram -> same merge loop) + invariants run in
+# tests/test_corpus_ops.py
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (tokenizer induction): learn the first BPE_N_MERGES
+    byte-pair-encoding merges from the corpus — the tokenizer-training
+    step of a pretraining pipeline. Returns (rank, left, right, merged,
+    pair_count).
+
+    Scale split mirrors production BPE trainers (subword-nmt, HF
+    tokenizers): the CORPUS-sized work is the word-count histogram —
+    here one explode + map-side-combinable hash aggregate — and the
+    merge loop runs on the collected histogram, which is bounded by
+    VOCABULARY size (not corpus size) at any scale. The collect is the
+    aggregation's result set, the same thing every driver program
+    reads; 100 TB of text with a 10M-type vocabulary collects 10M rows
+    once, independent of corpus row count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    vocab = {r.w: r.c for r in hist}
+    merges = T.bpe_merges(vocab, BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(rank, l, r, l + r, c) for rank, l, r, c in merges],
+        "rank long, left string, right string, merged string, pair_count long",
+    )
+
+
 @query("q_cluster_assign")  # rows-only by contract: k-means is
 # engine-specific (no ANSI oracle CAN exist); invariants + determinism
 # proven in tests/test_corpus_ops.py

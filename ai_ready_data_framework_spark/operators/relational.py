@@ -1044,6 +1044,44 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(per_pair).alias("p")).select("p.*")
 
 
+SKEW_TOP_KEYS = 5
+
+
+@query("q_skew_profile")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_corpus_ops.py
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the profile you run BEFORE choosing a
+    strategy (broadcast? salt? AQE skew split?) for a join on this key:
+    per-key row-count distribution of lineitem.l_orderkey as one
+    summary row (key count, max/p50/p99 group size, skew factor =
+    max/mean) plus the SKEW_TOP_KEYS heaviest keys with their corpus
+    share. One map-side-combinable count aggregate; every later stage
+    runs on the key-cardinality result. Complements q_join_skew (the
+    salted rewrite this profile decides on)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    total = li.count()
+    summary = per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.round(F.expr("CAST(percentile(cnt, 0.5) AS DOUBLE)"), 4).alias("p50_cnt"),
+        F.round(F.expr("CAST(percentile(cnt, 0.99) AS DOUBLE)"), 4).alias("p99_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_factor"),
+    )
+    top = (
+        per_key.orderBy(F.desc("cnt"), F.asc("l_orderkey"))
+        .limit(SKEW_TOP_KEYS)
+        .select(
+            F.col("l_orderkey").alias("key"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+        )
+    )
+    return top.crossJoin(F.broadcast(summary)).orderBy(
+        F.desc("cnt"), F.asc("key")
+    )
+
+
 # Deterministic synthetic changelog over orders: key % 10 picks the op.
 CDC_UPDATE_REM = 3  # price restated +10%
 CDC_DELETE_REM = 7  # order cancelled

@@ -80,6 +80,8 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_feature_bins",
     "q_pipeline_e2e",
     "q_corr_matrix",
+    "q_skew_profile",
+    "q_bpe_train",
     "q_source_divergence",
     "q_mix_temperature",
     "q_token_entropy",

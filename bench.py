@@ -88,6 +88,8 @@ HEADLINE = [
     "q_cluster_assign",
     "q_pipeline_e2e",
     "q_corr_matrix",
+    "q_skew_profile",
+    "q_bpe_train",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.

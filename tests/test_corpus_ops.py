@@ -181,3 +181,61 @@ def test_corr_matrix_matches_duckdb_oracle(spark, sf_correctness):
         assert r.n_rows == exp_n
         assert abs(r.pearson_r - exp_r) <= 2e-4, (r.col_a, r.col_b, r.pearson_r, exp_r)
         assert -1.0 <= r.pearson_r <= 1.0
+
+
+def test_bpe_train_matches_cross_engine_oracle(spark, sf_correctness):
+    """The distributed stage (word histogram) is recomputed by DuckDB;
+    the same driver-side merge loop must then produce identical merges
+    — validating the Spark aggregation end of the split exactly."""
+    from ai_ready_data_framework_spark.functions.text import bpe_merges
+    from ai_ready_data_framework_spark.operators.corpus import BPE_N_MERGES
+
+    hist = duckdb.connect().execute(
+        f"""SELECT w, COUNT(*) AS c FROM (
+                SELECT unnest(string_split(text, ' ')) AS w
+                FROM read_parquet('{_docs(sf_correctness)}')
+            ) GROUP BY w"""
+    ).fetchall()
+    expected = [
+        (rank, l, r, l + r, c)
+        for rank, l, r, c in bpe_merges(dict(hist), BPE_N_MERGES)
+    ]
+    rows = [tuple(r) for r in QUERIES["q_bpe_train"](spark, sf_correctness).collect()]
+    assert rows == expected
+    assert len(rows) == BPE_N_MERGES
+    # ranks are 1..N and merges are unique
+    assert [r[0] for r in rows] == list(range(1, BPE_N_MERGES + 1))
+    assert len({r[3] for r in rows}) == BPE_N_MERGES
+    # later merges can compose earlier ones: at least one merged symbol
+    # longer than 2 chars must appear on this corpus
+    assert any(len(r[3]) > 2 for r in rows)
+
+
+def test_skew_profile_matches_duckdb_oracle(spark, sf_correctness):
+    from ai_ready_data_framework_spark.operators.relational import SKEW_TOP_KEYS
+
+    li = table_path(sf_correctness, "lineitem")
+    sql = f"""
+        WITH per_key AS (
+            SELECT l_orderkey AS key, COUNT(*) AS cnt
+            FROM read_parquet('{li}') GROUP BY 1
+        ),
+        summary AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+                   ROUND(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+                   ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+                   ROUND(MAX(cnt) / AVG(cnt), 4) AS skew_factor
+            FROM per_key
+        )
+        SELECT p.key, CAST(p.cnt AS BIGINT) AS cnt,
+               ROUND(p.cnt / (SELECT SUM(cnt) FROM per_key), 6) AS share,
+               s.n_keys, s.max_cnt, s.p50_cnt, s.p99_cnt, s.skew_factor
+        FROM per_key p CROSS JOIN summary s
+        ORDER BY p.cnt DESC, p.key ASC
+        LIMIT {SKEW_TOP_KEYS}
+    """
+    expected = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    rows = [tuple(r) for r in QUERIES["q_skew_profile"](spark, sf_correctness).collect()]
+    assert rows == expected
+    assert len(rows) == SKEW_TOP_KEYS
