@@ -196,3 +196,35 @@ def q_check_traceability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_records"),
     ).select("requirement", "non_null_fraction", "value", "n_records")
+
+
+LDIV_L = 3  # required distinct sensitive values per quasi-identifier group
+LDIV_BAL_BUCKET = 1000.0  # account-balance bucket width (the sensitive attr)
+
+
+@query("q_check_ldiversity")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_corpus_ops.py
+def q_check_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """anonymization_effectiveness, l-diversity form (complements
+    q_check_kanon): k-anonymity bounds GROUP SIZE but a uniform group
+    still leaks its sensitive attribute; l-diversity requires every
+    quasi-identifier group to hold >= l DISTINCT sensitive values.
+    QI = (c_nationkey, c_mktsegment), sensitive = account-balance
+    bucket. Score = min over groups of distinct-buckets / l, clamped
+    to [0,1]. Two keyed aggregates, both map-side combinable; the
+    second runs on the QI-cardinality result."""
+    cust = load_table(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / LDIV_BAL_BUCKET)
+    per_group = (
+        cust.select("c_nationkey", "c_mktsegment", bucket.alias("b"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.countDistinct("b").alias("l_div"))
+    )
+    return per_group.agg(
+        F.lit("anonymization_effectiveness_ldiv").alias("requirement"),
+        F.min("l_div").cast("long").alias("min_l_diversity"),
+        F.round(
+            F.least(F.min("l_div").cast("double") / LDIV_L, F.lit(1.0)), 4
+        ).alias("value"),
+        F.count("*").alias("n_groups"),
+    ).select("requirement", "min_l_diversity", "value", "n_groups")

@@ -767,3 +767,61 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prev, 4).alias("prev_value"),
         F.round((F.col("sum_value") - prev) / prev * 100.0, 4).alias("pct_change"),
     )
+
+
+PSI_SMOOTH = 1  # add-1 count smoothing so a category absent from one
+# half cannot produce log(0); documented in the oracle too
+
+
+@query("q_drift_psi")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_corpus_ops.py
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (Factor 3, "Current"): population
+    stability index of the event_type distribution between the first
+    and second half of the data's own time range (no wall clock —
+    the split point is the midpoint of min/max ts, from the data).
+    PSI = sum (p_cur - p_ref) * ln(p_cur / p_ref); the industry
+    monitoring rule of thumb reads <0.1 stable, >0.25 drifted.
+
+    Scale: one map-side-combinable (half, event_type) count aggregate
+    over one scan (the min/max anchor aggregate broadcasts onto it);
+    everything downstream is category-cardinality-sized. Output: one
+    row per event_type with both shares and its PSI contribution,
+    plus the total repeated (window over the tiny category set)."""
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(
+        F.min(F.unix_micros("ts")).alias("__lo"),
+        F.max(F.unix_micros("ts")).alias("__hi"),
+    )
+    halves = (
+        events.crossJoin(F.broadcast(anchor))
+        .select(
+            "event_type",
+            (
+                F.unix_micros("ts") >= (F.col("__lo") + F.col("__hi")) / 2
+            ).alias("__cur"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(~F.col("__cur"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("__cur"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = Window.partitionBy()
+    smoothed = halves.select(
+        "event_type",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        ((F.col("n_ref") + PSI_SMOOTH) / F.sum(F.col("n_ref") + PSI_SMOOTH).over(tot)).alias("p_ref"),
+        ((F.col("n_cur") + PSI_SMOOTH) / F.sum(F.col("n_cur") + PSI_SMOOTH).over(tot)).alias("p_cur"),
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+    return smoothed.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.round("p_ref", 6).alias("share_ref"),
+        F.round("p_cur", 6).alias("share_cur"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(tot), 6).alias("psi_total"),
+    ).orderBy("event_type")

@@ -82,6 +82,8 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_corr_matrix",
     "q_skew_profile",
     "q_bpe_train",
+    "q_check_ldiversity",
+    "q_drift_psi",
     "q_source_divergence",
     "q_mix_temperature",
     "q_token_entropy",

@@ -90,6 +90,7 @@ HEADLINE = [
     "q_corr_matrix",
     "q_skew_profile",
     "q_bpe_train",
+    "q_drift_psi",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.

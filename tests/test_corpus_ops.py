@@ -239,3 +239,76 @@ def test_skew_profile_matches_duckdb_oracle(spark, sf_correctness):
     rows = [tuple(r) for r in QUERIES["q_skew_profile"](spark, sf_correctness).collect()]
     assert rows == expected
     assert len(rows) == SKEW_TOP_KEYS
+
+
+def test_check_ldiversity_matches_duckdb_oracle(spark, sf_correctness):
+    from ai_ready_data_framework_spark.checks.queries import (
+        LDIV_BAL_BUCKET,
+        LDIV_L,
+    )
+
+    sql = f"""
+        WITH groups AS (
+            SELECT c_nationkey, c_mktsegment,
+                   COUNT(DISTINCT FLOOR(c_acctbal / {LDIV_BAL_BUCKET})) AS l_div
+            FROM read_parquet('{table_path(sf_correctness, "customer")}')
+            GROUP BY 1, 2
+        )
+        SELECT 'anonymization_effectiveness_ldiv' AS requirement,
+               CAST(MIN(l_div) AS BIGINT) AS min_l_diversity,
+               ROUND(LEAST(CAST(MIN(l_div) AS DOUBLE) / {LDIV_L}, 1.0), 4) AS value,
+               COUNT(*) AS n_groups
+        FROM groups
+    """
+    expected = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    rows = [
+        tuple(r)
+        for r in QUERIES["q_check_ldiversity"](spark, sf_correctness).collect()
+    ]
+    assert rows == expected
+    assert 0.0 <= rows[0][2] <= 1.0
+
+
+def test_drift_psi_matches_duckdb_oracle(spark, sf_correctness):
+    from ai_ready_data_framework_spark.operators.temporal import PSI_SMOOTH
+
+    ev = table_path(sf_correctness, "events")
+    sql = f"""
+        WITH anchor AS (
+            SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi
+            FROM read_parquet('{ev}')
+        ),
+        halves AS (
+            SELECT event_type,
+                   SUM(CASE WHEN epoch_us(ts) < (a.lo + a.hi) / 2
+                            THEN 1 ELSE 0 END) AS n_ref,
+                   SUM(CASE WHEN epoch_us(ts) >= (a.lo + a.hi) / 2
+                            THEN 1 ELSE 0 END) AS n_cur
+            FROM read_parquet('{ev}') CROSS JOIN anchor a
+            GROUP BY event_type
+        ),
+        smoothed AS (
+            SELECT event_type,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   (n_ref + {PSI_SMOOTH})
+                       / SUM(n_ref + {PSI_SMOOTH}) OVER () AS p_ref,
+                   (n_cur + {PSI_SMOOTH})
+                       / SUM(n_cur + {PSI_SMOOTH}) OVER () AS p_cur
+            FROM halves
+        )
+        SELECT event_type, n_ref, n_cur,
+               ROUND(p_ref, 6) AS share_ref,
+               ROUND(p_cur, 6) AS share_cur,
+               ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term,
+               ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (), 6)
+                   AS psi_total
+        FROM smoothed ORDER BY event_type
+    """
+    expected = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    rows = [tuple(r) for r in QUERIES["q_drift_psi"](spark, sf_correctness).collect()]
+    assert rows == expected
+    # PSI is nonnegative and every category appears in both halves of
+    # this synthetic stream
+    assert rows[0][6] >= 0.0
+    assert all(r[1] > 0 and r[2] > 0 for r in rows)
