@@ -1418,3 +1418,47 @@ def q_vector_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= RETRIEVAL_TOP_K)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft quality-weighted sampling (DCLM-style)
+# ---------------------------------------------------------------------------
+
+QSAMPLE_BETA = 2.0  # sharpens the quality preference: p_keep = score^beta
+# Knuth multiplicative hash constants: portable BIGINT arithmetic that
+# both Spark and any ANSI oracle compute bit-identically — unlike
+# hex-digest string compares, this supports a PER-ROW threshold.
+QSAMPLE_HASH_MULT = 2654435761
+QSAMPLE_HASH_MOD = 4294967296
+
+
+@query("q_sample_quality")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_corpus_ops.py
+def q_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (soft curation): quality-WEIGHTED sampling — instead
+    of a hard keep/drop filter, each document survives with probability
+    quality_score^beta (DCLM-style soft filtering: hard thresholds
+    discard borderline-but-useful text; weighting preserves a gradient).
+    Deterministic: the per-doc uniform draw is a Knuth multiplicative
+    hash of doc_id (portable integer arithmetic, reproducible across
+    runs, engines, and partitionings), so the sample is a frozen set,
+    not an RNG draw. Pure projection + filter: zero shuffles, the
+    same map-side-only shape as q_mix_weighted."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    frac = (
+        F.pmod(F.col("doc_id") * QSAMPLE_HASH_MULT, F.lit(QSAMPLE_HASH_MOD))
+        / F.lit(float(QSAMPLE_HASH_MOD))
+    )
+    keep_prob = F.pow(q, F.lit(QSAMPLE_BETA))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            q.alias("quality_score"),
+            F.round(keep_prob, 4).alias("keep_prob"),
+            frac.alias("__u"),
+        )
+        .filter(F.col("__u") < F.col("keep_prob"))
+        .drop("__u")
+    )

@@ -312,3 +312,55 @@ def test_drift_psi_matches_duckdb_oracle(spark, sf_correctness):
     # this synthetic stream
     assert rows[0][6] >= 0.0
     assert all(r[1] > 0 and r[2] > 0 for r in rows)
+
+
+def test_sample_quality_matches_duckdb_oracle(spark, sf_correctness):
+    from ai_ready_data_framework_spark.operators.ai import (
+        QSAMPLE_BETA,
+        QSAMPLE_HASH_MOD,
+        QSAMPLE_HASH_MULT,
+    )
+
+    sql = f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   ROUND(GREATEST(LEAST(
+                       LEAST(len(string_split(text, ' ')) / 64.0, 1.0)
+                       * (1 - len(list_filter(string_split(text, ' '),
+                                              x -> x IN ('the', 'a')))
+                           / GREATEST(len(string_split(text, ' ')), 1))
+                       * (1 - (length(text)
+                               - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                           / GREATEST(length(text), 1)),
+                       1.0), 0.0), 4) AS quality_score,
+                   (doc_id * {QSAMPLE_HASH_MULT}) % {QSAMPLE_HASH_MOD}
+                       / CAST({QSAMPLE_HASH_MOD} AS DOUBLE) AS u
+            FROM read_parquet('{_docs(sf_correctness)}')
+        )
+        SELECT doc_id, source, quality_score,
+               ROUND(POW(quality_score, {QSAMPLE_BETA}), 4) AS keep_prob
+        FROM scored
+        WHERE u < POW(quality_score, {QSAMPLE_BETA})
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_sample_quality"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    # soft filtering must actually bias the sample toward quality: the
+    # kept set's mean score exceeds the full corpus mean, and the
+    # sample is neither empty nor everything
+    all_scores = duckdb.connect().execute(
+        f"""SELECT ROUND(GREATEST(LEAST(
+                LEAST(len(string_split(text, ' ')) / 64.0, 1.0)
+                * (1 - len(list_filter(string_split(text, ' '),
+                                       x -> x IN ('the', 'a')))
+                    / GREATEST(len(string_split(text, ' ')), 1))
+                * (1 - (length(text)
+                        - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                    / GREATEST(length(text), 1)),
+                1.0), 0.0), 4)
+            FROM read_parquet('{_docs(sf_correctness)}')"""
+    ).fetchall()
+    corpus_mean = sum(s for (s,) in all_scores) / len(all_scores)
+    kept_mean = sum(r.quality_score for r in rows) / len(rows)
+    assert 0 < len(rows) < len(all_scores)
+    assert kept_mean > corpus_mean
