@@ -175,6 +175,55 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    sig: DataFrame,
+    id_col: str,
+    n_hashes: int = MINHASH_HASHES,
+    n_bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Exploded (id, __sig, band, bk) band-key table from a signature
+    frame — the persistable LSH INDEX: write this bucketed/partitioned
+    by (band, bk) and incremental batches probe it with an equi-join
+    (see operators/ai.py::q_dedup_incremental)."""
+    r = n_hashes // n_bands
+    sig_arr = sig.select(
+        F.col(id_col),
+        F.array(*[f"h{i}" for i in range(n_hashes)]).alias("__sig"),
+        *[
+            F.xxhash64(*[F.col(f"h{b * r + k}") for k in range(r)]).alias(f"__band{b}")
+            for b in range(n_bands)
+        ],
+    )
+    return sig_arr.select(
+        F.col(id_col),
+        F.col("__sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"__band{b}").alias("bk")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "__sig", "b.band", "b.bk")
+
+
+def sig_est_jaccard(n_hashes: int = MINHASH_HASHES):
+    """Signature-estimated Jaccard column: fraction of agreeing
+    positions between __sig_a and __sig_b."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(float(n_hashes))
+    )
+
+
 def banded_minhash_pairs(
     sig: DataFrame,
     id_col: str,
@@ -193,50 +242,21 @@ def banded_minhash_pairs(
     background pair must agree on r consecutive hashes to collide at
     all — unlike single-hash OR-only schemes whose candidates blow up
     on skewed vocabularies."""
-    r = n_hashes // n_bands
-    sig_arr = sig.select(
-        F.col(id_col),
-        F.array(*[f"h{i}" for i in range(n_hashes)]).alias("__sig"),
-        *[
-            F.xxhash64(*[F.col(f"h{b * r + k}") for k in range(r)]).alias(f"__band{b}")
-            for b in range(n_bands)
-        ],
-    )
-    bands = sig_arr.select(
-        F.col(id_col),
-        F.col("__sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"__band{b}").alias("bk")
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, "__sig", "b.band", "b.bk")
+    bands = minhash_bands(sig, id_col, n_hashes, n_bands)
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("__sig").alias("__sig_a"), "band", "bk"
     )
     b = bands.select(
         F.col(id_col).alias("id_b"), F.col("__sig").alias("__sig_b"), "band", "bk"
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
-                lambda v: v,
-            )
-        )
-        / F.lit(float(n_hashes))
-    )
     return (
         a.join(b, ["band", "bk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "__sig_a", "__sig_b")
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .select(
+            "id_a", "id_b", F.round(sig_est_jaccard(n_hashes), 4).alias("est_jaccard")
+        )
         .filter(F.col("est_jaccard") >= min_jaccard)
     )
 

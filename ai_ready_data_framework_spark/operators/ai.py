@@ -1462,3 +1462,66 @@ def q_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__u") < F.col("keep_prob"))
         .drop("__u")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dedup (new batch vs existing corpus index)
+# ---------------------------------------------------------------------------
+
+INCR_BATCH_MOD = 5  # doc_id % 5 == 0 plays the "newly arrived batch"
+
+
+@query("q_dedup_incremental")  # MinHash sketches are engine-specific →
+# rows-only; equivalence to the batch pair set proven in
+# tests/test_ai_ops.py
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (incremental form): match a NEWLY ARRIVED batch against the
+    existing corpus's LSH band index without ever re-pairing the corpus
+    with itself — the shape a daily-ingest pipeline actually runs. The
+    full-corpus q_dedup_near recomputes all O(pairs) every run; here
+    candidate generation is (batch bands) equi-join (corpus band
+    index), so work scales with the BATCH, not the corpus.
+
+    In production the corpus index (functions/text.py::minhash_bands)
+    is PERSISTED, partitioned/bucketed by (band, bk) — probes touch
+    only matching buckets; this query rebuilds it inline because
+    declared queries cannot write. New-batch docs also band-join each
+    other (new x new dups matter too), with id order de-duplicating
+    the pair space."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
+    sh = _doc_shingles(spark, sf_dir)
+    sig = T.minhash_signatures(sh, "doc_id", "s")
+    bands = T.minhash_bands(sig, "doc_id")
+    new_ids = docs.filter(is_new).select("doc_id")
+    batch = bands.join(F.broadcast(new_ids), "doc_id", "left_semi")
+    a = batch.select(
+        F.col("doc_id").alias("new_doc"),
+        F.col("__sig").alias("__sig_a"),
+        "band",
+        "bk",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("other_doc"),
+        F.col("__sig").alias("__sig_b"),
+        "band",
+        "bk",
+    )
+    # keep (new, old) pairs in both orders collapsed, and (new, new)
+    # pairs once via id order
+    other_is_new = F.col("other_doc") % INCR_BATCH_MOD == 0
+    return (
+        a.join(b, ["band", "bk"])
+        .filter(
+            (F.col("new_doc") != F.col("other_doc"))
+            & (~other_is_new | (F.col("new_doc") < F.col("other_doc")))
+        )
+        .select("new_doc", "other_doc", "__sig_a", "__sig_b")
+        .dropDuplicates(["new_doc", "other_doc"])
+        .select(
+            "new_doc",
+            "other_doc",
+            F.round(T.sig_est_jaccard(), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= NEAR_DUP_JACCARD)
+    )

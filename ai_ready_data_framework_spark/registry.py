@@ -85,6 +85,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_check_ldiversity",
     "q_drift_psi",
     "q_sample_quality",
+    "q_dedup_incremental",
     "q_source_divergence",
     "q_mix_temperature",
     "q_token_entropy",

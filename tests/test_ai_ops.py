@@ -649,3 +649,26 @@ def test_vector_topk_batch_matches_duckdb_oracle(spark, sf_correctness):
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert len(per_q) == ai.BATCH_QUERY_VECS
     assert all(sorted(v) == list(range(1, ai.RETRIEVAL_TOP_K + 1)) for v in per_q.values())
+
+
+def test_dedup_incremental_equals_batch_restriction(spark, sf_correctness):
+    """The incremental (batch-vs-index) pair set must equal the full
+    batch q_dedup_near pair set restricted to pairs touching the new
+    batch — same sketches, same threshold, so set-identical including
+    the estimated Jaccard."""
+    from ai_ready_data_framework_spark.operators.ai import INCR_BATCH_MOD
+    from ai_ready_data_framework_spark.registry import QUERIES
+
+    near = {
+        frozenset((r.doc_a, r.doc_b)): r.est_jaccard
+        for r in QUERIES["q_dedup_near"](spark, sf_correctness).collect()
+        if r.doc_a % INCR_BATCH_MOD == 0 or r.doc_b % INCR_BATCH_MOD == 0
+    }
+    incr_rows = QUERIES["q_dedup_incremental"](spark, sf_correctness).collect()
+    incr = {
+        frozenset((r.new_doc, r.other_doc)): r.est_jaccard for r in incr_rows
+    }
+    assert incr == near
+    # every pair touches the batch; new-new pairs appear exactly once
+    assert all(r.new_doc % INCR_BATCH_MOD == 0 for r in incr_rows)
+    assert len(incr_rows) == len(incr)
