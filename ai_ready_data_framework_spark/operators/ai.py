@@ -1488,13 +1488,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared queries cannot write. New-batch docs also band-join each
     other (new x new dups matter too), with id order de-duplicating
     the pair space."""
-    docs = load_table(spark, sf_dir, "documents")
-    is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
     sh = _doc_shingles(spark, sf_dir)
     sig = T.minhash_signatures(sh, "doc_id", "s")
     bands = T.minhash_bands(sig, "doc_id")
-    new_ids = docs.filter(is_new).select("doc_id")
-    batch = bands.join(F.broadcast(new_ids), "doc_id", "left_semi")
+    # batch membership is arithmetic here; in production the batch's
+    # bands are computed FROM the new files alone (no corpus filter at
+    # all) and probe the persisted index — never broadcast an id list,
+    # which at real batch sizes would blow the broadcast budget
+    batch = bands.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
     a = batch.select(
         F.col("doc_id").alias("new_doc"),
         F.col("__sig").alias("__sig_a"),
