@@ -349,3 +349,21 @@ def bpe_merges(vocab: dict[str, int], n_merges: int) -> list[tuple[int, str, str
                     i += 1
             seqs[w] = new_s
     return out
+
+
+def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply learned BPE merges to one word, in merge-rank order with
+    greedy left-to-right, non-overlapping application — the exact
+    inverse-direction twin of the learning loop in ``bpe_merges``."""
+    s = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(s):
+            if i < len(s) - 1 and s[i] == left and s[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s

@@ -296,3 +296,43 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query("q_bpe_encode")  # rows-only: graded window full; cross-engine
+# oracle (DuckDB corpus walk + same encoder) runs in
+# tests/test_corpus_ops.py
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (tokenizer apply): encode every document with the
+    merges q_bpe_train learns — per-doc subword piece counts and the
+    chars-per-piece compression ratio, the number that decides whether
+    a tokenizer is worth its vocabulary.
+
+    Production tokenizers memoize word -> pieces; this operator does
+    the same at corpus scale: the piece-count mapping is built ONCE on
+    the driver from the vocabulary histogram (bounded by vocab size,
+    like q_bpe_train) and broadcast onto the exploded token stream —
+    one equi-join against a broadcast map, one doc-keyed aggregate.
+    The corpus never carries piece LISTS, only their counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("w")
+    )
+    hist = toks.groupBy("w").agg(F.count("*").alias("c")).collect()
+    vocab = {r.w: r.c for r in hist}
+    merges = [(l, r) for _, l, r, _ in T.bpe_merges(vocab, BPE_N_MERGES)]
+    mapping = spark.createDataFrame(
+        [(w, len(T.bpe_encode_word(w, merges)), len(w)) for w in vocab],
+        "w string, n_pieces int, n_chars int",
+    )
+    return (
+        toks.join(F.broadcast(mapping), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.round(F.sum("n_chars") / F.sum("n_pieces"), 4).alias(
+                "chars_per_piece"
+            ),
+        )
+    )

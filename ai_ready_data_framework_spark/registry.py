@@ -82,6 +82,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_corr_matrix",
     "q_skew_profile",
     "q_bpe_train",
+    "q_bpe_encode",
     "q_check_ldiversity",
     "q_drift_psi",
     "q_sample_quality",

@@ -93,6 +93,7 @@ HEADLINE = [
     "q_drift_psi",
     "q_sample_quality",
     "q_dedup_incremental",
+    "q_bpe_encode",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.

@@ -364,3 +364,45 @@ def test_sample_quality_matches_duckdb_oracle(spark, sf_correctness):
     kept_mean = sum(r.quality_score for r in rows) / len(rows)
     assert 0 < len(rows) < len(all_scores)
     assert kept_mean > corpus_mean
+
+
+def test_bpe_encode_matches_cross_engine_oracle(spark, sf_correctness):
+    """DuckDB walks the corpus independently (per-doc token stream),
+    the shared encoder maps each word to its piece count, and the
+    per-doc totals must match the Spark broadcast-join aggregation."""
+    from ai_ready_data_framework_spark.functions.text import (
+        bpe_encode_word,
+        bpe_merges,
+    )
+    from ai_ready_data_framework_spark.operators.corpus import BPE_N_MERGES
+
+    con = duckdb.connect()
+    hist = con.execute(
+        f"""SELECT w, COUNT(*) FROM (
+                SELECT unnest(string_split(text, ' ')) AS w
+                FROM read_parquet('{_docs(sf_correctness)}')
+            ) GROUP BY w"""
+    ).fetchall()
+    merges = [(l, r) for _, l, r, _ in bpe_merges(dict(hist), BPE_N_MERGES)]
+    pieces = {w: len(bpe_encode_word(w, merges)) for w, _ in hist}
+    expected = {}
+    for doc_id, words in con.execute(
+        f"""SELECT doc_id, string_split(text, ' ')
+            FROM read_parquet('{_docs(sf_correctness)}')"""
+    ).fetchall():
+        n_pieces = sum(pieces[w] for w in words)
+        n_chars = sum(len(w) for w in words)
+        expected[doc_id] = (
+            len(words),
+            n_pieces,
+            n_chars,
+            round(n_chars / n_pieces, 4),
+        )
+    rows = QUERIES["q_bpe_encode"](spark, sf_correctness).collect()
+    got = {
+        r.doc_id: (r.n_words, r.n_pieces, r.n_chars, r.chars_per_piece)
+        for r in rows
+    }
+    assert got == expected
+    # merges must actually compress: fewer pieces than chars everywhere
+    assert all(r.n_pieces < r.n_chars for r in rows)
