@@ -284,3 +284,37 @@ def test_token_entropy_two_keyed_aggregates(spark, sf_smoke):
     plan = final_plan(run("q_token_entropy", spark, sf_smoke))
     assert "Join" not in plan and "Window" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_sample_quality_is_map_side_only(spark, sf_smoke):
+    """q_sample_quality: pure projection + filter — zero exchanges of
+    any kind (the same map-side-only contract as q_mix_weighted)."""
+    plan = final_plan(run("q_sample_quality", spark, sf_smoke))
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_corr_matrix_single_aggregate_no_join(spark, sf_smoke):
+    """q_corr_matrix: all C(n,2) correlations in ONE aggregate — no
+    joins, no per-pair scans (no keyed exchange; only the global-agg
+    single-partition exchange)."""
+    plan = final_plan(run("q_corr_matrix", spark, sf_smoke))
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bpe_encode_broadcasts_mapping(spark, sf_smoke):
+    """q_bpe_encode: the word->pieces mapping must broadcast onto the
+    token stream — a sort-merge join here would shuffle the exploded
+    corpus by word."""
+    plan = final_plan(run("q_bpe_encode", spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_skew_profile_no_corpus_rescan_joins(spark, sf_smoke):
+    """q_skew_profile: the summary broadcasts onto the key-cardinality
+    top-k — no sort-merge join, and the top-k side collapses to
+    TakeOrderedAndProject."""
+    plan = final_plan(run("q_skew_profile", spark, sf_smoke))
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
