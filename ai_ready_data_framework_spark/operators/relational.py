@@ -192,10 +192,13 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 [NS]: HyperLogLog++ approximate distinct — the scale path for
     cardinality at 100 TB (fixed-size sketch, no Expand explosion;
-    mergeable across partitions). rsd=0.01 keeps error ~1%."""
+    mergeable across partitions). rsd=0.02, not 0.01: the HLL
+    imperative aggregate's measured per-row cost scales with register
+    count (see q_profile_approx) and observed error stays well under
+    the sketch's nominal bound on this corpus."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.count("*").alias("n_rows"),
     )
 

@@ -233,3 +233,34 @@ def test_cdc_merge_matches_dict_reference(spark, base, ops):
         else:  # insert/update both land the new value with their tag
             expect[k] = (float(nv), op)
     assert got == expect
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=100),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=10),
+)
+def test_bpe_merge_encode_properties(vocab, n_merges):
+    """BPE learning/encoding invariants on arbitrary vocab histograms:
+    encoding never inflates (pieces <= chars), concatenating pieces
+    reconstructs the word exactly, and merge ranks are 1..N unique."""
+    from ai_ready_data_framework_spark.functions.text import (
+        bpe_encode_word,
+        bpe_merges,
+    )
+
+    learned = bpe_merges(vocab, n_merges)
+    assert [rank for rank, *_ in learned] == list(range(1, len(learned) + 1))
+    merges = [(l, r) for _, l, r, _ in learned]
+    for w in vocab:
+        pieces = bpe_encode_word(w, merges)
+        assert "".join(pieces) == w
+        assert 1 <= len(pieces) <= len(w)
