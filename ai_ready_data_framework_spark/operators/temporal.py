@@ -825,3 +825,67 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(tot), 6).alias("psi_total"),
     ).orderBy("event_type")
+
+
+PSI_VALUE_BINS = 10
+
+
+@query("q_drift_psi_value")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_corpus_ops.py
+def q_drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring, continuous form: PSI of the
+    events.value distribution between the first and second half of the
+    time range, over PSI_VALUE_BINS equal-width bins fitted on the
+    REFERENCE half's min/max (the monitoring convention: the baseline
+    owns the binning; current-period outliers clamp into the edge
+    bins). Complements q_drift_psi's categorical form.
+
+    Scale: the reference min/max is a 1-row broadcast aggregate; bin
+    assignment is a pure projection; one (bin) count aggregate per
+    half; PSI math runs on the bins-sized result."""
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(
+        F.min(F.unix_micros("ts")).alias("__lo"),
+        F.max(F.unix_micros("ts")).alias("__hi"),
+    )
+    tagged = events.crossJoin(F.broadcast(anchor)).select(
+        "value",
+        (F.unix_micros("ts") >= (F.col("__lo") + F.col("__hi")) / 2).alias("__cur"),
+    )
+    ref_range = tagged.filter(~F.col("__cur")).agg(
+        F.min("value").alias("__vlo"), F.max("value").alias("__vhi")
+    )
+    width = (F.col("__vhi") - F.col("__vlo")) / PSI_VALUE_BINS
+    bin_id = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.col("__vlo")) / width), F.lit(0)
+        ),
+        F.lit(PSI_VALUE_BINS - 1),
+    ).cast("long")
+    binned = (
+        tagged.crossJoin(F.broadcast(ref_range))
+        .select(bin_id.alias("bin"), "__cur")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(~F.col("__cur"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("__cur"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = Window.partitionBy()
+    smoothed = binned.select(
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        ((F.col("n_ref") + PSI_SMOOTH) / F.sum(F.col("n_ref") + PSI_SMOOTH).over(tot)).alias("p_ref"),
+        ((F.col("n_cur") + PSI_SMOOTH) / F.sum(F.col("n_cur") + PSI_SMOOTH).over(tot)).alias("p_cur"),
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+    return smoothed.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round("p_ref", 6).alias("share_ref"),
+        F.round("p_cur", 6).alias("share_cur"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(tot), 6).alias("psi_total"),
+    ).orderBy("bin")

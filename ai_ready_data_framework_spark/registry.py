@@ -85,6 +85,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_bpe_encode",
     "q_check_ldiversity",
     "q_drift_psi",
+    "q_drift_psi_value",
     "q_sample_quality",
     "q_dedup_incremental",
     "q_source_divergence",

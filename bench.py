@@ -94,6 +94,7 @@ HEADLINE = [
     "q_sample_quality",
     "q_dedup_incremental",
     "q_bpe_encode",
+    "q_drift_psi_value",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.

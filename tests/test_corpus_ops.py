@@ -406,3 +406,62 @@ def test_bpe_encode_matches_cross_engine_oracle(spark, sf_correctness):
     assert got == expected
     # merges must actually compress: fewer pieces than chars everywhere
     assert all(r.n_pieces < r.n_chars for r in rows)
+
+
+def test_drift_psi_value_matches_duckdb_oracle(spark, sf_correctness):
+    from ai_ready_data_framework_spark.operators.temporal import (
+        PSI_SMOOTH,
+        PSI_VALUE_BINS,
+    )
+
+    ev = table_path(sf_correctness, "events")
+    sql = f"""
+        WITH anchor AS (
+            SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi
+            FROM read_parquet('{ev}')
+        ),
+        tagged AS (
+            SELECT value,
+                   epoch_us(ts) >= (a.lo + a.hi) / 2 AS cur
+            FROM read_parquet('{ev}') CROSS JOIN anchor a
+        ),
+        ref_range AS (
+            SELECT MIN(value) AS vlo, MAX(value) AS vhi
+            FROM tagged WHERE NOT cur
+        ),
+        binned AS (
+            SELECT CAST(LEAST(GREATEST(
+                       FLOOR((value - r.vlo)
+                             / ((r.vhi - r.vlo) / {PSI_VALUE_BINS})), 0),
+                       {PSI_VALUE_BINS - 1}) AS BIGINT) AS bin,
+                   SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS n_ref,
+                   SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur
+            FROM tagged CROSS JOIN ref_range r
+            GROUP BY 1
+        ),
+        smoothed AS (
+            SELECT bin,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   (n_ref + {PSI_SMOOTH})
+                       / SUM(n_ref + {PSI_SMOOTH}) OVER () AS p_ref,
+                   (n_cur + {PSI_SMOOTH})
+                       / SUM(n_cur + {PSI_SMOOTH}) OVER () AS p_cur
+            FROM binned
+        )
+        SELECT bin, n_ref, n_cur,
+               ROUND(p_ref, 6) AS share_ref,
+               ROUND(p_cur, 6) AS share_cur,
+               ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term,
+               ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (), 6)
+                   AS psi_total
+        FROM smoothed ORDER BY bin
+    """
+    expected = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    rows = [
+        tuple(r) for r in QUERIES["q_drift_psi_value"](spark, sf_correctness).collect()
+    ]
+    assert rows == expected
+    assert rows[0][6] >= 0.0
+    # every bin populated on the reference side (bins fitted on it)
+    assert all(r[1] > 0 for r in rows)
