@@ -52,10 +52,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB reads natively.
     """
     # The corpus stores wall-clock-UTC timestamps (isAdjustedToUTC=false);
-    # DuckDB reads them as naive-UTC. Pin the session zone so the NTZ->LTZ
-    # normalization below is the identity on the wall clock and epoch math
-    # (unix_micros etc.) agrees with the oracle on every executor.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # DuckDB reads them as naive-UTC. The session zone must be UTC so the
+    # NTZ->LTZ normalization below is the identity on the wall clock and
+    # epoch math (unix_micros etc.) agrees with the oracle on every
+    # executor. session.py pins it at build time; only re-pin when a
+    # foreign session (e.g. the driver's) arrives with a different zone —
+    # an unconditional set here would silently override caller state on
+    # every read (ADVICE r3).
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

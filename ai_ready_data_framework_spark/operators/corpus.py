@@ -79,11 +79,16 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # smoothing grid: every (source, term) pair, zero-filled counts.
     # Broadcast the SOURCE side: at 100 TB the vocabulary marginal can
     # hold 10^8 terms while sources stay enumerable — the grid build
-    # must stream the vocab, not ship it.
+    # must stream the vocab, not ship it. The (source, term) aggregate
+    # st is vocab-x-source sized, so it gets NO broadcast hint: the
+    # grid-to-st join is a keyed shuffle (vocab-sized exchange, still
+    # far below the one corpus-sized token aggregate above); Catalyst
+    # may auto-broadcast it at small scale, which is fine — forcing it
+    # would ship 10^8-term tables through the driver (ADVICE r3).
     grid = (
         term_tot.crossJoin(F.broadcast(src_tot))
         .crossJoin(F.broadcast(totals))
-        .join(F.broadcast(st), ["source", "term"], "left")
+        .join(st, ["source", "term"], "left")
         .withColumn("c_st", F.coalesce(F.col("c_st"), F.lit(0)))
     )
     p_s = (F.col("c_st") + 1) / (F.col("n_s") + F.col("v_size"))

@@ -112,14 +112,15 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage 3 — decontamination: the held-out fold leaves the corpus,
     # and any training doc sharing one DECONTAM_SHINGLE_K-gram with it
-    # is dropped as leaked
+    # is dropped as leaked. The eval shingle set comes from the RAW
+    # docs' eval fold, not the post-quality frame: an eval doc that
+    # dedup or the Gopher gate happened to drop must still decontaminate
+    # the training set — real pipelines screen against the full held-out
+    # set regardless of training-side filters (ADVICE r3).
     is_eval = F.col("doc_id") % EVAL_FOLD_MOD == 0
-    shingled = doc_shingles(quality).withColumn(
-        "__eval", F.col("doc_id") % EVAL_FOLD_MOD == 0
-    )
-    eval_sh = shingled.filter("__eval").select("s").distinct()
+    eval_sh = doc_shingles(docs.filter(is_eval)).select("s").distinct()
     leaked = (
-        shingled.filter(~F.col("__eval"))
+        doc_shingles(quality.filter(~is_eval))
         .join(eval_sh, "s", "left_semi")
         .select("doc_id")
         .distinct()
@@ -140,10 +141,24 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     h8 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
     mixed = clean.filter(h8 < thr)
 
-    funnel = (
-        _stage_counts("1_dedup_near", docs, deduped)
-        .unionByName(_stage_counts("2_quality", deduped, quality))
-        .unionByName(_stage_counts("3_decontam", quality, clean))
-        .unionByName(_stage_counts("4_mix", clean, mixed))
+    # Materialize the funnel EAGERLY and unpersist the stage caches
+    # before returning: a lazily-returned plan over still-cached frames
+    # would (a) leak cached blocks into the session until LRU eviction
+    # and (b) let a re-run (bench best-of-2) silently time cached reads
+    # instead of the funnel itself (ADVICE r3). The collect is 4 rows.
+    try:
+        funnel_rows = (
+            _stage_counts("1_dedup_near", docs, deduped)
+            .unionByName(_stage_counts("2_quality", deduped, quality))
+            .unionByName(_stage_counts("3_decontam", quality, clean))
+            .unionByName(_stage_counts("4_mix", clean, mixed))
+            .orderBy("stage")
+            .collect()
+        )
+    finally:
+        for frame in (deduped, quality, clean):
+            frame.unpersist()
+    return spark.createDataFrame(
+        funnel_rows,
+        "stage string, rows_in long, rows_out long, keep_frac double",
     )
-    return funnel.orderBy("stage")

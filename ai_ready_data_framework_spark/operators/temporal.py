@@ -843,7 +843,13 @@ def q_drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the reference min/max is a 1-row broadcast aggregate; bin
     assignment is a pure projection; one (bin) count aggregate per
     half; PSI math runs on the bins-sized result."""
-    events = load_table(spark, sf_dir, "events")
+    return psi_value_drift(load_table(spark, sf_dir, "events"))
+
+
+def psi_value_drift(events: DataFrame) -> DataFrame:
+    """Continuous-PSI body over any (ts, value) frame — split out so the
+    degenerate-reference guard (zero bin width) is testable on synthetic
+    inputs the parquet corpus cannot produce."""
     anchor = events.agg(
         F.min(F.unix_micros("ts")).alias("__lo"),
         F.max(F.unix_micros("ts")).alias("__hi"),
@@ -856,12 +862,19 @@ def q_drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("__vlo"), F.max("value").alias("__vhi")
     )
     width = (F.col("__vhi") - F.col("__vlo")) / PSI_VALUE_BINS
-    bin_id = F.least(
-        F.greatest(
-            F.floor((F.col("value") - F.col("__vlo")) / width), F.lit(0)
+    # degenerate reference halves (single row, or all values identical)
+    # make width 0 — the bin expression would divide by zero and emit a
+    # null-keyed row; collapse everything into bin 0 instead (the oracle
+    # carries the same guard so parity holds on degenerate inputs)
+    bin_id = F.when(
+        width > 0,
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - F.col("__vlo")) / width), F.lit(0)
+            ),
+            F.lit(PSI_VALUE_BINS - 1),
         ),
-        F.lit(PSI_VALUE_BINS - 1),
-    ).cast("long")
+    ).otherwise(F.lit(0)).cast("long")
     binned = (
         tagged.crossJoin(F.broadcast(ref_range))
         .select(bin_id.alias("bin"), "__cur")

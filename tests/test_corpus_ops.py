@@ -430,10 +430,11 @@ def test_drift_psi_value_matches_duckdb_oracle(spark, sf_correctness):
             FROM tagged WHERE NOT cur
         ),
         binned AS (
-            SELECT CAST(LEAST(GREATEST(
+            SELECT CAST(CASE WHEN (r.vhi - r.vlo) / {PSI_VALUE_BINS} > 0
+                        THEN LEAST(GREATEST(
                        FLOOR((value - r.vlo)
                              / ((r.vhi - r.vlo) / {PSI_VALUE_BINS})), 0),
-                       {PSI_VALUE_BINS - 1}) AS BIGINT) AS bin,
+                       {PSI_VALUE_BINS - 1}) ELSE 0 END AS BIGINT) AS bin,
                    SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS n_ref,
                    SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur
             FROM tagged CROSS JOIN ref_range r
@@ -465,3 +466,23 @@ def test_drift_psi_value_matches_duckdb_oracle(spark, sf_correctness):
     assert rows[0][6] >= 0.0
     # every bin populated on the reference side (bins fitted on it)
     assert all(r[1] > 0 for r in rows)
+
+
+def test_drift_psi_value_degenerate_reference_half(spark):
+    """A constant-valued (or single-row) reference half makes the bin
+    width 0; the guard must collapse to one well-keyed bin instead of a
+    null-keyed divide-by-zero row (ADVICE r3)."""
+    import datetime as dt
+
+    from ai_ready_data_framework_spark.operators.temporal import psi_value_drift
+
+    t = lambda h: dt.datetime(2026, 1, 1, h)
+    # first half (ref): constant value; second half (cur): varied
+    rows = [(t(0), 5.0), (t(1), 5.0), (t(2), 5.0),
+            (t(22), 1.0), (t(23), 9.0)]
+    events = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = psi_value_drift(events).collect()
+    assert len(out) == 1
+    assert out[0].bin == 0 and out[0].bin is not None
+    assert out[0].n_ref == 3 and out[0].n_cur == 2
+    assert out[0].psi_total is not None

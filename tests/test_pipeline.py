@@ -60,20 +60,25 @@ def _funnel_oracle_sql(sf: str) -> str:
                         / greatest(len(words), 1), 4)
                   >= {Q.GOPHER_MIN_ALPHA_WORD_FRAC}
         ),
+        -- eval shingles come from the RAW eval fold (docs dropped by
+        -- dedup/quality still decontaminate the training set)
+        eval_sh AS (
+            SELECT DISTINCT s FROM sh_raw
+            WHERE doc_id % {EVAL_FOLD_MOD} = 0
+        ),
         shingled AS (
-            SELECT DISTINCT doc_id, doc_id % {EVAL_FOLD_MOD} = 0 AS is_eval,
+            SELECT DISTINCT doc_id,
                    array_to_string(words[i : i + {k - 1}], ' ') AS s
             FROM (
                 SELECT doc_id, words,
                        unnest(range(1, greatest(len(words) - {k - 1}, 1) + 1)) AS i
                 FROM quality
+                WHERE doc_id % {EVAL_FOLD_MOD} <> 0
             )
         ),
-        eval_sh AS (SELECT DISTINCT s FROM shingled WHERE is_eval),
         leaked AS (
             SELECT DISTINCT sh.doc_id
             FROM shingled sh SEMI JOIN eval_sh e ON sh.s = e.s
-            WHERE NOT sh.is_eval
         ),
         clean AS (
             SELECT q.* FROM quality q

@@ -263,9 +263,33 @@ def test_source_divergence_single_corpus_shuffle(spark, sf_smoke):
     """q_source_divergence: the only corpus-sized exchange is the
     (source, term) hash aggregate; the smoothing grid must broadcast
     the source marginal onto the vocabulary stream, never the reverse,
-    and the corpus-sized explode must feed a partial aggregate."""
-    plan = final_plan(run("q_source_divergence", spark, sf_smoke))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    and the corpus-sized explode must feed a partial aggregate.
+
+    The (source, term) table st is vocab-x-source sized, so it must
+    carry NO broadcast hint (ADVICE r3): with auto-broadcast disabled —
+    simulating the 10^8-term scale where Catalyst could never choose
+    it — the grid-to-st join must plan as a keyed shuffle join while
+    the hinted source-marginal/totals broadcasts survive."""
+    threshold_keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in threshold_keys}
+    try:
+        for k in threshold_keys:
+            spark.conf.set(k, "-1")
+        plan = final_plan(run("q_source_divergence", spark, sf_smoke))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # hinted broadcasts (src_tot, totals) survive a disabled threshold
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the vocab-sized st side must NOT be broadcast: its left join plans
+    # as a shuffle join once size-based conversion is off
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     # partial_count before the exchange = map-side combine on the big agg
     assert "partial_count" in plan or "partial_sum" in plan, plan
 
