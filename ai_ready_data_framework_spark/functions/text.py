@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Stopword list for quality scoring: the function-word subset of the
 # corpus vocabulary (documents.text is a closed word-soup vocabulary;
@@ -224,12 +225,23 @@ def sig_est_jaccard(n_hashes: int = MINHASH_HASHES):
     )
 
 
+# In-bucket pair generation is quadratic; cap it. Buckets above this
+# size are boilerplate clusters (members agree on an entire band of r
+# consecutive minhashes — at web scale that is 10^6 near-identical
+# pages, 10^12 in-bucket pairs) and collapse to a star around the
+# bucket-minimum representative: O(bucket) pairs, and connected
+# components (q_dedup_clusters) recovers the same duplicate GROUPS
+# from a star as from a clique.
+HOT_BUCKET_CAP = 1024
+
+
 def banded_minhash_pairs(
     sig: DataFrame,
     id_col: str,
     min_jaccard: float,
     n_hashes: int = MINHASH_HASHES,
     n_bands: int = MINHASH_BANDS,
+    hot_bucket_cap: int = HOT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding + signature-estimated
     Jaccard.
@@ -241,17 +253,45 @@ def banded_minhash_pairs(
     ``min_jaccard`` are dropped. Candidate volume stays tiny because a
     background pair must agree on r consecutive hashes to collide at
     all — unlike single-hash OR-only schemes whose candidates blow up
-    on skewed vocabularies."""
+    on skewed vocabularies.
+
+    Hot-bucket cap (VERDICT r3 #1): the within-bucket self-join is
+    quadratic, so buckets larger than ``hot_bucket_cap`` switch from
+    all-pairs to a star around the bucket-minimum id — every member
+    pairs with the representative only. Pair count becomes O(bucket)
+    instead of O(bucket²); the duplicate-cluster closure downstream is
+    unchanged because a star spans the same connected component. The
+    bucket size and representative come from a window over (band, bk) —
+    the same hash partitioning the pair join needs, so the pre-count
+    rides the banding shuffle instead of adding an aggregate+join."""
     bands = minhash_bands(sig, id_col, n_hashes, n_bands)
-    a = bands.select(
-        F.col(id_col).alias("id_a"), F.col("__sig").alias("__sig_a"), "band", "bk"
+    wb = Window.partitionBy("band", "bk")
+    tagged = bands.withColumn("__bn", F.count("*").over(wb)).withColumn(
+        "__rep", F.min(id_col).over(wb)
     )
-    b = bands.select(
+    # ONE self-join, exactly like the uncapped form: the LEFT side of a
+    # hot bucket is pre-filtered down to its representative row, so the
+    # join emits O(bucket) star pairs there and the full triangle only
+    # where __bn <= cap. (Splitting hot/cold into separate joins was
+    # measurably slower: each extra consumer of `tagged` re-runs the
+    # window sort over the reused shuffle output.)
+    a = tagged.filter(
+        (F.col("__bn") <= hot_bucket_cap) | (F.col(id_col) == F.col("__rep"))
+    ).select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sig").alias("__sig_a"),
+        "band",
+        "bk",
+        "__bn",
+    )
+    b = tagged.select(
         F.col(id_col).alias("id_b"), F.col("__sig").alias("__sig_b"), "band", "bk"
     )
+    in_cold = (F.col("__bn") <= hot_bucket_cap) & (F.col("id_a") < F.col("id_b"))
+    in_hot = (F.col("__bn") > hot_bucket_cap) & (F.col("id_a") != F.col("id_b"))
     return (
         a.join(b, ["band", "bk"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(in_cold | in_hot)
         .select("id_a", "id_b", "__sig_a", "__sig_b")
         .dropDuplicates(["id_a", "id_b"])
         .select(

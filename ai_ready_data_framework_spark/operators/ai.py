@@ -1491,33 +1491,75 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
     sig = T.minhash_signatures(sh, "doc_id", "s")
     bands = T.minhash_bands(sig, "doc_id")
+    return incremental_band_probe(bands, INCR_BATCH_MOD)
+
+
+def incremental_band_probe(
+    bands: DataFrame,
+    batch_mod: int,
+    hot_bucket_cap: int = T.HOT_BUCKET_CAP,
+) -> DataFrame:
+    """Probe a (band, bk) LSH index with a batch (doc_id % batch_mod ==
+    0), with the same hot-bucket cap as banded_minhash_pairs (VERDICT
+    r3 #1): index buckets larger than ``hot_bucket_cap`` answer probes
+    with their bucket-minimum REPRESENTATIVE only — a batch doc landing
+    in a 10⁶-member boilerplate bucket gets one (doc, rep) pair, not
+    10⁶ pairs; the downstream cluster closure resolves the rest. Split
+    out so tests can run it against a PERSISTED index frame."""
     # batch membership is arithmetic here; in production the batch's
     # bands are computed FROM the new files alone (no corpus filter at
     # all) and probe the persisted index — never broadcast an id list,
     # which at real batch sizes would blow the broadcast budget
-    batch = bands.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
-    a = batch.select(
+    wb = Window.partitionBy("band", "bk")
+    indexed = bands.withColumn("__bn", F.count("*").over(wb)).withColumn(
+        "__rep", F.min("doc_id").over(wb)
+    )
+    # ONE probe join (mirrors banded_minhash_pairs' single-join shape):
+    # the INDEX side of a hot bucket is pre-filtered to its
+    # representative row, so a batch doc landing there gets one
+    # (doc, rep) pair instead of O(bucket) pairs
+    a = indexed.filter(F.col("doc_id") % batch_mod == 0).select(
         F.col("doc_id").alias("new_doc"),
         F.col("__sig").alias("__sig_a"),
         "band",
         "bk",
+        "__bn",
     )
-    b = bands.select(
+    b = indexed.filter(
+        (F.col("__bn") <= hot_bucket_cap) | (F.col("doc_id") == F.col("__rep"))
+    ).select(
         F.col("doc_id").alias("other_doc"),
         F.col("__sig").alias("__sig_b"),
         "band",
         "bk",
     )
-    # keep (new, old) pairs in both orders collapsed, and (new, new)
-    # pairs once via id order
-    other_is_new = F.col("other_doc") % INCR_BATCH_MOD == 0
+    # cold buckets keep (new, old) pairs in both orders collapsed and
+    # (new, new) pairs once via id order; hot buckets emit (new, rep)
+    # only — no order collapse needed since the b-side is a single row
+    other_is_new = F.col("other_doc") % batch_mod == 0
+    is_cold = F.col("__bn") <= hot_bucket_cap
+    keep = (F.col("new_doc") != F.col("other_doc")) & (
+        ~is_cold | ~other_is_new | (F.col("new_doc") < F.col("other_doc"))
+    )
+    # canonical orientation for hot pairs: the rep is the bucket
+    # minimum, so when it is itself in the batch the new-new ordering
+    # rule (smaller id first) puts it on the new_doc side — swap so
+    # cross-band duplicates land identically for dropDuplicates
+    # (est_jaccard is symmetric, so the sig columns need no swap)
+    flip = ~is_cold & other_is_new
     return (
         a.join(b, ["band", "bk"])
-        .filter(
-            (F.col("new_doc") != F.col("other_doc"))
-            & (~other_is_new | (F.col("new_doc") < F.col("other_doc")))
+        .filter(keep)
+        .select(
+            F.when(flip, F.col("other_doc")).otherwise(F.col("new_doc")).alias(
+                "new_doc"
+            ),
+            F.when(flip, F.col("new_doc")).otherwise(F.col("other_doc")).alias(
+                "other_doc"
+            ),
+            "__sig_a",
+            "__sig_b",
         )
-        .select("new_doc", "other_doc", "__sig_a", "__sig_b")
         .dropDuplicates(["new_doc", "other_doc"])
         .select(
             "new_doc",

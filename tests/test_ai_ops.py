@@ -672,3 +672,102 @@ def test_dedup_incremental_equals_batch_restriction(spark, sf_correctness):
     # every pair touches the batch; new-new pairs appear exactly once
     assert all(r.new_doc % INCR_BATCH_MOD == 0 for r in incr_rows)
     assert len(incr_rows) == len(incr)
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket cap (VERDICT r3 #1): quadratic in-bucket pair generation
+# must collapse to a representative star above the cap
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_boiler_corpus(spark, n_copies, n_distinct=5):
+    """n_copies identical docs (one giant LSH bucket per band) plus a
+    few distinct docs that must be unaffected by the cap."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(n_copies)]
+    # distinct docs share NO tokens with each other or the boilerplate,
+    # so they can never pair (no chance minhash collisions to flake on)
+    rows += [
+        (
+            n_copies + j,
+            f"alpha{j}x beta{j}x gamma{j}x delta{j}x epsilon{j}x zeta{j}x",
+        )
+        for j in range(n_distinct)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.shingles(T.tokens("text"), ai.SHINGLE_K))).alias(
+            "s"
+        ),
+    )
+
+
+def test_hot_bucket_cap_emits_star_not_clique(spark):
+    """An adversarial 300-copy boilerplate cluster with cap=50: pair
+    count must be O(bucket) — every member paired with the bucket-min
+    representative — not O(bucket²)."""
+    n = 300
+    sh = _synthetic_boiler_corpus(spark, n)
+    sig = T.minhash_signatures(sh, "doc_id", "s")
+    pairs = T.banded_minhash_pairs(
+        sig, "doc_id", ai.NEAR_DUP_JACCARD, hot_bucket_cap=50
+    ).collect()
+    # star: exactly n-1 pairs, all anchored at the representative id 0
+    assert len(pairs) == n - 1, len(pairs)
+    assert all(r.id_a == 0 for r in pairs)
+    assert {r.id_b for r in pairs} == set(range(1, n))
+    # identical docs: signature-estimated jaccard is exact 1.0
+    assert all(r.est_jaccard == 1.0 for r in pairs)
+    # the star spans the same connected component as the clique would
+    from ai_ready_data_framework_spark.functions.graph import connected_components
+
+    comp = connected_components(
+        spark.createDataFrame(
+            [(r.id_a, r.id_b) for r in pairs], "doc_a long, doc_b long"
+        ),
+        "doc_a",
+        "doc_b",
+    )
+    assert {r.component for r in comp.collect()} == {0}
+
+
+def test_hot_bucket_cap_identity_below_cap(spark):
+    """With every bucket under the cap, the capped and uncapped pair
+    sets are identical — the cap is a no-op on healthy corpora."""
+    sh = _synthetic_boiler_corpus(spark, 40)
+    sig = T.minhash_signatures(sh, "doc_id", "s")
+    capped = {
+        tuple(r)
+        for r in T.banded_minhash_pairs(
+            sig, "doc_id", ai.NEAR_DUP_JACCARD, hot_bucket_cap=50
+        ).collect()
+    }
+    uncapped = {
+        tuple(r)
+        for r in T.banded_minhash_pairs(
+            sig, "doc_id", ai.NEAR_DUP_JACCARD, hot_bucket_cap=1 << 30
+        ).collect()
+    }
+    assert capped == uncapped
+    assert len(capped) == 40 * 39 // 2  # full clique below the cap
+
+
+def test_incremental_probe_hot_bucket_star(spark):
+    """The incremental probe against a hot index bucket must emit one
+    (doc, representative) pair per batch doc — work scales with the
+    batch, never with the bucket."""
+    from ai_ready_data_framework_spark.operators.ai import incremental_band_probe
+
+    n, mod = 300, 5
+    sh = _synthetic_boiler_corpus(spark, n, n_distinct=0)
+    sig = T.minhash_signatures(sh, "doc_id", "s")
+    bands = T.minhash_bands(sig, "doc_id")
+    rows = incremental_band_probe(bands, mod, hot_bucket_cap=50).collect()
+    # rep id 0 is itself in the batch -> canonical orientation anchors
+    # it on the new_doc side; every batch member appears exactly once
+    batch = {i for i in range(n) if i % mod == 0}
+    assert all(r.new_doc % mod == 0 for r in rows)
+    assert len(rows) == len(batch) - 1
+    assert all(r.new_doc == 0 for r in rows)
+    assert {r.other_doc for r in rows} == batch - {0}

@@ -342,3 +342,13 @@ def test_skew_profile_no_corpus_rescan_joins(spark, sf_smoke):
     plan = final_plan(run("q_skew_profile", spark, sf_smoke))
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dedup_near_no_cartesian_and_keyed_joins(spark, sf_smoke):
+    """q_dedup_near with the hot-bucket cap: candidate generation must
+    stay keyed equi-joins on (band, bk) — no cartesian product may
+    appear, and the bucket-size pre-count must not add a corpus-sized
+    exchange beyond the banding shuffle."""
+    plan = final_plan(run("q_dedup_near", spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
