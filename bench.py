@@ -95,6 +95,10 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_bpe_encode",
     "q_drift_psi_value",
+    # round-4 additions: the tagged-union graded slots (their single
+    # legs stay listed above for per-leg regression tracking)
+    "q_check_battery",
+    "q_histogram_bins",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.
@@ -151,10 +155,18 @@ def main() -> None:
     print(json.dumps(out))
 
 
-# Queries whose r2 semantics legitimately grew (tagged-union strategy
+# Queries whose semantics legitimately grew (tagged-union strategy
 # merges to fit the driver's 50-slot grading window): roughly 2x work
-# per key is EXPECTED, not a perf regression.
-MERGED_IN_R2 = {"q_agg_distinct", "q_agg_rollup", "q_join_asof", "q_join_semi"}
+# per key is EXPECTED, not a perf regression. r2: distinct/rollup/asof/
+# semi; r4: q_join_inner now runs both the star join and the
+# broadcast-dim join in one slot.
+MERGED_IN_R2 = {
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_join_asof",
+    "q_join_semi",
+    "q_join_inner",
+}
 REGRESSION_FACTOR = 1.5
 # Below this, per-query wall time is dominated by fixed Spark job
 # overhead plus host scheduling noise (measured: identical code swings
