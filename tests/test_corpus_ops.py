@@ -188,13 +188,16 @@ def test_bpe_train_matches_cross_engine_oracle(spark, sf_correctness):
     the same driver-side merge loop must then produce identical merges
     — validating the Spark aggregation end of the split exactly."""
     from ai_ready_data_framework_spark.functions.text import bpe_merges
-    from ai_ready_data_framework_spark.operators.corpus import BPE_N_MERGES
+    from ai_ready_data_framework_spark.operators.corpus import (
+        BPE_MIN_COUNT,
+        BPE_N_MERGES,
+    )
 
     hist = duckdb.connect().execute(
         f"""SELECT w, COUNT(*) AS c FROM (
                 SELECT unnest(string_split(text, ' ')) AS w
                 FROM read_parquet('{_docs(sf_correctness)}')
-            ) GROUP BY w"""
+            ) GROUP BY w HAVING COUNT(*) >= {BPE_MIN_COUNT}"""
     ).fetchall()
     expected = [
         (rank, l, r, l + r, c)
@@ -374,14 +377,17 @@ def test_bpe_encode_matches_cross_engine_oracle(spark, sf_correctness):
         bpe_encode_word,
         bpe_merges,
     )
-    from ai_ready_data_framework_spark.operators.corpus import BPE_N_MERGES
+    from ai_ready_data_framework_spark.operators.corpus import (
+        BPE_MIN_COUNT,
+        BPE_N_MERGES,
+    )
 
     con = duckdb.connect()
     hist = con.execute(
         f"""SELECT w, COUNT(*) FROM (
                 SELECT unnest(string_split(text, ' ')) AS w
                 FROM read_parquet('{_docs(sf_correctness)}')
-            ) GROUP BY w"""
+            ) GROUP BY w HAVING COUNT(*) >= {BPE_MIN_COUNT}"""
     ).fetchall()
     merges = [(l, r) for _, l, r, _ in bpe_merges(dict(hist), BPE_N_MERGES)]
     pieces = {w: len(bpe_encode_word(w, merges)) for w, _ in hist}
@@ -390,7 +396,9 @@ def test_bpe_encode_matches_cross_engine_oracle(spark, sf_correctness):
         f"""SELECT doc_id, string_split(text, ' ')
             FROM read_parquet('{_docs(sf_correctness)}')"""
     ).fetchall():
-        n_pieces = sum(pieces[w] for w in words)
+        # pruned words fall back to character-level pieces, mirroring
+        # the left-join coalesce in bpe_encode_frame
+        n_pieces = sum(pieces.get(w, len(w)) for w in words)
         n_chars = sum(len(w) for w in words)
         expected[doc_id] = (
             len(words),
@@ -486,3 +494,52 @@ def test_drift_psi_value_degenerate_reference_half(spark):
     assert out[0].bin == 0 and out[0].bin is not None
     assert out[0].n_ref == 3 and out[0].n_cur == 2
     assert out[0].psi_total is not None
+
+
+def test_bpe_prune_is_noop_on_fixture_and_bounds_histogram(spark, sf_correctness):
+    """VERDICT r3 #3: (a) on the fixture the min-count prune changes
+    NOTHING — merges from the full and pruned histograms are bitwise
+    identical; (b) on a singleton-heavy synthetic corpus the collected
+    histogram is bounded by the pruned vocabulary, and encode still
+    covers 100% of tokens via the char fallback."""
+    from ai_ready_data_framework_spark.functions.text import bpe_merges
+    from ai_ready_data_framework_spark.operators.corpus import (
+        BPE_MIN_COUNT,
+        BPE_N_MERGES,
+        bpe_encode_frame,
+        bpe_word_histogram,
+    )
+
+    # (a) fixture: full vs pruned merges identical
+    full = dict(
+        duckdb.connect().execute(
+            f"""SELECT w, COUNT(*) FROM (
+                    SELECT unnest(string_split(text, ' ')) AS w
+                    FROM read_parquet('{_docs(sf_correctness)}')
+                ) GROUP BY w"""
+        ).fetchall()
+    )
+    pruned = {w: c for w, c in full.items() if c >= BPE_MIN_COUNT}
+    assert bpe_merges(full, BPE_N_MERGES) == bpe_merges(pruned, BPE_N_MERGES)
+
+    # (b) synthetic: 200 singleton "noise" types + a small repeated core
+    core = "the cat sat on the mat and the dog sat on the log"
+    rows = [(i, core) for i in range(10)]
+    rows += [(100 + j, f"noise{j}word singleton{j}tok") for j in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = bpe_word_histogram(docs).collect()
+    core_types = set(core.split())
+    # only the repeated core survives the prune: the driver never sees
+    # the 200 singleton types
+    assert {r.w for r in hist} == core_types
+    assert all(r.c >= BPE_MIN_COUNT for r in hist)
+
+    enc = {r.doc_id: r for r in bpe_encode_frame(spark, docs).collect()}
+    # coverage: every token of every doc is counted, fallback included
+    assert enc[0].n_words == len(core.split())
+    assert enc[100].n_words == 2
+    # singleton-only docs: char fallback means pieces == chars
+    assert enc[100].n_pieces == enc[100].n_chars
+    assert enc[100].chars_per_piece == 1.0
+    # core docs compress (merges learned from the repeated core)
+    assert enc[0].n_pieces < enc[0].n_chars
