@@ -843,6 +843,90 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact global ranking without a global sort: the number of range
+# buckets bounds reducer parallelism for the per-bucket windows — size
+# it like shuffle partitions on a real cluster.
+NTILE_RANK_BUCKETS = 32
+
+
+def global_rank_bucketed(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = NTILE_RANK_BUCKETS,
+) -> DataFrame:
+    """EXACT global row number over (value, id) with NO single-partition
+    sort (VERDICT r3 #4): classic two-phase ranking.
+
+    1. percentile_approx cutpoints (1-row aggregate, broadcast) split
+       the value domain into ~equal-mass buckets; bucket assignment is
+       a pure projection monotone in the sort key, so ANY cut placement
+       yields correct ranks — approximation affects balance, never
+       correctness.
+    2. row_number per bucket (window PARTITIONED by bucket — parallel,
+       no global sort) + each bucket's offset (= total rows in lower
+       buckets, from a bucket-cardinality aggregate whose prefix sum is
+       a tiny triangle self-join) give __rn = offset + local rank.
+
+    Returns the frame with __rn (global 1-based rank) and __n (total
+    rows) attached. Ties in value break by id, making the rank total —
+    identical to ORDER BY value, id in any engine."""
+    fractions = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.percentile_approx(value_col, fractions, 10000).alias("__cuts")
+    )
+    bucketed = df.crossJoin(F.broadcast(cuts)).withColumn(
+        "__b",
+        F.aggregate(
+            "__cuts",
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col(value_col) > c, 1).otherwise(0),
+        ),
+    ).drop("__cuts")
+    counts = bucketed.groupBy("__b").agg(F.count("*").alias("__bc"))
+    lower = counts.select(
+        F.col("__b").alias("__b2"), F.col("__bc").alias("__bc2")
+    )
+    offsets = (
+        counts.join(lower, F.col("__b2") < F.col("__b"), "left")
+        .groupBy("__b")
+        .agg(F.coalesce(F.sum("__bc2"), F.lit(0)).alias("__off"))
+    )
+    total = counts.agg(F.sum("__bc").alias("__n"))
+    w = Window.partitionBy("__b").orderBy(value_col, id_col)
+    return (
+        bucketed.withColumn("__lrn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "__b")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__rn", F.col("__off") + F.col("__lrn"))
+        .drop("__b", "__lrn", "__off")
+    )
+
+
+def ntile_from_rank(rn, n, n_tiles: int):
+    """SQL ntile from a global rank: the first (n % t) tiles take
+    ceil(n/t) rows, the rest floor(n/t) — the exact NTILE contract."""
+    base = F.floor(n / n_tiles)
+    rem = n % n_tiles
+    thr = rem * (base + 1)
+    return F.when(rn <= thr, F.floor((rn - 1) / (base + 1)) + 1).otherwise(
+        rem + F.floor((rn - thr - 1) / F.greatest(base, F.lit(1))) + 1
+    )
+
+
+def ntile_global_sort(orders: DataFrame) -> DataFrame:
+    """The textbook unpartitioned-window form — ONE global sort on a
+    single reducer. Kept as q_window_ntile's exact-equality oracle twin
+    in pytest; never the shipped plan."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("price_pct_rank"),
+    )
+
+
 @query(
     "q_window_ntile",
     oracle="""
@@ -857,15 +941,23 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4: distribution position — ntile quartiles + percent_rank
     (demographic_representation shape, requirements.yaml:189-191).
-    Unpartitioned window = one global sort; at 100 TB prefer
-    percentile_approx cutpoints joined back (q_agg_percentile) — this
-    exact form exists for parity with the spec's per-row rank demand."""
+
+    Shipped plan (VERDICT r3 #4): bucketed EXACT global ranking
+    (global_rank_bucketed) — percentile_approx cutpoints partition the
+    window, so no single-partition WindowExec appears (pinned in
+    test_plans.py) while results stay bitwise identical to the
+    unpartitioned-window form (ntile_global_sort, its pytest twin) and
+    to the DuckDB ntile/percent_rank oracle: rank arithmetic replaces
+    the rank functions exactly."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
+    ranked = global_rank_bucketed(orders, "o_totalprice", "o_orderkey")
+    rn, n = F.col("__rn"), F.col("__n")
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).cast("long").alias("price_quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("price_pct_rank"),
+        ntile_from_rank(rn, n, 4).cast("long").alias("price_quartile"),
+        F.when(n > 1, F.round((rn - 1) / (n - 1), 4))
+        .otherwise(F.lit(0.0))
+        .alias("price_pct_rank"),
     )
 
 
