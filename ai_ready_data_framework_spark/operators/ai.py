@@ -1483,9 +1483,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     index), so work scales with the BATCH, not the corpus.
 
     In production the corpus index (functions/text.py::minhash_bands)
-    is PERSISTED, partitioned/bucketed by (band, bk) — probes touch
-    only matching buckets; this query rebuilds it inline because
-    declared queries cannot write. New-batch docs also band-join each
+    is PERSISTED via sources/maintenance.py::write_band_index — a
+    parquet table bucketed+sorted by (band, bk), so the index side
+    joins with NO exchange and point probes prune files (proven in
+    tests/test_band_index.py: probe-vs-inline set identity, bucketed
+    exchange-free plan). This query rebuilds the index inline only
+    because declared queries cannot write. New-batch docs also band-join each
     other (new x new dups matter too), with id order de-duplicating
     the pair space."""
     sh = _doc_shingles(spark, sf_dir)
