@@ -112,10 +112,14 @@ def test_quality_filters_are_pure_projection(spark, sf_smoke, name):
 
 def test_heavy_hitters_aggregates_before_ranking(spark, sf_smoke):
     """The vocabulary profile must map-side combine (partial+final
-    HashAggregate) so the shuffle carries vocabulary-sized partials;
-    the single-partition window runs only on the tiny aggregate."""
+    HashAggregate) so the shuffle carries vocabulary-sized partials,
+    top-K via TakeOrderedAndProject on the pruned aggregate, and NO
+    WindowExec anywhere (VERDICT r3 #6) — ranks come from the K-row
+    broadcast triangle join."""
     plan = final_plan(run("q_heavy_hitters", spark, sf_smoke))
     assert plan.count("HashAggregate") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_funnel_shuffles_events_once(spark, sf_smoke):
