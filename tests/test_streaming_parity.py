@@ -65,3 +65,113 @@ def test_stream_static_join_parity(spark, sf_smoke):
     stream = parity.run_stream(spark, sf_smoke, transform)
     assert batch.count() == stream.count() > 0
     assert parity.parity_fraction(spark, sf_smoke, transform) == 1.0
+
+
+def test_watermark_drops_late_rows_stream_vs_batch(spark, tmp_path):
+    """T4 explicit late-data semantics (VERDICT r3 #8): rows arriving
+    in a later micro-batch whose window closed behind the watermark are
+    DROPPED by the stream, while the identical transform over the same
+    data in batch (where withWatermark is a no-op) counts them — the
+    documented batch/stream difference for late data.
+
+    File 1 (oldest mtime -> first micro-batch) carries events up to
+    12:59, advancing the 1-hour watermark to 11:59. File 2 ticks one
+    more micro-batch, during which the [10:00, 11:00) window falls
+    behind the watermark and is EMITTED + EVICTED. File 3 then delivers
+    a 10:20 straggler into the evicted window — the stream drops it.
+    (Eviction uses the watermark computed from the PREVIOUS batch, so
+    the drop is observable only two batches after the advance — a
+    straggler in file 2 would still sneak into live state.)"""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late_events"
+    src.mkdir()
+
+    # microsecond UTC-adjusted timestamps: the session carries the
+    # legacy nanosAsLong conf for the old testdata layout, which would
+    # surface pandas' default ns timestamps as BIGINT
+    arrow_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("value", pa.float64()),
+        ]
+    )
+
+    def write(name, rows, mtime_offset_s):
+        table = pa.table(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [r[1].replace(tzinfo=dt.timezone.utc) for r in rows],
+                "value": [1.0] * len(rows),
+            },
+            schema=arrow_schema,
+        )
+        p = str(src / name)
+        pq.write_table(table, p)
+        now = 1_760_000_000
+        os.utime(p, (now + mtime_offset_s, now + mtime_offset_s))
+
+    t = lambda h, m: dt.datetime(2026, 1, 1, h, m)
+    write(
+        "f1.parquet",
+        [(1, t(10, 15)), (2, t(10, 45)), (3, t(11, 15)), (4, t(12, 59))],
+        0,
+    )
+    # batch 2: watermark 11:59 is now operative; the 10:00 window is
+    # emitted and evicted at this batch's end
+    write("f2.parquet", [(5, t(13, 30))], 60)
+    # batch 3: straggler into the evicted window -> dropped
+    write("f3.parquet", [(6, t(10, 20))], 120)
+
+    def hourly_counts(df):
+        return (
+            df.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.date_format("w.start", "HH:mm").alias("window_start"),
+                "n_events",
+            )
+        )
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    import uuid
+
+    table = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly_counts(stream)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_rows = {r.window_start: r.n_events for r in spark.table(table).collect()}
+
+    # append mode emits only windows finalized behind the final
+    # watermark (12:30): 10:00 WITHOUT the dropped straggler, and
+    # 11:00; the 12:00/13:00 windows are still open and withheld
+    assert stream_rows == {"10:00": 2, "11:00": 1}
+
+    # batch twin: watermark is a no-op, every row counts, every window
+    # materializes — the straggler lands in the 10:00 window
+    batch_rows = {
+        r.window_start: r.n_events
+        for r in hourly_counts(spark.read.parquet(str(src))).collect()
+    }
+    assert batch_rows == {"10:00": 3, "11:00": 1, "12:00": 1, "13:00": 1}
