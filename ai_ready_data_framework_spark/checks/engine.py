@@ -259,22 +259,68 @@ def search_optimization(ctx: CheckContext) -> float:
     return _frac(len(indexed), len(text_assets))
 
 
+SERVING_KEY_BUCKETS = 16
+SERVING_PROBE_KEYS = 20
+
+
 @check("serving_latency_compliance", "consumable", "serving", "P", ":50-52")
 def serving_latency_compliance(ctx: CheckContext) -> float:
-    """Measured p99 of key-lookup queries against the cached serving
-    materialization vs the declared SLA. Honest measurement of the
-    Spark SQL path (SURVEY.md §6: sub-100ms is an online-store SLA; we
-    report, not guarantee)."""
-    cust = ctx.table("customer").cache()
-    keys = [r.c_custkey for r in cust.select("c_custkey").limit(20).collect()]
+    """Measured p99 of key-lookup probes against a KEY-BUCKETED serving
+    materialization vs the declared SLA (ADVICE r3: the previous form
+    ran 20 sequential filters over a cached frame — every probe paid a
+    full 32-partition scan of the cache; a real online store is laid
+    out so a point lookup touches ONE bucket).
+
+    The materialization writes customer partitioned by __kb =
+    key % {16} (plain modulo so the probe can compute its bucket
+    driver-side); each timed probe filters (__kb == k % {16},
+    c_custkey == k), which partition-prunes to a single directory —
+    one task per probe instead of one task per cached partition.
+    Per-probe wall times are recorded in the artifacts for the audit
+    log; the score is the p99-vs-SLA comparison as before."""
+
+    def build() -> str:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="aird_serving_store_")
+        (
+            ctx.table("customer")
+            .withColumn("__kb", F.col("c_custkey") % SERVING_KEY_BUCKETS)
+            .repartition(SERVING_KEY_BUCKETS, "__kb")
+            .write.mode("overwrite")
+            .partitionBy("__kb")
+            .parquet(d)
+        )
+        return d
+
+    path: str = ctx.artifact("serving_store_path", build)  # type: ignore[assignment]
+    store = ctx.spark.read.parquet(path)
+    keys = [
+        r.c_custkey
+        for r in ctx.table("customer")
+        .select("c_custkey")
+        .limit(SERVING_PROBE_KEYS)
+        .collect()
+    ]
+    # one untimed warmup probe: file listing + codegen are per-store
+    # one-offs a serving tier pays at startup, not per lookup — timing
+    # them into probe 1 would make the p99 measure deployment cost
+    store.filter(
+        (F.col("__kb") == keys[0] % SERVING_KEY_BUCKETS)
+        & (F.col("c_custkey") == keys[0])
+    ).collect()
     lat_ms: list[float] = []
     for k in keys:
         t0 = time.perf_counter()
-        cust.filter(F.col("c_custkey") == k).collect()
+        store.filter(
+            (F.col("__kb") == k % SERVING_KEY_BUCKETS)
+            & (F.col("c_custkey") == k)
+        ).collect()
         lat_ms.append((time.perf_counter() - t0) * 1000)
     lat_ms.sort()
     p99 = lat_ms[max(0, int(len(lat_ms) * 0.99) - 1)]
     ctx.artifacts["serving_p99_ms"] = p99
+    ctx.artifacts["serving_probe_ms"] = [round(v, 2) for v in lat_ms]
     return 1.0 if p99 <= R.SERVING_P99_SLA_MS else 0.0
 
 
