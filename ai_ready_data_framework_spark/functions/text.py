@@ -260,35 +260,46 @@ def banded_minhash_pairs(
     all-pairs to a star around the bucket-minimum id — every member
     pairs with the representative only. Pair count becomes O(bucket)
     instead of O(bucket²); the duplicate-cluster closure downstream is
-    unchanged because a star spans the same connected component. The
-    bucket size and representative come from a window over (band, bk) —
-    the same hash partitioning the pair join needs, so the pre-count
-    rides the banding shuffle instead of adding an aggregate+join."""
+    unchanged because a star spans the same connected component.
+
+    Cost shape: the exception table ``hot`` holds only buckets OVER the
+    cap — normally EMPTY, worst-case bounded by postings/cap — so AQE
+    turns the left tag-join into a broadcast and the healthy-corpus
+    plan is the uncapped plan plus one near-free aggregate. (Tagging
+    every row via a (band, bk) window, or joining the full bucket-size
+    table, both measured ~25-40% slower at sf0.1.)"""
+    # Cost note: the hot aggregate is a THIRD consumer of the minhash
+    # subtree, and Catalyst's per-branch filter pushdown makes the
+    # branches canonically different, so no exchange reuse happens —
+    # the inline form pays one extra minhash pass (~25% at sf0.1).
+    # That is inherent to rebuilding inline; the production path probes
+    # the PERSISTED index (sources/maintenance.py::write_band_index),
+    # where bands are materialized once and the exception scan is a
+    # bucket-local aggregate over the bucketed table.
     bands = minhash_bands(sig, id_col, n_hashes, n_bands)
-    wb = Window.partitionBy("band", "bk")
-    tagged = bands.withColumn("__bn", F.count("*").over(wb)).withColumn(
-        "__rep", F.min(id_col).over(wb)
+    hot = (
+        bands.groupBy("band", "bk")
+        .agg(F.count("*").alias("__bn"), F.min(id_col).alias("__rep"))
+        .filter(F.col("__bn") > hot_bucket_cap)
     )
+    tagged = bands.join(hot, ["band", "bk"], "left")
+    is_cold = F.col("__bn").isNull()
     # ONE self-join, exactly like the uncapped form: the LEFT side of a
     # hot bucket is pre-filtered down to its representative row, so the
     # join emits O(bucket) star pairs there and the full triangle only
-    # where __bn <= cap. (Splitting hot/cold into separate joins was
-    # measurably slower: each extra consumer of `tagged` re-runs the
-    # window sort over the reused shuffle output.)
-    a = tagged.filter(
-        (F.col("__bn") <= hot_bucket_cap) | (F.col(id_col) == F.col("__rep"))
-    ).select(
+    # in cold buckets
+    a = tagged.filter(is_cold | (F.col(id_col) == F.col("__rep"))).select(
         F.col(id_col).alias("id_a"),
         F.col("__sig").alias("__sig_a"),
         "band",
         "bk",
         "__bn",
     )
-    b = tagged.select(
+    b = bands.select(
         F.col(id_col).alias("id_b"), F.col("__sig").alias("__sig_b"), "band", "bk"
     )
-    in_cold = (F.col("__bn") <= hot_bucket_cap) & (F.col("id_a") < F.col("id_b"))
-    in_hot = (F.col("__bn") > hot_bucket_cap) & (F.col("id_a") != F.col("id_b"))
+    in_cold = F.col("__bn").isNull() & (F.col("id_a") < F.col("id_b"))
+    in_hot = F.col("__bn").isNotNull() & (F.col("id_a") != F.col("id_b"))
     return (
         a.join(b, ["band", "bk"])
         .filter(in_cold | in_hot)

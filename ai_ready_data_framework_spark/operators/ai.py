@@ -1512,24 +1512,33 @@ def incremental_band_probe(
     # batch membership is arithmetic here; in production the batch's
     # bands are computed FROM the new files alone (no corpus filter at
     # all) and probe the persisted index — never broadcast an id list,
-    # which at real batch sizes would blow the broadcast budget
-    wb = Window.partitionBy("band", "bk")
-    indexed = bands.withColumn("__bn", F.count("*").over(wb)).withColumn(
-        "__rep", F.min("doc_id").over(wb)
+    # which at real batch sizes would blow the broadcast budget.
+    # The hot-bucket exception table holds only buckets OVER the cap —
+    # normally empty, worst-case postings/cap — so its tag-joins go
+    # broadcast under AQE and the healthy plan stays the uncapped one.
+    # Inline-rebuild cost note: the exception aggregate re-derives the
+    # bands (no exchange reuse once filter pushdown specializes each
+    # branch); against the PERSISTED index (write_band_index) the same
+    # aggregate is a bucket-local scan — see banded_minhash_pairs.
+    hot = (
+        bands.groupBy("band", "bk")
+        .agg(F.count("*").alias("__bn"), F.min("doc_id").alias("__rep"))
+        .filter(F.col("__bn") > hot_bucket_cap)
     )
+    tagged = bands.join(hot, ["band", "bk"], "left")
     # ONE probe join (mirrors banded_minhash_pairs' single-join shape):
     # the INDEX side of a hot bucket is pre-filtered to its
     # representative row, so a batch doc landing there gets one
     # (doc, rep) pair instead of O(bucket) pairs
-    a = indexed.filter(F.col("doc_id") % batch_mod == 0).select(
+    a = tagged.filter(F.col("doc_id") % batch_mod == 0).select(
         F.col("doc_id").alias("new_doc"),
         F.col("__sig").alias("__sig_a"),
         "band",
         "bk",
         "__bn",
     )
-    b = indexed.filter(
-        (F.col("__bn") <= hot_bucket_cap) | (F.col("doc_id") == F.col("__rep"))
+    b = tagged.filter(
+        F.col("__bn").isNull() | (F.col("doc_id") == F.col("__rep"))
     ).select(
         F.col("doc_id").alias("other_doc"),
         F.col("__sig").alias("__sig_b"),
@@ -1540,7 +1549,7 @@ def incremental_band_probe(
     # (new, new) pairs once via id order; hot buckets emit (new, rep)
     # only — no order collapse needed since the b-side is a single row
     other_is_new = F.col("other_doc") % batch_mod == 0
-    is_cold = F.col("__bn") <= hot_bucket_cap
+    is_cold = F.col("__bn").isNull()
     keep = (F.col("new_doc") != F.col("other_doc")) & (
         ~is_cold | ~other_is_new | (F.col("new_doc") < F.col("other_doc"))
     )
