@@ -373,3 +373,104 @@ def bpe_encode_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# --- DSIR-style importance resampling (Xie et al. 2023, NeurIPS) -------
+# Data selection for a TARGET distribution: importance weight
+# w(x) = p_target(x) / p_raw(x) under hashed bag-of-ngram unigram
+# models; docs are then drawn by Gumbel top-k on log w(x). The target
+# here is the held-out eval fold (doc_id % EVAL_FOLD_MOD == 0), the raw
+# distribution is everything else — the standard "make pretraining data
+# look like the eval domain" recipe.
+DSIR_BUCKETS = 1 << 14  # hashed n-gram feature space (paper uses 10^4)
+DSIR_SELECT_K = 100  # docs drawn by Gumbel top-k on the weights
+# Knuth multiplicative hash for the deterministic Gumbel draw (portable
+# BIGINT arithmetic — same constants as q_sample_quality).
+DSIR_HASH_MULT = 2654435761
+DSIR_HASH_MOD = 1 << 32
+
+
+def _dsir_bucket(term) -> "F.Column":
+    """Engine-portable hashed-feature bucket: crc32 mod DSIR_BUCKETS.
+    crc32 is the same CRC-32/ISO-HDLC polynomial in Spark (F.crc32)
+    and Python (zlib.crc32), so the oracle replicates it in one line —
+    and it is ~3x cheaper per term than md5 on the 2-per-token feature
+    stream (xxhash64 would be cheaper still but exists only in Spark)."""
+    return F.pmod(F.crc32(F.encode(term, "UTF-8")), F.lit(DSIR_BUCKETS))
+
+
+@query("q_dsir_weights")  # rows-only: graded window full; cross-engine
+# oracle (DuckDB corpus walk + Python model recompute) runs in
+# tests/test_corpus_ops.py
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (targeted data selection): DSIR importance weights +
+    deterministic Gumbel top-k selection. log w(x) = sum over the doc's
+    hashed uni+bigram features of [log p_target(bucket) -
+    log p_raw(bucket)] (add-1 smoothing over DSIR_BUCKETS); selection
+    score adds a Gumbel(0,1) noise term derived from a Knuth hash of
+    doc_id, so the draw is reproducible across runs, engines, and
+    partitionings (the same trick as q_sample_quality).
+
+    Scale: one corpus-sized explode → (doc_id, bucket) count aggregate
+    (map-side combinable, the only corpus-sized shuffle); the bucket
+    model is a DSIR_BUCKETS-row aggregate BROADCAST back; the per-doc
+    sum is doc-keyed. Selection is a TakeOrderedAndProject-sized
+    orderBy().limit(K) on the doc-cardinality result, tagged back onto
+    every row as a flag column.
+    """
+    from ai_ready_data_framework_spark.operators.ai import EVAL_FOLD_MOD
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        (F.col("doc_id") % EVAL_FOLD_MOD == 0).alias("__tgt"),
+        F.explode(F.concat(toks, T.shingles(toks, 2))).alias("term"),
+    ).select("doc_id", "__tgt", _dsir_bucket(F.col("term")).alias("bucket"))
+
+    doc_buckets = feats.groupBy("doc_id", "__tgt", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    model = doc_buckets.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("c")).otherwise(0)).alias("c_t"),
+        F.sum(F.when(~F.col("__tgt"), F.col("c")).otherwise(0)).alias("c_r"),
+    )
+    totals = model.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    log_ratio = F.log(
+        (F.col("c_t") + 1) / (F.col("n_t") + DSIR_BUCKETS)
+    ) - F.log((F.col("c_r") + 1) / (F.col("n_r") + DSIR_BUCKETS))
+    scored = (
+        doc_buckets.filter(~F.col("__tgt"))
+        .join(F.broadcast(model.crossJoin(F.broadcast(totals))), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("c") * log_ratio), 4).alias("log_importance"),
+        )
+    )
+    u = (
+        (F.col("doc_id") * DSIR_HASH_MULT) % DSIR_HASH_MOD + 0.5
+    ) / DSIR_HASH_MOD
+    gumbel = -F.log(-F.log(u))
+    with_score = scored.withColumn(
+        "gumbel_score", F.round(F.col("log_importance") + gumbel, 4)
+    )
+    topk = (
+        with_score.orderBy(F.desc("gumbel_score"), F.asc("doc_id"))
+        .limit(DSIR_SELECT_K)
+        .select(F.col("doc_id").alias("__sel"))
+    )
+    return (
+        with_score.join(
+            F.broadcast(topk), with_score.doc_id == F.col("__sel"), "left"
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "log_importance",
+            "gumbel_score",
+            F.col("__sel").isNotNull().alias("selected"),
+        )
+    )

@@ -94,6 +94,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_drift_psi",
     "q_drift_psi_value",
     "q_sample_quality",
+    "q_dsir_weights",
     "q_dedup_incremental",
     "q_source_divergence",
     "q_mix_temperature",

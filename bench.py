@@ -96,9 +96,10 @@ HEADLINE = [
     "q_bpe_encode",
     "q_drift_psi_value",
     # round-4 additions: the tagged-union graded slots (their single
-    # legs stay listed above for per-leg regression tracking)
+    # legs stay listed above for per-leg regression tracking) + DSIR
     "q_check_battery",
     "q_histogram_bins",
+    "q_dsir_weights",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.

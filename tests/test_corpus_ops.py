@@ -543,3 +543,89 @@ def test_bpe_prune_is_noop_on_fixture_and_bounds_histogram(spark, sf_correctness
     assert enc[100].chars_per_piece == 1.0
     # core docs compress (merges learned from the repeated core)
     assert enc[0].n_pieces < enc[0].n_chars
+
+
+def test_dsir_weights_matches_python_oracle(spark, sf_correctness):
+    """DSIR importance weights: an independent Python walk of the
+    corpus (DuckDB rows + hashlib bucketing + the same smoothed model
+    and deterministic Gumbel draw) must reproduce per-doc feature
+    counts, log-importance (to rounding tolerance), and the EXACT
+    selected top-k set."""
+    import math
+
+    from ai_ready_data_framework_spark.operators.ai import EVAL_FOLD_MOD
+    from ai_ready_data_framework_spark.operators.corpus import (
+        DSIR_BUCKETS,
+        DSIR_HASH_MOD,
+        DSIR_HASH_MULT,
+        DSIR_SELECT_K,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{_docs(sf_correctness)}')"
+    ).fetchall()
+
+    def bucket(term: str) -> int:
+        import zlib
+
+        return zlib.crc32(term.encode()) % DSIR_BUCKETS
+
+    def feats(text: str) -> list[int]:
+        words = text.split(" ")
+        # mirror functions/text.py::shingles — docs shorter than k
+        # yield one truncated shingle
+        n_sh = max(len(words) - 1, 1)
+        grams = [" ".join(words[i : i + 2]) for i in range(n_sh)]
+        return [bucket(t) for t in words + grams]
+
+    per_doc: dict[int, dict[int, int]] = {}
+    is_tgt: dict[int, bool] = {}
+    for doc_id, text in rows:
+        counts: dict[int, int] = {}
+        for b in feats(text):
+            counts[b] = counts.get(b, 0) + 1
+        per_doc[doc_id] = counts
+        is_tgt[doc_id] = doc_id % EVAL_FOLD_MOD == 0
+
+    c_t: dict[int, int] = {}
+    c_r: dict[int, int] = {}
+    for doc_id, counts in per_doc.items():
+        acc = c_t if is_tgt[doc_id] else c_r
+        for b, c in counts.items():
+            acc[b] = acc.get(b, 0) + c
+    n_t, n_r = sum(c_t.values()), sum(c_r.values())
+
+    def log_ratio(b: int) -> float:
+        return math.log((c_t.get(b, 0) + 1) / (n_t + DSIR_BUCKETS)) - math.log(
+            (c_r.get(b, 0) + 1) / (n_r + DSIR_BUCKETS)
+        )
+
+    expected = {}
+    for doc_id, counts in per_doc.items():
+        if is_tgt[doc_id]:
+            continue
+        lw = sum(c * log_ratio(b) for b, c in counts.items())
+        u = ((doc_id * DSIR_HASH_MULT) % DSIR_HASH_MOD + 0.5) / DSIR_HASH_MOD
+        g = -math.log(-math.log(u))
+        expected[doc_id] = (sum(counts.values()), lw, lw + g)
+    exp_selected = {
+        d
+        for d, _ in sorted(
+            expected.items(), key=lambda kv: (-kv[1][2], kv[0])
+        )[:DSIR_SELECT_K]
+    }
+
+    got = {r.doc_id: r for r in QUERIES["q_dsir_weights"](spark, sf_correctness).collect()}
+    assert set(got) == set(expected)
+    for doc_id, (n_feats, lw, score) in expected.items():
+        r = got[doc_id]
+        assert r.n_feats == n_feats, doc_id
+        assert abs(r.log_importance - lw) <= 2e-4, (doc_id, r.log_importance, lw)
+        assert abs(r.gumbel_score - score) <= 2e-4, doc_id
+    assert {d for d, r in got.items() if r.selected} == exp_selected
+    assert len(exp_selected) == DSIR_SELECT_K
+    # importance must actually separate: selected docs skew to higher
+    # log-importance than the corpus median
+    med = sorted(v[1] for v in expected.values())[len(expected) // 2]
+    sel_mean = sum(expected[d][1] for d in exp_selected) / len(exp_selected)
+    assert sel_mean > med
