@@ -789,18 +789,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_window_lag",
-    oracle="""
-    SELECT event_id,
-           user_id,
-           date_diff('microsecond',
-                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                     ts) AS gap_us
-    FROM events
-    """,
-)
-def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_window_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: inter-event deltas (propagation_latency_compliance,
     requirements.yaml:99-101). Partition by user, order by event time
     with event_id tie-break for determinism."""
@@ -813,18 +802,52 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_window_running",
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 + W3 in one graded slot (tagged union, the q_agg_distinct
+    precedent, round 4): lag gaps and the running rows-frame sum over
+    the SAME (user, ts, event_id) window ordering, projected onto
+    (metric, event_id, user_id, value). gap_us rides as an exact
+    integer-valued double (micro gaps ≪ 2^53)."""
+    gaps = q_window_lag_gaps(spark, sf_dir).select(
+        F.lit("gap_us").alias("metric"),
+        "event_id",
+        "user_id",
+        F.col("gap_us").cast("double").alias("value"),
+    )
+    running = q_window_running(spark, sf_dir).select(
+        F.lit("running_value").alias("metric"),
+        "event_id",
+        "user_id",
+        F.col("running_value").alias("value"),
+    )
+    return gaps.unionByName(running)
+
+
+query(
+    "q_window_lag",
     oracle="""
-    SELECT event_id,
+    SELECT 'gap_us' AS metric,
+           event_id,
+           user_id,
+           CAST(date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS DOUBLE) AS value
+    FROM events
+    UNION ALL
+    SELECT 'running_value',
+           event_id,
            user_id,
            ROUND(SUM(value) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 4) AS running_value
+           ), 4)
     FROM events
     """,
-)
+)(q_window_lag)
+
+
+@query("q_window_running")  # graded via q_window_lag's running leg
+# (round 4); its own oracle stays in the union SQL
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: running per-user sum (freshness-trend shape, 3-current.md:15).
     Rows-frame with full ordering so both engines accumulate in the

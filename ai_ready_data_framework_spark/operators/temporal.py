@@ -727,8 +727,31 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_retention")  # rows-only: graded window full; DuckDB oracle
-# runs in tests/test_temporal_ops.py
+@query(
+    "q_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY 1
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cell AS (
+        SELECT cohort_day,
+               CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM active JOIN first USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           day_offset, n_users,
+           ROUND(n_users / (MAX(CASE WHEN day_offset = 0 THEN n_users END)
+                            OVER (PARTITION BY cohort_day)), 4)
+               AS retention_frac
+    FROM cell
+    """,
+)
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (the other product-analytics staple
     next to q_funnel): users cohorted by FIRST-ACTIVE day, then for

@@ -58,6 +58,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_join_broadcast",
     "q_histogram",
     "q_feature_bins",
+    "q_window_running",
     "q_stateful_freshness",  # T6 arbitrary stateful streaming
     "q_agg_approx",
     "q_profile_approx",
@@ -80,7 +81,6 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_anomaly_zscore",
     "q_join_skew",
     "q_perplexity",
-    "q_retention",
     "q_dedup_latest",
     "q_period_over_period",
     "q_containment_pairs",
