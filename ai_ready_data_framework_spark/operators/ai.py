@@ -1580,3 +1580,89 @@ def incremental_band_probe(
         )
         .filter(F.col("est_jaccard") >= NEAR_DUP_JACCARD)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 16  # coarse clusters (same role as the IVF quantizer's k)
+SEMDEDUP_SEED = 42
+SEMDEDUP_TAU = EMBED_DUP_COSINE  # dup threshold; corpus max pair cos ~0.51
+
+
+def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment for SemDeDup: the IVF-quantizer recipe —
+    KMeans fit on a deterministic ~4k-row sample, broadcast centroids,
+    assign every vector in one scan. Split out so tests can restrict
+    the exact all-pairs dup set to co-clustered pairs."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    n = vecs.count()
+    m = max(1, n // 4096)
+    km = KMeans(
+        k=SEMDEDUP_K,
+        seed=SEMDEDUP_SEED,
+        maxIter=5,
+        featuresCol="v",
+        predictionCol="cluster_id",
+    )
+    model = km.fit(vecs.filter(F.col("vec_id") % m == 0).select("v"))
+    return model.transform(vecs).select("vec_id", "cluster_id", "embedding")
+
+
+@query("q_dedup_semantic")  # fitted k-means clustering → rows-only by
+# contract; co-clustered-pair identity vs the exact all-pairs dup set +
+# determinism proven in tests/test_ai_ops.py
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (semantic dedup): SemDeDup — cluster the embedding
+    space coarsely, then find cosine-near-duplicate pairs ONLY within
+    clusters and keep one representative (smallest vec_id) per dup
+    group. The cluster equi-join bounds candidate generation to
+    within-cluster pairs — the published recipe's answer to all-pairs
+    being impossible at corpus scale (cluster populations are
+    ~corpus/k, and k scales with the corpus; pairs missed by the
+    partition are exactly the across-cluster pairs SemDeDup accepts
+    losing).
+
+    Output: one row per vector — cluster, keep decision, dup-partner
+    count. keep=false iff a smaller-id vector in the same cluster has
+    cosine >= SEMDEDUP_TAU (the greedy smaller-id-wins rule shared with
+    the text funnel, q_pipeline_e2e)."""
+    assigned = semantic_cluster_assign(spark, sf_dir)
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    cos = V.cosine(F.col("va"), F.col("vb"))
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+    )
+    dup_of = pairs.groupBy("id_b").agg(F.count("*").alias("n_dups"))
+    return (
+        assigned.join(
+            dup_of, assigned.vec_id == dup_of.id_b, "left"
+        )
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("n_dups").isNull().alias("keep"),
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        )
+    )

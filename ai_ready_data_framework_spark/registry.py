@@ -95,6 +95,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_drift_psi_value",
     "q_sample_quality",
     "q_dsir_weights",
+    "q_dedup_semantic",
     "q_dedup_incremental",
     "q_source_divergence",
     "q_mix_temperature",

@@ -100,6 +100,7 @@ HEADLINE = [
     "q_check_battery",
     "q_histogram_bins",
     "q_dsir_weights",
+    "q_dedup_semantic",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.

@@ -803,3 +803,36 @@ def test_multimodal_decoder_is_injectable(spark, sf_correctness):
         assert row.n_bytes == default[mid].n_bytes
         assert row.content_sha == default[mid].content_sha
         assert row.media_type == default[mid].media_type
+
+
+def test_dedup_semantic_matches_coclustered_exact_pairs(spark, sf_correctness):
+    """SemDeDup (q_dedup_semantic): the vectors it DROPS must be exactly
+    those with a smaller-id co-clustered partner in the EXACT all-pairs
+    cosine dup set (q_embed_dup) — the cluster partition is the only
+    recall loss, and within clusters the operator is exact. Two runs
+    must be bitwise identical (seeded kmeans + deterministic sample)."""
+    from ai_ready_data_framework_spark.operators.ai import (
+        semantic_cluster_assign,
+    )
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["q_embed_dup"](spark, sf_correctness).collect()
+    }
+    cluster = {
+        r.vec_id: r.cluster_id
+        for r in semantic_cluster_assign(spark, sf_correctness).collect()
+    }
+    expected_dropped = {
+        b for a, b in exact if cluster[a] == cluster[b]
+    }
+    rows = QUERIES["q_dedup_semantic"](spark, sf_correctness).collect()
+    dropped = {r.vec_id for r in rows if not r.keep}
+    assert dropped == expected_dropped
+    # one row per vector, keep majority (random corpus: dups are rare)
+    assert len(rows) == len(cluster)
+    assert len(dropped) < 0.05 * len(rows)
+    assert all((r.n_dups > 0) == (not r.keep) for r in rows)
+    # determinism across runs
+    rows2 = QUERIES["q_dedup_semantic"](spark, sf_correctness).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
