@@ -224,9 +224,24 @@ def access_optimization(ctx: CheckContext) -> float:
             ts_col = R.TEMPORAL_SCOPE.get(t)
             path = f"{d}/{t}"
             if ts_col:
-                df.withColumn("__p", F.to_date(ts_col)).write.mode(
-                    "overwrite"
-                ).partitionBy("__p").parquet(path)
+                # Partition grain must match data density: TPC-H dates
+                # span ~7 years, so day-grain partitioning of the test
+                # tables makes 2,400 six-row directories — filesystem
+                # metadata dominated the whole assessment (measured:
+                # 64s of 92s at sf0.01; the same mistake at 100 TB is
+                # millions of undersized partitions). Month-grain keeps
+                # partitions pruned AND sized; repartition ON the
+                # partition column so each partition writes from one
+                # task instead of every task opening every directory.
+                (
+                    df.withColumn(
+                        "__p", F.date_format(ts_col, "yyyy-MM")
+                    )
+                    .repartition("__p")
+                    .write.mode("overwrite")
+                    .partitionBy("__p")
+                    .parquet(path)
+                )
             else:
                 df.write.mode("overwrite").parquet(path)
             out.add(t)
