@@ -177,6 +177,11 @@ EXPECTED_CHANGES = {
         " bands inline (+1 minhash pass); zero-cost against the persisted"
         " index (write_band_index)"
     ),
+    "q_dedup_near": (
+        "r4 hot-bucket cap: same bucket-size exception scan as"
+        " q_dedup_incremental — the price of bounding in-bucket pair"
+        " generation to O(bucket)"
+    ),
 }
 REGRESSION_FACTOR = 1.5
 # Below this, per-query wall time is dominated by fixed Spark job
