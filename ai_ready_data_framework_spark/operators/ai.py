@@ -1586,7 +1586,14 @@ def incremental_band_probe(
 # SemDeDup-style semantic dedup (Abbas et al. 2023)
 # ---------------------------------------------------------------------------
 
-SEMDEDUP_K = 16  # coarse clusters (same role as the IVF quantizer's k)
+SEMDEDUP_MIN_K = 16  # floor so tiny corpora still partition
+SEMDEDUP_MAX_K = 4096  # centroid table must stay trivially broadcastable
+# Target cluster POPULATION: within-cluster pair generation is
+# quadratic in cluster size, so k must scale with the corpus (the
+# SemDeDup paper runs 50k clusters on LAION) — a fixed k silently turns
+# the cluster partition back into all-pairs as the corpus grows.
+# 512-vector clusters mean ~128k pairs per cluster, linear overall.
+SEMDEDUP_TARGET_CLUSTER = 512
 SEMDEDUP_SEED = 42
 SEMDEDUP_TAU = EMBED_DUP_COSINE  # dup threshold; corpus max pair cos ~0.51
 
@@ -1594,8 +1601,9 @@ SEMDEDUP_TAU = EMBED_DUP_COSINE  # dup threshold; corpus max pair cos ~0.51
 def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster assignment for SemDeDup: the IVF-quantizer recipe —
     KMeans fit on a deterministic ~4k-row sample, broadcast centroids,
-    assign every vector in one scan. Split out so tests can restrict
-    the exact all-pairs dup set to co-clustered pairs."""
+    assign every vector in one scan; k scales to keep cluster
+    populations near SEMDEDUP_TARGET_CLUSTER. Split out so tests can
+    restrict the exact all-pairs dup set to co-clustered pairs."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -1607,8 +1615,9 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = vecs.count()
     m = max(1, n // 4096)
+    k = max(SEMDEDUP_MIN_K, min(SEMDEDUP_MAX_K, n // SEMDEDUP_TARGET_CLUSTER))
     km = KMeans(
-        k=SEMDEDUP_K,
+        k=k,
         seed=SEMDEDUP_SEED,
         maxIter=5,
         featuresCol="v",
