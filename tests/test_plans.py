@@ -371,3 +371,44 @@ def test_window_ntile_has_no_global_sort_window(spark, sf_smoke):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, plan
     assert all(s.lstrip().startswith("__b") for s in specs), specs
+
+
+def test_dsir_weights_plan_shape(spark, sf_smoke):
+    """q_dsir_weights: the bucket model joins as a BROADCAST onto the
+    (doc, bucket) aggregate (never shuffling the feature stream against
+    it), selection is TakeOrderedAndProject, and no cartesian product
+    appears anywhere."""
+    plan = final_plan(run("q_dsir_weights", spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # the corpus-sized feature aggregate must map-side combine
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_dedup_semantic_pairs_are_cluster_equi_join(spark, sf_smoke):
+    """q_dedup_semantic: candidate pairs come from the cluster_id
+    equi-join — never a cartesian product over the vectors (that would
+    be the all-pairs path the cluster partition exists to replace)."""
+    plan = final_plan(run("q_dedup_semantic", spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_check_battery_is_pure_union_of_aggregates(spark, sf_smoke):
+    """q_check_battery: five independent bounded aggregates under one
+    Union — no join between branches, no sort-merge anywhere."""
+    plan = final_plan(run("q_check_battery", spark, sf_smoke))
+    assert "Union" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_histogram_bins_broadcasts_bounds(spark, sf_smoke):
+    """q_histogram_bins: both legs broadcast a tiny bounds aggregate
+    back onto the scan — the fact side must never sort-merge."""
+    plan = final_plan(run("q_histogram_bins", spark, sf_smoke))
+    assert "SortMergeJoin" not in plan, plan
+    assert (
+        "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    ), plan
