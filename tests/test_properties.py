@@ -264,3 +264,52 @@ def test_bpe_merge_encode_properties(vocab, n_merges):
         pieces = bpe_encode_word(w, merges)
         assert "".join(pieces) == w
         assert 1 <= len(pieces) <= len(w)
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 999)),  # (value, id-ish)
+        min_size=1,
+        max_size=40,
+    ),
+    n_tiles=st.integers(1, 6),
+)
+def test_bucketed_rank_ntile_matches_window_ntile(spark, vals, n_tiles):
+    """q_window_ntile's rank arithmetic vs Spark's own unpartitioned
+    ntile/percent_rank on adversarial shapes: heavy value ties (domain
+    0-9), n < tiles, single row. The bucketed exact rank must be
+    bitwise identical to the window functions for every input."""
+    from pyspark.sql.window import Window
+
+    from ai_ready_data_framework_spark.operators.relational import (
+        global_rank_bucketed,
+        ntile_from_rank,
+    )
+
+    # unique ids make the (value, id) order total, as the operator needs
+    rows = [(v, i) for i, (v, _) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "value long, id long")
+
+    w = Window.orderBy("value", "id")
+    expected = {
+        (r.id, r.tile, r.pr)
+        for r in df.select(
+            "id",
+            F.ntile(n_tiles).over(w).cast("long").alias("tile"),
+            F.round(F.percent_rank().over(w), 4).alias("pr"),
+        ).collect()
+    }
+    ranked = global_rank_bucketed(df, "value", "id", n_buckets=4)
+    rn, n = F.col("__rn"), F.col("__n")
+    got = {
+        (r.id, r.tile, r.pr)
+        for r in ranked.select(
+            "id",
+            ntile_from_rank(rn, n, n_tiles).cast("long").alias("tile"),
+            F.when(n > 1, F.round((rn - 1) / (n - 1), 4))
+            .otherwise(F.lit(0.0))
+            .alias("pr"),
+        ).collect()
+    }
+    assert got == expected
