@@ -1675,3 +1675,72 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
         )
     )
+
+
+# Corpus-level duplicated-segment removal (C4 / RefinedWeb line dedup).
+# The fixture corpus is newline-free word soup, so the "line" unit is a
+# fixed-width token block; on real web text the splitter would be
+# newline/sentence-based with the SAME downstream dataflow.
+DUP_LINE_BLOCK_TOKENS = 8
+DUP_LINE_MIN_DOCS = 2  # a block this widespread is boilerplate
+
+
+@query("q_dedup_lines")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_ai_ops.py::test_dedup_lines_matches_duckdb_oracle
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-SEGMENT removal (the C4 "discard repeated
+    three-sentence spans" / RefinedWeb line-dedup shape; reference
+    grounding: the dedup north star /root/repo/BASELINE.json). Documents
+    are split into fixed-width token blocks; a block seen in >=
+    DUP_LINE_MIN_DOCS distinct documents is corpus boilerplate (nav
+    bars, license headers, templated intros) and survives only in the
+    smallest-doc_id document; every document is re-assembled from its
+    kept blocks in position order.
+
+    Scale shape: block hashes (not block text) are the shuffle keys —
+    (md5, doc_id) partial-aggregate → md5 aggregate are both map-side
+    combinable and linear in corpus blocks; the stats join is a keyed
+    equi-join on the hash (block-vocabulary sized build side — NOT
+    broadcast: at 100 TB the block vocabulary is billions of rows);
+    reassembly is one doc_id-keyed aggregate. No stage is quadratic,
+    nothing collects to the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_blocks = F.ceil(F.size(toks) / F.lit(DUP_LINE_BLOCK_TOKENS)).cast("int")
+    blocks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_blocks - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(
+                        toks,
+                        i * DUP_LINE_BLOCK_TOKENS + 1,
+                        DUP_LINE_BLOCK_TOKENS,
+                    ),
+                ),
+            )
+        ).alias("pos", "block"),
+    ).withColumn("bh", F.md5("block"))
+    # distinct docs per block hash: two-level keyed aggregate so the
+    # wide exchange carries (hash, doc_id), never block text
+    per_doc = blocks.groupBy("bh", "doc_id").agg(F.count("*").alias("n_in_doc"))
+    stats = per_doc.groupBy("bh").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+    joined = blocks.join(stats, "bh")
+    keep = (F.col("n_docs") < DUP_LINE_MIN_DOCS) | (
+        F.col("doc_id") == F.col("min_doc")
+    )
+    kept_struct = F.when(keep, F.struct("pos", "block"))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.count(F.when(keep, F.lit(1))).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["block"]
+            ),
+        ).alias("cleaned_text"),
+    )

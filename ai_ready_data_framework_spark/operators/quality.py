@@ -321,3 +321,58 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg_logp, 4).alias("avg_logp"),
         F.round(F.exp(-avg_logp), 4).alias("perplexity"),
     )
+
+
+# Model-based quality filtering (the fastText-classifier pattern from
+# CCNet/LLaMA data pipelines): train a linear classifier on weak
+# quality labels, score the whole corpus, filter on the score.
+QC_HASH_FEATURES = 4096
+QC_MAX_ITER = 20
+QC_REG = 0.01
+
+
+@query("q_quality_classifier")  # rows-only by contract: a FITTED model
+# (iterative LBFGS) has no ANSI oracle; determinism + separation
+# invariants run in tests/test_quality_ops.py
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: logistic regression over hashed
+    bag-of-words features, weak-labeled by the engine's own Gopher rule
+    battery (gopher_keep) — the CCNet/fastText-classifier shape where a
+    cheap model generalizes a rule battery into a graded score usable
+    for soft sampling (q_sample_quality consumes exactly such scores).
+
+    Scale shape: feature hashing is a map-side projection (no vocab
+    build, no shuffle); each LBFGS iteration is one treeAggregate pass
+    over the corpus (linear scans, nothing corpus-sized ever sits on
+    the driver); the fitted model is a QC_HASH_FEATURES-dim coefficient
+    vector broadcast back for one codegen'd scoring pass. Train on a
+    sample at 100 TB (the docstring contract mirrors the IVF quantizer:
+    model quality needs a sample, scoring needs the corpus)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        F.split(F.lower("text"), " ").alias("words"),
+        gopher_keep(F.col("text")).cast("double").alias("label"),
+    )
+    tf = HashingTF(
+        inputCol="words", outputCol="features", numFeatures=QC_HASH_FEATURES
+    )
+    feats = tf.transform(labeled)
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        maxIter=QC_MAX_ITER,
+        regParam=QC_REG,
+    )
+    model = lr.fit(feats)
+    scored = model.transform(feats)
+    return scored.select(
+        "doc_id",
+        F.col("label").cast("long").alias("label"),
+        F.round(vector_to_array("probability").getItem(1), 6).alias("p_keep"),
+        F.col("prediction").cast("long").alias("predicted"),
+    )

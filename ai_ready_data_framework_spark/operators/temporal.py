@@ -977,3 +977,43 @@ def psi_value_drift(events: DataFrame) -> DataFrame:
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(tot), 6).alias("psi_total"),
     ).orderBy("bin")
+
+
+# Multi-horizon trailing feature backfill (the feature-store "backfill
+# training features at every historical event" shape; grounding:
+# point_in_time_correctness requirements.yaml:103-105 — these are the
+# per-event feature rows q_join_asof later serves as-of labels).
+BACKFILL_HORIZONS_H = (1, 6, 24)
+
+
+@query("q_feature_backfill")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_temporal_ops.py
+def q_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-feature backfill: at EVERY event, the user's trailing
+    1h/6h/24h activity counts and value sums — the feature rows a
+    PIT-correct training join consumes (each row uses only data at or
+    before its own timestamp, so no future leakage by construction).
+
+    Scale shape: all six window aggregates share ONE partition/order
+    spec (user_id, ts), so the plan carries exactly one Exchange and
+    one Sort regardless of horizon count (pinned in test_plans.py) —
+    the naive per-horizon self-join would be H corpus-sized joins. At
+    100 TB user_id is a high-cardinality healthy shuffle key; frames
+    are event-TIME based (rangeBetween over epoch µs) so dense users
+    don't silently widen row-count frames."""
+    events = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    base = events.select(
+        "event_id", "user_id", ts_us.alias("ts_us"), "value"
+    )
+    cols = [F.col("event_id"), F.col("user_id"), F.col("ts_us")]
+    for h in BACKFILL_HORIZONS_H:
+        span_us = h * 3600 * 1_000_000
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_us")
+            .rangeBetween(-(span_us - 1), 0)
+        )
+        cols.append(F.count("*").over(w).cast("long").alias(f"n_{h}h"))
+        cols.append(F.round(F.sum("value").over(w), 4).alias(f"v_{h}h"))
+    return base.select(*cols)

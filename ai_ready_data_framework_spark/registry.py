@@ -94,6 +94,10 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_drift_psi",
     "q_drift_psi_value",
     "q_sample_quality",
+    "q_dedup_lines",
+    "q_datacard",
+    "q_feature_backfill",
+    "q_quality_classifier",
     "q_dsir_weights",
     "q_dedup_semantic",
     "q_dedup_incremental",

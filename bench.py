@@ -101,6 +101,10 @@ HEADLINE = [
     "q_histogram_bins",
     "q_dsir_weights",
     "q_dedup_semantic",
+    "q_dedup_lines",
+    "q_feature_backfill",
+    "q_quality_classifier",
+    "q_datacard",
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.

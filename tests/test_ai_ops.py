@@ -836,3 +836,54 @@ def test_dedup_semantic_matches_coclustered_exact_pairs(spark, sf_correctness):
     # determinism across runs
     rows2 = QUERIES["q_dedup_semantic"](spark, sf_correctness).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_dedup_lines_matches_duckdb_oracle(spark, sf_correctness):
+    """q_dedup_lines (C4/RefinedWeb duplicated-segment removal) is
+    SQL-expressible but the graded window is full, so its DuckDB oracle
+    runs here: identical (doc, counts, reassembled text) sets."""
+    import duckdb
+
+    from ai_ready_data_framework_spark.io import table_path
+
+    blk = ai.DUP_LINE_BLOCK_TOKENS
+    sql = f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM read_parquet('{table_path(sf_correctness, "documents")}')
+        ),
+        b AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(toks[i*{blk}+1 : i*{blk}+{blk}], ' ') AS block
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(0, CAST(ceil(len(toks) / {blk}.0) AS INT))) AS i
+                FROM t
+            )
+        ),
+        s AS (
+            SELECT md5(block) AS bh,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   MIN(doc_id) AS min_doc
+            FROM b GROUP BY 1
+        ),
+        k AS (
+            SELECT b.doc_id, b.pos, b.block,
+                   (s.n_docs < {ai.DUP_LINE_MIN_DOCS} OR b.doc_id = s.min_doc) AS keep
+            FROM b JOIN s ON md5(b.block) = s.bh
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_blocks,
+               COUNT(CASE WHEN keep THEN 1 END) AS n_kept,
+               COALESCE(string_agg(CASE WHEN keep THEN block END, ' ' ORDER BY pos),
+                        '') AS cleaned_text
+        FROM k GROUP BY doc_id
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_dedup_lines"](spark, sf_correctness).collect()
+    got = {(r.doc_id, r.n_blocks, r.n_kept, r.cleaned_text) for r in rows}
+    assert got == expected
+    # the corpus contains exact-duplicate documents, so boilerplate
+    # blocks must actually be removed somewhere (policy has teeth)
+    assert any(r.n_kept < r.n_blocks for r in rows)
+    assert all(r.n_kept >= 0 and r.n_kept <= r.n_blocks for r in rows)

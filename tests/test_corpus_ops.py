@@ -629,3 +629,66 @@ def test_dsir_weights_matches_python_oracle(spark, sf_correctness):
     med = sorted(v[1] for v in expected.values())[len(expected) // 2]
     sel_mean = sum(expected[d][1] for d in exp_selected) / len(exp_selected)
     assert sel_mean > med
+
+
+def test_datacard_matches_duckdb_oracle(spark, sf_correctness):
+    """q_datacard (per-source data card) is SQL-expressible but the
+    graded window is full, so its DuckDB oracle runs here."""
+    docs = table_path(sf_correctness, "documents")
+    sql = f"""
+        WITH base AS (
+            SELECT source, lang, n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   sha256(text) AS h
+            FROM read_parquet('{docs}')
+        ),
+        by_lang AS (
+            SELECT source, lang, COUNT(*) AS cnt,
+                   CAST(SUM(n_tokens) AS BIGINT) AS toks,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM base GROUP BY 1, 2
+        ),
+        mix AS (
+            SELECT source,
+                   CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                   CAST(SUM(toks) AS BIGINT) AS total_tokens,
+                   CAST(SUM(chars) AS BIGINT) AS total_chars,
+                   COUNT(*) AS n_langs
+            FROM by_lang GROUP BY 1
+        ),
+        top AS (
+            SELECT source, lang AS top_lang, cnt AS top_cnt FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY cnt DESC, lang DESC
+                ) AS rn FROM by_lang
+            ) WHERE rn = 1
+        ),
+        dups AS (
+            SELECT source,
+                   CAST(SUM(CASE WHEN copies > 1 THEN copies ELSE 0 END)
+                        AS BIGINT) AS n_dup_docs
+            FROM (SELECT source, h, COUNT(*) AS copies FROM base GROUP BY 1, 2)
+            GROUP BY 1
+        )
+        SELECT m.source, m.n_docs, d.n_dup_docs,
+               ROUND(CAST(d.n_dup_docs AS DOUBLE) / m.n_docs, 4) AS dup_frac,
+               m.total_tokens,
+               ROUND(CAST(m.total_tokens AS DOUBLE) / m.n_docs, 4) AS avg_tokens,
+               ROUND(CAST(m.total_chars AS DOUBLE) / m.n_docs, 4) AS avg_chars,
+               m.n_langs, t.top_lang,
+               ROUND(CAST(t.top_cnt AS DOUBLE) / m.n_docs, 4) AS top_lang_share
+        FROM mix m JOIN top t USING (source) JOIN dups d USING (source)
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_datacard"](spark, sf_correctness).collect()
+    got = {
+        (
+            r.source, r.n_docs, r.n_dup_docs, r.dup_frac, r.total_tokens,
+            r.avg_tokens, r.avg_chars, r.n_langs, r.top_lang,
+            r.top_lang_share,
+        )
+        for r in rows
+    }
+    assert got == expected
+    assert all(0.0 <= r.dup_frac <= 1.0 for r in rows)
+    assert all(0.0 < r.top_lang_share <= 1.0 for r in rows)

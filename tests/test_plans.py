@@ -412,3 +412,38 @@ def test_histogram_bins_broadcasts_bounds(spark, sf_smoke):
     assert (
         "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     ), plan
+
+
+def test_feature_backfill_single_exchange_and_sort(spark, sf_smoke):
+    """q_feature_backfill: all six horizon aggregates share ONE
+    (user_id) Exchange and ONE sort — the whole point of pinning every
+    frame to the same partition/order spec (the naive per-horizon
+    self-join would be H corpus-sized joins)."""
+    plan = final_plan(run("q_feature_backfill", spark, sf_smoke))
+    body = plan.split("== Initial Plan ==")[0]
+    n_exchanges = body.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, (n_exchanges, body)
+    assert body.count("Sort ") <= 1, body
+    # frames are RANGE (event-time), not ROWS
+    assert "RANGE" in body.upper(), body
+
+
+def test_dedup_lines_keyed_joins_only(spark, sf_smoke):
+    """q_dedup_lines: the stats join is a keyed equi-join on the block
+    hash (block-vocabulary build side — must not be a cartesian or
+    nested-loop), and the block aggregate map-side combines."""
+    plan = final_plan(run("q_dedup_lines", spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan or "partial_min" in plan, plan
+
+
+def test_datacard_no_document_text_in_final_join(spark, sf_smoke):
+    """q_datacard: the final join touches only source-cardinality
+    aggregates; no sort-merge of anything corpus-sized and no
+    cartesian."""
+    plan = final_plan(run("q_datacard", spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    # both sides reach the join pre-aggregated: every join input is an
+    # Aggregate result, so a corpus-sized SMJ cannot appear
+    assert "partial_count" in plan or "partial_sum" in plan, plan

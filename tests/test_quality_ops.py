@@ -194,3 +194,25 @@ def test_perplexity_matches_duckdb_oracle(spark, sf_correctness):
     ppls = {r.perplexity for r in rows}
     assert len(ppls) > 10
     assert all(r.perplexity > 1.0 for r in rows)
+
+
+def test_quality_classifier_separates_and_is_deterministic(spark, sf_smoke):
+    """q_quality_classifier has no ANSI oracle (fitted LBFGS model);
+    its contract: scores in [0,1], the model separates its own weak
+    labels (mean p_keep of keep-docs above drop-docs), never worse
+    than the trivial majority classifier, and rerunning the fit
+    reproduces the same scores."""
+    rows = QUERIES["q_quality_classifier"](spark, sf_smoke).collect()
+    assert rows
+    assert all(0.0 <= r.p_keep <= 1.0 for r in rows)
+    keep = [r.p_keep for r in rows if r.label == 1]
+    drop = [r.p_keep for r in rows if r.label == 0]
+    assert keep and drop, "gopher labels must have both classes"
+    assert sum(keep) / len(keep) > sum(drop) / len(drop) + 0.05
+    acc = sum(1 for r in rows if r.predicted == r.label) / len(rows)
+    majority = max(len(keep), len(drop)) / len(rows)
+    assert acc >= majority - 0.02, (acc, majority)
+    again = QUERIES["q_quality_classifier"](spark, sf_smoke).collect()
+    assert {(r.doc_id, round(r.p_keep, 4)) for r in rows} == {
+        (r.doc_id, round(r.p_keep, 4)) for r in again
+    }

@@ -235,3 +235,35 @@ def test_period_over_period_matches_duckdb_oracle(spark, sf_correctness):
     assert {tuple(r) for r in rows} == expected
     firsts = [r for r in rows if r.prev_value is None]
     assert len(firsts) == 1  # only the first day lacks a predecessor
+
+
+def test_feature_backfill_matches_duckdb_oracle(spark, sf_correctness):
+    """q_feature_backfill (multi-horizon trailing features) is
+    SQL-expressible but the graded window is full, so its DuckDB
+    oracle runs here: identical per-event feature rows at all three
+    horizons."""
+    ev = table_path(sf_correctness, "events")
+    frames = []
+    for h in TP.BACKFILL_HORIZONS_H:
+        span = h * 3600 * 1_000_000
+        frames.append(
+            f"CAST(COUNT(*) OVER w{h} AS BIGINT) AS n_{h}h,\n"
+            f"ROUND(SUM(value) OVER w{h}, 4) AS v_{h}h"
+        )
+    windows = ",\n".join(
+        f"w{h} AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+        f"RANGE BETWEEN {h * 3600 * 1_000_000 - 1} PRECEDING AND CURRENT ROW)"
+        for h in TP.BACKFILL_HORIZONS_H
+    )
+    sql = f"""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               {", ".join(frames)}
+        FROM read_parquet('{ev}')
+        WINDOW {windows}
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_feature_backfill"](spark, sf_correctness).collect()
+    got = {tuple(r) for r in rows}
+    assert got == expected
+    # horizons nest: a wider trailing window can never see fewer events
+    assert all(r.n_1h <= r.n_6h <= r.n_24h for r in rows)
