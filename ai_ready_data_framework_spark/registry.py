@@ -78,11 +78,13 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_bm25",
     "q_hybrid_rrf",
     "q_split_assign",
+    "q_split_leakage_safe",
     "q_anomaly_zscore",
     "q_join_skew",
     "q_perplexity",
     "q_dedup_latest",
     "q_period_over_period",
+    "q_join_interval",
     "q_containment_pairs",
     "q_vector_topk_batch",
     "q_pipeline_e2e",
@@ -110,6 +112,8 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_scd2_history",
     "q_dedup_simhash",
     "q_vector_ann_ivf",
+    "q_vector_ann_pq",
+    "q_knn_graph",
     "q_vector_ann",
     "q_lang_id",
     "q_multimodal_meta",

@@ -105,6 +105,13 @@ HEADLINE = [
     "q_feature_backfill",
     "q_quality_classifier",
     "q_datacard",
+    "q_vector_ann_pq",
+    "q_split_leakage_safe",
+    "q_join_interval",
+    # q_knn_graph absent for q_embed_dup_lsh's reason: its candidates
+    # come from the same SRP bands, which on THIS random corpus cover
+    # ~2/3 of all pairs (~26s at sf0.1) — the documented
+    # corpus-adversarial case, not representative operator cost.
     # q_embed_dup intentionally absent: it is the exact all-pairs
     # (quadratic) oracle for the approx paths; benching it would
     # headline a shape we tell users NOT to run at scale.

@@ -887,3 +887,67 @@ def test_dedup_lines_matches_duckdb_oracle(spark, sf_correctness):
     # blocks must actually be removed somewhere (policy has teeth)
     assert any(r.n_kept < r.n_blocks for r in rows)
     assert all(r.n_kept >= 0 and r.n_kept <= r.n_blocks for r in rows)
+
+
+def test_pq_ann_recall_vs_exact_batch(spark, sf_correctness):
+    """PQ-ADC ANN must recover nearly all of the exact batch top-k —
+    the retrieval_recall_compliance pattern (check 19) for the
+    compressed-index path. Measured 0.98 at sf0.01 with K=32 codewords
+    and 100-deep ADC candidates on this (adversarially random) corpus;
+    the assertion leaves headroom for fixture regeneration."""
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["q_vector_topk_batch"](spark, sf_correctness).collect()
+    }
+    pq_rows = QUERIES["q_vector_ann_pq"](spark, sf_correctness).collect()
+    pq = {(r.query_id, r.vec_id) for r in pq_rows}
+    assert exact, "exact batch top-k expected"
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.85, f"pq recall {recall}"
+    # contract: exactly top-k rows per query, ranks 1..k
+    per_q = {}
+    for r in pq_rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, ai.RETRIEVAL_TOP_K + 1)), qid
+
+
+def test_pq_ann_deterministic(spark, sf_smoke):
+    """Seeded codebooks + fixed-order ADC accumulation + tie-broken
+    ranks: two runs must be bitwise identical."""
+    a = QUERIES["q_vector_ann_pq"](spark, sf_smoke).collect()
+    b = QUERIES["q_vector_ann_pq"](spark, sf_smoke).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_knn_graph_recall_vs_exact(spark, sf_smoke):
+    """Approximate k-NN graph: per-node neighbor sets must recover most
+    of the exact graph (measured 0.87 on the random corpus — SRP bands
+    prune weakly here by design, see q_embed_dup_lsh's caveat), and
+    every node must appear with exactly K ranked neighbors."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    exact_rows = (
+        a.crossJoin(b)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst", F.round(V.cosine("va", "vb"), 4).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ai.KNN_GRAPH_K)
+        .collect()
+    )
+    exact = {(r.src, r.dst) for r in exact_rows}
+    got_rows = QUERIES["q_knn_graph"](spark, sf_smoke).collect()
+    got = {(r.src, r.dst) for r in got_rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.75, f"knn graph recall {recall}"
+    n_nodes = emb.count()
+    per_node = {}
+    for r in got_rows:
+        per_node.setdefault(r.src, []).append(r.rank)
+    assert len(per_node) == n_nodes, "every node must be ranked"
+    for src, ranks in per_node.items():
+        assert sorted(ranks) == list(range(1, ai.KNN_GRAPH_K + 1)), src

@@ -447,3 +447,12 @@ def test_datacard_no_document_text_in_final_join(spark, sf_smoke):
     # both sides reach the join pre-aggregated: every join input is an
     # Aggregate result, so a corpus-sized SMJ cannot appear
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_interval_join_avoids_nested_loop(spark, sf_smoke):
+    """q_join_interval's whole reason to exist: the overlap join must
+    run as a bucket EQUI-join — zero nested-loop or cartesian operators
+    anywhere in the executed plan."""
+    plan = final_plan(run("q_join_interval", spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -217,3 +217,39 @@ def test_feature_bins_matches_duckdb_oracle(spark, sf_correctness):
     for g, counts in by_grp.items():
         assert len(counts) == 4, (g, counts)
         assert max(counts) <= 1.2 * min(counts), (g, counts)
+
+
+def test_split_leakage_safe_matches_duckdb_oracle(spark, sf_correctness):
+    """Leakage-safe split: DuckDB recomputes the exact-dup-group split
+    assignment; beyond set equality, no text hash may span two splits
+    (the invariant q_split_assign cannot give)."""
+    thr_train = ai.mix_threshold_hex(ai.SPLIT_TRAIN_FRAC)
+    thr_val = ai.mix_threshold_hex(ai.SPLIT_TRAIN_FRAC + ai.SPLIT_VAL_FRAC)
+    sql = f"""
+        WITH hashed AS (
+            SELECT doc_id, source, sha256(text) AS th
+            FROM read_parquet('{table_path(sf_correctness, "documents")}')
+        ),
+        groups AS (
+            SELECT th, MIN(doc_id) AS group_rep FROM hashed GROUP BY th
+        )
+        SELECT h.doc_id, h.source, g.group_rep,
+               CASE WHEN substring(md5(CAST(g.group_rep AS VARCHAR)), 1, 8)
+                         < '{thr_train}' THEN 'train'
+                    WHEN substring(md5(CAST(g.group_rep AS VARCHAR)), 1, 8)
+                         < '{thr_val}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM hashed h JOIN groups g USING (th)
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_split_leakage_safe"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    # zero leakage: all members of a dup group share one split
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.group_rep, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())
+    # fractions still near 80/10/10 (group draw is uniform)
+    n = len(rows)
+    n_train = sum(1 for r in rows if r.split == "train")
+    assert abs(n_train / n - 0.8) < 0.08

@@ -267,3 +267,78 @@ def test_feature_backfill_matches_duckdb_oracle(spark, sf_correctness):
     assert got == expected
     # horizons nest: a wider trailing window can never see fewer events
     assert all(r.n_1h <= r.n_6h <= r.n_24h for r in rows)
+
+
+def test_join_interval_matches_duckdb_overlap_join(spark, sf_correctness):
+    """The bucketed interval join must equal the DIRECT overlap
+    predicate join (the semantics it rewrites): DuckDB derives the same
+    session and incident intervals, then joins on the raw
+    a.start <= b.end AND b.start <= a.end condition."""
+    ev = table_path(sf_correctness, "events")
+    s_gap = TP.SESSION_GAP_MINUTES * 60 * 1_000_000
+    i_gap = TP.INCIDENT_GAP_MINUTES * 60 * 1_000_000
+    sql = f"""
+        WITH sess AS (
+            SELECT user_id, session_id,
+                   MIN(epoch_us(ts)) AS s_start_us,
+                   MAX(epoch_us(ts)) AS s_end_us
+            FROM (
+                SELECT user_id, ts,
+                       CAST(SUM(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_id
+                FROM (
+                    SELECT user_id, ts, event_id,
+                           CASE WHEN lag(ts) OVER (
+                                    PARTITION BY user_id ORDER BY ts, event_id)
+                                    IS NULL
+                                  OR date_diff('microsecond',
+                                       lag(ts) OVER (
+                                           PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                                       ts) > {s_gap}
+                                THEN 1 ELSE 0 END AS is_new
+                    FROM read_parquet('{ev}')
+                )
+            ) GROUP BY user_id, session_id
+        ),
+        inc AS (
+            SELECT incident_id,
+                   MIN(epoch_us(ts)) AS i_start_us,
+                   MAX(epoch_us(ts)) AS i_end_us,
+                   COUNT(*) AS n_errors
+            FROM (
+                SELECT ts,
+                       CAST(SUM(is_new) OVER (
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS incident_id
+                FROM (
+                    SELECT ts, event_id,
+                           CASE WHEN lag(ts) OVER (ORDER BY ts, event_id)
+                                    IS NULL
+                                  OR date_diff('microsecond',
+                                       lag(ts) OVER (ORDER BY ts, event_id),
+                                       ts) > {i_gap}
+                                THEN 1 ELSE 0 END AS is_new
+                    FROM read_parquet('{ev}')
+                    WHERE event_type = 'error'
+                )
+            ) GROUP BY incident_id
+        )
+        SELECT s.user_id, s.session_id, i.incident_id, i.n_errors,
+               ROUND((LEAST(s.s_end_us, i.i_end_us)
+                      - GREATEST(s.s_start_us, i.i_start_us)) / 1000000.0,
+                     4) AS overlap_s
+        FROM sess s
+        JOIN inc i
+          ON s.s_start_us <= i.i_end_us AND i.i_start_us <= s.s_end_us
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    got = {
+        tuple(r)
+        for r in QUERIES["q_join_interval"](spark, sf_correctness).collect()
+    }
+    assert expected, "overlapping session/incident pairs expected"
+    assert got == expected
