@@ -2048,3 +2048,43 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+@query("q_split_cluster_safe")  # iterative components group key ->
+# rows-only; invariants in tests/test_retrieval.py
+def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (dataset splits, near-dup-hardened): the stronger
+    sibling of q_split_leakage_safe — the atomic split unit is the
+    NEAR-dup cluster (connected components over the exact n-gram
+    Jaccard pairs, q_dedup_clusters), so two documents that are merely
+    similar — not byte-identical — also cannot straddle train/test.
+    Docs in no cluster are their own singleton group. This is the split
+    discipline eval-decontamination papers assume; exact-dup atomicity
+    falls out as a special case (identical texts share every shingle,
+    so they share a component).
+
+    Spark shape: the component table explodes to (doc_id, cluster_rep)
+    — corpus-sized but narrow — and re-joins the doc table on doc_id (a
+    keyed shuffle join; at 100 TB both sides hash-partition on doc_id);
+    the group draw is the same md5-threshold projection every split
+    operator here uses. Rows-only by the component closure's contract;
+    zero-straddle + fraction invariants run in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = q_dedup_clusters(spark, sf_dir).select(
+        F.explode("members").alias("doc_id"),
+        F.col("keep_doc_id").alias("cluster_rep"),
+    )
+    joined = docs.select("doc_id", "source").join(clusters, "doc_id", "left")
+    grp = F.coalesce("cluster_rep", "doc_id")
+    h8 = F.substring(F.md5(grp.cast("string").cast("binary")), 1, 8)
+    thr_train = mix_threshold_hex(SPLIT_TRAIN_FRAC)
+    thr_val = mix_threshold_hex(SPLIT_TRAIN_FRAC + SPLIT_VAL_FRAC)
+    return joined.select(
+        "doc_id",
+        "source",
+        grp.alias("group_rep"),
+        F.when(h8 < thr_train, "train")
+        .when(h8 < thr_val, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -551,3 +551,47 @@ def q_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_lang_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (DataSketches HLL)
+# ---------------------------------------------------------------------------
+
+
+@query("q_distinct_sketch")  # sketch bytes are engine-specific -> rows-only
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 at fleet scale: MERGEABLE distinct-count sketches — per
+    source, the Apache DataSketches HLL sketch of its distinct tokens
+    (``hll_sketch_agg``), plus an __all__ row whose estimate comes from
+    UNIONING the per-source partial sketches (``hll_union_agg``), not
+    from rescanning the corpus.
+
+    This mergeability is what approx_count_distinct (q_agg_approx)
+    does internally but never exposes: at 100 TB the per-shard /
+    per-day / per-source sketches materialize as small binary columns,
+    and any rollup (all sources, one month, one split) is a union of
+    KILOBYTE sketches — no second pass over the data. The same
+    pre-aggregated shape serves the datacard, drift, and coverage
+    checks incrementally: yesterday's sketch unions with today's delta
+    sketch in O(sketch) time. One corpus-sized token aggregate total;
+    everything downstream is source-cardinality-sized.
+
+    Estimates are within HLL error (~1.6% at lgK=12) of the exact
+    per-source distinct counts — asserted against exact
+    COUNT(DISTINCT) in tests/test_corpus_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_src = toks.groupBy("source").agg(F.hll_sketch_agg("tok").alias("sk"))
+    est = per_src.select(
+        "source", F.hll_sketch_estimate("sk").alias("est_distinct")
+    )
+    merged = (
+        per_src.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit("__all__").alias("source"),
+            F.hll_sketch_estimate("sk").alias("est_distinct"),
+        )
+    )
+    return est.unionByName(merged)

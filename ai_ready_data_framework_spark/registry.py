@@ -79,6 +79,8 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_hybrid_rrf",
     "q_split_assign",
     "q_split_leakage_safe",
+    "q_split_cluster_safe",
+    "q_distinct_sketch",
     "q_anomaly_zscore",
     "q_join_skew",
     "q_perplexity",

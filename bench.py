@@ -107,6 +107,8 @@ HEADLINE = [
     "q_datacard",
     "q_vector_ann_pq",
     "q_split_leakage_safe",
+    "q_split_cluster_safe",
+    "q_distinct_sketch",
     "q_join_interval",
     # q_knn_graph absent for q_embed_dup_lsh's reason: its candidates
     # come from the same SRP bands, which on THIS random corpus cover

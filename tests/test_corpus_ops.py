@@ -692,3 +692,40 @@ def test_datacard_matches_duckdb_oracle(spark, sf_correctness):
     assert got == expected
     assert all(0.0 <= r.dup_frac <= 1.0 for r in rows)
     assert all(0.0 < r.top_lang_share <= 1.0 for r in rows)
+
+
+def test_distinct_sketch_within_hll_error_of_exact(spark, sf_correctness):
+    """Per-source HLL estimates and the merged __all__ estimate must
+    sit within sketch error of the exact distinct counts, and the
+    merged row must come from sketch union (it equals the global
+    distinct, not the sum of per-source counts)."""
+    import duckdb
+
+    from ai_ready_data_framework_spark.io import table_path
+
+    sql = f"""
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM read_parquet('{table_path(sf_correctness, "documents")}')
+        )
+        SELECT source, COUNT(DISTINCT tok) AS n
+        FROM toks WHERE tok != '' GROUP BY source
+    """
+    con = duckdb.connect()
+    exact = dict(con.execute(sql).fetchall())
+    exact["__all__"] = con.execute(
+        sql.replace("SELECT source, COUNT(DISTINCT tok) AS n", "SELECT '__all__', COUNT(DISTINCT tok) AS n")
+        .replace("GROUP BY source", "GROUP BY 1")
+    ).fetchall()[0][1]
+    rows = QUERIES["q_distinct_sketch"](spark, sf_correctness).collect()
+    got = {r.source: r.est_distinct for r in rows}
+    assert set(got) == set(exact)
+    for src, n in exact.items():
+        err = abs(got[src] - n) / n
+        assert err < 0.05, (src, got[src], n, err)
+    # determinism: HLL over the same input set is reproducible
+    again = {
+        r.source: r.est_distinct
+        for r in QUERIES["q_distinct_sketch"](spark, sf_correctness).collect()
+    }
+    assert got == again

@@ -253,3 +253,32 @@ def test_split_leakage_safe_matches_duckdb_oracle(spark, sf_correctness):
     n = len(rows)
     n_train = sum(1 for r in rows if r.split == "train")
     assert abs(n_train / n - 0.8) < 0.08
+
+
+def test_split_cluster_safe_invariants(spark, sf_correctness):
+    """Cluster-atomic split: no near-dup cluster may straddle splits,
+    singletons keep their own deterministic draw (matching
+    q_split_leakage_safe's group draw for the same group_rep), and
+    fractions stay near 80/10/10."""
+    rows = QUERIES["q_split_cluster_safe"](spark, sf_correctness).collect()
+    clusters = QUERIES["q_dedup_clusters"](spark, sf_correctness).collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    group_of = {r.doc_id: r.group_rep for r in rows}
+    n_clustered = 0
+    for c in clusters:
+        splits = {split_of[m] for m in c.members}
+        assert len(splits) == 1, (c.keep_doc_id, splits)
+        for m in c.members:
+            assert group_of[m] == c.keep_doc_id
+        n_clustered += len(c.members)
+    assert n_clustered > 0, "fixture should contain near-dup clusters"
+    n = len(rows)
+    n_train = sum(1 for r in rows if r.split == "train")
+    assert abs(n_train / n - 0.8) < 0.08
+    # same draw rule as the exact-dup variant: identical group_rep ->
+    # identical split across the two operators
+    leak_rows = QUERIES["q_split_leakage_safe"](spark, sf_correctness).collect()
+    draw = {r.group_rep: r.split for r in leak_rows}
+    for r in rows:
+        if r.group_rep in draw:
+            assert r.split == draw[r.group_rep]
