@@ -59,7 +59,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # foreign session (e.g. the driver's) arrives with a different zone —
     # an unconditional set here would silently override caller state on
     # every read (ADVICE r3).
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # NOTE: no two-arg conf.get here — Spark 4 validates the fallback
+    # string against the timezone conf's parser, so get(key, "") throws
+    # on any session that never set the conf explicitly (a fresh
+    # default-config session). One-arg get returns the effective zone
+    # (the JVM default when unset).
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    if tz != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

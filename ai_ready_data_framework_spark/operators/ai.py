@@ -1504,16 +1504,26 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def incremental_band_probe(
     bands: DataFrame,
-    batch_mod: int,
+    batch_mod: int | None = None,
     hot_bucket_cap: int = T.HOT_BUCKET_CAP,
+    is_new=None,
 ) -> DataFrame:
-    """Probe a (band, bk) LSH index with a batch (doc_id % batch_mod ==
-    0), with the same hot-bucket cap as banded_minhash_pairs (VERDICT
-    r3 #1): index buckets larger than ``hot_bucket_cap`` answer probes
-    with their bucket-minimum REPRESENTATIVE only — a batch doc landing
-    in a 10⁶-member boilerplate bucket gets one (doc, rep) pair, not
-    10⁶ pairs; the downstream cluster closure resolves the rest. Split
-    out so tests can run it against a PERSISTED index frame."""
+    """Probe a (band, bk) LSH index with a batch, with the same
+    hot-bucket cap as banded_minhash_pairs (VERDICT r3 #1): index
+    buckets larger than ``hot_bucket_cap`` answer probes with their
+    bucket-minimum REPRESENTATIVE only — a batch doc landing in a
+    10⁶-member boilerplate bucket gets one (doc, rep) pair, not 10⁶
+    pairs; the downstream cluster closure resolves the rest. Split out
+    so tests can run it against a PERSISTED index frame.
+
+    Batch membership: either ``batch_mod`` (doc_id % batch_mod == 0 —
+    the declared query's deterministic fiction) or an explicit
+    ``is_new`` boolean Column over ``bands`` (what the streaming
+    foreachBatch wrapper passes: index rows False, micro-batch rows
+    True)."""
+    if is_new is None:
+        is_new = F.col("doc_id") % batch_mod == 0
+    bands = bands.withColumn("__new", is_new)
     # batch membership is arithmetic here; in production the batch's
     # bands are computed FROM the new files alone (no corpus filter at
     # all) and probe the persisted index — never broadcast an id list,
@@ -1535,7 +1545,7 @@ def incremental_band_probe(
     # the INDEX side of a hot bucket is pre-filtered to its
     # representative row, so a batch doc landing there gets one
     # (doc, rep) pair instead of O(bucket) pairs
-    a = tagged.filter(F.col("doc_id") % batch_mod == 0).select(
+    a = tagged.filter(F.col("__new")).select(
         F.col("doc_id").alias("new_doc"),
         F.col("__sig").alias("__sig_a"),
         "band",
@@ -1549,11 +1559,12 @@ def incremental_band_probe(
         F.col("__sig").alias("__sig_b"),
         "band",
         "bk",
+        F.col("__new").alias("__new_b"),
     )
     # cold buckets keep (new, old) pairs in both orders collapsed and
     # (new, new) pairs once via id order; hot buckets emit (new, rep)
     # only — no order collapse needed since the b-side is a single row
-    other_is_new = F.col("other_doc") % batch_mod == 0
+    other_is_new = F.col("__new_b")
     is_cold = F.col("__bn").isNull()
     keep = (F.col("new_doc") != F.col("other_doc")) & (
         ~is_cold | ~other_is_new | (F.col("new_doc") < F.col("other_doc"))

@@ -162,3 +162,19 @@ def read_band_index(spark: SparkSession, table_name: str) -> DataFrame:
     plain spark.read.parquet on the files would lose the bucket spec
     and reintroduce the index-side shuffle)."""
     return spark.table(table_name)
+
+
+def append_band_index(bands: DataFrame, table_name: str) -> None:
+    """Fold a new batch's bands INTO the persisted index (the
+    incremental-maintenance half write_band_index's docstring
+    promises). Append with the SAME bucket spec: Spark verifies it
+    against the table's metadata, and each appended file set stays
+    aligned to the (band, bk) buckets so the probe join's exchange-free
+    property survives ingestion after ingestion."""
+    (
+        bands.write.mode("append")
+        .bucketBy(BAND_INDEX_BUCKETS, "band", "bk")
+        .sortBy("band", "bk")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
