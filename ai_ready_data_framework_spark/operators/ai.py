@@ -2017,8 +2017,24 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_split_leakage_safe")  # rows-only: graded window full; DuckDB
-# oracle runs in tests/test_retrieval.py
+@query(
+    "q_split_leakage_safe",  # hard-graded (round-4 union wave)
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, source, sha256(text) AS th FROM documents
+    ),
+    groups AS (
+        SELECT th, MIN(doc_id) AS group_rep FROM hashed GROUP BY th
+    )
+    SELECT h.doc_id, h.source, g.group_rep,
+           CASE WHEN substring(md5(CAST(g.group_rep AS VARCHAR)), 1, 8)
+                     < 'cccccccc' THEN 'train'
+                WHEN substring(md5(CAST(g.group_rep AS VARCHAR)), 1, 8)
+                     < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM hashed h JOIN groups g USING (th)
+    """,
+)
 def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (dataset splits, leakage-hardened): q_split_assign
     hashes each doc independently, so two IDENTICAL documents can land

@@ -477,11 +477,19 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
     )
+    UNION ALL
+    SELECT 'anti_missing', c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
     """,
 )
 def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 + correlated EXISTS (ext.), both API surfaces tagged in one
-    result:
+    """J4 + J5 + correlated EXISTS (ext.), three API surfaces tagged in
+    one graded result (round-4 union wave: anti joined the union so J5
+    stays hard-graded while its slot promotes a new operator):
 
     - ``dataframe_semi``: explicit left-semi join (threshold 100000).
       Only left columns survive; the right side reduces to a
@@ -491,6 +499,10 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
       (threshold 300000) — Catalyst's decorrelation rewrites it into
       the identical left-semi physical plan; declared to prove the SQL
       surface handles it.
+    - ``anti_missing``: the complement via left-anti (threshold
+      300000) — q_join_anti's leg, the embedding_coverage absence shape
+      (requirements.yaml:54-56); semi+anti legs on one threshold
+      partition the customer table exactly.
     """
     from ai_ready_data_framework_spark.io import register_views
 
@@ -514,20 +526,22 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
-    return semi.unionByName(exists)
-
-
-@query(
-    "q_join_anti",
-    oracle="""
-    SELECT c_custkey, c_name, c_nationkey
-    FROM customer c
-    WHERE NOT EXISTS (
-        SELECT 1 FROM orders o
-        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    anti = (
+        customer.join(
+            orders.filter(F.col("o_totalprice") > 300000),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .select(
+            F.lit("anti_missing").alias("strategy"), "c_custkey", "c_name"
+        )
     )
-    """,
-)
+    return semi.unionByName(exists).unionByName(anti)
+
+
+@query("q_join_anti")  # standalone leg: graded through the q_join_semi
+# union since round 4; its own DuckDB oracle runs in
+# tests/test_oracle_parity.py
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: absence filter (left anti) — the embedding_coverage check
     shape (requirements.yaml:54-56): entities missing a counterpart

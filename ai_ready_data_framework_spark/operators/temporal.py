@@ -375,44 +375,19 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_window_tumbling",
     oracle="""
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+    SELECT 'tumbling_1h' AS win_kind,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n_events,
            ROUND(SUM(value), 4) AS sum_value
     FROM events
-    GROUP BY 1, 2
-    """,
-)
-def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1 (batch-parity form): 1-hour tumbling window aggregation via
-    ``F.window`` — the exact expression a Structured Streaming job uses
-    with a watermark; running it in batch gives the
-    training_serving_parity guarantee by construction
-    (requirements.yaml:107-109). Aligned hourly windows ≡ date_trunc."""
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                "window_start"
-            ),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
-
-
-@query(
-    "q_window_sliding",
-    oracle="""
-    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
-           COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding_1h_30m',
+           strftime(ws, '%Y-%m-%d %H:%M:%S'),
+           '__all__',
+           COUNT(*),
+           ROUND(SUM(value), 4)
     FROM (
         SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
         UNION ALL
@@ -422,6 +397,50 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ws
     """,
 )
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 + T2 (batch-parity forms), tagged in one graded result
+    (round-4 union wave: one slot hard-verifies both window kinds):
+
+    - ``tumbling_1h``: 1-hour tumbling windows per event_type via
+      ``F.window`` — the exact expression a Structured Streaming job
+      uses with a watermark; batch execution gives the
+      training_serving_parity guarantee by construction
+      (requirements.yaml:107-109). Aligned hourly windows ≡ date_trunc.
+    - ``sliding_1h_30m``: 1-hour windows sliding every 30 minutes
+      (q_window_sliding's standalone leg; event_type pinned to
+      '__all__' on this leg's rows). Each event lands in exactly two
+      windows — the oracle states that expansion explicitly.
+    """
+    events = load_table(spark, sf_dir, "events")
+    tumbling = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.lit("tumbling_1h").alias("win_kind"),
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sliding = q_window_sliding(spark, sf_dir).select(
+        F.lit("sliding_1h_30m").alias("win_kind"),
+        "window_start",
+        F.lit("__all__").alias("event_type"),
+        "n_events",
+        "sum_value",
+    )
+    return tumbling.unionByName(sliding)
+
+
+@query("q_window_sliding")  # standalone leg: graded through the
+# q_window_tumbling union since round 4; its own DuckDB oracle runs in
+# tests/test_oracle_parity.py
 def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: 1-hour window sliding every 30 minutes. Each event lands in
     exactly two windows (starts: floor30(ts) and floor30(ts)-30min) —
@@ -1073,8 +1092,69 @@ def _error_incidents_us(events: DataFrame) -> DataFrame:
     )
 
 
-@query("q_join_interval")  # rows-only: graded window full; DuckDB
-# oracle runs in tests/test_temporal_ops.py
+INTERVAL_ORACLE_SQL = f"""
+    WITH sess AS (
+        SELECT user_id, session_id,
+               MIN(epoch_us(ts)) AS s_start_us,
+               MAX(epoch_us(ts)) AS s_end_us
+        FROM (
+            SELECT user_id, ts,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id)
+                                IS NULL
+                              OR date_diff('microsecond',
+                                   lag(ts) OVER (
+                                       PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                                   ts) > {SESSION_GAP_MINUTES * 60 * 1_000_000}
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+            )
+        ) GROUP BY user_id, session_id
+    ),
+    inc AS (
+        SELECT incident_id,
+               MIN(epoch_us(ts)) AS i_start_us,
+               MAX(epoch_us(ts)) AS i_end_us,
+               COUNT(*) AS n_errors
+        FROM (
+            SELECT ts,
+                   CAST(SUM(is_new) OVER (
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS incident_id
+            FROM (
+                SELECT ts, event_id,
+                       CASE WHEN lag(ts) OVER (ORDER BY ts, event_id)
+                                IS NULL
+                              OR date_diff('microsecond',
+                                   lag(ts) OVER (ORDER BY ts, event_id),
+                                   ts) > {INCIDENT_GAP_MINUTES * 60 * 1_000_000}
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WHERE event_type = 'error'
+            )
+        ) GROUP BY incident_id
+    )
+    SELECT s.user_id, s.session_id, i.incident_id, i.n_errors,
+           ROUND((LEAST(s.s_end_us, i.i_end_us)
+                  - GREATEST(s.s_start_us, i.i_start_us)) / 1000000.0,
+                 4) AS overlap_s
+    FROM sess s
+    JOIN inc i
+      ON s.s_start_us <= i.i_end_us AND i.i_start_us <= s.s_end_us
+"""
+
+
+@query("q_join_interval", oracle=INTERVAL_ORACLE_SQL)  # hard-graded
+# (round-4 union wave): the oracle is the DIRECT overlap-predicate
+# join — proving the bucketed rewrite preserves semantics
 def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 at scale (interval-overlap join, bucketed rewrite): which
     user sessions overlap which error incidents — the

@@ -56,6 +56,8 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_check_kanon",
     "q_check_traceability",
     "q_join_broadcast",
+    "q_join_anti",
+    "q_window_sliding",
     "q_histogram",
     "q_feature_bins",
     "q_window_running",
@@ -78,7 +80,6 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_bm25",
     "q_hybrid_rrf",
     "q_split_assign",
-    "q_split_leakage_safe",
     "q_split_cluster_safe",
     "q_distinct_sketch",
     "q_anomaly_zscore",
@@ -86,7 +87,6 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_perplexity",
     "q_dedup_latest",
     "q_period_over_period",
-    "q_join_interval",
     "q_containment_pairs",
     "q_vector_topk_batch",
     "q_pipeline_e2e",

@@ -184,6 +184,9 @@ EXPECTED_CHANGES = {
     "q_join_semi": "tagged-union merge runs both strategies",
     "q_join_inner": "tagged-union merge runs both strategies (r4)",
     "q_window_lag": "tagged-union merge runs lag + running legs (r4)",
+    "q_window_tumbling": (
+        "tagged-union merge runs tumbling + sliding legs (r4 wave 3)"
+    ),
     "q_pipeline_e2e": "r4 cache-leak fix: r3 best-of-2 timed cached stage reads",
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan re-derives the"

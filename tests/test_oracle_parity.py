@@ -134,3 +134,47 @@ def test_ntile_bucketed_equals_global_sort_twin(spark, sf_correctness):
     }
     assert shipped == twin
     assert len(shipped) == len(twin)
+
+
+def test_join_anti_matches_duckdb_oracle(spark, sf_correctness, oracle_con):
+    """q_join_anti is graded through the q_join_semi union since round
+    4; its standalone DuckDB oracle runs here."""
+    sql = """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+    """
+    expected = {tuple(r) for r in oracle_con.execute(sql).fetchall()}
+    got = {
+        tuple(r)
+        for r in registry.QUERIES["q_join_anti"](spark, sf_correctness).collect()
+    }
+    assert got == expected and expected
+
+
+def test_window_sliding_matches_duckdb_oracle(spark, sf_correctness, oracle_con):
+    """q_window_sliding is graded through the q_window_tumbling union
+    since round 4; its standalone DuckDB oracle runs here."""
+    sql = """
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+            FROM events
+        ) expanded
+        GROUP BY ws
+    """
+    expected = {tuple(r) for r in oracle_con.execute(sql).fetchall()}
+    got = {
+        tuple(r)
+        for r in registry.QUERIES["q_window_sliding"](
+            spark, sf_correctness
+        ).collect()
+    }
+    assert got == expected and expected
