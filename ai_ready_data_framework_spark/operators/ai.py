@@ -2115,3 +2115,86 @@ def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining (hard positives / hard negatives)
+# ---------------------------------------------------------------------------
+
+MINE_K = 5  # pairs kept per anchor per type
+
+
+@query("q_contrastive_pairs")  # LSH-bucketed candidates -> rows-only
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (training-pair construction): contrastive pair mining
+    over the embedding table — per anchor vector, its MINE_K most
+    similar SAME-label neighbors (hard positives) and MINE_K most
+    similar DIFFERENT-label neighbors (hard negatives), tagged in one
+    result. Hard negatives — near neighbors across a label boundary —
+    are what contrastive / metric-learning objectives actually train
+    on; random negatives are trivially easy and teach nothing.
+
+    Spark shape: same SRP band candidate generation as q_knn_graph
+    (band equi-join, linear in postings), exact cosine verify on
+    candidates only, then per-(anchor, pair_type) top-K via
+    WindowGroupLimit — ranks are computed WITHIN each type, so a
+    crowded same-label neighborhood cannot starve the negative list.
+    Labels ride the band postings (constant width), so no second join
+    against the label table. Invariants + recall vs the exact
+    per-type graph are asserted in tests/test_ai_ops.py."""
+    import numpy as np
+
+    planes = (
+        np.random.default_rng(SRP_SEED)
+        .standard_normal((SRP_BANDS * SRP_BITS, EMBED_DIM))
+        .tolist()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        V.srp_bands(F.col("embedding"), planes, SRP_BANDS, SRP_BITS).alias(
+            "bands"
+        ),
+    )
+    side = sig.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.posexplode("bands").alias("band_id", "band_val"),
+    )
+    a = side.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("va"),
+        "band_id",
+        "band_val",
+    )
+    b = side.select(
+        F.col("vec_id").alias("cand"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("vb"),
+        "band_id",
+        "band_val",
+    )
+    cands = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("anchor") != F.col("cand"))
+        .dropDuplicates(["anchor", "cand"])
+    )
+    typed = cands.select(
+        "anchor",
+        F.when(F.col("label_a") == F.col("label_b"), "pos")
+        .otherwise("neg")
+        .alias("pair_type"),
+        "cand",
+        F.round(V.cosine("va", "vb"), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor", "pair_type").orderBy(
+        F.desc("cosine"), F.asc("cand")
+    )
+    return (
+        typed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= MINE_K)
+    )

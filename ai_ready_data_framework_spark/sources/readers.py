@@ -90,3 +90,36 @@ def read_json_quarantine(
         F.col(CORRUPT_COL).alias("raw_line")
     )
     return good, bad
+
+
+def read_csv_quarantine(
+    spark: SparkSession, path: str, schema: Ty.StructType | str, **options
+) -> tuple[DataFrame, DataFrame]:
+    """read_json_quarantine's CSV sibling: parse against the declared
+    schema, split into (good, quarantine). CSV is the format where this
+    matters most at ingest — ragged rows, stray delimiters, unquoted
+    newlines — and the same PERMISSIVE + corrupt-column + one-parse
+    split applies: a bad row keeps its raw line for replay, a good row
+    carries the typed columns, and neither FAILFAST nor DROPMALFORMED
+    semantics can eat data silently."""
+    if isinstance(schema, str):
+        schema = Ty.StructType.fromDDL(schema)
+    with_corrupt = schema.add(Ty.StructField(CORRUPT_COL, Ty.StringType()))
+    df = (
+        spark.read.schema(with_corrupt)
+        .options(
+            header="true",
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord=CORRUPT_COL,
+            **options,
+        )
+        .csv(path)
+    )
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return good, bad

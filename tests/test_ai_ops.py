@@ -951,3 +951,57 @@ def test_knn_graph_recall_vs_exact(spark, sf_smoke):
     assert len(per_node) == n_nodes, "every node must be ranked"
     for src, ranks in per_node.items():
         assert sorted(ranks) == list(range(1, ai.KNN_GRAPH_K + 1)), src
+
+
+def test_contrastive_pairs_invariants_and_recall(spark, sf_smoke):
+    """Pair mining: pos pairs must share the anchor's label, neg pairs
+    must not; ranks run 1..K within each type; and the mined sets must
+    recover most of the exact per-type top-K (band candidates prune
+    weakly on this random corpus, so recall is high)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = QUERIES["q_contrastive_pairs"](spark, sf_smoke).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        if r.pair_type == "pos":
+            assert labels[r.anchor] == labels[r.cand], r
+        else:
+            assert labels[r.anchor] != labels[r.cand], r
+        per.setdefault((r.anchor, r.pair_type), []).append(r.rank)
+    for key, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), key
+        assert len(ranks) <= ai.MINE_K
+    # exact twin: crossJoin, same type split, same top-K
+    a = emb.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("cand"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"),
+    )
+    w = Window.partitionBy("anchor", "pair_type").orderBy(
+        F.desc("cosine"), F.asc("cand")
+    )
+    exact_rows = (
+        a.crossJoin(b)
+        .filter(F.col("anchor") != F.col("cand"))
+        .select(
+            "anchor",
+            F.when(F.col("la") == F.col("lb"), "pos").otherwise("neg").alias(
+                "pair_type"
+            ),
+            "cand",
+            F.round(V.cosine("va", "vb"), 4).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ai.MINE_K)
+        .collect()
+    )
+    exact = {(r.anchor, r.pair_type, r.cand) for r in exact_rows}
+    got = {(r.anchor, r.pair_type, r.cand) for r in rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.75, f"contrastive mining recall {recall}"

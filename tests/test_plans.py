@@ -456,3 +456,45 @@ def test_interval_join_avoids_nested_loop(spark, sf_smoke):
     plan = final_plan(run("q_join_interval", spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pq_ann_broadcasts_adc_tables_and_prunes_candidates(spark, sf_smoke):
+    """q_vector_ann_pq's scale claims: the ADC lookup tables and the
+    codebook join broadcast (the corpus-sized code table must never
+    shuffle to meet them), and the per-query candidate cut collapses to
+    WindowGroupLimit so executors pre-prune before the exchange."""
+    plan = final_plan(run("q_vector_ann_pq", spark, sf_smoke))
+    assert "BroadcastExchange" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_graph_pre_prunes_per_node(spark, sf_smoke):
+    """q_knn_graph: per-node top-K must collapse to WindowGroupLimit
+    (executor-side pre-prune to K rows per node), and candidates come
+    from the band equi-join — no cartesian anywhere."""
+    plan = final_plan(run("q_knn_graph", spark, sf_smoke))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_distinct_sketch_is_two_level_aggregate(spark, sf_smoke):
+    """q_distinct_sketch: one corpus-sized token aggregate, then
+    sketch-merge work that is source-cardinality-sized — no joins, no
+    windows, nothing quadratic."""
+    plan = final_plan(run("q_distinct_sketch", spark, sf_smoke))
+    for op in ("Join", "Window", "CartesianProduct"):
+        assert op not in plan, (op, plan)
+    assert "hll_sketch_agg" in plan or "HllSketchAgg" in plan.replace(" ", ""), plan
+
+
+def test_split_leakage_safe_constant_width_exchange(spark, sf_smoke):
+    """q_split_leakage_safe: the group aggregate and re-join key on the
+    64-hex text hash — full document text must never cross an
+    exchange."""
+    plan = final_plan(run("q_split_leakage_safe", spark, sf_smoke))
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges, plan
+    assert all("th#" in ln for ln in exchanges), exchanges

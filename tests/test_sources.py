@@ -114,3 +114,27 @@ def test_stream_sink_is_exactly_once_on_rerun(spark, sf_smoke, tmp_path):
         q = writers.write_stream_parquet(stream, out, ckpt)
         q.awaitTermination()
     assert spark.read.parquet(out).count() == 100
+
+
+def test_csv_quarantine_splits_bad_records(spark, tmp_path):
+    """CSV quarantine: typed rows parse into the good frame; ragged /
+    type-broken rows keep their raw line in the quarantine — nothing
+    dropped, nothing fatal."""
+    from ai_ready_data_framework_spark.sources.readers import (
+        read_csv_quarantine,
+    )
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alpha,0.5\n"
+        "2,beta,not_a_number\n"
+        "3,gamma,0.75\n"
+    )
+    good, bad = read_csv_quarantine(
+        spark, str(p), "id bigint, name string, score double"
+    )
+    good_rows = {tuple(r) for r in good.collect()}
+    bad_rows = [r.raw_line for r in bad.collect()]
+    assert good_rows == {(1, "alpha", 0.5), (3, "gamma", 0.75)}
+    assert bad_rows == ["2,beta,not_a_number"]
