@@ -128,11 +128,10 @@ def relationship_declaration(ctx: CheckContext) -> float:
 def entity_identifier_declaration(ctx: CheckContext) -> float:
     """Declared PKs, verified unique on the data (declaration without
     validity is worthless at training time)."""
-    ok = 0
-    for t in ctx.tables:
+    def pk_unique(t: str) -> bool:
         pk = R.PRIMARY_KEYS.get(t)
         if pk is None:
-            continue
+            return False
         df = ctx.table(t)
         cols = pk.split(",")
         # one job per table, not two (distinct.count + count were each
@@ -142,8 +141,16 @@ def entity_identifier_declaration(ctx: CheckContext) -> float:
             F.count_distinct(*[F.col(c) for c in cols]).alias("d"),
             F.count(F.lit(1)).alias("n"),
         ).first()
-        if row.d == row.n:
-            ok += 1
+        return bool(row.d == row.n)
+
+    # the per-table probes are independent single-job aggregates;
+    # submit them concurrently — a serial loop leaves a 32-core
+    # scheduler idle between job setups (measured ~5.4s -> ~1.5s)
+    from concurrent.futures import ThreadPoolExecutor
+
+    keyed = [t for t in sorted(ctx.tables) if t in R.PRIMARY_KEYS]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        ok = sum(pool.map(pk_unique, keyed))
     # NOTE: lineitem's declared composite key is legitimately non-unique
     # in the synthetic corpus — the check reports that honestly (<1.0).
     return _frac(ok, len(ctx.tables))
@@ -182,17 +189,47 @@ def business_glossary_linkage(ctx: CheckContext) -> float:
 
 @check("constraint_declaration", "contextual", "serving,training", "M+D", ":33-35")
 def constraint_declaration(ctx: CheckContext) -> float:
-    """Declared constraints, scored by validating each on the data."""
-    passed = 0
+    """Declared constraints, scored by validating each on the data.
+
+    One aggregate job per TABLE, all of that table's constraints as
+    parallel aggregate expressions in a single scan (the naive
+    per-constraint loop ran up to two full scans per constraint —
+    measured ~3s of the assessment at sf0.01, and at 100 TB each
+    redundant scan is a full pass over a fact table); the per-table
+    jobs then run concurrently — independent small jobs underutilize
+    the scheduler when submitted serially."""
+    by_table: dict[str, list] = {}
     for t, c, kind, lo, hi in R.CONSTRAINTS:
-        df = ctx.table(t)
-        if kind == "unique":
-            ok = df.select(c).distinct().count() == df.count()
-        elif kind == "not_null":
-            ok = df.filter(F.col(c).isNull()).count() == 0
-        else:  # range
-            ok = df.filter(~F.col(c).between(lo, hi)).count() == 0
-        passed += ok
+        by_table.setdefault(t, []).append((c, kind, lo, hi))
+
+    def table_passes(t: str) -> int:
+        aggs = []
+        for i, (c, kind, lo, hi) in enumerate(by_table[t]):
+            if kind == "unique":
+                aggs.append(
+                    (F.count_distinct(F.col(c)) == F.count(F.lit(1)))
+                    .cast("int")
+                    .alias(f"ok_{i}")
+                )
+            elif kind == "not_null":
+                aggs.append(
+                    (F.count(F.when(F.col(c).isNull(), 1)) == 0)
+                    .cast("int")
+                    .alias(f"ok_{i}")
+                )
+            else:  # range
+                aggs.append(
+                    (F.count(F.when(~F.col(c).between(lo, hi), 1)) == 0)
+                    .cast("int")
+                    .alias(f"ok_{i}")
+                )
+        row = ctx.table(t).agg(*aggs).first()
+        return sum(row)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        passed = sum(pool.map(table_passes, sorted(by_table)))
     return _frac(passed, len(R.CONSTRAINTS))
 
 
@@ -249,7 +286,10 @@ def access_optimization(ctx: CheckContext) -> float:
                     .parquet(path)
                 )
             else:
-                df.write.mode("overwrite").parquet(path)
+                # reference-sized atemporal tables: a handful of files,
+                # not one per core (32 near-empty files per table was
+                # pure filesystem overhead)
+                df.coalesce(4).write.mode("overwrite").parquet(path)
             out.add(t)
         return out
 
@@ -678,17 +718,22 @@ def lineage_completeness(ctx: CheckContext) -> float:
     frontier = edges.filter(F.col("src").startswith("src:")).select(
         F.col("dst").alias("node")
     ).distinct()
-    reached = frontier
+    # localCheckpoint per round (same discipline as
+    # functions/graph.py's component closure): without it, iteration k
+    # re-executes the whole k-join lineage from the scan — quadratic
+    # job work that measured ~4s on a registry-sized graph and would
+    # be fatal on a real million-edge lineage table.
+    reached = frontier.localCheckpoint(eager=True)
     for _ in range(10):  # graph depth bound
         nxt = (
             edges.join(reached, edges.src == reached.node)
             .select(F.col("dst").alias("node"))
             .distinct()
             .subtract(reached)
-        )
+        ).localCheckpoint(eager=True)
         if nxt.count() == 0:
             break
-        reached = reached.unionByName(nxt).distinct()
+        reached = reached.unionByName(nxt).distinct().localCheckpoint(eager=True)
     # score via semi-join — the reached set never leaves the engine
     n_reachable = assets.join(
         reached, assets.asset == reached.node, "left_semi"

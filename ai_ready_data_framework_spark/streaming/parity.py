@@ -191,7 +191,16 @@ def run_stream(
     into a memory sink in complete/append mode as appropriate.
     Returns the final result DataFrame."""
     stage_dir = tempfile.mkdtemp(prefix="aird_stream_")
+    # A stateful stream materializes one state-store instance PER
+    # shuffle partition PER micro-batch: under the driver's default 200
+    # partitions this harness pays 200 store setups x n_files batches
+    # to aggregate a test-sized table (measured: the parity check alone
+    # was ~17s of q_assessment's wall). Pin a small partition count for
+    # the stream's lifetime and restore the caller's conf after —
+    # partitioning never changes stateful-agg SEMANTICS, only layout.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         src = _stage_stream_dir(spark, sf_dir, n_files, stage_dir)
         schema = spark.read.parquet(src).schema
         stream = (
@@ -219,6 +228,7 @@ def run_stream(
         out = spark.createDataFrame(out.collect(), out.schema)
         return out
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(stage_dir, ignore_errors=True)
 
 
