@@ -268,15 +268,18 @@ def banded_minhash_pairs(
     plan is the uncapped plan plus one near-free aggregate. (Tagging
     every row via a (band, bk) window, or joining the full bucket-size
     table, both measured ~25-40% slower at sf0.1.)"""
-    # Cost note: the hot aggregate is a THIRD consumer of the minhash
-    # subtree, and Catalyst's per-branch filter pushdown makes the
-    # branches canonically different, so no exchange reuse happens —
-    # the inline form pays one extra minhash pass (~25% at sf0.1).
-    # That is inherent to rebuilding inline; the production path probes
-    # the PERSISTED index (sources/maintenance.py::write_band_index),
-    # where bands are materialized once and the exception scan is a
-    # bucket-local aggregate over the bucketed table.
-    bands = minhash_bands(sig, id_col, n_hashes, n_bands)
+    # The hot aggregate plus the two join sides make THREE consumers of
+    # the minhash subtree, and Catalyst's per-branch filter pushdown
+    # makes the branches canonically different, so no exchange reuse
+    # happens — recomputing cost ~25% extra at sf0.1 (measured).
+    # localCheckpoint materializes the bands ONCE for all three — the
+    # in-session analogue of what the production path does durably by
+    # probing the PERSISTED index (sources/maintenance.py::
+    # write_band_index). Bands are (id, sig, band, bk) rows: narrow,
+    # corpus-postings-sized, exactly what the index table stores.
+    bands = minhash_bands(sig, id_col, n_hashes, n_bands).localCheckpoint(
+        eager=True
+    )
     hot = (
         bands.groupBy("band", "bk")
         .agg(F.count("*").alias("__bn"), F.min(id_col).alias("__rep"))

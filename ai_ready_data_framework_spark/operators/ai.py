@@ -1498,7 +1498,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair space."""
     sh = _doc_shingles(spark, sf_dir)
     sig = T.minhash_signatures(sh, "doc_id", "s")
-    bands = T.minhash_bands(sig, "doc_id")
+    # inline rebuild: checkpoint the bands so the hot-bucket aggregate
+    # and both probe-join sides share ONE minhash pass (~25% measured;
+    # same rationale as banded_minhash_pairs). The checkpoint lives
+    # HERE, not in incremental_band_probe — the persisted-index path
+    # must keep the bucketed table's partitioning metadata, which a
+    # checkpoint would erase.
+    bands = T.minhash_bands(sig, "doc_id").localCheckpoint(eager=True)
     return incremental_band_probe(bands, INCR_BATCH_MOD)
 
 

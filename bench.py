@@ -191,14 +191,15 @@ EXPECTED_CHANGES = {
     ),
     "q_pipeline_e2e": "r4 cache-leak fix: r3 best-of-2 timed cached stage reads",
     "q_dedup_incremental": (
-        "r4 hot-bucket cap: the bucket-size exception scan re-derives the"
-        " bands inline (+1 minhash pass); zero-cost against the persisted"
-        " index (write_band_index)"
+        "r4 hot-bucket cap: the bucket-size exception scan; inline band"
+        " rebuild now checkpointed to one minhash pass — zero-cost"
+        " against the persisted index (write_band_index)"
     ),
     "q_dedup_near": (
         "r4 hot-bucket cap: same bucket-size exception scan as"
         " q_dedup_incremental — the price of bounding in-bucket pair"
-        " generation to O(bucket)"
+        " generation to O(bucket); partially recovered by checkpointing"
+        " the bands (one minhash pass for all three consumers)"
     ),
 }
 REGRESSION_FACTOR = 1.5
