@@ -2204,3 +2204,117 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         typed.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= MINE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch scheduling: deterministic interleaved ordering + length buckets
+# ---------------------------------------------------------------------------
+
+
+@query("q_mix_schedule")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_retrieval.py
+def q_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (epoch scheduling): deterministic interleaved
+    training order. Feeding a model one source at a time (scan order)
+    is a curriculum accident; an epoch schedule needs every source
+    spread evenly across the pass. Each doc gets a deterministic
+    within-source shuffle rank (md5 order — reproducible on any
+    engine), and its PROGRESS fraction (rank - 0.5)/n_source places the
+    source's k-th doc at the same relative epoch position regardless of
+    source size — sorting by progress interleaves sources exactly
+    proportionally.
+
+    Scale note: the op emits the SORT KEY, not a global sort — a
+    single row_number over the corpus would be the one-reducer
+    anti-pattern. Consumers range-partition by progress (Spark's
+    orderBy does exactly that) or route progress buckets to shard
+    writers; the per-source rank windows partition by source, which
+    shuffles once on a low-cardinality-but-balanced key."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.asc("doc_id")
+    )
+    n_w = Window.partitionBy("source")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("rank_in_source"),
+        F.count("*").over(n_w).alias("__n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "rank_in_source",
+        F.round((F.col("rank_in_source") - 0.5) / F.col("__n"), 6).alias(
+            "progress"
+        ),
+    )
+
+
+LEN_BUCKET_MIN = 16
+LEN_BUCKET_MAX = 1024
+
+
+@query("q_length_buckets")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_retrieval.py
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (batching efficiency): length-bucketed batching
+    stats. Batching docs of wildly different token counts pads every
+    sequence to the batch max; bucketing by power-of-two length bounds
+    padding waste at <50% per bucket. Per bucket: doc count, real
+    tokens, padded tokens (n * bucket cap), waste fraction — plus a
+    `single_bucket` row padding everything to the global cap, the
+    baseline that shows what bucketing saves.
+
+    One token-count projection, one bucket-cardinality aggregate; the
+    baseline row reuses the same aggregate over a constant key. No
+    window, no join, nothing corpus-quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    # next power of two >= n_tok, clamped to [MIN, MAX]
+    clamped = F.least(
+        F.greatest(F.col("n_tok"), F.lit(LEN_BUCKET_MIN)),
+        F.lit(LEN_BUCKET_MAX),
+    )
+    bucket = F.pow(
+        F.lit(2.0), F.ceil(F.log2(clamped.cast("double")))
+    ).cast("long")
+    bucketed = (
+        toks.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("real_tokens"),
+        )
+        .select(
+            F.lit("bucketed").alias("scheme"),
+            "bucket",
+            "n_docs",
+            "real_tokens",
+            (F.col("n_docs") * F.col("bucket")).alias("padded_tokens"),
+            F.round(
+                1 - F.col("real_tokens") / (F.col("n_docs") * F.col("bucket")),
+                4,
+            ).alias("waste_frac"),
+        )
+    )
+    global_cap = F.max(
+        F.pow(F.lit(2.0), F.ceil(F.log2(clamped.cast("double")))).cast("long")
+    )
+    single = toks.agg(
+        global_cap.alias("bucket"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("real_tokens"),
+    ).select(
+        F.lit("single_bucket").alias("scheme"),
+        "bucket",
+        "n_docs",
+        "real_tokens",
+        (F.col("n_docs") * F.col("bucket")).alias("padded_tokens"),
+        F.round(
+            1 - F.col("real_tokens") / (F.col("n_docs") * F.col("bucket")), 4
+        ).alias("waste_frac"),
+    )
+    return bucketed.unionByName(single)

@@ -82,6 +82,8 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_split_assign",
     "q_split_cluster_safe",
     "q_distinct_sketch",
+    "q_mix_schedule",
+    "q_length_buckets",
     "q_anomaly_zscore",
     "q_join_skew",
     "q_perplexity",

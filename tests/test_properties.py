@@ -313,3 +313,67 @@ def test_bucketed_rank_ntile_matches_window_ntile(spark, vals, n_tiles):
         ).collect()
     }
     assert got == expected
+
+
+# --- bucketed interval-overlap join vs nested-loop reference ---------------
+
+intervals = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 120)),  # (start, length)
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(a_iv=intervals, b_iv=intervals)
+@SETTINGS
+def test_bucketed_interval_join_matches_nested_loop(spark, a_iv, b_iv):
+    """The q_join_interval rewrite (explode to buckets -> equi-join ->
+    dedup -> exact verify) must equal the naive all-pairs overlap
+    check on arbitrary generated intervals — including touch-only
+    overlaps, containment, and intervals spanning many buckets."""
+    from pyspark.sql import functions as F
+
+    bucket = 64  # deliberately unaligned with the generated lengths
+    a = [(i, s, s + ln) for i, (s, ln) in enumerate(a_iv)]
+    b = [(j, s, s + ln) for j, (s, ln) in enumerate(b_iv)]
+    expected = {
+        (i, j)
+        for (i, s1, e1) in a
+        for (j, s2, e2) in b
+        if s1 <= e2 and s2 <= e1
+    }
+    if not a or not b:
+        assert expected == set()
+        return
+    df_a = spark.createDataFrame(a, "ia int, sa bigint, ea bigint")
+    df_b = spark.createDataFrame(b, "ib int, sb bigint, eb bigint")
+    ab = df_a.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("sa") / bucket).cast("long"),
+                (F.col("ea") / bucket).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    bb = df_b.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("sb") / bucket).cast("long"),
+                (F.col("eb") / bucket).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    got = {
+        (r.ia, r.ib)
+        for r in (
+            ab.join(bb, "bucket")
+            .dropDuplicates(["ia", "ib"])
+            .filter(
+                (F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea"))
+            )
+            .collect()
+        )
+    }
+    assert got == expected

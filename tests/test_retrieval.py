@@ -282,3 +282,75 @@ def test_split_cluster_safe_invariants(spark, sf_correctness):
     for r in rows:
         if r.group_rep in draw:
             assert r.split == draw[r.group_rep]
+
+
+def test_mix_schedule_matches_duckdb_oracle(spark, sf_correctness):
+    """Interleave schedule: DuckDB recomputes the md5 within-source
+    shuffle rank and progress fraction; plus the interleave property —
+    every source's docs are spread across the epoch (max progress gap
+    within a source is ~1/n, not a block)."""
+    sql = f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS rank_in_source,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM read_parquet('{table_path(sf_correctness, "documents")}')
+        )
+        SELECT doc_id, source, rank_in_source,
+               ROUND((rank_in_source - 0.5) / n, 6) AS progress
+        FROM ranked
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_mix_schedule"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    # interleave property: each source occupies [0, 1] nearly uniformly
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.progress)
+    for src, ps in by_src.items():
+        ps = sorted(ps)
+        assert ps[0] < 0.5 and ps[-1] > 0.5, src
+        gaps = [b - a for a, b in zip(ps, ps[1:])]
+        if gaps:
+            assert max(gaps) <= 3.0 / len(ps), src
+
+
+def test_length_buckets_matches_duckdb_oracle(spark, sf_correctness):
+    lo, hi = ai.LEN_BUCKET_MIN, ai.LEN_BUCKET_MAX
+    sql = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM read_parquet('{table_path(sf_correctness, "documents")}')
+        ),
+        b AS (
+            SELECT doc_id, n_tok,
+                   CAST(POWER(2.0, CEIL(LOG2(CAST(LEAST(GREATEST(n_tok, {lo}), {hi}) AS DOUBLE)))) AS BIGINT) AS bucket
+            FROM toks
+        )
+        SELECT 'bucketed' AS scheme, bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+               CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+               ROUND(1 - CAST(SUM(n_tok) AS DOUBLE) / (COUNT(*) * bucket), 4) AS waste_frac
+        FROM b GROUP BY bucket
+        UNION ALL
+        SELECT 'single_bucket', MAX(bucket),
+               COUNT(*),
+               CAST(SUM(n_tok) AS BIGINT),
+               CAST(COUNT(*) * MAX(bucket) AS BIGINT),
+               ROUND(1 - CAST(SUM(n_tok) AS DOUBLE) / (COUNT(*) * MAX(bucket)), 4)
+        FROM b
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_length_buckets"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    # bucketing must beat the single-bucket baseline on waste
+    by = {(r.scheme, r.bucket): r for r in rows}
+    single = next(r for r in rows if r.scheme == "single_bucket")
+    total_real = sum(r.real_tokens for r in rows if r.scheme == "bucketed")
+    total_padded = sum(r.padded_tokens for r in rows if r.scheme == "bucketed")
+    assert 1 - total_real / total_padded < single.waste_frac
