@@ -384,3 +384,59 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vector_to_array("probability").getItem(1), 6).alias("p_keep"),
         F.col("prediction").cast("long").alias("predicted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private counts (compliance family)
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 1.0  # per-release privacy budget for the count query
+# The uniform comes from the group key's md5 prefix (the same
+# engine-portable quantization every split/mixture draw here uses) ->
+# the "noise" is a deterministic function of the group key,
+# reproducible on any engine. Determinism is a TESTING stance, not a
+# privacy one — production swaps the hash uniform for a secure RNG and
+# everything else stays identical.
+DP_HASH_MOD = 4294967296  # 16^8: md5's first 8 hex chars
+
+
+@query("q_dp_counts")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_quality_ops.py
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance (anonymization_effectiveness's aggregate-release
+    sibling, /root/reference/factors/requirements.yaml:201-203):
+    epsilon-differentially-private release of the per-(nation, segment)
+    customer counts — Laplace(1/eps) noise via inverse-CDF over a
+    uniform, the standard mechanism for count queries (sensitivity 1).
+    k-anonymity (q_check_kanon) gates the RAW rows; DP noise is what
+    lets the AGGREGATE leave the boundary with a provable bound on any
+    individual's influence.
+
+    The uniform is a Knuth-hash of the group key: deterministic, so
+    the DuckDB oracle reproduces the release bit-for-bit and the
+    noise distribution itself is testable (mean |noise| ~ 1/eps). One
+    keyed aggregate; the noise is a projection on the group-cardinality
+    result — nothing corpus-sized after the count."""
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("true_n")
+    )
+    gkey = F.concat_ws("|", "c_nationkey", "c_mktsegment")
+    h = F.conv(F.substring(F.md5(gkey.cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    # uniform in (0,1), kept away from the exact endpoints so the
+    # inverse CDF stays finite on both engines
+    u = (h + 0.5) / DP_HASH_MOD
+    # Laplace(b=1/eps) inverse CDF around 0.5
+    b = 1.0 / DP_EPSILON
+    noise = -b * F.signum(u - 0.5) * F.log(1 - 2 * F.abs(u - 0.5))
+    return counts.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "true_n",
+        F.round(noise, 4).alias("noise"),
+        F.greatest(
+            F.round(F.col("true_n") + noise).cast("long"), F.lit(0)
+        ).alias("released_n"),
+    )

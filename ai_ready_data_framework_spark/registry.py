@@ -74,6 +74,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_repetition",
     "q_heavy_hitters",
     "q_pii_redact",
+    "q_dp_counts",
     "q_group_sample",
     "q_ewma",
     "q_embed_quantize",

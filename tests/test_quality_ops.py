@@ -216,3 +216,40 @@ def test_quality_classifier_separates_and_is_deterministic(spark, sf_smoke):
     assert {(r.doc_id, round(r.p_keep, 4)) for r in rows} == {
         (r.doc_id, round(r.p_keep, 4)) for r in again
     }
+
+
+def test_dp_counts_matches_duckdb_oracle(spark, sf_correctness):
+    """DP count release: DuckDB reproduces the md5-derived uniform, the
+    Laplace inverse-CDF noise, and the clamped release bit-for-bit;
+    plus mechanism invariants — mean |noise| near the Laplace scale
+    1/eps, and the release never goes negative."""
+    eps = Q.DP_EPSILON
+    mod = Q.DP_HASH_MOD
+    sql = f"""
+        WITH counts AS (
+            SELECT c_nationkey, c_mktsegment, COUNT(*) AS true_n
+            FROM read_parquet('{table_path(sf_correctness, "customer")}')
+            GROUP BY 1, 2
+        ),
+        noised AS (
+            SELECT *,
+                   (CAST(concat('0x', substring(md5(
+                        concat(CAST(c_nationkey AS VARCHAR), '|', c_mktsegment)
+                    ), 1, 8)) AS UBIGINT) + 0.5) / {mod} AS u
+            FROM counts
+        )
+        SELECT c_nationkey, c_mktsegment, true_n,
+               ROUND(-(1.0/{eps}) * sign(u - 0.5) * ln(1 - 2*abs(u - 0.5)), 4)
+                   AS noise,
+               GREATEST(CAST(ROUND(true_n
+                   - (1.0/{eps}) * sign(u - 0.5) * ln(1 - 2*abs(u - 0.5)))
+                   AS BIGINT), 0) AS released_n
+        FROM noised
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_dp_counts"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    assert all(r.released_n >= 0 for r in rows)
+    mean_abs = sum(abs(r.noise) for r in rows) / len(rows)
+    # E|Laplace(1/eps)| = 1/eps; wide tolerance for the small sample
+    assert 0.2 / eps < mean_abs < 5.0 / eps, mean_abs
