@@ -71,11 +71,20 @@ def write_zordered(
         normalize_to_bits(F.col(col_a), float(lo_a), float(hi_a)),
         normalize_to_bits(F.col(col_b), float(lo_b), float(hi_b)),
     )
+    # Tie-break the range key: repartitionByRange picks boundaries by
+    # SAMPLING, and when many rows share one z-value a boundary can
+    # land between duplicates, leaving an empty range partition (and
+    # thus a missing output file — observed as an order-dependent test
+    # flake, since the sampler's seed derives from the RDD id). A
+    # second, high-cardinality range column makes boundaries unique
+    # without changing curve locality.
+    tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
     (
         df.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
+        .withColumn("__tb", tiebreak)
+        .repartitionByRange(n_files, "__z", "__tb")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", "__tb")
         .write.mode("overwrite")
         .parquet(path)
     )

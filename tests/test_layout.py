@@ -56,7 +56,10 @@ def test_zorder_layout_boxes_both_dimensions(spark, sf_correctness, tmp_path):
 
     za, zb, zn = _mean_spans(zpath, "o_custkey", "order_us")
     ra, rb, rn = _mean_spans(rpath, "o_custkey", "order_us")
-    assert zn == rn == N_FILES
+    # rn is exact (hash repartition); zn tolerates one empty range
+    # partition — boundaries come from sampling, and the tie-broken
+    # range key makes emptiness rare but not impossible on tiny inputs
+    assert rn == N_FILES and N_FILES - 1 <= zn <= N_FILES
     # hash layout: every file spans ~the full range of both columns
     assert ra > 0.95 and rb > 0.95, (ra, rb)
     # z-order: each file boxes BOTH dims well below the full range
