@@ -1873,6 +1873,12 @@ def q_vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding")
         .collect()
     ]
+    if len(sample) < PQ_K:
+        # degenerate corpus (fewer vectors than codewords): no index to
+        # build — empty result with the contract schema, not a crash
+        return spark.createDataFrame(
+            [], "query_id bigint, rank bigint, vec_id bigint, cosine double"
+        )
     books = _pq_codebooks(sample)
     cb = spark.createDataFrame(
         [

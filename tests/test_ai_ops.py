@@ -1005,3 +1005,15 @@ def test_contrastive_pairs_invariants_and_recall(spark, sf_smoke):
     got = {(r.anchor, r.pair_type, r.cand) for r in rows}
     recall = len(exact & got) / len(exact)
     assert recall >= 0.75, f"contrastive mining recall {recall}"
+
+
+def test_pq_ann_degenerate_corpus_returns_empty(spark, tmp_path):
+    """Fewer vectors than codewords: the PQ index is undefined — the
+    operator must return an empty frame with the contract schema
+    instead of crashing the codebook fit."""
+    spark.createDataFrame(
+        [(0, [0.0] * 64, 1)], "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = QUERIES["q_vector_ann_pq"](spark, str(tmp_path))
+    assert out.columns == ["query_id", "rank", "vec_id", "cosine"]
+    assert out.count() == 0

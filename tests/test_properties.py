@@ -377,3 +377,51 @@ def test_bucketed_interval_join_matches_nested_loop(spark, a_iv, b_iv):
         )
     }
     assert got == expected
+
+
+# --- leakage-safe split: duplicates can never straddle splits --------------
+
+dup_corpora = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),  # doc_id (may repeat; dedup below)
+        st.integers(0, 8),  # text template index -> forced duplicates
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(corpus=dup_corpora)
+@SETTINGS
+def test_leakage_safe_split_duplicates_share_split(spark, tmp_path_factory, corpus):
+    """For ANY corpus, q_split_leakage_safe must place byte-identical
+    texts in one split, the assignment must be a pure function of the
+    text group's min doc_id, and every doc must get exactly one
+    split."""
+    from ai_ready_data_framework_spark.registry import QUERIES
+
+    seen = {}
+    for doc_id, t in corpus:
+        seen[doc_id] = f"text template {t} " * 3
+    rows = [
+        (doc_id, text, "en", "srcp", len(text))
+        for doc_id, text in seen.items()
+    ]
+    d = tmp_path_factory.mktemp("leak")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = QUERIES["q_split_leakage_safe"](spark, str(d)).collect()
+    assert len(out) == len(rows)
+    by_text_split = {}
+    by_text_rep = {}
+    text_of = dict(seen)
+    for r in out:
+        t = text_of[r.doc_id]
+        by_text_split.setdefault(t, set()).add(r.split)
+        by_text_rep.setdefault(t, set()).add(r.group_rep)
+    for t, splits in by_text_split.items():
+        assert len(splits) == 1, t
+    for t, reps in by_text_rep.items():
+        expected_rep = min(i for i, tt in text_of.items() if tt == t)
+        assert reps == {expected_rep}, t
