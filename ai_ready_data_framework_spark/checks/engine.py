@@ -206,8 +206,11 @@ def constraint_declaration(ctx: CheckContext) -> float:
         aggs = []
         for i, (c, kind, lo, hi) in enumerate(by_table[t]):
             if kind == "unique":
+                # SQL UNIQUE semantics: uniqueness among NON-NULL
+                # values (count(c) skips nulls, matching count_distinct
+                # — a nullable unique column passes, as in ANSI)
                 aggs.append(
-                    (F.count_distinct(F.col(c)) == F.count(F.lit(1)))
+                    (F.count_distinct(F.col(c)) == F.count(F.col(c)))
                     .cast("int")
                     .alias(f"ok_{i}")
                 )

@@ -277,8 +277,12 @@ def banded_minhash_pairs(
     # probing the PERSISTED index (sources/maintenance.py::
     # write_band_index). Bands are (id, sig, band, bk) rows: narrow,
     # corpus-postings-sized, exactly what the index table stores.
+    # lazy (eager=False): all three consumers reference the SAME
+    # checkpointed RDD, so its partitions compute once at first action
+    # — eager would instead run the full minhash job at plan-CONSTRUCTION
+    # time, charging schema inspection and plan-only tests for it
     bands = minhash_bands(sig, id_col, n_hashes, n_bands).localCheckpoint(
-        eager=True
+        eager=False
     )
     hot = (
         bands.groupBy("band", "bk")

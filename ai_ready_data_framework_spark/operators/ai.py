@@ -298,6 +298,20 @@ SRP_BITS = 3
 SRP_SEED = 42
 
 
+def _srp_planes() -> list:
+    """The ONE seeded hyperplane matrix every SRP-banded operator
+    (embed-dup LSH, k-NN graph, contrastive mining) hashes with —
+    shared so their band keys stay mutually compatible by
+    construction."""
+    import numpy as np
+
+    return (
+        np.random.default_rng(SRP_SEED)
+        .standard_normal((SRP_BANDS * SRP_BITS, EMBED_DIM))
+        .tolist()
+    )
+
+
 @query("q_embed_dup_lsh")  # hyperplane sketch → rows-only
 def q_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, the SCALE path for q_embed_dup's
@@ -316,13 +330,7 @@ def q_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders of magnitude; parameters are exposed on srp_bands for that.
     Recall vs the exact pair set is asserted in tests/test_ai_ops.py.
     """
-    import numpy as np
-
-    planes = (
-        np.random.default_rng(SRP_SEED)
-        .standard_normal((SRP_BANDS * SRP_BITS, EMBED_DIM))
-        .tolist()
-    )
+    planes = _srp_planes()
     emb = load_table(spark, sf_dir, "embeddings")
     sig = emb.select(
         "vec_id",
@@ -1504,7 +1512,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HERE, not in incremental_band_probe — the persisted-index path
     # must keep the bucketed table's partitioning metadata, which a
     # checkpoint would erase.
-    bands = T.minhash_bands(sig, "doc_id").localCheckpoint(eager=True)
+    bands = T.minhash_bands(sig, "doc_id").localCheckpoint(eager=False)
     return incremental_band_probe(bands, INCR_BATCH_MOD)
 
 
@@ -1528,6 +1536,12 @@ def incremental_band_probe(
     foreachBatch wrapper passes: index rows False, micro-batch rows
     True)."""
     if is_new is None:
+        if batch_mod is None:
+            raise ValueError(
+                "incremental_band_probe needs batch_mod or is_new — with"
+                " neither, every row would be NULL-new and the probe"
+                " would silently return zero pairs"
+            )
         is_new = F.col("doc_id") % batch_mod == 0
     bands = bands.withColumn("__new", is_new)
     # batch membership is arithmetic here; in production the batch's
@@ -1977,13 +1991,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     raise SRP_BITS for sharper buckets; nodes starved of candidates
     (possible under aggressive banding) are the IVF same-cell union's
     job — documented, not needed at the test corpus's band sizes."""
-    import numpy as np
-
-    planes = (
-        np.random.default_rng(SRP_SEED)
-        .standard_normal((SRP_BANDS * SRP_BITS, EMBED_DIM))
-        .tolist()
-    )
+    planes = _srp_planes()
     emb = load_table(spark, sf_dir, "embeddings")
     sig = emb.select(
         "vec_id",
@@ -2154,13 +2162,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Labels ride the band postings (constant width), so no second join
     against the label table. Invariants + recall vs the exact
     per-type graph are asserted in tests/test_ai_ops.py."""
-    import numpy as np
-
-    planes = (
-        np.random.default_rng(SRP_SEED)
-        .standard_normal((SRP_BANDS * SRP_BITS, EMBED_DIM))
-        .tolist()
-    )
+    planes = _srp_planes()
     emb = load_table(spark, sf_dir, "embeddings")
     sig = emb.select(
         "vec_id",
@@ -2272,12 +2274,21 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     `single_bucket` row padding everything to the global cap, the
     baseline that shows what bucketing saves.
 
+    Docs over LEN_BUCKET_MAX tokens TRUNCATE to the cap (the real
+    batcher's behavior — a sequence longer than the max length is cut,
+    not padded), so real_tokens counts tokens KEPT and waste can never
+    go negative.
+
     One token-count projection, one bucket-cardinality aggregate; the
     baseline row reuses the same aggregate over a constant key. No
     window, no join, nothing corpus-quadratic."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+        "doc_id",
+        F.least(
+            F.size(F.split("text", " ")).cast("long"),
+            F.lit(LEN_BUCKET_MAX).cast("long"),
+        ).alias("n_tok"),
     )
     # next power of two >= n_tok, clamped to [MIN, MAX]
     clamped = F.least(

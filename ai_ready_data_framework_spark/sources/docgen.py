@@ -158,8 +158,13 @@ class DocGenStreamReader(DataSourceStreamReader):
         return {"pos": 0}
 
     def latestOffset(self) -> dict:
-        # availableNow/processing triggers call this per micro-batch;
-        # advance one batch at a time so progress is bounded per trigger
+        # Reports FULL availability: the whole corpus is "already
+        # there", so a catch-up trigger plans one micro-batch covering
+        # everything remaining. batch_size bounds the PARTITION size
+        # within that batch (parallelism + task granularity), not the
+        # per-trigger admission — Python stream readers have no
+        # admission-control hook in Spark 4.1, and pretending otherwise
+        # here would just hide the batch boundary from the checkpoint.
         return {"pos": self.n_docs}
 
     def partitions(self, start: dict, end: dict):

@@ -72,7 +72,12 @@ def read_json_quarantine(
     """
     if isinstance(schema, str):
         schema = Ty.StructType.fromDDL(schema)
-    with_corrupt = schema.add(Ty.StructField(CORRUPT_COL, Ty.StringType()))
+    # copy, never schema.add(): StructType.add mutates AND returns
+    # self, so the caller's schema object would grow a phantom
+    # _corrupt_record field (twice, on a second call)
+    with_corrupt = Ty.StructType(
+        [*schema.fields, Ty.StructField(CORRUPT_COL, Ty.StringType())]
+    )
     df = (
         spark.read.schema(with_corrupt)
         .options(mode="PERMISSIVE", columnNameOfCorruptRecord=CORRUPT_COL)
@@ -104,17 +109,15 @@ def read_csv_quarantine(
     semantics can eat data silently."""
     if isinstance(schema, str):
         schema = Ty.StructType.fromDDL(schema)
-    with_corrupt = schema.add(Ty.StructField(CORRUPT_COL, Ty.StringType()))
-    df = (
-        spark.read.schema(with_corrupt)
-        .options(
-            header="true",
-            mode="PERMISSIVE",
-            columnNameOfCorruptRecord=CORRUPT_COL,
-            **options,
-        )
-        .csv(path)
+    with_corrupt = Ty.StructType(
+        [*schema.fields, Ty.StructField(CORRUPT_COL, Ty.StringType())]
     )
+    # caller options may override the header default (headerless CSVs
+    # are common) but never the quarantine mechanism itself
+    opts = {"header": "true", **options}
+    opts["mode"] = "PERMISSIVE"
+    opts["columnNameOfCorruptRecord"] = CORRUPT_COL
+    df = spark.read.schema(with_corrupt).options(**opts).csv(path)
     from pyspark.sql import functions as F
 
     df = df.cache()

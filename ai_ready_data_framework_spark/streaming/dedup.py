@@ -11,14 +11,24 @@ meet. Per micro-batch the work is (batch bands) ⋈ (index), so steady-
 state cost scales with ingest rate, never corpus size — the property
 that keeps a 100 TB corpus's dedup always-on instead of nightly.
 
-Exactly-once note: the pairs sink is an append; a replayed epoch would
-re-append its pairs. Production wraps the two writes in the WAP pattern
-(sources/maintenance.py::write_audit_publish) or dedups downstream on
-the (new_doc, other_doc) key — the same contract streaming/cdc.py
-documents for its snapshot writes.
+Replay safety: BOTH per-epoch writes are idempotent overwrites of an
+epoch-keyed location — pairs land in ``pairs_out/epoch=N`` and the
+batch's bands land in ``delta_dir/epoch=N`` (the lakehouse
+base+delta shape). A crashed-and-replayed epoch rewrites exactly the
+same files instead of appending duplicates, which matters doubly here:
+a double-appended band delta would inflate (band, bk) bucket counts
+forever — emitting duplicate pairs AND potentially pushing buckets
+over the hot cap. The probe index for epoch N is the bucketed base
+table plus deltas from epochs < N only, so a half-written delta from
+a failed attempt of N can never leak into its own retry.
+``compact_band_index`` periodically folds the deltas back into the
+bucketed base (restoring the exchange-free probe property for that
+data), exactly like any log-structured table maintenance.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,10 +39,12 @@ from ai_ready_data_framework_spark.operators.ai import (
     incremental_band_probe,
 )
 from ai_ready_data_framework_spark.sources.maintenance import (
-    append_band_index,
     read_band_index,
+    write_band_index,
 )
 
+# Mirrors the documents table's declared schema (FIXTURES.md) — the
+# stream source cannot infer, so it is restated here by contract.
 DOCS_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
 )
@@ -51,37 +63,75 @@ def doc_bands(docs: DataFrame) -> DataFrame:
     return T.minhash_bands(T.minhash_signatures(sh, "doc_id", "s"), "doc_id")
 
 
+def _delta_bands(spark: SparkSession, delta_dir: str, before_epoch: int) -> DataFrame | None:
+    """Bands folded by epochs strictly before ``before_epoch`` (a
+    failed attempt of the current epoch must not see its own half
+    delta), or None when no deltas exist yet."""
+    if not os.path.isdir(delta_dir) or not any(
+        e.startswith("epoch=") for e in os.listdir(delta_dir)
+    ):
+        return None
+    deltas = spark.read.parquet(delta_dir)
+    return deltas.filter(F.col("epoch") < before_epoch).drop("epoch")
+
+
 def probe_and_fold(
     spark: SparkSession,
     batch_docs: DataFrame,
     index_table: str,
+    delta_dir: str,
     pairs_out: str,
+    epoch_id: int,
 ) -> None:
-    """One micro-batch step: probe the persisted index with the batch
-    (index rows __new=False, batch rows True — within-batch dups pair
-    too), append the pairs, then fold the batch's bands into the
-    index so the NEXT batch sees these docs as corpus."""
+    """One micro-batch step: probe (base index ∪ earlier deltas) with
+    the batch (index rows __new=False, batch rows True — within-batch
+    dups pair too), overwrite this epoch's pairs partition, then
+    overwrite this epoch's band delta so the NEXT epoch sees these
+    docs as corpus. Every write is an epoch-keyed overwrite — replays
+    are no-ops in effect."""
     batch_bands = doc_bands(batch_docs)
-    idx = read_band_index(spark, index_table).withColumn(
-        "__new", F.lit(False)
+    idx = read_band_index(spark, index_table)
+    earlier = _delta_bands(spark, delta_dir, epoch_id)
+    if earlier is not None:
+        idx = idx.unionByName(earlier)
+    allb = idx.withColumn("__new", F.lit(False)).unionByName(
+        batch_bands.withColumn("__new", F.lit(True))
     )
-    allb = idx.unionByName(batch_bands.withColumn("__new", F.lit(True)))
     pairs = incremental_band_probe(allb, is_new=F.col("__new"))
-    pairs.write.mode("append").parquet(pairs_out)
-    append_band_index(batch_bands, index_table)
-    # The fold appends THROUGH the micro-batch's cloned session, which
-    # invalidates only the clone's relation cache; the driving
-    # session's cached file listing for the index table would stay
-    # stale and the NEXT epoch would probe yesterday's index (measured:
-    # cross-batch dup pairs silently vanish). Refresh the session we
-    # read with.
-    spark.catalog.refreshTable(index_table)
+    pairs.write.mode("overwrite").parquet(f"{pairs_out}/epoch={epoch_id}")
+    batch_bands.write.mode("overwrite").parquet(
+        f"{delta_dir}/epoch={epoch_id}"
+    )
+
+
+def compact_band_index(
+    spark: SparkSession, index_table: str, index_path: str, delta_dir: str
+) -> None:
+    """Fold all accumulated deltas into the bucketed base index (one
+    rewrite, same write_band_index layout) and drop the delta log —
+    after compaction, probes of the folded data are exchange-free
+    again. Run on whatever cadence keeps the delta union small."""
+    import shutil
+
+    deltas = (
+        spark.read.parquet(delta_dir).drop("epoch")
+        if os.path.isdir(delta_dir)
+        else None
+    )
+    base = read_band_index(spark, index_table)
+    merged = base.unionByName(deltas) if deltas is not None else base
+    # materialize BEFORE overwriting the table the plan reads from
+    merged = merged.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    write_band_index(merged, index_table, index_path)
+    shutil.rmtree(delta_dir, ignore_errors=True)
 
 
 def run_incremental_dedup_stream(
     spark: SparkSession,
     stream_docs_dir: str,
     index_table: str,
+    delta_dir: str,
     pairs_out: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
@@ -97,7 +147,9 @@ def run_incremental_dedup_stream(
     )
 
     def step(batch_df: DataFrame, epoch_id: int) -> None:
-        probe_and_fold(spark, batch_df, index_table, pairs_out)
+        probe_and_fold(
+            spark, batch_df, index_table, delta_dir, pairs_out, epoch_id
+        )
 
     (
         stream.writeStream.foreachBatch(step)

@@ -323,7 +323,8 @@ def test_length_buckets_matches_duckdb_oracle(spark, sf_correctness):
     sql = f"""
         WITH toks AS (
             SELECT doc_id,
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                   LEAST(CAST(len(string_split(text, ' ')) AS BIGINT),
+                         {hi}) AS n_tok
             FROM read_parquet('{table_path(sf_correctness, "documents")}')
         ),
         b AS (
@@ -354,3 +355,21 @@ def test_length_buckets_matches_duckdb_oracle(spark, sf_correctness):
     total_real = sum(r.real_tokens for r in rows if r.scheme == "bucketed")
     total_padded = sum(r.padded_tokens for r in rows if r.scheme == "bucketed")
     assert 1 - total_real / total_padded < single.waste_frac
+
+
+def test_length_buckets_truncate_over_cap_docs(spark, tmp_path):
+    """A doc longer than LEN_BUCKET_MAX truncates to the cap: waste
+    stays non-negative and the padded count uses the cap bucket
+    (regression: over-cap docs used to drive waste_frac negative)."""
+    long_text = "w " * 5000
+    spark.createDataFrame(
+        [(1, long_text.strip(), "en", "s", len(long_text)),
+         (2, "a b c d", "en", "s", 7)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["q_length_buckets"](spark, str(tmp_path)).collect()
+    assert all(r.waste_frac >= 0 for r in rows), rows
+    cap_row = next(
+        r for r in rows if r.scheme == "bucketed" and r.bucket == ai.LEN_BUCKET_MAX
+    )
+    assert cap_row.real_tokens == ai.LEN_BUCKET_MAX  # truncated, not raw 5000

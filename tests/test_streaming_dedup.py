@@ -1,7 +1,7 @@
 """Streaming incremental near-dedup (streaming/dedup.py): micro-batch
 probe-and-fold over the persisted band index must equal the one-shot
-batch probe over the same corpus/batch split, and the index table must
-grow by exactly the streamed bands."""
+batch probe, epoch replays must be no-ops in effect, and compaction
+must fold the deltas back into the bucketed base."""
 
 from __future__ import annotations
 
@@ -19,56 +19,95 @@ from ai_ready_data_framework_spark.streaming import dedup as SD
 STREAM_MOD = 5  # doc_id % 5 == 0 arrives via the stream, in two drops
 
 
-def test_stream_probe_equals_one_shot_batch_probe(spark, sf_smoke, tmp_path):
+@pytest.fixture()
+def split_corpus(spark, sf_smoke, tmp_path):
     docs = load_table(spark, sf_smoke, "documents")
     stream_docs = docs.filter(F.col("doc_id") % STREAM_MOD == 0)
     index_docs = docs.filter(F.col("doc_id") % STREAM_MOD != 0)
-
     index_bands = SD.doc_bands(index_docs)
     table = "band_index_stream_test"
     write_band_index(index_bands, table, str(tmp_path / "index"))
-    try:
-        # two landing-zone drops -> two micro-batches
-        drop_dir = tmp_path / "drops"
-        cols = ["doc_id", "text", "lang", "source", "n_chars"]
-        first = stream_docs.filter(F.col("doc_id") % (2 * STREAM_MOD) == 0)
-        second = stream_docs.filter(F.col("doc_id") % (2 * STREAM_MOD) != 0)
-        first.select(*cols).coalesce(1).write.parquet(str(drop_dir / "d1"))
-        second.select(*cols).coalesce(1).write.parquet(str(drop_dir / "d2"))
+    yield docs, stream_docs, index_docs, index_bands, table
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
 
-        # file stream over the drop dirs (glob), one file per trigger
-        SD.run_incremental_dedup_stream(
-            spark,
-            str(drop_dir / "*"),
-            table,
-            str(tmp_path / "pairs"),
-            str(tmp_path / "ckpt"),
-        )
 
-        got_rows = spark.read.parquet(str(tmp_path / "pairs")).collect()
-        got = {
-            (frozenset((r.new_doc, r.other_doc)), r.est_jaccard)
-            for r in got_rows
-        }
-        # one-shot twin: same docs, batch membership as a flag
-        one_shot = incremental_band_probe(
-            SD.doc_bands(docs).withColumn(
-                "__new", F.col("doc_id") % STREAM_MOD == 0
-            ),
-            is_new=F.col("__new"),
-        ).collect()
-        expected = {
-            (frozenset((r.new_doc, r.other_doc)), r.est_jaccard)
-            for r in one_shot
-        }
-        assert expected, "fixture must produce stream-touching dup pairs"
-        assert got == expected
-        # no pair emitted twice across micro-batches
-        assert len(got_rows) == len(
-            {frozenset((r.new_doc, r.other_doc)) for r in got_rows}
-        )
-        # the fold half: index grew by exactly the streamed bands
-        n_index = read_band_index(spark, table).count()
-        assert n_index == index_bands.count() + SD.doc_bands(stream_docs).count()
-    finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+def _pair_set(spark, pairs_out):
+    return {
+        (frozenset((r.new_doc, r.other_doc)), r.est_jaccard)
+        for r in spark.read.parquet(pairs_out)
+        .select("new_doc", "other_doc", "est_jaccard")
+        .collect()
+    }
+
+
+def test_stream_probe_equals_one_shot_batch_probe(
+    spark, split_corpus, tmp_path
+):
+    docs, stream_docs, _, index_bands, table = split_corpus
+    # two landing-zone drops -> two micro-batches
+    drop_dir = tmp_path / "drops"
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    first = stream_docs.filter(F.col("doc_id") % (2 * STREAM_MOD) == 0)
+    second = stream_docs.filter(F.col("doc_id") % (2 * STREAM_MOD) != 0)
+    first.select(*cols).coalesce(1).write.parquet(str(drop_dir / "d1"))
+    second.select(*cols).coalesce(1).write.parquet(str(drop_dir / "d2"))
+
+    SD.run_incremental_dedup_stream(
+        spark,
+        str(drop_dir / "*"),
+        table,
+        str(tmp_path / "deltas"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+    )
+
+    got = _pair_set(spark, str(tmp_path / "pairs"))
+    one_shot = incremental_band_probe(
+        SD.doc_bands(docs).withColumn(
+            "__new", F.col("doc_id") % STREAM_MOD == 0
+        ),
+        is_new=F.col("__new"),
+    ).collect()
+    expected = {
+        (frozenset((r.new_doc, r.other_doc)), r.est_jaccard)
+        for r in one_shot
+    }
+    assert expected, "fixture must produce stream-touching dup pairs"
+    assert got == expected
+    # the fold half: deltas carry exactly the streamed bands
+    n_delta = spark.read.parquet(str(tmp_path / "deltas")).count()
+    assert n_delta == SD.doc_bands(stream_docs).count()
+
+    # compaction folds base + deltas into one bucketed index
+    n_base = read_band_index(spark, table).count()
+    SD.compact_band_index(
+        spark, table, str(tmp_path / "index"), str(tmp_path / "deltas")
+    )
+    assert read_band_index(spark, table).count() == n_base + n_delta
+
+
+def test_epoch_replay_is_idempotent(spark, split_corpus, tmp_path):
+    """Re-running an epoch (foreachBatch replay after a crash) must
+    leave the pairs output and the delta log byte-identical in effect —
+    no duplicate pairs, no doubled bucket counts."""
+    _, stream_docs, _, _, table = split_corpus
+    delta_dir = str(tmp_path / "deltas")
+    pairs_out = str(tmp_path / "pairs")
+    b1 = stream_docs.filter(F.col("doc_id") % (2 * STREAM_MOD) == 0)
+    b2 = stream_docs.filter(F.col("doc_id") % (2 * STREAM_MOD) != 0)
+    SD.probe_and_fold(spark, b1, table, delta_dir, pairs_out, 0)
+    SD.probe_and_fold(spark, b2, table, delta_dir, pairs_out, 1)
+    pairs_once = _pair_set(spark, pairs_out)
+    n_delta_once = spark.read.parquet(delta_dir).count()
+    # replay BOTH epochs (e.g. checkpoint loss / retry storm)
+    SD.probe_and_fold(spark, b1, table, delta_dir, pairs_out, 0)
+    SD.probe_and_fold(spark, b2, table, delta_dir, pairs_out, 1)
+    assert _pair_set(spark, pairs_out) == pairs_once
+    assert spark.read.parquet(delta_dir).count() == n_delta_once
+    # pair-level: no frozenset pair appears twice across epochs
+    raw = (
+        spark.read.parquet(pairs_out)
+        .select("new_doc", "other_doc")
+        .collect()
+    )
+    assert len(raw) == len({frozenset((r.new_doc, r.other_doc)) for r in raw})
