@@ -2335,3 +2335,112 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("waste_frac"),
     )
     return bucketed.unionByName(single)
+
+
+# ---------------------------------------------------------------------------
+# Label-noise detection (k-NN label agreement)
+# ---------------------------------------------------------------------------
+
+NOISE_K = 5  # neighbors consulted per vector
+
+
+def knn_label_agreement(emb: DataFrame) -> DataFrame:
+    """Core of q_label_noise, split out so tests can run it on
+    synthetic clustered corpora: per vector, the fraction of its
+    NOISE_K nearest (SRP-candidate) neighbors sharing its label, the
+    neighborhood's majority label, and a suspect flag when the
+    majority disagrees with the recorded label."""
+    planes = _srp_planes()
+    sig = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        V.srp_bands(F.col("embedding"), planes, SRP_BANDS, SRP_BITS).alias(
+            "bands"
+        ),
+    )
+    side = sig.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.posexplode("bands").alias("band_id", "band_val"),
+    )
+    a = side.select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("label_src"),
+        F.col("embedding").alias("va"),
+        "band_id",
+        "band_val",
+    )
+    b = side.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("label_dst"),
+        F.col("embedding").alias("vb"),
+        "band_id",
+        "band_val",
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    knn = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .select(
+            "src",
+            "dst",
+            "label_src",
+            "label_dst",
+            F.round(V.cosine("va", "vb"), 4).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NOISE_K)
+    )
+    per_label = knn.groupBy("src", "label_src", "label_dst").agg(
+        F.count("*").alias("votes")
+    )
+    maj_w = Window.partitionBy("src").orderBy(
+        F.desc("votes"), F.asc("label_dst")
+    )
+    agg = (
+        per_label.withColumn("mrk", F.row_number().over(maj_w))
+        .groupBy("src", "label_src")
+        .agg(
+            F.sum("votes").alias("k_used"),
+            F.sum(
+                F.when(F.col("label_dst") == F.col("label_src"), F.col("votes"))
+                .otherwise(0)
+            ).alias("agree_votes"),
+            F.max(F.when(F.col("mrk") == 1, F.col("label_dst"))).alias(
+                "majority_label"
+            ),
+        )
+    )
+    return agg.select(
+        F.col("src").alias("vec_id"),
+        F.col("label_src").alias("label"),
+        F.round(F.col("agree_votes") / F.col("k_used"), 4).alias("agreement"),
+        "majority_label",
+        (F.col("majority_label") != F.col("label_src"))
+        .cast("int")
+        .alias("suspect"),
+    )
+
+
+@query("q_label_noise")  # LSH-bucketed neighbors -> rows-only
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (labeled-data quality, confident-learning shape): a
+    vector whose nearest neighbors mostly carry a DIFFERENT label is a
+    label-noise suspect — the k-NN-agreement screen run before
+    training on any labeled set. Per vector: the fraction of its
+    NOISE_K nearest SRP-candidate neighbors sharing its label, the
+    neighborhood majority label, and a suspect flag.
+
+    Corpus caveat: the synthetic embeddings are RANDOM, so labels and
+    geometry are independent and agreement hovers near the label
+    prior — the operator's discrimination is proven in pytest on a
+    synthetic CLUSTERED corpus with injected label corruption
+    (tests/test_ai_ops.py), the same corpus-adversarial honesty as
+    q_embed_dup_lsh. Spark shape: q_knn_graph's candidate generation
+    (labels ride the postings), one (src, label) keyed aggregate,
+    WindowGroupLimit pre-prunes to K rows per node."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_label_agreement(emb.select("vec_id", "label", "embedding"))

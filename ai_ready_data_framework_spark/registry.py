@@ -120,6 +120,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_vector_ann_pq",
     "q_knn_graph",
     "q_contrastive_pairs",
+    "q_label_noise",
     "q_vector_ann",
     "q_lang_id",
     "q_multimodal_meta",

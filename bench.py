@@ -115,7 +115,8 @@ HEADLINE = [
     # q_split_cluster_safe absent: it composes q_dedup_clusters (the
     # iterative component closure, itself never benched — 37s at sf0.1
     # is the closure's cost, not the split's ~0.2s projection).
-    # q_knn_graph absent for q_embed_dup_lsh's reason: its candidates
+    # q_knn_graph and q_label_noise absent for q_embed_dup_lsh's
+    # reason: their candidates
     # come from the same SRP bands, which on THIS random corpus cover
     # ~2/3 of all pairs (~26s at sf0.1) — the documented
     # corpus-adversarial case, not representative operator cost.

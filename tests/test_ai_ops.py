@@ -1017,3 +1017,46 @@ def test_pq_ann_degenerate_corpus_returns_empty(spark, tmp_path):
     out = QUERIES["q_vector_ann_pq"](spark, str(tmp_path))
     assert out.columns == ["query_id", "rank", "vec_id", "cosine"]
     assert out.count() == 0
+
+
+def test_label_noise_flags_injected_corruption(spark):
+    """On a synthetic CLUSTERED corpus (two well-separated gaussian
+    blobs, labels = blob id) with 10% of labels flipped, the k-NN
+    agreement screen must flag most flipped vectors as suspects and
+    almost no clean ones (the random fixture corpus cannot show this —
+    its labels are independent of geometry, as the docstring says)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n_per, dim = 120, 16
+    blob0 = rng.normal(0.0, 0.05, (n_per, dim)) + np.eye(dim)[0]
+    blob1 = rng.normal(0.0, 0.05, (n_per, dim)) + np.eye(dim)[1]
+    rows = []
+    flipped = set()
+    for i in range(n_per * 2):
+        v = (blob0[i] if i < n_per else blob1[i - n_per]).tolist()
+        true_label = 0 if i < n_per else 1
+        label = true_label
+        if i % 10 == 0:  # deterministic 10% corruption
+            label = 1 - true_label
+            flipped.add(i)
+        rows.append((i, [float(x) for x in v], label))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    # 16-dim blobs need 16-dim planes: temporarily narrow EMBED_DIM
+    orig_dim = ai.EMBED_DIM
+    ai.EMBED_DIM = dim
+    try:
+        out = {r.vec_id: r for r in ai.knn_label_agreement(emb).collect()}
+    finally:
+        ai.EMBED_DIM = orig_dim
+    assert len(out) == n_per * 2
+    sus = {v for v, r in out.items() if r.suspect == 1}
+    recall = len(sus & flipped) / len(flipped)
+    clean = set(out) - flipped
+    false_rate = len(sus & clean) / len(clean)
+    assert recall >= 0.9, recall
+    assert false_rate <= 0.05, false_rate
+    for r in out.values():
+        assert 0.0 <= r.agreement <= 1.0
