@@ -2444,3 +2444,44 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit pre-prunes to K rows per node."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_label_agreement(emb.select("vec_id", "label", "embedding"))
+
+
+@query("q_ht_estimate")  # rows-only: graded window full; DuckDB oracle
+# + unbiasedness bound run in tests/test_corpus_ops.py
+def q_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (weighted-sample correctness): Horvitz-Thompson
+    audit of the soft quality sample — the statistic that makes
+    q_sample_quality's biased subsample USABLE. Every kept doc is
+    reweighted by 1/p_keep, so per-source document and character
+    totals estimated from the SAMPLE alone are unbiased for the corpus
+    truth; this operator computes both sides (truth is one scan away
+    at audit time) and is the standing check that downstream consumers
+    reweight instead of treating a quality-biased sample as uniform.
+
+    One keyed aggregate over one scan: truth columns and HT columns are
+    parallel aggregate expressions on the same pass — at 100 TB the
+    audit costs exactly one corpus read."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    p = F.pow(q, F.lit(QSAMPLE_BETA))
+    u = (
+        F.pmod(F.col("doc_id") * QSAMPLE_HASH_MULT, F.lit(QSAMPLE_HASH_MOD))
+        / F.lit(float(QSAMPLE_HASH_MOD))
+    )
+    base = docs.select(
+        "source",
+        "n_chars",
+        (u < p).alias("kept"),
+        p.alias("p"),
+    )
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_true"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_sampled"),
+        F.round(F.sum(F.when(F.col("kept"), 1.0 / F.col("p"))), 4).alias(
+            "n_hat"
+        ),
+        F.sum("n_chars").alias("chars_true"),
+        F.round(
+            F.sum(F.when(F.col("kept"), F.col("n_chars") / F.col("p"))), 4
+        ).alias("chars_hat"),
+    )

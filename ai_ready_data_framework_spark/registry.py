@@ -101,6 +101,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_drift_psi",
     "q_drift_psi_value",
     "q_sample_quality",
+    "q_ht_estimate",
     "q_dedup_lines",
     "q_datacard",
     "q_feature_backfill",
