@@ -595,3 +595,62 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.unionByName(merged)
+
+
+# ---------------------------------------------------------------------------
+# Adjacent-token PMI (co-occurrence statistics)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5  # pairs below this never reach the ranking
+PMI_TOP_K = 50
+
+
+@query("q_cooccur_pmi")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_corpus_ops.py
+def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (corpus statistics): pointwise mutual information of
+    adjacent token pairs — PMI(a,b) = ln(N * c_ab / (c_a * c_b)) over
+    bigram occurrences — the co-occurrence statistic embedding methods
+    implicitly factorize (word2vec's objective is shifted-PMI
+    factorization) and the collocation detector ("new york" vs "the
+    of") every tokenizer/phrase-mining pass needs.
+
+    Scale shape: ONE bigram pass (posexplode over the token array,
+    self-aligned — no self-join), map-side-combinable pair and unigram
+    counts, min-count prune BEFORE the ranking (the same
+    billions-of-singletons argument as the BPE histogram), unigram
+    marginals broadcast onto the pruned pair table, TakeOrdered top-K.
+    Nothing is ever quadratic in vocabulary or corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("w"))
+    pairs = toks.select(
+        F.posexplode(F.slice("w", 1, F.size("w") - 1)).alias("i", "a"),
+        F.col("w"),
+    ).select("a", F.col("w").getItem(F.col("i") + 1).alias("b"))
+    pair_counts = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    # total bigrams + unigram marginals from the SAME pass semantics
+    uni = (
+        pairs.select(F.col("a").alias("t"))
+        .unionAll(pairs.select(F.col("b").alias("t")))
+        .groupBy("t")
+        .agg(F.count("*").alias("c_t"))
+    )
+    n_total = pairs.count()
+    pruned = pair_counts.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    ua = uni.select(F.col("t").alias("a"), F.col("c_t").alias("c_a"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c_t").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            F.lit(float(2 * n_total))
+            * F.col("c_ab")
+            / (F.col("c_a") * F.col("c_b"))
+        ),
+        4,
+    )
+    return (
+        pruned.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .select("a", "b", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(PMI_TOP_K)
+    )

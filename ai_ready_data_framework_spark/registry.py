@@ -112,6 +112,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_source_divergence",
     "q_mix_temperature",
     "q_token_entropy",
+    "q_cooccur_pmi",
     "q_cluster_assign",
     "q_embed_centroids",
     "q_fingerprint_winnow",

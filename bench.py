@@ -113,6 +113,7 @@ HEADLINE = [
     "q_length_buckets",
     "q_dp_counts",
     "q_ht_estimate",
+    "q_cooccur_pmi",
     # q_split_cluster_safe absent: it composes q_dedup_clusters (the
     # iterative component closure, itself never benched — 37s at sf0.1
     # is the closure's cost, not the split's ~0.2s projection).

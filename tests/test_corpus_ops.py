@@ -788,3 +788,50 @@ def test_ht_estimate_matches_duckdb_and_is_unbiased(spark, sf_correctness):
     tot_true = sum(r.n_true for r in rows)
     tot_hat = sum(r.n_hat for r in rows)
     assert abs(tot_hat - tot_true) / tot_true < 0.15, (tot_hat, tot_true)
+
+
+def test_cooccur_pmi_matches_duckdb_oracle(spark, sf_correctness):
+    """DuckDB recomputes bigram counts, two-sided unigram marginals,
+    the min-count prune, and the PMI ranking; ORDER-sensitive compare
+    on the top-K list."""
+    from ai_ready_data_framework_spark.operators.corpus import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+    )
+
+    sql = f"""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS w
+            FROM read_parquet('{_docs(sf_correctness)}')
+        ),
+        pairs AS (
+            SELECT w[i] AS a, w[i + 1] AS b
+            FROM (
+                SELECT w, unnest(range(1, len(w))) AS i FROM toks
+            )
+        ),
+        pc AS (
+            SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY a, b
+        ),
+        uni AS (
+            SELECT t, COUNT(*) AS c_t FROM (
+                SELECT a AS t FROM pairs UNION ALL SELECT b FROM pairs
+            ) GROUP BY t
+        ),
+        n AS (SELECT COUNT(*) AS n_total FROM pairs)
+        SELECT pc.a, pc.b, pc.c_ab, ua.c_t AS c_a, ub.c_t AS c_b,
+               ROUND(LN(2.0 * n.n_total * pc.c_ab / (ua.c_t * ub.c_t)), 4)
+                   AS pmi
+        FROM pc, n
+        JOIN uni ua ON ua.t = pc.a
+        JOIN uni ub ON ub.t = pc.b
+        WHERE pc.c_ab >= {PMI_MIN_COUNT}
+        ORDER BY pmi DESC, pc.a, pc.b
+        LIMIT {PMI_TOP_K}
+    """
+    expected = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    rows = [
+        tuple(r) for r in QUERIES["q_cooccur_pmi"](spark, sf_correctness).collect()
+    ]
+    assert rows == expected
+    assert rows, "pruned PMI list should be non-empty at sf0.01"
