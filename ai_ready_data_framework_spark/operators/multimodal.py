@@ -236,3 +236,35 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames"),
         F.min("frame_sha").alias("first_frame_sha"),
     )
+
+
+@query("q_dedup_media")  # binary-content hashing is engine-specific
+# on the synthetic payloads -> rows-only; DuckDB-free invariants in
+# tests/test_ai_ops.py
+def q_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (multimodal dedup): exact duplicate detection over
+    OPAQUE BINARY payloads — group media rows by (media_type,
+    sha2(content), byte length), keep the smallest media_id per group.
+    The binary twin of q_dedup_exact, and stage one of any multimodal
+    pipeline: byte-identical assets (re-crawled images, mirrored
+    videos) collapse BEFORE any expensive decode or embedding runs.
+
+    Scale shape: the exchange carries (type, 64-hex digest, length,
+    id) — constant width, never payload bytes; one keyed aggregate.
+    Perceptual (near-dup) media matching is the embedding path's job
+    once a real encoder is injected (extract_features), feeding the
+    same SemDeDup/SRP machinery the text side uses."""
+    media = synth_media(spark, sf_dir)
+    return (
+        media.select(
+            "media_id",
+            "media_type",
+            F.sha2("content", 256).alias("content_sha"),
+            F.length("content").cast("long").alias("n_bytes"),
+        )
+        .groupBy("media_type", "content_sha", "n_bytes")
+        .agg(
+            F.min("media_id").alias("keep_media_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )

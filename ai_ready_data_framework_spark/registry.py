@@ -125,6 +125,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_label_noise",
     "q_vector_ann",
     "q_lang_id",
+    "q_dedup_media",
     "q_multimodal_meta",
     "q_multimodal_features",
     "q_multimodal_frames",

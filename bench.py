@@ -114,6 +114,7 @@ HEADLINE = [
     "q_dp_counts",
     "q_ht_estimate",
     "q_cooccur_pmi",
+    "q_dedup_media",
     # q_split_cluster_safe absent: it composes q_dedup_clusters (the
     # iterative component closure, itself never benched — 37s at sf0.1
     # is the closure's cost, not the split's ~0.2s projection).

@@ -1060,3 +1060,34 @@ def test_label_noise_flags_injected_corruption(spark):
     assert false_rate <= 0.05, false_rate
     for r in out.values():
         assert 0.0 <= r.agreement <= 1.0
+
+
+def test_dedup_media_exact_oracle(spark, sf_correctness):
+    """Exact oracle: synth media is encode(text) with media_type =
+    doc_id % 3, so every (media_type, sha) dup group must be exactly
+    the same-text doc set restricted to that type — same size, same
+    min-id survivor — and no payload byte reaches the output schema."""
+    docs = load_table(spark, sf_correctness, "documents").collect()
+    import hashlib
+
+    types = ["image", "audio", "video"]
+    expected: dict[tuple, list] = {}
+    for d in docs:
+        sha = hashlib.sha256(d.text.encode()).hexdigest()
+        expected.setdefault((types[d.doc_id % 3], sha), []).append(d.doc_id)
+    media_df = QUERIES["q_dedup_media"](spark, sf_correctness)
+    media_rows = media_df.collect()
+    assert "content" not in set(media_df.columns)
+    got = {
+        (r.media_type, r.content_sha): (r.keep_media_id, r.n_copies)
+        for r in media_rows
+    }
+    assert set(got) == set(expected)
+    for key, ids in expected.items():
+        assert got[key] == (min(ids), len(ids)), key
+    # note: the fixture's exact-text dup pairs happen never to share
+    # doc_id % 3, so the type split leaves every media group size 1
+    # here — the oracle above still verifies grouping/survivor logic
+    # exactly; multi-copy behavior is covered by the same-code-path
+    # q_dedup_exact oracle (identical group-min-count shape)
+    assert media_rows
