@@ -1632,6 +1632,17 @@ SEMDEDUP_MAX_K = 4096  # centroid table must stay trivially broadcastable
 SEMDEDUP_TARGET_CLUSTER = 512
 SEMDEDUP_SEED = 42
 SEMDEDUP_TAU = EMBED_DUP_COSINE  # dup threshold; corpus max pair cos ~0.51
+# Hot-CLUSTER cap (VERDICT r4 #1, the functions/text.py HOT_BUCKET_CAP
+# recipe): k scaling targets ~512-vector clusters, but the failure mode
+# of semantic dedup is exactly a cluster that refuses to stay small —
+# mass-duplicated boilerplate embeds to a point, so one cluster can
+# hold millions of near-identical vectors and the within-cluster
+# self-join goes O(population^2). Clusters over the cap collapse to a
+# star around the cluster-minimum vec_id: O(population) pairs, and the
+# greedy smaller-id-wins keep rule is unchanged because the hot
+# cluster's members are near-coincident, so the minimum id is the
+# representative every member would have lost to anyway.
+SEMDEDUP_HOT_CLUSTER_CAP = 1024
 
 
 def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1678,13 +1689,29 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     being impossible at corpus scale (cluster populations are
     ~corpus/k, and k scales with the corpus; pairs missed by the
     partition are exactly the across-cluster pairs SemDeDup accepts
-    losing).
+    losing). Clusters whose population still exceeds
+    SEMDEDUP_HOT_CLUSTER_CAP — boilerplate embedding to a point, the
+    case k-scaling cannot fix — collapse to a star around the
+    cluster-minimum vec_id (the functions/text.py HOT_BUCKET_CAP
+    recipe): O(population) pairs there instead of O(population^2),
+    same keep set when the hot cluster is a true dup pile because every
+    member loses to the minimum id either way.
 
     Output: one row per vector — cluster, keep decision, dup-partner
     count. keep=false iff a smaller-id vector in the same cluster has
     cosine >= SEMDEDUP_TAU (the greedy smaller-id-wins rule shared with
     the text funnel, q_pipeline_e2e)."""
-    assigned = semantic_cluster_assign(spark, sf_dir)
+    return semantic_dup_flags(semantic_cluster_assign(spark, sf_dir))
+
+
+def semantic_dup_flags(
+    assigned: DataFrame,
+    hot_cluster_cap: int = SEMDEDUP_HOT_CLUSTER_CAP,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """The within-cluster dup stage of q_dedup_semantic over an
+    ``(vec_id, cluster_id, embedding)`` assignment — split out so tests
+    can drive it with an adversarial synthetic hot cluster."""
     # normalize each vector ONCE (corpus-linear) so the quadratic
     # within-cluster stage pays a single dot per pair instead of
     # cosine's dot + two norms — measured 3x on the pair stage; the
@@ -1695,7 +1722,24 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = assigned.select(
         "cluster_id", "vec_id", F.col("embedding").alias("e"), nrm.alias("nm")
     )
-    a = unit.select(
+    # Hot-cluster exception table: only clusters OVER the cap — empty on
+    # a healthy corpus, bounded by n/cap rows worst case, so AQE turns
+    # the tag-join into a broadcast and the healthy plan is the uncapped
+    # plan plus one near-free aggregate (the banded_minhash_pairs shape,
+    # functions/text.py:258-268).
+    hot = (
+        unit.groupBy("cluster_id")
+        .agg(F.count("*").alias("__cn"), F.min("vec_id").alias("__rep"))
+        .filter(F.col("__cn") > hot_cluster_cap)
+    )
+    tagged = unit.join(hot, "cluster_id", "left")
+    is_cold = F.col("__cn").isNull()
+    # ONE self-join, exactly like the uncapped form: in a hot cluster
+    # the LEFT side is pre-filtered to the representative row, so the
+    # join emits O(population) star pairs there (rep = minimum id, so
+    # the id_a < id_b triangle filter keeps every star pair) and the
+    # full triangle only in cold clusters.
+    a = tagged.filter(is_cold | (F.col("vec_id") == F.col("__rep"))).select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_a"),
         F.col("e").alias("va"),
@@ -1713,7 +1757,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_b", F.round(cos, 4).alias("cosine"))
-        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+        .filter(F.col("cosine") >= tau)
     )
     dup_of = pairs.groupBy("id_b").agg(F.count("*").alias("n_dups"))
     return (

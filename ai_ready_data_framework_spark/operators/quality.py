@@ -331,6 +331,12 @@ QC_HASH_FEATURES = 4096
 # by iteration 10; the spare iterations bought nothing but wall time
 QC_MAX_ITER = 10
 QC_REG = 0.01
+# Fit-sample bound (VERDICT r4 #3): LBFGS runs ~QC_MAX_ITER gradient
+# passes over its cached training frame — at 100 TB that cache cannot
+# exist, and a hashed-BoW logistic model saturates far below corpus
+# size anyway (the fastText/CCNet classifiers train on ~100k docs).
+# Deterministic modulo sample, the _pq_codebooks/IVF-quantizer recipe.
+QC_FIT_SAMPLE = 8192
 
 
 @query("q_quality_classifier")  # rows-only by contract: a FITTED model
@@ -344,12 +350,13 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for soft sampling (q_sample_quality consumes exactly such scores).
 
     Scale shape: feature hashing is a map-side projection (no vocab
-    build, no shuffle); each LBFGS iteration is one treeAggregate pass
-    over the corpus (linear scans, nothing corpus-sized ever sits on
-    the driver); the fitted model is a QC_HASH_FEATURES-dim coefficient
-    vector broadcast back for one codegen'd scoring pass. Train on a
-    sample at 100 TB (the docstring contract mirrors the IVF quantizer:
-    model quality needs a sample, scoring needs the corpus)."""
+    build, no shuffle); the LBFGS fit runs over a DETERMINISTIC bounded
+    sample (doc_id % step == 0, <= QC_FIT_SAMPLE rows — the IVF/PQ
+    quantizer recipe: model quality needs a sample, scoring needs the
+    corpus), so the fit-time cache is sample-sized, never corpus-sized;
+    the fitted model is a QC_HASH_FEATURES-dim coefficient vector
+    broadcast back for ONE codegen'd scoring pass over the full
+    corpus."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF
     from pyspark.ml.functions import vector_to_array
@@ -370,13 +377,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         maxIter=QC_MAX_ITER,
         regParam=QC_REG,
     )
-    # cache the feature frame for the duration of the fit: LBFGS runs
-    # ~QC_MAX_ITER gradient passes, each of which would otherwise
-    # re-scan parquet and re-hash every document (functions/mlfit.py);
-    # the single scoring pass after fit re-derives it once
+    # Fit on the bounded sample only — LBFGS's ~QC_MAX_ITER gradient
+    # passes then cache a sample-sized frame (functions/mlfit.py), not
+    # the corpus; the full corpus is touched exactly once, by the
+    # scoring transform below.
+    n = docs.count()
+    step = max(1, n // QC_FIT_SAMPLE)
     from ai_ready_data_framework_spark.functions.mlfit import fit_cached
 
-    model = fit_cached(lr, feats)
+    model = fit_cached(lr, feats.filter(F.col("doc_id") % step == 0))
     scored = model.transform(feats)
     return scored.select(
         "doc_id",

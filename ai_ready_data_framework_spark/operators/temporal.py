@@ -1044,6 +1044,15 @@ def q_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INCIDENT_GAP_MINUTES = 10  # error-burst grouping gap
 INTERVAL_BUCKET_S = 3600  # overlap-join bucket width (1 hour)
+# Burst derivation partition width (VERDICT r4 #4): error bursts are
+# derived per coarse time bucket (a PARTITIONED window) and stitched
+# across boundaries, replacing the old global Window.orderBy over all
+# error events — "filtered subset" is still billions of rows at 100 TB.
+# Must be >> the burst gap: then a burst can only cross between
+# ADJACENT buckets (events in non-adjacent buckets are at least a full
+# bucket apart), so the stitch only ever examines the <= 2 boundary
+# bursts per bucket — a calendar-sized set.
+INCIDENT_STITCH_BUCKET_S = 86400  # 1 day >> 10-minute gap
 
 
 def _user_sessions_us(events: DataFrame) -> DataFrame:
@@ -1069,26 +1078,112 @@ def _user_sessions_us(events: DataFrame) -> DataFrame:
 
 def _error_incidents_us(events: DataFrame) -> DataFrame:
     """Global error-burst intervals: error events grouped by a
-    10-minute gap, numbered in time order — arbitrary (NOT
+    10-minute gap, numbered 1..N in time order — arbitrary (NOT
     bucket-aligned) intervals, so the overlap join below exercises the
-    general case."""
-    errs = events.filter(F.col("event_type") == "error")
-    order = Window.orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order))
-    numbered = errs.withColumn(
-        "is_new",
-        F.when(
-            gap_us.isNull() | (gap_us > INCIDENT_GAP_MINUTES * 60 * 1_000_000),
-            1,
-        ).otherwise(0),
-    ).withColumn(
-        "incident_id",
-        F.sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    general case.
+
+    Scale shape (two-level, VERDICT r4 #4): the lag/cum-sum burst
+    derivation runs under a window PARTITIONED by a coarse day bucket —
+    never a global Window.orderBy over all error events. Because the
+    bucket width (1 day) dwarfs the burst gap (10 min), a burst can
+    only continue into the ADJACENT bucket, so stitching is decided by
+    the <= 2 boundary bursts per bucket: a calendar-sized set (≤ 730
+    rows/year) that collects to the driver for the chain merge — the
+    engine's bounded-driver-coordination pattern (PQ codebooks, BPE
+    histogram). Incident numbering is per-bucket row_number plus
+    driver-computed per-bucket offsets: no global sort, no
+    unpartitioned WindowExec anywhere in the plan."""
+    gap_lim = INCIDENT_GAP_MINUTES * 60 * 1_000_000
+    cb_us = INCIDENT_STITCH_BUCKET_S * 1_000_000
+    errs = (
+        events.filter(F.col("event_type") == "error")
+        .select(F.unix_micros("ts").alias("ts_us"), "event_id")
+        .withColumn("cb", F.floor(F.col("ts_us") / cb_us))
     )
-    return numbered.groupBy("incident_id").agg(
-        F.min(F.unix_micros("ts")).alias("i_start_us"),
-        F.max(F.unix_micros("ts")).alias("i_end_us"),
-        F.count("*").alias("n_errors"),
+    order = Window.partitionBy("cb").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(order)
+    bursts = (
+        errs.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > gap_lim), 1).otherwise(0),
+        )
+        .withColumn(
+            "lb",
+            F.sum("is_new").over(
+                order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("cb", "lb")
+        .agg(
+            F.min("ts_us").alias("b_start"),
+            F.max("ts_us").alias("b_end"),
+            F.count("*").alias("n"),
+        )
+    )
+    # Boundary bursts: first and last per bucket — the only bursts a
+    # cross-bucket merge can involve. Bounded by 2 x n_buckets.
+    per_b = Window.partitionBy("cb").orderBy("b_start")
+    per_b_desc = Window.partitionBy("cb").orderBy(F.col("b_start").desc())
+    boundary = (
+        bursts.withColumn("rn_a", F.row_number().over(per_b))
+        .withColumn("rn_d", F.row_number().over(per_b_desc))
+        .filter((F.col("rn_a") == 1) | (F.col("rn_d") == 1))
+        .select("cb", "lb", "b_start", "b_end")
+        .collect()
+    )
+    # Driver-side chain merge over the time-ordered boundary bursts:
+    # consecutive boundary bursts fuse when the gap closes; a burst
+    # spanning a whole bucket (first == last there) chains through.
+    # Within one bucket first->last never fuses spuriously: every
+    # intra-bucket burst break already certified a gap > gap_lim.
+    boundary.sort(key=lambda r: r.b_start)
+    chain_of: dict[tuple, int] = {}
+    chain_id, prev_end = 0, None
+    for r in boundary:
+        if prev_end is None or r.b_start - prev_end > gap_lim:
+            chain_id += 1
+        chain_of[(r.cb, r.lb)] = chain_id
+        prev_end = r.b_end
+    spark = events.sparkSession
+    chain_map = spark.createDataFrame(
+        [(cb, lb, c) for (cb, lb), c in chain_of.items()],
+        "cb long, lb long, chain long",
+    )
+    gkey = F.when(
+        F.col("chain").isNotNull(), F.concat(F.lit("c"), F.col("chain"))
+    ).otherwise(F.concat_ws(":", "cb", "lb"))
+    merged = (
+        bursts.join(F.broadcast(chain_map), ["cb", "lb"], "left")
+        .groupBy(gkey.alias("gkey"))
+        .agg(
+            F.min("b_start").alias("i_start_us"),
+            F.max("b_end").alias("i_end_us"),
+            F.sum("n").alias("n_errors"),
+        )
+    )
+    # Global 1..N numbering without a global sort: per-bucket
+    # row_number + driver-side cumulative offsets over the
+    # calendar-sized per-bucket incident counts.
+    inc = merged.withColumn("cb2", F.floor(F.col("i_start_us") / cb_us))
+    cnt = sorted(
+        inc.groupBy("cb2").agg(F.count("*").alias("cnt")).collect(),
+        key=lambda r: r.cb2,
+    )
+    offs, acc = [], 0
+    for r in cnt:
+        offs.append((r.cb2, acc))
+        acc += r.cnt
+    off_df = spark.createDataFrame(offs, "cb2 long, off long")
+    lr = F.row_number().over(Window.partitionBy("cb2").orderBy("i_start_us"))
+    return (
+        inc.withColumn("lr", lr)
+        .join(F.broadcast(off_df), "cb2")
+        .select(
+            (F.col("off") + F.col("lr")).cast("long").alias("incident_id"),
+            "i_start_us",
+            "i_end_us",
+            "n_errors",
+        )
     )
 
 

@@ -173,10 +173,41 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Baseline must be read BEFORE overwriting BENCH_DETAIL.json below.
     regressions = compare_to_previous(per_query)
     if regressions is not None:
         out["regressions_vs_prev"] = regressions
+
+    # The driver captures only the LAST ~2000 chars of stdout and parses
+    # the JSON line found there. With 87+ queries the full record is
+    # ~2.5 KB, which truncated the head of the line in round 4 and left
+    # the driver with parsed:null (VERDICT r4 gap #1). So: full detail
+    # goes to a file + an early stdout line (for humans/logs), and the
+    # FINAL line is a compact summary guaranteed to fit the tail window.
+    detail_path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(out, f)
     print(json.dumps(out))
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(per_query),
+        "detail": "BENCH_DETAIL.json",
+    }
+    if regressions is not None:
+        compact["flagged"] = sorted(regressions.get("flagged", {}))
+    # Include the slowest queries up to a hard line-length budget so the
+    # summary stays parseable even as the headline set grows.
+    slowest = sorted(per_query.items(), key=lambda kv: -kv[1])
+    compact["queries"] = {}
+    for name, secs in slowest:
+        compact["queries"][name] = secs
+        if len(json.dumps(compact)) > 1200:
+            del compact["queries"][name]
+            break
+    print(json.dumps(compact))
 
 
 # Queries whose wall time legitimately changed: the guard records the
@@ -229,10 +260,16 @@ def compare_to_previous(per_query: dict[str, float]) -> dict | None:
     import glob
     import re
 
+    # Primary baseline: our own full-detail record (the driver's
+    # BENCH_r*.json "parsed" now holds only the compact summary whose
+    # "queries" is a truncated slowest-first subset — fine for the
+    # headline number, too lossy for per-query regression tracking).
     benches = sorted(
         glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
+    # checked first by the reversed() scan below
+    benches.append(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"))
     # newest bench that actually recorded per-query data (a crashed
     # round writes rc!=0 with parsed:null — compare against the last
     # good one instead of silently comparing against nothing)

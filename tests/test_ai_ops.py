@@ -1091,3 +1091,81 @@ def test_dedup_media_exact_oracle(spark, sf_correctness):
     # exactly; multi-copy behavior is covered by the same-code-path
     # q_dedup_exact oracle (identical group-min-count shape)
     assert media_rows
+
+
+def _synthetic_hot_cluster(spark, n_hot: int, n_cold: int):
+    """Assignment frame with one adversarial near-identical pile
+    (cluster 0: n_hot copies of ~the same vector) plus a healthy
+    spread-out cluster 1 where only ids (n_hot, n_hot+1) are dups."""
+    rows = []
+    for i in range(n_hot):
+        # tiny per-id jitter: near-identical, cosine ~ 1.0 pairwise
+        rows.append((i, 0, [1.0, 1.0 + i * 1e-6, 0.5]))
+    import math
+
+    for j in range(n_cold):
+        vid = n_hot + j
+        if j < 2:
+            vec = [0.0, 1.0, 1.0 + j * 1e-6]  # the one cold dup pair
+        else:
+            # directions 30° apart in the xy-plane: pairwise cosine
+            # <= cos(30°) ~= 0.866 < tau, and <= sin(theta)/sqrt(2)
+            # ~= 0.707 vs the dup pair's (0, 1, 1) direction
+            th = math.radians(30.0 * j)
+            vec = [math.cos(th), math.sin(th), 0.0]
+        rows.append((vid, 1, vec))
+    return spark.createDataFrame(
+        rows, "vec_id long, cluster_id int, embedding array<float>"
+    )
+
+
+def test_semdedup_hot_cluster_cap_emits_star_not_clique(spark):
+    """VERDICT r4 #1: a 300-vector boilerplate pile with cap=50 must
+    keep only the cluster-minimum representative, with every dropped
+    member reporting exactly ONE dup partner (the star anchor) —
+    O(population) pairs, never the 300*299/2 clique — while the
+    under-cap cluster keeps exact clique semantics."""
+    n_hot = 300
+    assigned = _synthetic_hot_cluster(spark, n_hot, n_cold=10)
+    rows = {
+        r.vec_id: r
+        for r in ai.semantic_dup_flags(
+            assigned, hot_cluster_cap=50, tau=0.9
+        ).collect()
+    }
+    assert len(rows) == n_hot + 10
+    # hot cluster: rep 0 kept, everyone else dropped via the star
+    assert rows[0].keep and rows[0].n_dups == 0
+    for i in range(1, n_hot):
+        assert not rows[i].keep and rows[i].n_dups == 1, rows[i]
+    # cold cluster stays exact: only the larger id of the dup pair drops
+    assert rows[n_hot].keep
+    assert not rows[n_hot + 1].keep and rows[n_hot + 1].n_dups == 1
+    for j in range(2, 10):
+        assert rows[n_hot + j].keep, rows[n_hot + j]
+
+
+def test_semdedup_cap_identity_below_cap(spark):
+    """With every cluster under the cap the capped and uncapped outputs
+    are identical — the cap is a no-op on healthy corpora."""
+    assigned = _synthetic_hot_cluster(spark, 40, n_cold=10)
+    capped = sorted(
+        map(
+            tuple,
+            ai.semantic_dup_flags(
+                assigned, hot_cluster_cap=50, tau=0.9
+            ).collect(),
+        )
+    )
+    uncapped = sorted(
+        map(
+            tuple,
+            ai.semantic_dup_flags(
+                assigned, hot_cluster_cap=1 << 30, tau=0.9
+            ).collect(),
+        )
+    )
+    assert capped == uncapped
+    # 40 near-identical vectors: clique drops all but the minimum
+    dropped = [t for t in capped if t[1] == 0 and not t[2]]
+    assert len(dropped) == 39

@@ -456,6 +456,10 @@ def test_interval_join_avoids_nested_loop(spark, sf_smoke):
     plan = final_plan(run("q_join_interval", spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # VERDICT r4 #4: the incident derivation is two-level (per-day
+    # window + bounded driver stitch) — no global window, no global
+    # sort, so NOTHING in the plan funnels through one partition
+    assert "SinglePartition" not in plan, plan
 
 
 def test_pq_ann_broadcasts_adc_tables_and_prunes_candidates(spark, sf_smoke):

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import duckdb
 import pandas as pd
+from pyspark.sql import functions as F
 
 from ai_ready_data_framework_spark.io import table_path
 from ai_ready_data_framework_spark.operators import temporal as TP
@@ -342,3 +343,71 @@ def test_join_interval_matches_duckdb_overlap_join(spark, sf_correctness):
     }
     assert expected, "overlapping session/incident pairs expected"
     assert got == expected
+
+
+def test_error_incidents_stitch_across_bucket_boundaries(spark):
+    """_error_incidents_us (VERDICT r4 #4) derives bursts per coarse
+    day bucket and stitches boundary-crossers: must equal the global
+    single-pass gap grouping — including the 1..N time-order numbering
+    — on a fixture with (a) a burst straddling a day boundary, (b) a
+    25h burst chaining THROUGH an entire bucket, (c) isolated bursts,
+    (d) non-error events interleaved that must be ignored."""
+    import datetime as dt
+
+    gap_lim = TP.INCIDENT_GAP_MINUTES * 60 * 1_000_000
+    ts_list = []
+    # (a) straddles midnight 2024-03-02 (UTC session tz = bucket edge)
+    for m in (-8, -3, 2, 6):
+        ts_list.append(dt.datetime(2024, 3, 2) + dt.timedelta(minutes=m))
+    # (b) one 9-minute-cadence burst covering ALL of 2024-03-04
+    t, end = dt.datetime(2024, 3, 3, 23, 30), dt.datetime(2024, 3, 5, 0, 30)
+    while t <= end:
+        ts_list.append(t)
+        t += dt.timedelta(minutes=9)
+    # (c) isolated bursts (size 1 and 2) in otherwise-quiet buckets
+    ts_list += [
+        dt.datetime(2024, 3, 1, 5, 0),
+        dt.datetime(2024, 3, 1, 12, 0),
+        dt.datetime(2024, 3, 6, 1, 0),
+        dt.datetime(2024, 3, 6, 1, 5),
+    ]
+    rows = [(i, ts, "error") for i, ts in enumerate(sorted(ts_list))]
+    # (d) noise events inside the gaps — filtered out by event_type
+    rows += [
+        (10_000 + i, ts + dt.timedelta(seconds=30), "click")
+        for i, (_, ts, _t) in enumerate(rows[:20])
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    got = sorted(
+        TP._error_incidents_us(events).collect(), key=lambda r: r.incident_id
+    )
+    # oracle: global single-pass grouping over Spark's own epoch micros
+    err_us = sorted(
+        r.u
+        for r in events.filter(F.col("event_type") == "error")
+        .select(F.unix_micros("ts").alias("u"))
+        .collect()
+    )
+    expected, cur = [], [err_us[0]]
+    for u in err_us[1:]:
+        if u - cur[-1] > gap_lim:
+            expected.append(cur)
+            cur = [u]
+        else:
+            cur.append(u)
+    expected.append(cur)
+    assert len(got) == len(expected)
+    for k, (r, grp) in enumerate(zip(got, expected), start=1):
+        assert r.incident_id == k
+        assert (r.i_start_us, r.i_end_us, r.n_errors) == (
+            grp[0],
+            grp[-1],
+            len(grp),
+        )
+    # the fixture really exercised the stitch: burst (b) spans >1 day
+    spans = [
+        (r.i_end_us - r.i_start_us) / 86_400_000_000 for r in got
+    ]
+    assert max(spans) > 1.0, "fixture must contain a multi-bucket burst"
