@@ -259,27 +259,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBED_DUP_COSINE = 0.45  # corpus embeddings are random; max pair cos ~0.51
 
 
-@query(
-    "q_embed_dup",
-    oracle=f"""
-    SELECT a.vec_id AS id_a,
-           b.vec_id AS id_b,
-           ROUND(list_dot_product(a.embedding, b.embedding)
-                 / (sqrt(list_dot_product(a.embedding, a.embedding))
-                    * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.embedding, b.embedding)
-                / (sqrt(list_dot_product(a.embedding, a.embedding))
-                   * sqrt(list_dot_product(b.embedding, b.embedding))), 4)
-          >= {EMBED_DUP_COSINE}
-    """,
-)
-def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= threshold), brute force
     over the pair space. At 100 TB the same semantics run through the
     LSH bucket join (q_vector_ann's model) — this exact form is the
-    oracle for that path's recall."""
+    oracle for that path's recall (and for SemDeDup's co-clustered
+    drop-set identity)."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
@@ -430,24 +415,10 @@ def fuzzy_match_pairs(
 
 
 @query(
-    "q_fuzzy_match",
-    oracle=f"""
-    WITH n AS (
-        SELECT c_custkey, upper(c_name) AS name, length(c_name) AS len
-        FROM customer
-    )
-    SELECT a.c_custkey AS key_a,
-           b.c_custkey AS key_b,
-           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
-    FROM n a
-    JOIN n b
-      ON a.c_custkey < b.c_custkey
-     AND abs(a.len - b.len) <= {FUZZY_LEN_BAND}
-     AND (substring(a.name, 1, 3) = substring(b.name, 1, 3)
-          OR right(a.name, 3) = right(b.name, 3))
-    WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_EDIT}
-    """,
-)
+    "q_fuzzy_match"
+)  # rows-only since round 5: hard-graded through q_embed_dup's
+# name_edit leg; standalone DuckDB oracle runs in
+# tests/test_oracle_parity.py
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (entity resolution): fuzzy name matching over
     customer names via ``fuzzy_match_pairs`` (prefix + suffix blocking
@@ -461,6 +432,65 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~quadratic here — correctness query, not a bench headline."""
     cust = load_table(spark, sf_dir, "customer")
     return fuzzy_match_pairs(cust, key="c_custkey", name_col="c_name")
+
+
+EMBED_DUP_UNION_ORACLE_SQL = f"""
+    SELECT 'embed_cosine' AS pair_kind,
+           a.vec_id AS id_a,
+           b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding, b.embedding)
+                 / (sqrt(list_dot_product(a.embedding, a.embedding))
+                    * sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+               AS score
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.embedding, b.embedding)
+                / (sqrt(list_dot_product(a.embedding, a.embedding))
+                   * sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+          >= {EMBED_DUP_COSINE}
+    UNION ALL
+    SELECT 'name_edit',
+           a.c_custkey,
+           b.c_custkey,
+           CAST(levenshtein(upper(a.c_name), upper(b.c_name)) AS DOUBLE)
+    FROM customer a
+    JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND abs(length(a.c_name) - length(b.c_name)) <= {FUZZY_LEN_BAND}
+     AND (substring(upper(a.c_name), 1, 3) = substring(upper(b.c_name), 1, 3)
+          OR right(upper(a.c_name), 3) = right(upper(b.c_name), 3))
+    WHERE levenshtein(upper(a.c_name), upper(b.c_name)) <= {FUZZY_MAX_EDIT}
+"""
+
+
+@query("q_embed_dup", oracle=EMBED_DUP_UNION_ORACLE_SQL)  # hard-graded
+# (round-5 union wave): both EXACT pair-scoring oracles in one slot
+def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise-similarity oracles, tagged in one graded result
+    (round-5 union wave):
+
+    - ``embed_cosine``: brute-force embedding-cosine near-dup pairs
+      (embed_dup_pairs) — the recall oracle for every ANN/LSH path.
+    - ``name_edit``: blocked fuzzy name matching (q_fuzzy_match;
+      edit distance cast to double so both legs share one score
+      column).
+
+    Both legs are deliberately quadratic CORRECTNESS oracles for their
+    approximate production counterparts — bench-excluded by design
+    (see bench.py's exclusion notes)."""
+    emb = embed_dup_pairs(spark, sf_dir).select(
+        F.lit("embed_cosine").alias("pair_kind"),
+        "id_a",
+        "id_b",
+        F.col("cosine").alias("score"),
+    )
+    fuzzy = q_fuzzy_match(spark, sf_dir).select(
+        F.lit("name_edit").alias("pair_kind"),
+        F.col("key_a").alias("id_a"),
+        F.col("key_b").alias("id_b"),
+        F.col("edit_dist").cast("double").alias("score"),
+    )
+    return emb.unionByName(fuzzy)
 
 
 SAMPLE_MD5_THRESHOLD = "1a"  # hex-prefix < '1a' ≈ 26/256 ≈ 10.2% sample

@@ -689,17 +689,10 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_set_union",
-    oracle="""
-    SELECT entity_kind, entity_key FROM (
-        SELECT 'customer' AS entity_kind, c_custkey AS entity_key
-        FROM customer WHERE c_acctbal > 0
-        UNION ALL
-        SELECT 'supplier' AS entity_kind, s_suppkey AS entity_key
-        FROM supplier WHERE s_acctbal > 0
-    ) u
-    """,
-)
+    "q_set_union"
+)  # rows-only since round 5: its U1 content is hard-graded through
+# q_set_ops' union legs; standalone DuckDB oracle runs in
+# tests/test_oracle_parity.py
 def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1: union-all by name — the shape that appends 48 per-check
     result rows into one score table (SURVEY.md §2.1)."""
@@ -728,19 +721,28 @@ def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         EXCEPT
         SELECT o_custkey FROM orders WHERE o_totalprice > 250000
     ) e
+    UNION ALL
+    SELECT 'union:customer', CAST(c_custkey AS BIGINT)
+    FROM customer WHERE c_acctbal > 0
+    UNION ALL
+    SELECT 'union:supplier', CAST(s_suppkey AS BIGINT)
+    FROM supplier WHERE s_acctbal > 0
     """,
 )
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U2 + U3, tagged in one result:
+    """U1 + U2 + U3, tagged in one result:
 
     - ``intersect``: distinct intersection (lineage reconciliation,
       check 31) — nations appearing on both customer and supplier.
     - ``except``: distinct difference (impact analysis, check 37) —
       customers who ordered but never above the high-value threshold.
+    - ``union:*``: union-all by name (round-5 union wave — the
+      q_set_union legs, tagged by entity kind so the hard grade pins
+      that union-all preserves duplicates and provenance).
 
-    Both compile to the same aggregate-based physical shape (left-semi
-    / left-anti over distinct keys); keys cast to BIGINT on both sides
-    so the tagged union has one column type.
+    All legs compile to aggregate-or-scan physical shapes (left-semi /
+    left-anti over distinct keys; plain filtered scans for union-all);
+    keys cast to BIGINT so the tagged union has one column type.
     """
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -759,7 +761,11 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("except").alias("setop"), "key_value")
     )
-    return inter.unionByName(exc)
+    union_leg = q_set_union(spark, sf_dir).select(
+        F.concat(F.lit("union:"), F.col("entity_kind")).alias("setop"),
+        F.col("entity_key").alias("key_value"),
+    )
+    return inter.unionByName(exc).unionByName(union_leg)
 
 
 # ---------------------------------------------------------------------------

@@ -831,6 +831,82 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KEY_HISTORY_ORACLE_SQL = """
+    SELECT 'latest' AS kind, user_id, event_id AS ref_id,
+           ROUND(value, 4) AS state_value,
+           epoch_us(ts) AS eff_from_us,
+           CAST(NULL AS BIGINT) AS eff_to_us,
+           CAST(1 AS BIGINT) AS is_current,
+           event_type AS detail
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT 'scd2', user_id, CAST(NULL AS BIGINT),
+           ROUND(value, 4),
+           epoch_us(ts),
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ),
+           CAST(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL AS BIGINT),
+           CAST(NULL AS VARCHAR)
+    FROM (
+        SELECT * FROM (
+            SELECT user_id, event_id, ts, value,
+                   lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        ) WHERE prev IS NULL OR value <> prev
+    ) changes
+"""
+
+
+@query("q_key_history", oracle=KEY_HISTORY_ORACLE_SQL)  # hard-graded
+# (round-5 union wave): both per-key history forms in one slot
+def q_key_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key state history, tagged in one graded result (round-5
+    union wave — both legs were rows-only while the 50 graded slots
+    were full; each keeps its standalone registration + pytest oracle):
+
+    - ``latest``: q_dedup_latest's current-state compaction — one row
+      per user (the winning event id lands in ref_id, its type in
+      detail; the open-ended range [ts, NULL) is flagged current).
+    - ``scd2``: q_scd2_history's effective-dated change history —
+      change-point compression + lead() ranges (ref_id/detail NULL:
+      a state row aggregates events rather than naming one).
+
+    Both legs share ONE physical shape — a (user, time-order) window
+    over events — so the union costs two WindowGroupLimit/window
+    passes over the same healthy user_id shuffle key."""
+    latest = q_dedup_latest(spark, sf_dir).select(
+        F.lit("latest").alias("kind"),
+        "user_id",
+        F.col("event_id").alias("ref_id"),
+        F.col("value").alias("state_value"),
+        F.col("ts_us").alias("eff_from_us"),
+        F.lit(None).cast("long").alias("eff_to_us"),
+        F.lit(1).cast("long").alias("is_current"),
+        F.col("event_type").alias("detail"),
+    )
+    scd2 = q_scd2_history(spark, sf_dir).select(
+        F.lit("scd2").alias("kind"),
+        "user_id",
+        F.lit(None).cast("long").alias("ref_id"),
+        "state_value",
+        "eff_from_us",
+        "eff_to_us",
+        "is_current",
+        F.lit(None).cast("string").alias("detail"),
+    )
+    return latest.unionByName(scd2)
+
+
 @query("q_period_over_period")  # rows-only: graded window full; DuckDB
 # oracle runs in tests/test_temporal_ops.py
 def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -867,13 +943,11 @@ PSI_SMOOTH = 1  # add-1 count smoothing so a category absent from one
 # half cannot produce log(0); documented in the oracle too
 
 
-@query("q_drift_psi")  # rows-only: graded window full; DuckDB oracle
-# runs in tests/test_corpus_ops.py
-def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-drift monitoring (Factor 3, "Current"): population
-    stability index of the event_type distribution between the first
-    and second half of the data's own time range (no wall clock —
-    the split point is the midpoint of min/max ts, from the data).
+def psi_category_drift(events: DataFrame) -> DataFrame:
+    """Categorical-PSI body (the q_drift_psi 'category' leg): PSI of
+    the event_type distribution between the first and second half of
+    the data's own time range (no wall clock — the split point is the
+    midpoint of min/max ts, from the data).
     PSI = sum (p_cur - p_ref) * ln(p_cur / p_ref); the industry
     monitoring rule of thumb reads <0.1 stable, >0.25 drifted.
 
@@ -882,7 +956,6 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything downstream is category-cardinality-sized. Output: one
     row per event_type with both shares and its PSI contribution,
     plus the total repeated (window over the tiny category set)."""
-    events = load_table(spark, sf_dir, "events")
     anchor = events.agg(
         F.min(F.unix_micros("ts")).alias("__lo"),
         F.max(F.unix_micros("ts")).alias("__hi"),
@@ -996,6 +1069,120 @@ def psi_value_drift(events: DataFrame) -> DataFrame:
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(tot), 6).alias("psi_total"),
     ).orderBy("bin")
+
+
+_PSI_LEG_TAIL = """
+        smoothed AS (
+            SELECT k,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   (n_ref + {s}) / SUM(n_ref + {s}) OVER () AS p_ref,
+                   (n_cur + {s}) / SUM(n_cur + {s}) OVER () AS p_cur
+            FROM counted
+        )
+        SELECT '{kind}' AS kind, k AS bucket, n_ref, n_cur,
+               ROUND(p_ref, 6) AS share_ref,
+               ROUND(p_cur, 6) AS share_cur,
+               ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term,
+               ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (), 6)
+                   AS psi_total
+        FROM smoothed
+"""
+
+PSI_UNION_ORACLE_SQL = (
+    """
+    WITH anchor AS (
+        SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events
+    ),
+    counted AS (
+        SELECT event_type AS k,
+               SUM(CASE WHEN epoch_us(ts) < (a.lo + a.hi) / 2
+                        THEN 1 ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN epoch_us(ts) >= (a.lo + a.hi) / 2
+                        THEN 1 ELSE 0 END) AS n_cur
+        FROM events CROSS JOIN anchor a
+        GROUP BY 1
+    ),
+"""
+    + _PSI_LEG_TAIL.format(s="PSISMOOTH", kind="category")
+    + """
+    UNION ALL
+    SELECT * FROM (
+        WITH anchor AS (
+            SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi
+            FROM events
+        ),
+        tagged AS (
+            SELECT value, epoch_us(ts) >= (a.lo + a.hi) / 2 AS cur
+            FROM events CROSS JOIN anchor a
+        ),
+        ref_range AS (
+            SELECT MIN(value) AS vlo, MAX(value) AS vhi
+            FROM tagged WHERE NOT cur
+        ),
+        counted AS (
+            SELECT CAST(CAST(
+                       CASE WHEN (r.vhi - r.vlo) / NBINS > 0
+                            THEN LEAST(GREATEST(
+                                FLOOR((value - r.vlo)
+                                      / ((r.vhi - r.vlo) / NBINS)), 0),
+                                NBINS - 1)
+                            ELSE 0 END AS BIGINT) AS VARCHAR) AS k,
+                   SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS n_ref,
+                   SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur
+            FROM tagged CROSS JOIN ref_range r
+            GROUP BY 1
+        ),
+"""
+    + _PSI_LEG_TAIL.format(s="PSISMOOTH", kind="value_bin")
+    + """
+    ) v
+"""
+).replace("PSISMOOTH", str(PSI_SMOOTH)).replace(
+    "NBINS", str(PSI_VALUE_BINS)
+)
+
+
+@query("q_drift_psi", oracle=PSI_UNION_ORACLE_SQL)  # hard-graded
+# (round-5 union wave): categorical + continuous PSI in one slot
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (Factor 3, "Current"), tagged in
+    one graded result (round-5 union wave — both drift forms were
+    rows-only while the 50 graded slots were full):
+
+    - ``category``: PSI of the event_type distribution between the
+      first and second half of the data's own time range
+      (psi_category_drift — see that docstring for the math and the
+      scale shape).
+    - ``value_bin``: PSI of the events.value distribution over
+      PSI_VALUE_BINS reference-fitted equal-width bins
+      (psi_value_drift), bucket = bin id as a string so both legs
+      share one key column type.
+
+    Each leg's psi_total is computed within the leg BEFORE the union
+    (the window runs over category-/bins-sized aggregates)."""
+    events = load_table(spark, sf_dir, "events")
+    cat = psi_category_drift(events).select(
+        F.lit("category").alias("kind"),
+        F.col("event_type").alias("bucket"),
+        "n_ref",
+        "n_cur",
+        "share_ref",
+        "share_cur",
+        "psi_term",
+        "psi_total",
+    )
+    val = psi_value_drift(events).select(
+        F.lit("value_bin").alias("kind"),
+        F.col("bin").cast("string").alias("bucket"),
+        "n_ref",
+        "n_cur",
+        "share_ref",
+        "share_cur",
+        "psi_term",
+        "psi_total",
+    )
+    return cat.unionByName(val)
 
 
 # Multi-horizon trailing feature backfill (the feature-store "backfill

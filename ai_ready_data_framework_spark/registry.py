@@ -57,6 +57,10 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_check_traceability",
     "q_join_broadcast",
     "q_join_anti",
+    # r5 tagged-union demotions: hard-graded through q_set_ops /
+    # q_embed_dup / q_drift_psi / q_key_history union legs
+    "q_set_union",
+    "q_fuzzy_match",
     "q_window_sliding",
     "q_histogram",
     "q_feature_bins",

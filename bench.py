@@ -115,6 +115,8 @@ HEADLINE = [
     "q_ht_estimate",
     "q_cooccur_pmi",
     "q_dedup_media",
+    # round-5 additions: the new hard-graded union slot
+    "q_key_history",
     # q_split_cluster_safe absent: it composes q_dedup_clusters (the
     # iterative component closure, itself never benched — 37s at sf0.1
     # is the closure's cost, not the split's ~0.2s projection).
@@ -174,7 +176,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Baseline must be read BEFORE overwriting BENCH_DETAIL.json below.
-    regressions = compare_to_previous(per_query)
+    regressions = compare_to_previous(per_query, out["sf"])
     if regressions is not None:
         out["regressions_vs_prev"] = regressions
 
@@ -228,6 +230,8 @@ EXPECTED_CHANGES = {
         "tagged-union merge runs tumbling + sliding legs (r4 wave 3)"
     ),
     "q_pipeline_e2e": "r4 cache-leak fix: r3 best-of-2 timed cached stage reads",
+    "q_drift_psi": "tagged-union merge runs category + value_bin legs (r5)",
+    "q_set_ops": "tagged-union merge absorbed the q_set_union legs (r5)",
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"
         " rebuild now checkpointed to one minhash pass — zero-cost"
@@ -252,7 +256,7 @@ MIN_REGRESSION_SECONDS = 0.8
 MIN_REGRESSION_DELTA_SECONDS = 0.8
 
 
-def compare_to_previous(per_query: dict[str, float]) -> dict | None:
+def compare_to_previous(per_query: dict[str, float], sf) -> dict | None:
     """Per-query regression guard vs the newest BENCH_r{N}.json: flag
     anything slower than REGRESSION_FACTOR x its previous wall time
     (ignoring sub-overhead timings and known semantic merges). Loud on
@@ -280,6 +284,13 @@ def compare_to_previous(per_query: dict[str, float]) -> dict | None:
                 data = json.load(f)
             # the driver wraps bench stdout under "parsed"
             got = data.get("queries") or (data.get("parsed") or {}).get("queries")
+            # never compare across scale factors (a local sf0.01
+            # iteration must not become the baseline for an sf0.1 run)
+            prev_sf = data.get("sf")
+            if prev_sf is None:
+                prev_sf = (data.get("parsed") or {}).get("sf")
+            if prev_sf is not None and prev_sf != sf:
+                continue
         except (OSError, json.JSONDecodeError):
             continue
         if got:

@@ -281,7 +281,7 @@ def test_embed_dup_lsh_recall_vs_exact(spark, sf_correctness):
     where the exact set is non-trivial (14 pairs in r1's gate)."""
     exact = {
         (r.id_a, r.id_b)
-        for r in QUERIES["q_embed_dup"](spark, sf_correctness).collect()
+        for r in ai.embed_dup_pairs(spark, sf_correctness).collect()
     }
     approx = {
         (r.id_a, r.id_b)
@@ -817,7 +817,7 @@ def test_dedup_semantic_matches_coclustered_exact_pairs(spark, sf_correctness):
 
     exact = {
         (r.id_a, r.id_b)
-        for r in QUERIES["q_embed_dup"](spark, sf_correctness).collect()
+        for r in ai.embed_dup_pairs(spark, sf_correctness).collect()
     }
     cluster = {
         r.vec_id: r.cluster_id

@@ -178,3 +178,55 @@ def test_window_sliding_matches_duckdb_oracle(spark, sf_correctness, oracle_con)
         ).collect()
     }
     assert got == expected and expected
+
+
+def test_set_union_matches_duckdb_oracle(spark, sf_correctness, oracle_con):
+    """q_set_union is graded through the q_set_ops union legs since
+    round 5; its standalone DuckDB oracle runs here."""
+    sql = """
+        SELECT 'customer' AS entity_kind, CAST(c_custkey AS BIGINT)
+            AS entity_key
+        FROM customer WHERE c_acctbal > 0
+        UNION ALL
+        SELECT 'supplier', CAST(s_suppkey AS BIGINT)
+        FROM supplier WHERE s_acctbal > 0
+    """
+    expected = sorted(oracle_con.execute(sql).fetchall())
+    got = sorted(
+        map(
+            tuple,
+            registry.QUERIES["q_set_union"](spark, sf_correctness).collect(),
+        )
+    )
+    assert got == expected and expected
+
+
+def test_fuzzy_match_matches_duckdb_oracle(spark, sf_correctness, oracle_con):
+    """q_fuzzy_match is graded through q_embed_dup's name_edit leg
+    since round 5; its standalone DuckDB oracle runs here."""
+    from ai_ready_data_framework_spark.operators import ai
+
+    sql = f"""
+        WITH n AS (
+            SELECT c_custkey, upper(c_name) AS name, length(c_name) AS len
+            FROM customer
+        )
+        SELECT a.c_custkey AS key_a,
+               b.c_custkey AS key_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+        FROM n a
+        JOIN n b
+          ON a.c_custkey < b.c_custkey
+         AND abs(a.len - b.len) <= {ai.FUZZY_LEN_BAND}
+         AND (substring(a.name, 1, 3) = substring(b.name, 1, 3)
+              OR right(a.name, 3) = right(b.name, 3))
+        WHERE levenshtein(a.name, b.name) <= {ai.FUZZY_MAX_EDIT}
+    """
+    expected = sorted(oracle_con.execute(sql).fetchall())
+    got = sorted(
+        map(
+            tuple,
+            registry.QUERIES["q_fuzzy_match"](spark, sf_correctness).collect(),
+        )
+    )
+    assert got == expected and expected
