@@ -280,7 +280,17 @@ def banded_minhash_pairs(
     # lazy (eager=False): all three consumers reference the SAME
     # checkpointed RDD, so its partitions compute once at first action
     # — eager would instead run the full minhash job at plan-CONSTRUCTION
-    # time, charging schema inspection and plan-only tests for it
+    # time, charging schema inspection and plan-only tests for it.
+    # DURABILITY TRADEOFF (ADVICE r4): localCheckpoint blocks are
+    # executor-local and non-replicated — on a real cluster an executor
+    # loss during the job FAILS it (no recompute) and it must be
+    # resubmitted. persist(MEMORY_AND_DISK) would be recompute-safe but
+    # Spark's CacheManager dedups identical plans, so repeated calls
+    # would silently read the first call's cache — exactly the
+    # measurement leak ADVICE r3 had us remove. Production at 100 TB
+    # takes neither path: it probes the durably PERSISTED band index
+    # (sources/maintenance.py::write_band_index), where a lost executor
+    # re-reads parquet.
     bands = minhash_bands(sig, id_col, n_hashes, n_bands).localCheckpoint(
         eager=False
     )

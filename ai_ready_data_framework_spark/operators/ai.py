@@ -1538,10 +1538,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = T.minhash_signatures(sh, "doc_id", "s")
     # inline rebuild: checkpoint the bands so the hot-bucket aggregate
     # and both probe-join sides share ONE minhash pass (~25% measured;
-    # same rationale as banded_minhash_pairs). The checkpoint lives
-    # HERE, not in incremental_band_probe — the persisted-index path
-    # must keep the bucketed table's partitioning metadata, which a
-    # checkpoint would erase.
+    # same rationale — and the same executor-loss durability tradeoff,
+    # documented at functions/text.py::banded_minhash_pairs — as that
+    # function; production probes the durable persisted index instead).
+    # The checkpoint lives HERE, not in incremental_band_probe — the
+    # persisted-index path must keep the bucketed table's partitioning
+    # metadata, which a checkpoint would erase.
     bands = T.minhash_bands(sig, "doc_id").localCheckpoint(eager=False)
     return incremental_band_probe(bands, INCR_BATCH_MOD)
 
@@ -1742,6 +1744,30 @@ def semantic_dup_flags(
     """The within-cluster dup stage of q_dedup_semantic over an
     ``(vec_id, cluster_id, embedding)`` assignment — split out so tests
     can drive it with an adversarial synthetic hot cluster."""
+    pairs = semantic_dup_pairs(assigned, hot_cluster_cap, tau)
+    dup_of = pairs.groupBy("id_b").agg(F.count("*").alias("n_dups"))
+    return (
+        assigned.join(
+            dup_of, assigned.vec_id == dup_of.id_b, "left"
+        )
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("n_dups").isNull().alias("keep"),
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        )
+    )
+
+
+def semantic_dup_pairs(
+    assigned: DataFrame,
+    hot_cluster_cap: int = SEMDEDUP_HOT_CLUSTER_CAP,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """Capped within-cluster dup PAIRS ``(id_a, id_b, cosine)`` —
+    shared by q_dedup_semantic's keep flags and by
+    q_split_cluster_safe, which unions these edges with the n-gram
+    pair set so semantic near-dups cannot straddle train/test."""
     # normalize each vector ONCE (corpus-linear) so the quadratic
     # within-cluster stage pays a single dot per pair instead of
     # cosine's dot + two norms — measured 3x on the pair stage; the
@@ -1783,23 +1809,11 @@ def semantic_dup_flags(
     )
     denom = F.col("na") * F.col("nb")
     cos = F.when(denom != 0, V.dot(F.col("va"), F.col("vb")) / denom)
-    pairs = (
+    return (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_b", F.round(cos, 4).alias("cosine"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= tau)
-    )
-    dup_of = pairs.groupBy("id_b").agg(F.count("*").alias("n_dups"))
-    return (
-        assigned.join(
-            dup_of, assigned.vec_id == dup_of.id_b, "left"
-        )
-        .select(
-            "vec_id",
-            "cluster_id",
-            F.col("n_dups").isNull().alias("keep"),
-            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
-        )
     )
 
 
@@ -2176,26 +2190,43 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (dataset splits, near-dup-hardened): the stronger
     sibling of q_split_leakage_safe — the atomic split unit is the
-    NEAR-dup cluster (connected components over the exact n-gram
-    Jaccard pairs, q_dedup_clusters), so two documents that are merely
-    similar — not byte-identical — also cannot straddle train/test.
-    Docs in no cluster are their own singleton group. This is the split
-    discipline eval-decontamination papers assume; exact-dup atomicity
-    falls out as a special case (identical texts share every shingle,
-    so they share a component).
+    NEAR-dup cluster: connected components over the exact n-gram
+    Jaccard pairs UNIONED with the capped SEMANTIC dup pairs
+    (semantic_dup_pairs — round 5, the promotion the round-4 docstring
+    promised once the hot-cluster cap landed), so documents that are
+    textually similar OR embed as near-duplicates cannot straddle
+    train/test. Docs in no cluster are their own singleton group. This
+    is the split discipline eval-decontamination papers assume;
+    exact-dup atomicity falls out as a special case (identical texts
+    share every shingle, so they share a component).
 
-    Spark shape: the component table explodes to (doc_id, cluster_rep)
-    — corpus-sized but narrow — and re-joins the doc table on doc_id (a
-    keyed shuffle join; at 100 TB both sides hash-partition on doc_id);
-    the group draw is the same md5-threshold projection every split
-    operator here uses. Rows-only by the component closure's contract;
-    zero-straddle + fraction invariants run in tests."""
-    docs = load_table(spark, sf_dir, "documents")
-    clusters = q_dedup_clusters(spark, sf_dir).select(
-        F.explode("members").alias("doc_id"),
-        F.col("keep_doc_id").alias("cluster_rep"),
+    Spark shape: both edge sets are bounded candidate generation
+    (posting self-join / capped cluster equi-join); the component
+    closure runs ONCE over their union (embeddings.vec_id aligns 1:1
+    with doc_id, FIXTURES.md); the (node, component) table re-joins the
+    doc table on doc_id (a keyed shuffle join; at 100 TB both sides
+    hash-partition on doc_id); the group draw is the same md5-threshold
+    projection every split operator here uses. Rows-only by the
+    component closure's contract; zero-straddle (both edge families) +
+    fraction + cross-operator draw-consistency invariants run in
+    tests/test_retrieval.py."""
+    from ai_ready_data_framework_spark.functions.graph import (
+        connected_components,
     )
-    joined = docs.select("doc_id", "source").join(clusters, "doc_id", "left")
+
+    docs = load_table(spark, sf_dir, "documents")
+    ngram_edges = q_dedup_ngram(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    sem_edges = semantic_dup_pairs(
+        semantic_cluster_assign(spark, sf_dir)
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    comp = connected_components(
+        ngram_edges.unionByName(sem_edges), "a", "b"
+    ).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )
+    joined = docs.select("doc_id", "source").join(comp, "doc_id", "left")
     grp = F.coalesce("cluster_rep", "doc_id")
     h8 = F.substring(F.md5(grp.cast("string").cast("binary")), 1, 8)
     thr_train = mix_threshold_hex(SPLIT_TRAIN_FRAC)

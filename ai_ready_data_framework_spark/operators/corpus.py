@@ -609,11 +609,19 @@ PMI_TOP_K = 50
 # runs in tests/test_corpus_ops.py
 def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (corpus statistics): pointwise mutual information of
-    adjacent token pairs — PMI(a,b) = ln(N * c_ab / (c_a * c_b)) over
-    bigram occurrences — the co-occurrence statistic embedding methods
-    implicitly factorize (word2vec's objective is shifted-PMI
+    adjacent token pairs — the co-occurrence statistic embedding
+    methods implicitly factorize (word2vec's objective is shifted-PMI
     factorization) and the collocation detector ("new york" vs "the
     of") every tokenizer/phrase-mining pass needs.
+
+    Estimator (ADVICE r4 — stated exactly): PMI(a,b) =
+    ln(2N * c_ab / (c_a * c_b)) where N is the bigram count and BOTH
+    the joint and the marginals are normalized over the 2N occurrence
+    slots (each bigram contributes one occurrence to the joint and one
+    to each token's slot-pooled marginal: p_ab = c_ab/2N,
+    p_t = c_t/2N). This occurrence-space form sits a constant ln(2)
+    below the per-slot textbook estimator ln(4N·c_ab/(c_a·c_b)) —
+    identical ranking, collocation ordering, and top-K.
 
     Scale shape: ONE bigram pass (posexplode over the token array,
     self-aligned — no self-join), map-side-combinable pair and unigram

@@ -91,7 +91,15 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
 
-    sh_raw = doc_shingles(docs)
+    # ONE tokenize→shingle pass for the whole funnel (VERDICT r4 #7):
+    # the 8-gram frame feeds FOUR consumers — both sides of the dup
+    # self-join, the eval-fold shingle set, and the survivor shingles
+    # for decontam — and per-branch filter pushdown makes the branches
+    # canonically different, so nothing reuses without materializing.
+    # Same lazy-checkpoint recipe (and the same executor-loss
+    # durability tradeoff, documented at functions/text.py::
+    # banded_minhash_pairs) as the minhash bands.
+    sh_raw = doc_shingles(docs).localCheckpoint(eager=False)
     dup_drop = (
         sh_raw.select(F.col("doc_id").alias("doc_a"), "s")
         .join(sh_raw.select(F.col("doc_id").alias("doc_b"), "s"), "s")
@@ -118,9 +126,14 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the training set — real pipelines screen against the full held-out
     # set regardless of training-side filters (ADVICE r3).
     is_eval = F.col("doc_id") % EVAL_FOLD_MOD == 0
-    eval_sh = doc_shingles(docs.filter(is_eval)).select("s").distinct()
+    # both decontam legs re-slice the checkpointed shingle frame
+    # instead of re-tokenizing: the eval set by fold filter, the
+    # training-survivor shingles by a doc_id semi-join against the
+    # post-quality survivors
+    eval_sh = sh_raw.filter(is_eval).select("s").distinct()
     leaked = (
-        doc_shingles(quality.filter(~is_eval))
+        sh_raw.filter(~is_eval)
+        .join(quality.select("doc_id"), "doc_id", "left_semi")
         .join(eval_sh, "s", "left_semi")
         .select("doc_id")
         .distinct()

@@ -425,7 +425,15 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle reproduces the release bit-for-bit and the
     noise distribution itself is testable (mean |noise| ~ 1/eps). One
     keyed aggregate; the noise is a projection on the group-cardinality
-    result — nothing corpus-sized after the count."""
+    result — nothing corpus-sized after the count.
+
+    .. warning:: NOT private as-is (ADVICE r4). Because the noise is a
+       deterministic function of the released group key, anyone who
+       knows (nation, segment) can recompute and subtract it exactly —
+       this form demonstrates the MECHANISM (sensitivity-1 Laplace,
+       clamping, testable calibration) for the cross-engine oracle
+       gate only. A production release swaps the hash uniform for a
+       secure RNG draw per release; every other line stays identical."""
     cust = load_table(spark, sf_dir, "customer")
     counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count("*").alias("true_n")

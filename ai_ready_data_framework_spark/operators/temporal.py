@@ -1306,6 +1306,11 @@ def _error_incidents_us(events: DataFrame) -> DataFrame:
             F.max("ts_us").alias("b_end"),
             F.count("*").alias("n"),
         )
+        # THREE consumers follow (boundary collect, count collect, the
+        # merged aggregate) — checkpoint so the events scan + burst
+        # window run once, not three times; burst rows are far smaller
+        # than events (same tradeoff note as banded_minhash_pairs)
+        .localCheckpoint(eager=False)
     )
     # Boundary bursts: first and last per bucket — the only bursts a
     # cross-bucket merge can involve. Bounded by 2 x n_buckets.
@@ -1315,27 +1320,47 @@ def _error_incidents_us(events: DataFrame) -> DataFrame:
         bursts.withColumn("rn_a", F.row_number().over(per_b))
         .withColumn("rn_d", F.row_number().over(per_b_desc))
         .filter((F.col("rn_a") == 1) | (F.col("rn_d") == 1))
-        .select("cb", "lb", "b_start", "b_end")
+        .select("cb", "lb", "b_start", "b_end", "rn_a", "rn_d")
         .collect()
     )
-    # Driver-side chain merge over the time-ordered boundary bursts:
-    # consecutive boundary bursts fuse when the gap closes; a burst
-    # spanning a whole bucket (first == last there) chains through.
-    # Within one bucket first->last never fuses spuriously: every
-    # intra-bucket burst break already certified a gap > gap_lim.
+    # ONE driver pass over the time-ordered boundary bursts computes
+    # BOTH stitch products (the only driver round trip in the query):
+    # - chain merge: consecutive boundary bursts fuse when the gap
+    #   closes; a burst spanning a whole bucket (first == last there)
+    #   chains through. Within one bucket first->last never fuses
+    #   spuriously: every intra-bucket burst break certified a gap >
+    #   gap_lim.
+    # - numbering offsets: each bucket's burst count rides the first
+    #   burst's rn_d, and incidents STARTING in a bucket = bursts there
+    #   minus the (0 or 1) first burst absorbed backward into a chain —
+    #   so cumulative per-bucket offsets need no second aggregate job.
     boundary.sort(key=lambda r: r.b_start)
+    n_start: dict[int, int] = {}  # cb -> incidents starting in bucket
+    for r in boundary:
+        if r.rn_a == 1:
+            n_start[r.cb] = r.rn_d
     chain_of: dict[tuple, int] = {}
     chain_id, prev_end = 0, None
     for r in boundary:
         if prev_end is None or r.b_start - prev_end > gap_lim:
             chain_id += 1
+        elif r.rn_a == 1:
+            # linked backward: same-bucket links are impossible, so
+            # this first-of-bucket burst continues an earlier bucket's
+            # chain and does not start an incident of its own
+            n_start[r.cb] -= 1
         chain_of[(r.cb, r.lb)] = chain_id
         prev_end = r.b_end
+    offs, acc = [], 0
+    for cb in sorted(n_start):
+        offs.append((cb, acc))
+        acc += n_start[cb]
     spark = events.sparkSession
     chain_map = spark.createDataFrame(
         [(cb, lb, c) for (cb, lb), c in chain_of.items()],
         "cb long, lb long, chain long",
     )
+    off_df = spark.createDataFrame(offs, "cb2 long, off long")
     gkey = F.when(
         F.col("chain").isNotNull(), F.concat(F.lit("c"), F.col("chain"))
     ).otherwise(F.concat_ws(":", "cb", "lb"))
@@ -1349,18 +1374,8 @@ def _error_incidents_us(events: DataFrame) -> DataFrame:
         )
     )
     # Global 1..N numbering without a global sort: per-bucket
-    # row_number + driver-side cumulative offsets over the
-    # calendar-sized per-bucket incident counts.
+    # row_number + the driver-derived cumulative offsets above.
     inc = merged.withColumn("cb2", F.floor(F.col("i_start_us") / cb_us))
-    cnt = sorted(
-        inc.groupBy("cb2").agg(F.count("*").alias("cnt")).collect(),
-        key=lambda r: r.cb2,
-    )
-    offs, acc = [], 0
-    for r in cnt:
-        offs.append((r.cb2, acc))
-        acc += r.cnt
-    off_df = spark.createDataFrame(offs, "cb2 long, off long")
     lr = F.row_number().over(Window.partitionBy("cb2").orderBy("i_start_us"))
     return (
         inc.withColumn("lr", lr)

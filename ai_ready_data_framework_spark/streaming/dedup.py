@@ -28,8 +28,6 @@ data), exactly like any log-structured table maintenance.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,13 +61,38 @@ def doc_bands(docs: DataFrame) -> DataFrame:
     return T.minhash_bands(T.minhash_signatures(sh, "doc_id", "s"), "doc_id")
 
 
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for any Hadoop-supported scheme — local,
+    HDFS, s3a://, abfss:// — so the delta log works against the object
+    stores the module docstring promises, not just the driver's local
+    disk (ADVICE r4). Classic (JVM-backed) sessions only, like every
+    declared query here."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _has_epoch_deltas(spark: SparkSession, delta_dir: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, delta_dir)
+    if not fs.exists(jpath):
+        return False
+    return any(
+        st.getPath().getName().startswith("epoch=")
+        for st in fs.listStatus(jpath)
+    )
+
+
+def _delete_recursive(spark: SparkSession, path_str: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path_str)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
 def _delta_bands(spark: SparkSession, delta_dir: str, before_epoch: int) -> DataFrame | None:
     """Bands folded by epochs strictly before ``before_epoch`` (a
     failed attempt of the current epoch must not see its own half
     delta), or None when no deltas exist yet."""
-    if not os.path.isdir(delta_dir) or not any(
-        e.startswith("epoch=") for e in os.listdir(delta_dir)
-    ):
+    if not _has_epoch_deltas(spark, delta_dir):
         return None
     deltas = spark.read.parquet(delta_dir)
     return deltas.filter(F.col("epoch") < before_epoch).drop("epoch")
@@ -111,11 +134,9 @@ def compact_band_index(
     rewrite, same write_band_index layout) and drop the delta log —
     after compaction, probes of the folded data are exchange-free
     again. Run on whatever cadence keeps the delta union small."""
-    import shutil
-
     deltas = (
         spark.read.parquet(delta_dir).drop("epoch")
-        if os.path.isdir(delta_dir)
+        if _has_epoch_deltas(spark, delta_dir)
         else None
     )
     base = read_band_index(spark, index_table)
@@ -124,7 +145,7 @@ def compact_band_index(
     merged = merged.localCheckpoint(eager=True)
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
     write_band_index(merged, index_table, index_path)
-    shutil.rmtree(delta_dir, ignore_errors=True)
+    _delete_recursive(spark, delta_dir)
 
 
 def run_incremental_dedup_stream(

@@ -231,6 +231,12 @@ EXPECTED_CHANGES = {
     ),
     "q_pipeline_e2e": "r4 cache-leak fix: r3 best-of-2 timed cached stage reads",
     "q_drift_psi": "tagged-union merge runs category + value_bin legs (r5)",
+    "q_join_interval": (
+        "r5 scale fix: incident derivation departitioned (per-day window"
+        " + one bounded driver stitch round trip) — r4's cheaper number"
+        " funneled every error event through a single-partition global"
+        " window (VERDICT r4 #4)"
+    ),
     "q_set_ops": "tagged-union merge absorbed the q_set_union legs (r5)",
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"

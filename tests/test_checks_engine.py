@@ -126,3 +126,35 @@ def test_assessment_survives_partial_layout(spark, tmp_path, sf_smoke):
     by_key = {r.requirement: r.value for r in rows}
     assert by_key["chunk_readiness"] > 0
     assert len(rollup.collect()) > 0
+
+
+def test_unique_constraint_ansi_null_semantics(spark, sf_smoke):
+    """ADVICE r4: pin the 'unique' constraint's ANSI semantics —
+    count_distinct(c) == count(c) skips NULLs, so a column with
+    duplicate NULLs (but distinct non-NULL values) PASSES unique (key
+    nullability is the separate not_null constraint's job). Also prove
+    the r4 switch from the old distinct().count() form could not have
+    moved any score: every declared unique key column in the fixture
+    has zero NULLs, where the two forms agree."""
+    from ai_ready_data_framework_spark.checks import registries as R
+    from ai_ready_data_framework_spark.io import load_table
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,)], "k int"
+    )
+    ansi_unique = df.agg(
+        (F.count_distinct(F.col("k")) == F.count(F.col("k"))).cast("int")
+    ).collect()[0][0]
+    assert ansi_unique == 1, "duplicate NULLs must pass ANSI unique"
+    # the pre-r4 form treated the NULL pair as a duplicate
+    legacy_unique = int(df.distinct().count() == df.count())
+    assert legacy_unique == 0
+    # fixture unique keys are all non-null -> no score drift possible
+    for t, c, kind, _lo, _hi in R.CONSTRAINTS:
+        if kind == "unique":
+            n_null = (
+                load_table(spark, sf_smoke, t)
+                .filter(F.col(c).isNull())
+                .count()
+            )
+            assert n_null == 0, (t, c)

@@ -268,10 +268,28 @@ def test_split_cluster_safe_invariants(spark, sf_correctness):
     for c in clusters:
         splits = {split_of[m] for m in c.members}
         assert len(splits) == 1, (c.keep_doc_id, splits)
-        for m in c.members:
-            assert group_of[m] == c.keep_doc_id
+        # one atomic group per n-gram cluster (its rep may be SMALLER
+        # than the n-gram keep_doc_id when a round-5 semantic edge
+        # merges components — identity within the cluster is what
+        # leakage-safety needs)
+        assert len({group_of[m] for m in c.members}) == 1
         n_clustered += len(c.members)
     assert n_clustered > 0, "fixture should contain near-dup clusters"
+    # round 5: SEMANTIC near-dup pairs are split-atomic too — the
+    # cross-operator draw-consistency extension to the capped semantic
+    # cluster key (VERDICT r4 #6)
+    from ai_ready_data_framework_spark.operators.ai import (
+        semantic_cluster_assign,
+        semantic_dup_pairs,
+    )
+
+    sem_pairs = semantic_dup_pairs(
+        semantic_cluster_assign(spark, sf_correctness)
+    ).collect()
+    assert sem_pairs, "fixture should contain semantic dup pairs"
+    for p in sem_pairs:
+        assert split_of[p.id_a] == split_of[p.id_b], p
+        assert group_of[p.id_a] == group_of[p.id_b], p
     n = len(rows)
     n_train = sum(1 for r in rows if r.split == "train")
     assert abs(n_train / n - 0.8) < 0.08
