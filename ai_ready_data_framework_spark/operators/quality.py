@@ -296,7 +296,16 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(T.shingles(words, 2)).alias("bg"),
     ).filter(F.size(F.split("bg", " ")) == 2)  # drop the short-doc pad
-    tf = grams.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the model derivation and the scoring join; without
+    # materialization the explode+aggregate runs twice (Catalyst keeps
+    # two scans — measured ~10% at sf0.1). Same checkpoint durability
+    # tradeoff note as functions/text.py::banded_minhash_pairs; the
+    # alternative at 100 TB is a second full corpus scan + shuffle.
+    tf = (
+        grams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     bg_counts = tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
     prefix_counts = (
         bg_counts.withColumn("w1", F.split("bg", " ")[0])
