@@ -78,6 +78,45 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("__h")
 
 
+def normalized_text(col) -> "F.Column":
+    """C4-style normalization: lowercase, strip non-alphanumerics,
+    collapse whitespace — the canonical form under which trivially
+    re-styled copies (case, punctuation, spacing) hash identically.
+    Plain ASCII classes so DuckDB's regex engine reproduces it
+    bit-for-bit (real corpora add NFKC folding here)."""
+    x = F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(x, r"  +", " "))
+
+
+@query("q_dedup_normalized")  # rows-only: graded window full; DuckDB
+# oracle runs in tests/test_ai_ops.py
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 (normalized form): exact dedup over the NORMALIZED text —
+    the C4/ccnet step that collapses copies differing only in case,
+    punctuation, or spacing, which byte-exact sha2 dedup misses.
+    Same scale shape as q_dedup_exact: normalization is a map-side
+    projection, the shuffle key is the 32-byte hash of the normalized
+    form, never the text. Reports group survivors plus how many
+    groups the normalization merged beyond the byte-exact pass
+    (n_raw_variants > 1 iff the group contains multiple distinct raw
+    texts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.sha2(normalized_text(F.col("text")), 256).alias("__h"),
+            F.sha2("text", 256).alias("__raw"),
+        )
+        .groupBy("__h")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.count_distinct("__raw").alias("n_raw_variants"),
+        )
+        .drop("__h")
+    )
+
+
 @query(
     "q_dedup_ngram",
     oracle=f"""
@@ -1004,30 +1043,14 @@ def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_vector_topk",
-    oracle="""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id,
-           ROUND(list_dot_product(e.embedding, q.qv)
-                 / (sqrt(list_dot_product(e.embedding, e.embedding))
-                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
-    FROM embeddings e, q
-    WHERE e.vec_id <> 0
-    ORDER BY list_dot_product(e.embedding, q.qv)
-             / (sqrt(list_dot_product(e.embedding, e.embedding))
-                * sqrt(list_dot_product(q.qv, q.qv))) DESC,
-             e.vec_id
-    LIMIT 10
-    """,
-)
-def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def vector_topk_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: brute-force cosine top-k against a query vector (vec_id 0).
     One broadcast of the single query row, one codegen'd scan computing
     the dot product, TakeOrderedAndProject for the top-k — no shuffle
     of the embedding table at any scale. The approx path (q_vector_ann)
     trades this scan for LSH bucket probes; this exact form measures
-    its recall (retrieval_recall_compliance, requirements.yaml:82-84)."""
+    its recall (retrieval_recall_compliance, requirements.yaml:82-84).
+    Graded as the `single` leg of the q_vector_topk union."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cos = V.cosine(F.col("embedding"), F.col("qv"))
@@ -1461,6 +1484,67 @@ def q_vector_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= RETRIEVAL_TOP_K)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+VECTOR_TOPK_UNION_ORACLE_SQL = f"""
+    SELECT * FROM (
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT 'single' AS leg, CAST(0 AS BIGINT) AS query_id, e.vec_id,
+               ROUND(list_dot_product(e.embedding, q.qv)
+                     / (sqrt(list_dot_product(e.embedding, e.embedding))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY list_dot_product(e.embedding, q.qv)
+                 / (sqrt(list_dot_product(e.embedding, e.embedding))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                 e.vec_id
+        LIMIT {RETRIEVAL_TOP_K}
+    ) s
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'batch' AS leg, b.vec_id AS query_id, e.vec_id,
+               ROUND(list_dot_product(e.embedding, b.embedding)
+                     / (sqrt(list_dot_product(e.embedding, e.embedding))
+                        * sqrt(list_dot_product(b.embedding, b.embedding))),
+                     4) AS cosine
+        FROM embeddings e JOIN embeddings b
+          ON b.vec_id < {BATCH_QUERY_VECS} AND e.vec_id >= {BATCH_QUERY_VECS}
+        QUALIFY row_number() OVER (
+            PARTITION BY b.vec_id
+            ORDER BY ROUND(list_dot_product(e.embedding, b.embedding)
+                     / (sqrt(list_dot_product(e.embedding, e.embedding))
+                        * sqrt(list_dot_product(b.embedding, b.embedding))),
+                     4) DESC, e.vec_id) <= {RETRIEVAL_TOP_K}
+    ) t
+"""
+
+
+@query("q_vector_topk", oracle=VECTOR_TOPK_UNION_ORACLE_SQL)  # hard-
+# graded (round-5 union wave): single-query + batch exact top-k
+def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 exact retrieval, tagged in one graded result (round-5 union
+    wave — the batch form was rows-only while the 50 graded slots were
+    full):
+
+    - ``single``: brute-force cosine top-k for one query vector
+      (vector_topk_single — TakeOrderedAndProject, zero shuffle of the
+      embedding table).
+    - ``batch``: q_vector_topk_batch's one-scan top-k for a broadcast
+      query batch (WindowGroupLimit pre-prunes to k rows per query per
+      executor; the only exchange carries Q*k candidate rows). The
+      rank column stays on the standalone registration; the union
+      grades the per-query top-k SET."""
+    single = vector_topk_single(spark, sf_dir).select(
+        F.lit("single").alias("leg"),
+        F.lit(0).cast("long").alias("query_id"),
+        "vec_id",
+        "cosine",
+    )
+    batch = q_vector_topk_batch(spark, sf_dir).select(
+        F.lit("batch").alias("leg"), "query_id", "vec_id", "cosine"
+    )
+    return single.unionByName(batch)
 
 
 # ---------------------------------------------------------------------------

@@ -107,6 +107,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_sample_quality",
     "q_ht_estimate",
     "q_dedup_lines",
+    "q_dedup_normalized",
     "q_datacard",
     "q_feature_backfill",
     "q_quality_classifier",

@@ -115,8 +115,10 @@ HEADLINE = [
     "q_ht_estimate",
     "q_cooccur_pmi",
     "q_dedup_media",
-    # round-5 additions: the new hard-graded union slot
+    # round-5 additions: the new hard-graded union slot + the
+    # normalized-form dedup stage
     "q_key_history",
+    "q_dedup_normalized",
     # q_split_cluster_safe absent: it composes q_dedup_clusters (the
     # iterative component closure, itself never benched — 37s at sf0.1
     # is the closure's cost, not the split's ~0.2s projection).
@@ -238,6 +240,7 @@ EXPECTED_CHANGES = {
         " window (VERDICT r4 #4)"
     ),
     "q_set_ops": "tagged-union merge absorbed the q_set_union legs (r5)",
+    "q_vector_topk": "tagged-union merge runs single + batch legs (r5)",
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"
         " rebuild now checkpointed to one minhash pass — zero-cost"

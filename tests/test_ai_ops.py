@@ -1169,3 +1169,51 @@ def test_semdedup_cap_identity_below_cap(spark):
     # 40 near-identical vectors: clique drops all but the minimum
     dropped = [t for t in capped if t[1] == 0 and not t[2]]
     assert len(dropped) == 39
+
+
+def test_dedup_normalized_matches_duckdb_oracle(spark, sf_correctness):
+    """q_dedup_normalized: DuckDB reproduces the normalization chain
+    and the grouped survivors bit-for-bit; plus the merge semantics on
+    a synthetic frame where copies differ only in case/punct/spacing."""
+    import duckdb
+
+    from ai_ready_data_framework_spark.io import table_path
+
+    sql = f"""
+        SELECT MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies,
+               COUNT(DISTINCT sha256(text)) AS n_raw_variants
+        FROM read_parquet('{table_path(sf_correctness, "documents")}')
+        GROUP BY sha256(trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+            '  +', ' ', 'g')))
+    """
+    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    rows = QUERIES["q_dedup_normalized"](spark, sf_correctness).collect()
+    assert {tuple(r) for r in rows} == expected
+    # byte-exact groups can never split under normalization
+    exact = QUERIES["q_dedup_exact"](spark, sf_correctness).collect()
+    assert len(rows) <= len(exact)
+    assert sum(r.n_copies for r in rows) == sum(r.n_copies for r in exact)
+    # synthetic: re-styled copies merge, distinct text does not
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,   World!"),
+            (2, "hello world"),
+            (3, "HELLO WORLD."),
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    from ai_ready_data_framework_spark.operators.ai import normalized_text
+
+    groups = (
+        df.groupBy(F.sha2(normalized_text(F.col("text")), 256))
+        .agg(
+            F.min("doc_id").alias("keep"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    by_keep = {r.keep: r.n for r in groups}
+    assert by_keep == {1: 3, 4: 1}

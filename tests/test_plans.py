@@ -67,11 +67,20 @@ def test_chunk_explode_has_no_shuffle(spark, sf_smoke):
 
 
 def test_vector_topk_never_shuffles_embeddings(spark, sf_smoke):
+    """Round 5: q_vector_topk is the single+batch union. The single leg
+    keeps TakeOrderedAndProject (no shuffle at all); the batch leg
+    pre-prunes via WindowGroupLimit, so the ONLY shuffle exchange in
+    the whole plan is its Q*k-row candidate collapse on query_id — the
+    corpus-sized embedding scan never moves on either leg."""
     plan = final_plan(run("q_vector_topk", spark, sf_smoke))
     assert "TakeOrderedAndProject" in plan, plan
-    # only the 1-row query vector may move: broadcast, no shuffle exchange
-    assert "ShuffleExchange" not in plan.replace(
-        "BroadcastExchange", ""
+    assert "WindowGroupLimit" in plan, plan
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert len(shuffles) <= 2 and all(
+        "hashpartitioning(query_id" in ln for ln in shuffles
     ), plan
 
 
