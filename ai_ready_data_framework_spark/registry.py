@@ -131,6 +131,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_vector_ann",
     "q_lang_id",
     "q_dedup_media",
+    "q_multimodal_decode",
     "q_multimodal_meta",
     "q_multimodal_features",
     "q_multimodal_frames",

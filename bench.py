@@ -119,6 +119,7 @@ HEADLINE = [
     # normalized-form dedup stage
     "q_key_history",
     "q_dedup_normalized",
+    "q_multimodal_decode",
     # q_split_cluster_safe absent: it composes q_dedup_clusters (the
     # iterative component closure, itself never benched — 37s at sf0.1
     # is the closure's cost, not the split's ~0.2s projection).

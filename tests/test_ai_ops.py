@@ -1217,3 +1217,59 @@ def test_dedup_normalized_matches_duckdb_oracle(spark, sf_correctness):
     )
     by_keep = {r.keep: r.n for r in groups}
     assert by_keep == {1: 3, 4: 1}
+
+
+def test_multimodal_real_decode_roundtrip():
+    """Pure-stdlib encode/decode roundtrip (no Spark): PPM and BMP
+    headers, WAV via the wave module, ANIM frame containers — decoded
+    values must equal the generator parameters exactly."""
+    for mid in range(0, 64):
+        w, h = multimodal._gen_dims(mid)
+        assert multimodal.decode_image_real(
+            multimodal.encode_ppm(w, h, mid)
+        ) == (w, h)
+        assert multimodal.decode_image_real(
+            multimodal.encode_bmp(w, h, mid)
+        ) == (w, h)
+        nf, rate = multimodal._gen_audio(mid)
+        assert multimodal.decode_audio_real(
+            multimodal.encode_wav(nf, rate, mid)
+        ) == (1, rate, nf)
+        frames = [multimodal.encode_ppm(w, h, mid * 100 + i) for i in range(3)]
+        got = multimodal.decode_anim_frames(multimodal.encode_anim(frames))
+        assert got == frames
+    # compressed codecs stay injected configuration
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_multimodal_decode_pipeline_matches_generator(spark, sf_smoke):
+    """The distributed decode pipeline (q_multimodal_decode's body)
+    must reproduce the generator's parameters for EVERY row — the
+    decode step is real, so the oracle is exact."""
+    n = 200
+    rows = multimodal.decode_media(
+        multimodal.synth_real_media(spark, n)
+    ).collect()
+    assert len(rows) == n
+    for r in rows:
+        w, h = multimodal._gen_dims(r.media_id)
+        kind = r.media_id % 4
+        if kind in (0, 1):
+            assert r.media_type == "image"
+            assert (r.width, r.height) == (w, h)
+            assert r.n_frames is None and r.audio_frames is None
+        elif kind == 2:
+            nf, rate = multimodal._gen_audio(r.media_id)
+            assert r.media_type == "audio"
+            assert (r.audio_frames, r.framerate) == (nf, rate)
+            assert r.width is None
+        else:
+            assert r.media_type == "video"
+            assert r.n_frames == multimodal.ANIM_FRAMES
+            assert (r.width, r.height) == (w, h)
+    # query-level determinism
+    a = QUERIES["q_multimodal_decode"](spark, sf_smoke).collect()
+    b = QUERIES["q_multimodal_decode"](spark, sf_smoke).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {r.media_type for r in a} == {"image", "audio", "video"}
