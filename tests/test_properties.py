@@ -425,3 +425,60 @@ def test_leakage_safe_split_duplicates_share_split(spark, tmp_path_factory, corp
     for t, reps in by_text_rep.items():
         expected_rep = min(i for i, tt in text_of.items() if tt == t)
         assert reps == {expected_rep}, t
+
+
+# epoch-microsecond offsets spanning ~4 day buckets, with gaps from
+# sub-gap (burst-continuing) to multi-bucket (chain-breaking); drawn as
+# raw offsets so bursts land on/straddle bucket edges arbitrarily
+_incident_ts = st.lists(
+    st.integers(0, 4 * 86_400_000_000),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(offsets=_incident_ts)
+@SETTINGS
+def test_error_incident_stitch_property(spark, offsets):
+    """The two-level incident derivation (per-day window + boundary
+    stitch, VERDICT r4 #4) must equal the global single-pass gap
+    grouping for ARBITRARY event-time sets — including bursts landing
+    exactly on bucket edges, multi-bucket chains, singleton buckets,
+    and duplicate timestamps."""
+    import datetime as dt
+
+    from ai_ready_data_framework_spark.operators.temporal import (
+        INCIDENT_GAP_MINUTES,
+        _error_incidents_us,
+    )
+
+    gap_lim = INCIDENT_GAP_MINUTES * 60 * 1_000_000
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (i, base + dt.timedelta(microseconds=off), "error")
+        for i, off in enumerate(sorted(offsets))
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    got = sorted(
+        _error_incidents_us(events).collect(), key=lambda r: r.incident_id
+    )
+    us = sorted(
+        r.u
+        for r in events.select(F.unix_micros("ts").alias("u")).collect()
+    )
+    expected, cur = [], [us[0]]
+    for u in us[1:]:
+        if u - cur[-1] > gap_lim:
+            expected.append(cur)
+            cur = [u]
+        else:
+            cur.append(u)
+    expected.append(cur)
+    assert [
+        (r.incident_id, r.i_start_us, r.i_end_us, r.n_errors) for r in got
+    ] == [
+        (k, grp[0], grp[-1], len(grp))
+        for k, grp in enumerate(expected, start=1)
+    ]
