@@ -52,15 +52,21 @@ class CheckContext:
     _artifact_lock: threading.Lock = field(
         default_factory=threading.Lock, repr=False
     )
+    _name_locks: dict = field(default_factory=dict, repr=False)
 
     def table(self, name: str) -> DataFrame:
         self.read_log.add(name)
         return self.tables[name]
 
     def artifact(self, name: str, build: Callable[[], object]) -> object:
-        # lock: checks run concurrently (run_assessment's pool) and a
-        # racy double-build would waste the most expensive artifacts
+        # per-name locks: checks run concurrently (run_assessment's
+        # pool) and a racy double-build would waste the most expensive
+        # artifacts — but one coarse lock would serialize UNRELATED
+        # builds (an LSH fit blocking a cheap lineage frame), idling
+        # the pool. The global lock guards only the lock registry.
         with self._artifact_lock:
+            name_lock = self._name_locks.setdefault(name, threading.Lock())
+        with name_lock:
             if name not in self.artifacts:
                 self.artifacts[name] = build()
             return self.artifacts[name]
@@ -1006,16 +1012,8 @@ def run_assessment(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    results: dict[str, tuple[str, float, str, float]] = {}
-    with ThreadPoolExecutor(max_workers=6) as pool:
-        for res in pool.map(run_one, pooled):
-            results[res[0]] = res
-    for chk in timed:
-        results[chk.key] = run_one(chk)
-
-    rows: list[tuple] = []
-    for chk in selected:  # run_log and rows keep declaration order
-        _key, value, status, duration = results[chk.key]
+    def record(chk: Check, res: tuple[str, float, str, float]) -> tuple:
+        _key, value, status, duration = res
         value = max(0.0, min(1.0, value))
         ctx.run_log.append(
             {
@@ -1026,9 +1024,30 @@ def run_assessment(
                 "duration_s": duration,
             }
         )
-        rows.append(
-            (chk.key, chk.factor, ",".join(chk.workloads), chk.kind, round(value, 4))
+        return (
+            chk.key,
+            chk.factor,
+            ",".join(chk.workloads),
+            chk.kind,
+            round(value, 4),
         )
+
+    results: dict[str, tuple[str, float, str, float]] = {}
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        for res in pool.map(run_one, pooled):
+            results[res[0]] = res
+    row_by_key: dict[str, tuple] = {}
+    # Append pooled run records (declaration order) BEFORE the timed
+    # checks run: pipeline_execution_audit and
+    # propagation_latency_compliance consume the run log itself, and in
+    # the pre-concurrency serial loop they saw every earlier check's
+    # record — an empty log here silently zeroed the audit score.
+    for chk in pooled:
+        row_by_key[chk.key] = record(chk, results[chk.key])
+    for chk in timed:  # each timed check sees all prior records too
+        row_by_key[chk.key] = record(chk, run_one(chk))
+
+    rows = [row_by_key[chk.key] for chk in selected]
     return spark.createDataFrame(
         rows, "requirement string, factor string, workload string, kind string, value double"
     )

@@ -81,11 +81,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def normalized_text(col) -> "F.Column":
     """C4-style normalization: lowercase, strip non-alphanumerics,
     collapse whitespace — the canonical form under which trivially
-    re-styled copies (case, punctuation, spacing) hash identically.
-    Plain ASCII classes so DuckDB's regex engine reproduces it
-    bit-for-bit (real corpora add NFKC folding here)."""
-    x = F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", "")
-    return F.trim(F.regexp_replace(x, r"  +", " "))
+    re-styled copies (case, punctuation, spacing, re-wrapping) hash
+    identically. Whitespace (including newlines/tabs) is KEPT by the
+    strip and then collapsed to single spaces — deleting it instead
+    would falsely merge 'a b\\nc' with 'a bc' while failing to merge
+    the re-wrapped 'a b\\nc' with 'a b c'. Plain ASCII classes so
+    DuckDB's regex engine reproduces it bit-for-bit (real corpora add
+    NFKC folding here)."""
+    x = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
 
 
 @query("q_dedup_normalized")  # rows-only: graded window full; DuckDB
@@ -1059,7 +1063,9 @@ def vector_topk_single(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select("vec_id", cos.alias("__cos"))
         .orderBy(F.desc("__cos"), F.asc("vec_id"))
-        .limit(10)
+        # RETRIEVAL_TOP_K (defined below) — the union oracle
+        # interpolates the same constant, so the two cannot drift
+        .limit(RETRIEVAL_TOP_K)
         .select("vec_id", F.round("__cos", 4).alias("cosine"))
     )
 

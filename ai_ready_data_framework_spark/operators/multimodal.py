@@ -127,8 +127,28 @@ def decode_image_real(content: bytes) -> tuple[int, int]:
     injects a codec wrapper as the ``decode`` argument instead
     (configuration, not a code change; VERDICT r3 missing #2)."""
     if content[:2] == b"P6":
-        parts = content[:64].split(None, 3)
-        return int(parts[1]), int(parts[2])
+        # spec-correct header scan: '#' comment lines are legal between
+        # any header tokens (GIMP et al. emit them)
+        tokens: list[bytes] = []
+        i, n = 2, min(len(content), 4096)
+        while len(tokens) < 2 and i < n:
+            c = content[i : i + 1]
+            if c in (b" ", b"\t", b"\r", b"\n"):
+                i += 1
+            elif c == b"#":
+                nl = content.find(b"\n", i)
+                i = n if nl < 0 else nl + 1
+            else:
+                j = i
+                while j < n and content[j : j + 1] not in (
+                    b" ", b"\t", b"\r", b"\n", b"#",
+                ):
+                    j += 1
+                tokens.append(content[i:j])
+                i = j
+        if len(tokens) < 2:
+            raise ValueError("malformed PPM header")
+        return int(tokens[0]), int(tokens[1])
     if content[:2] == b"BM":
         width, height = struct.unpack_from("<ii", content, 18)
         return width, abs(height)  # negative height = top-down rows

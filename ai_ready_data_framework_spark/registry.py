@@ -102,7 +102,6 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_bpe_train",
     "q_bpe_encode",
     "q_check_ldiversity",
-    "q_drift_psi",
     "q_drift_psi_value",
     "q_sample_quality",
     "q_ht_estimate",

@@ -1185,8 +1185,8 @@ def test_dedup_normalized_matches_duckdb_oracle(spark, sf_correctness):
                COUNT(DISTINCT sha256(text)) AS n_raw_variants
         FROM read_parquet('{table_path(sf_correctness, "documents")}')
         GROUP BY sha256(trim(regexp_replace(
-            regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-            '  +', ' ', 'g')))
+            regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+            '\\s+', ' ', 'g')))
     """
     expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
     rows = QUERIES["q_dedup_normalized"](spark, sf_correctness).collect()
@@ -1201,7 +1201,10 @@ def test_dedup_normalized_matches_duckdb_oracle(spark, sf_correctness):
             (1, "Hello,   World!"),
             (2, "hello world"),
             (3, "HELLO WORLD."),
-            (4, "goodbye world"),
+            (4, "hello\nworld"),  # re-wrapped copy must merge...
+            (5, "hello\tworld"),
+            (6, "helloworld"),  # ...but glued words must NOT
+            (7, "goodbye world"),
         ],
         "doc_id long, text string",
     )
@@ -1216,7 +1219,7 @@ def test_dedup_normalized_matches_duckdb_oracle(spark, sf_correctness):
         .collect()
     )
     by_keep = {r.keep: r.n for r in groups}
-    assert by_keep == {1: 3, 4: 1}
+    assert by_keep == {1: 5, 6: 1, 7: 1}
 
 
 def test_multimodal_real_decode_roundtrip():
@@ -1273,3 +1276,15 @@ def test_multimodal_decode_pipeline_matches_generator(spark, sf_smoke):
     b = QUERIES["q_multimodal_decode"](spark, sf_smoke).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert {r.media_type for r in a} == {"image", "audio", "video"}
+
+
+def test_ppm_decode_handles_comment_lines():
+    """Legal P6 headers may contain '#' comment lines between tokens
+    (GIMP emits them); the header scanner must skip them."""
+    body = b"\x00" * (4 * 3 * 3)
+    payload = b"P6\n# made by gimp\n4 3\n# another\n255\n" + body
+    assert multimodal.decode_image_real(payload) == (4, 3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_image_real(b"P6\n# only comments\n")
