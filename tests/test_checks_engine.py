@@ -97,6 +97,11 @@ def test_known_check_values(assessment):
     assert scores["chunk_readiness"] == 1.0  # 50-token chunks fit budget
     assert scores["record_level_traceability"] == 1.0  # event_id unique
     assert scores["entity_identifier_declaration"] == 0.9  # lineitem pk dup
+    # the self-auditing checks consume the engine's own run log; a
+    # scheduler change that defers run-log appends zeroes them (caught
+    # live in round 5) — every check on the healthy fixture scores > 0
+    assert scores["pipeline_execution_audit"] == 1.0
+    assert not [k for k, v in scores.items() if v == 0.0]
 
 
 def test_assessment_survives_partial_layout(spark, tmp_path, sf_smoke):
