@@ -411,3 +411,15 @@ def test_error_incidents_stitch_across_bucket_boundaries(spark):
         (r.i_end_us - r.i_start_us) / 86_400_000_000 for r in got
     ]
     assert max(spans) > 1.0, "fixture must contain a multi-bucket burst"
+
+
+def test_error_incidents_empty_error_stream(spark):
+    """Zero error events: the stitch's empty chain map / offset frames
+    must build cleanly and the derivation return an empty result."""
+    import datetime as dt
+
+    events = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "click")],
+        "event_id long, ts timestamp, event_type string",
+    )
+    assert TP._error_incidents_us(events).collect() == []
