@@ -881,9 +881,12 @@ def q_key_history(spark: SparkSession, sf_dir: str) -> DataFrame:
       change-point compression + lead() ranges (ref_id/detail NULL:
       a state row aggregates events rather than naming one).
 
-    Both legs share ONE physical shape — a (user, time-order) window
-    over events — so the union costs two WindowGroupLimit/window
-    passes over the same healthy user_id shuffle key."""
+    Physical shape (verified): the latest leg's partial
+    WindowGroupLimit prunes to one row per user BEFORE its exchange, so
+    the union costs one full events shuffle (scd2's windows) plus one
+    keys-sized shuffle — both on the healthy user_id key. Forcing
+    exchange reuse across the legs would drop the keys-sized exchange
+    but forfeit the pre-shuffle prune; this shape is cheaper."""
     latest = q_dedup_latest(spark, sf_dir).select(
         F.lit("latest").alias("kind"),
         "user_id",

@@ -511,3 +511,20 @@ def test_split_leakage_safe_constant_width_exchange(spark, sf_smoke):
     ]
     assert exchanges, plan
     assert all("th#" in ln for ln in exchanges), exchanges
+
+
+def test_key_history_prunes_latest_leg_before_exchange(spark, sf_smoke):
+    """q_key_history: the latest leg's partial WindowGroupLimit must
+    sit below its exchange (shuffle carries |keys| rows, not |events|),
+    both shuffles hash on user_id, and nothing funnels through a
+    single partition."""
+    plan = final_plan(run("q_key_history", spark, sf_smoke))
+    assert "WindowGroupLimit" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert shuffles and all(
+        "hashpartitioning(user_id" in ln for ln in shuffles
+    ), plan
