@@ -150,6 +150,57 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+# Token-budget multiple for the mixture planner: 2x the corpus forces
+# the upsampling case (small sources need > 1 epoch), which is exactly
+# the repetition-factor table mixing papers publish.
+MIX_TOKEN_BUDGET_X = 2.0
+
+
+@query("q_mix_budget")  # rows-only: graded window full; DuckDB oracle
+# runs in tests/test_corpus_ops.py
+def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (mixture design, token accounting): the per-source
+    TOKEN budget plan — given temperature-scaled target shares
+    (q_mix_temperature's rule, at token granularity) and a training
+    budget of MIX_TOKEN_BUDGET_X times the corpus, how many tokens each
+    source must contribute and how many EPOCHS over that source that
+    implies (epochs > 1 = the source is repeated/upsampled — the
+    repetition-factor table every data-mixing report publishes).
+    Budget anchors on the data (a multiple of total corpus tokens), so
+    the plan is deterministic and engine-portable.
+
+    Scale: one (source) aggregate over a tokenize projection (map-side
+    combinable, source-cardinality result); normalization windows run
+    on the source-sized aggregate. Zero corpus-sized joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    total = F.sum("n_tokens").over(everything)
+    shares = counts.select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") / total).alias("p"),
+        total.alias("__total"),
+    ).select("*", F.pow("p", F.lit(MIX_ALPHA)).alias("scaled"))
+    w = F.col("scaled") / F.sum("scaled").over(everything)
+    tokens_needed = w * F.col("__total") * MIX_TOKEN_BUDGET_X
+    epochs = tokens_needed / F.col("n_tokens")
+    return shares.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tokens",
+        F.round("p", 4).alias("natural_share"),
+        F.round(w, 4).alias("mix_weight"),
+        F.floor(tokens_needed).cast("long").alias("tokens_needed"),
+        F.round(epochs, 4).alias("epochs"),
+        (epochs > 1.0).cast("long").alias("upsampled"),
+    ).orderBy("source")
+
+
 @query("q_token_entropy")  # rows-only: graded window full; DuckDB
 # oracle runs in tests/test_corpus_ops.py
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:

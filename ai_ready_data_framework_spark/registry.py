@@ -115,6 +115,7 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_dedup_incremental",
     "q_source_divergence",
     "q_mix_temperature",
+    "q_mix_budget",
     "q_token_entropy",
     "q_cooccur_pmi",
     "q_cluster_assign",

@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline declared queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints the FULL record line followed by a
+compact summary line (always < ~1.3 KB — the driver captures only the
+last ~2000 chars of stdout and parses the JSON found there):
+    {"metric": ..., "value": N, "unit": "sec", ..., "queries": {...}}
+Full per-query detail also lands in BENCH_DETAIL.json, which doubles
+as the sf-matched regression baseline for the next run.
 
 Each query is forced end-to-end with a noop sink (full execution, no
 driver-side collect bottleneck), timed after a warmup of the session.
@@ -120,6 +124,7 @@ HEADLINE = [
     "q_key_history",
     "q_dedup_normalized",
     "q_multimodal_decode",
+    "q_mix_budget",
     # q_split_cluster_safe absent: it composes q_dedup_clusters (the
     # iterative component closure, itself never benched — 37s at sf0.1
     # is the closure's cost, not the split's ~0.2s projection).

@@ -843,3 +843,57 @@ def test_cooccur_pmi_matches_duckdb_oracle(spark, sf_correctness):
     ]
     assert rows == expected
     assert rows, "pruned PMI list should be non-empty at sf0.01"
+
+
+def test_mix_budget_matches_duckdb_oracle(spark, sf_correctness):
+    """q_mix_budget: DuckDB recomputes the token counts, temperature
+    shares, token budget, and epoch factors bit-for-bit; plus the plan
+    invariants — shares sum to ~1, the temperature rule upsamples the
+    smallest source (its epochs exceed the largest source's), and
+    tokens_needed sums to ~the budget."""
+    from ai_ready_data_framework_spark.operators.corpus import (
+        MIX_ALPHA,
+        MIX_TOKEN_BUDGET_X,
+    )
+
+    sql = f"""
+        WITH counts AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM read_parquet('{_docs(sf_correctness)}')
+            GROUP BY 1
+        ),
+        shares AS (
+            SELECT *,
+                   n_tokens / SUM(n_tokens) OVER () AS p,
+                   SUM(n_tokens) OVER () AS total
+            FROM counts
+        ),
+        scaled AS (
+            SELECT *, POW(p, {MIX_ALPHA}) AS s FROM shares
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(p, 4) AS natural_share,
+               ROUND(s / SUM(s) OVER (), 4) AS mix_weight,
+               CAST(FLOOR(s / SUM(s) OVER () * total
+                          * {MIX_TOKEN_BUDGET_X}) AS BIGINT)
+                   AS tokens_needed,
+               ROUND(s / SUM(s) OVER () * total * {MIX_TOKEN_BUDGET_X}
+                     / n_tokens, 4) AS epochs,
+               CAST(s / SUM(s) OVER () * total * {MIX_TOKEN_BUDGET_X}
+                    / n_tokens > 1.0 AS BIGINT) AS upsampled
+        FROM scaled ORDER BY source
+    """
+    expected = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    rows = [
+        tuple(r)
+        for r in QUERIES["q_mix_budget"](spark, sf_correctness).collect()
+    ]
+    assert rows == expected
+    assert abs(sum(r[4] for r in rows) - 1.0) < 1e-3  # weights sum to 1
+    by_tokens = sorted(rows, key=lambda r: r[2])
+    assert by_tokens[0][6] > by_tokens[-1][6], "smallest source upsampled most"
+    budget = sum(r[2] for r in rows) * MIX_TOKEN_BUDGET_X
+    assert abs(sum(r[5] for r in rows) - budget) / budget < 1e-3
