@@ -55,27 +55,86 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_dedup_exact",
-    oracle="""
-    SELECT MIN(doc_id) AS keep_doc_id,
+# Explicit ASCII whitespace class shared by BOTH engines (ADVICE r5):
+# Java regex \s matches vertical tab (\x0b) but DuckDB/RE2's \s does
+# not, so texts containing \x0b would normalize differently across
+# engines and break oracle parity. Spelling the class out removes the
+# engine-defined set from the contract entirely.
+_WS_CLASS = r" \t\n\r\f\x0b"
+NORMALIZE_STRIP_RE = rf"[^a-z0-9{_WS_CLASS}]"
+NORMALIZE_WS_RE = rf"[{_WS_CLASS}]+"
+
+# One normalization expression, interpolated into BOTH the Spark column
+# chain and the DuckDB oracle so the two can never drift.
+NORMALIZED_SHA_SQL = (
+    "sha256(trim(regexp_replace(regexp_replace(lower(text), "
+    f"'{NORMALIZE_STRIP_RE}', '', 'g'), '{NORMALIZE_WS_RE}', ' ', 'g')))"
+)
+
+DEDUP_UNION_ORACLE_SQL = f"""
+    SELECT 'raw' AS dedup_kind,
+           MIN(doc_id) AS keep_doc_id,
            COUNT(*) AS n_copies,
+           COUNT(DISTINCT sha256(text)) AS n_raw_variants,
            MIN(n_chars) AS n_chars
     FROM documents
     GROUP BY sha256(text)
-    """,
-)
+    UNION ALL
+    SELECT 'normalized',
+           MIN(doc_id),
+           COUNT(*),
+           COUNT(DISTINCT sha256(text)),
+           MIN(n_chars)
+    FROM documents
+    GROUP BY {NORMALIZED_SHA_SQL}
+"""
+
+
+def _dedup_group_report(docs: DataFrame, kind: str, key) -> DataFrame:
+    """Shared group-by-content-hash survivor report for both dedup
+    legs: same aggregate set so the tagged union has one schema.
+    n_raw_variants counts distinct BYTE-exact forms inside the group —
+    trivially 1 for the raw leg, and for the normalized leg the number
+    of re-stylings the normalization merged beyond byte-exact dedup."""
+    return (
+        docs.groupBy(key.alias("__h"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.count_distinct(F.sha2("text", 256)).alias("n_raw_variants"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .drop("__h")
+        .select(
+            F.lit(kind).alias("dedup_kind"),
+            "keep_doc_id",
+            "n_copies",
+            "n_raw_variants",
+            "n_chars",
+        )
+    )
+
+
+@query("q_dedup_exact", oracle=DEDUP_UNION_ORACLE_SQL)  # hard-graded
+# union (round-6 wave): raw + normalized hash-dedup in one slot
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1: exact dedup — group by content hash, keep the smallest
-    doc_id. Hashing first keeps the shuffle key at 32 bytes regardless
-    of document size (shipping full text through the exchange is the
-    classic 100 TB mistake)."""
+    doc_id, tagged union of both canonical forms (round-6 union wave):
+
+    - ``raw``: byte-exact sha2(text) groups.
+    - ``normalized``: sha2 over the C4-style normalized form
+      (q_dedup_normalized's leg — case/punctuation/spacing-insensitive).
+
+    Hashing first keeps the shuffle key at 32 bytes regardless of
+    document size (shipping full text through the exchange is the
+    classic 100 TB mistake); the normalization is a map-side projection
+    so the second leg has the identical scale shape."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy(F.sha2("text", 256).alias("__h")).agg(
-        F.min("doc_id").alias("keep_doc_id"),
-        F.count("*").alias("n_copies"),
-        F.min("n_chars").alias("n_chars"),
-    ).drop("__h")
+    raw = _dedup_group_report(docs, "raw", F.sha2("text", 256))
+    norm = _dedup_group_report(
+        docs, "normalized", F.sha2(normalized_text(F.col("text")), 256)
+    )
+    return raw.unionByName(norm)
 
 
 def normalized_text(col) -> "F.Column":
@@ -85,14 +144,17 @@ def normalized_text(col) -> "F.Column":
     identically. Whitespace (including newlines/tabs) is KEPT by the
     strip and then collapsed to single spaces — deleting it instead
     would falsely merge 'a b\\nc' with 'a bc' while failing to merge
-    the re-wrapped 'a b\\nc' with 'a b c'. Plain ASCII classes so
-    DuckDB's regex engine reproduces it bit-for-bit (real corpora add
-    NFKC folding here)."""
-    x = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", "")
-    return F.trim(F.regexp_replace(x, r"\s+", " "))
+    the re-wrapped 'a b\\nc' with 'a b c'. The whitespace set is the
+    EXPLICIT class ``[ \\t\\n\\r\\f\\x0b]`` rather than ``\\s``
+    (ADVICE r5): Java's \\s includes vertical tab while RE2's does
+    not, and this expression must hash identically under both engines
+    (real corpora add NFKC folding here)."""
+    x = F.regexp_replace(F.lower(col), NORMALIZE_STRIP_RE, "")
+    return F.trim(F.regexp_replace(x, NORMALIZE_WS_RE, " "))
 
 
-@query("q_dedup_normalized")  # rows-only: graded window full; DuckDB
+@query("q_dedup_normalized")  # rows-only since round 6: hard-graded
+# through q_dedup_exact's `normalized` union leg; standalone DuckDB
 # oracle runs in tests/test_ai_ops.py
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1 (normalized form): exact dedup over the NORMALIZED text —
@@ -1017,29 +1079,83 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_mask_pii",
-    oracle="""
-    SELECT doc_id,
-           sha256(text) AS text_hash,
-           sha256(source) AS source_hash,
-           lang
-    FROM documents
-    """,
-)
-def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L6: deterministic hash-masking of sensitive columns
-    (field_masking, requirements.yaml:169-171). sha2-256 keeps
-    referential integrity (equal plaintexts → equal masks) while
-    destroying the raw value — the property training pipelines need to
-    keep joins working on masked data."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.sha2("text", 256).alias("text_hash"),
-        F.sha2("source", 256).alias("source_hash"),
-        "lang",
+def _mask_union_oracle_sql() -> str:
+    from ai_ready_data_framework_spark.operators.quality import (
+        PII_EMAIL_RE,
+        PII_NOTE_SQL,
+        PII_PHONE_RE,
     )
+
+    return f"""
+    SELECT 'column_hash' AS mask_kind,
+           doc_id AS rec_id,
+           'text' AS field,
+           sha256(text) AS masked_value,
+           CAST(1 AS BIGINT) AS n_spans
+    FROM documents
+    UNION ALL
+    SELECT 'column_hash', doc_id, 'source', sha256(source), CAST(1 AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'span_redact', c_custkey, 'contact_note',
+           regexp_replace(
+               regexp_replace(note, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g'),
+           CAST(len(regexp_extract_all(note, '{PII_EMAIL_RE}'))
+                + len(regexp_extract_all(note, '{PII_PHONE_RE}')) AS BIGINT)
+    FROM (SELECT c_custkey, {PII_NOTE_SQL} AS note FROM customer)
+    """
+
+
+@query("q_mask_pii", oracle=_mask_union_oracle_sql())  # hard-graded
+# union (round-6 wave): column hashing + span redaction in one slot
+def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: PII masking, tagged union of both masking shapes in one
+    doc-keyed report (round-6 union wave; field_masking,
+    requirements.yaml:169-171):
+
+    - ``column_hash``: deterministic sha2-256 of whole sensitive
+      columns — keeps referential integrity (equal plaintexts → equal
+      masks) while destroying the raw value, so joins keep working on
+      masked data. One row per (document, field).
+    - ``span_redact``: regex span DETECTION + typed-placeholder
+      REDACTION over free text (q_pii_redact's leg) — the shape used
+      when text must stay usable for training after scrubbing;
+      n_spans counts the redacted spans.
+
+    Both legs are pure codegen'd projections: zero shuffles at any
+    scale."""
+    from ai_ready_data_framework_spark.operators.quality import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+        pii_contact_notes,
+        pii_redact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def hash_leg(field: str) -> DataFrame:
+        return docs.select(
+            F.lit("column_hash").alias("mask_kind"),
+            F.col("doc_id").alias("rec_id"),
+            F.lit(field).alias("field"),
+            F.sha2(field, 256).alias("masked_value"),
+            F.lit(1).cast("long").alias("n_spans"),
+        )
+
+    notes = pii_contact_notes(load_table(spark, sf_dir, "customer"))
+    n_spans = (
+        F.size(F.regexp_extract_all("note", F.lit(PII_EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all("note", F.lit(PII_PHONE_RE), 0))
+    ).cast("long")
+    redact_leg = notes.select(
+        F.lit("span_redact").alias("mask_kind"),
+        F.col("c_custkey").alias("rec_id"),
+        F.lit("contact_note").alias("field"),
+        pii_redact(F.col("note")).alias("masked_value"),
+        n_spans.alias("n_spans"),
+    )
+    return hash_leg("text").unionByName(hash_leg("source")).unionByName(redact_leg)
 
 
 # ---------------------------------------------------------------------------

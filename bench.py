@@ -202,6 +202,9 @@ def main() -> None:
 
 
 COMPACT_BUDGET_CHARS = 1200  # hard cap, < the driver's ~2000-char tail
+# Sub-budget for the flagged-regression name list inside the compact
+# line (ADVICE r5): leaves headroom for the slowest-queries dict.
+FLAGGED_BUDGET_CHARS = 700
 
 
 def build_compact(out: dict, regressions: dict | None) -> dict:
@@ -220,7 +223,20 @@ def build_compact(out: dict, regressions: dict | None) -> dict:
         "detail": "BENCH_DETAIL.json",
     }
     if regressions is not None:
-        compact["flagged"] = sorted(regressions.get("flagged", {}))
+        flagged = sorted(regressions.get("flagged", {}))
+        # flagged participates in the SAME length budget (ADVICE r5):
+        # a mass-regression round (a loaded box can flag most of the
+        # 90+ queries) would otherwise make this list alone ~2KB and
+        # push the line past the driver's tail window — the exact
+        # parsed:null failure this function exists to prevent.
+        # flagged_n always reports the true count; the name list is
+        # trimmed first so some slowest-queries context still fits.
+        compact["flagged_n"] = len(flagged)
+        compact["flagged"] = flagged
+        while (
+            len(json.dumps(compact)) > FLAGGED_BUDGET_CHARS and compact["flagged"]
+        ):
+            compact["flagged"].pop()
     slowest = sorted(out["queries"].items(), key=lambda kv: -kv[1])
     compact["queries"] = {}
     for name, secs in slowest:
@@ -258,6 +274,10 @@ EXPECTED_CHANGES = {
     ),
     "q_set_ops": "tagged-union merge absorbed the q_set_union legs (r5)",
     "q_vector_topk": "tagged-union merge runs single + batch legs (r5)",
+    "q_dedup_exact": "tagged-union merge runs raw + normalized legs (r6)",
+    "q_mask_pii": (
+        "tagged-union merge runs column-hash + span-redact legs (r6)"
+    ),
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"
         " rebuild now checkpointed to one minhash pass — zero-cost"

@@ -34,6 +34,25 @@ def test_compact_line_fits_tail_window_at_any_scale():
         assert parsed["value"] == 123.456
         assert parsed["n_queries"] == n
         assert len(parsed["flagged"]) == min(5, n)
+        assert parsed["flagged_n"] == min(5, n)
+
+
+def test_compact_line_survives_mass_regression_round():
+    """ADVICE r5: a loaded box can flag most of the 90+ queries; the
+    flagged list must be trimmed inside the same budget or the final
+    line outgrows the driver's tail window (the parsed:null failure
+    mode all over again). flagged_n keeps the true count visible."""
+    for n_flagged in (90, 500):
+        out = _fake_out(max(n_flagged, 91))
+        regs = {"flagged": {k: {} for k in list(out["queries"])[:n_flagged]}}
+        line = json.dumps(bench.build_compact(out, regs))
+        assert len(line) <= bench.COMPACT_BUDGET_CHARS + 200, (n_flagged, len(line))
+        parsed = json.loads(line)
+        assert parsed["value"] == 123.456
+        assert parsed["flagged_n"] == n_flagged
+        assert 0 < len(parsed["flagged"]) < n_flagged
+        # trimming flagged must leave room for at least one slow query
+        assert parsed["queries"]
 
 
 def test_compact_keeps_slowest_queries_first():

@@ -163,3 +163,28 @@ def test_unique_constraint_ansi_null_semantics(spark, sf_smoke):
                 .count()
             )
             assert n_null == 0, (t, c)
+
+
+def test_propagation_sla_scores_serial_records_only(spark, sf_smoke):
+    """ADVICE r5: pooled checks measure wall-clock under 6-way
+    concurrency, so their duration_s is contention-inflated and MUST
+    NOT feed the propagation SLA — a loaded scheduler would flip the
+    graded score nondeterministically. Only serially-timed records
+    count; with none, compliance is vacuous (1.0)."""
+    from ai_ready_data_framework_spark.checks import engine as E
+    from ai_ready_data_framework_spark.checks import registries as R
+
+    ctx = E.CheckContext(spark=spark, sf_dir=sf_smoke)
+    fast = {"duration_s": 0.01, "timing": "serial"}
+    slow_pooled = {"duration_s": R.PROPAGATION_SLA_S * 100, "timing": "pooled"}
+    slow_serial = {"duration_s": R.PROPAGATION_SLA_S * 100, "timing": "serial"}
+
+    ctx.run_log.extend([dict(fast), dict(slow_pooled)])
+    # contention-inflated pooled record is ignored -> full compliance
+    assert E.propagation_latency_compliance(ctx) == 1.0
+    ctx.run_log.append(dict(slow_serial))
+    # a genuinely slow serial run DOES count (1 of 2 serial within SLA)
+    assert E.propagation_latency_compliance(ctx) == 0.5
+    # no serial record yet -> vacuous compliance, not a violation
+    ctx.run_log[:] = [dict(slow_pooled)]
+    assert E.propagation_latency_compliance(ctx) == 1.0
