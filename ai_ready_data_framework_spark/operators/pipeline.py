@@ -7,9 +7,12 @@ pipeline. This operator composes the engine's own building blocks into
 the canonical LLM pretraining-data pipeline and reports the funnel:
 
     raw → near dedup (greedy 8-gram-overlap drop: a doc survives iff
-          no smaller-id doc shares an 8-token shingle with it — exact
-          duplicates share every shingle, so this subsumes sha2 dedup,
-          and this corpus's duplicates are near-dups, not bitwise)
+          no smaller-id doc shares a NON-BOILERPLATE 8-token shingle
+          with it — shingles above the posting-df cap are boilerplate
+          and generate no candidates (dup_drop_ids; VERDICT r5 #1).
+          Exact duplicates share every shingle including rare ones,
+          so this subsumes sha2 dedup, and this corpus's duplicates
+          are near-dups, not bitwise)
         → quality filter (Gopher battery, operators/quality.py)
         → eval decontamination (8-gram containment vs the held-out
           fold — longer shingles than q_contamination's bigrams
@@ -46,6 +49,8 @@ from ai_ready_data_framework_spark.functions import text as T
 from ai_ready_data_framework_spark.io import load_table
 from ai_ready_data_framework_spark.operators.ai import (
     EVAL_FOLD_MOD,
+    MAX_SHINGLE_DF_ABS,
+    MAX_SHINGLE_DF_FRACTION,
     MIX_DEFAULT_WEIGHT,
     MIX_WEIGHTS,
     mix_threshold_hex,
@@ -58,6 +63,51 @@ from ai_ready_data_framework_spark.registry import query
 # 8-13 tokens; bigrams like q_contamination's would collide on any
 # shared phrase and empty the corpus).
 DECONTAM_SHINGLE_K = 8
+
+
+def doc_shingles(frame: DataFrame, k: int = DECONTAM_SHINGLE_K) -> DataFrame:
+    """Distinct k-gram shingles per document: (doc_id, s)."""
+    return frame.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.shingles(T.tokens("text"), k))).alias("s"),
+    )
+
+
+def dup_drop_ids(sh: DataFrame, n_docs: int) -> DataFrame:
+    """Stage-1 near-dedup rule: doc_ids to DROP — every doc sharing a
+    NON-BOILERPLATE k-gram with a smaller-id doc.
+
+    Posting cap (VERDICT r5 #1): the self-join's candidate volume is
+    sum(df^2) over the shingle posting lists, and mass-df shingles are
+    exactly what real web text has — license headers, navigation
+    chrome, boilerplate — so an uncapped join goes quadratic on the
+    worst key. Shingles above least(frac*n_docs, abs) postings are
+    dropped from BOTH join sides before candidates form (the same
+    df-cap rule as q_dedup_ngram / q_containment_pairs, ai.py): a
+    shingle shared by hundreds of documents is boilerplate, not
+    evidence of copying, so dropping it is a semantic improvement AND
+    the scale fix — candidate volume is bounded by O(df_cap * df) per
+    surviving shingle. Dedup of true mass-duplicates (which share MANY
+    shingles, including rare ones) still triggers via any of their
+    sub-cap shingles; documents identical only in boilerplate no
+    longer count as copies."""
+    cap = F.least(
+        F.lit(MAX_SHINGLE_DF_FRACTION * n_docs), F.lit(float(MAX_SHINGLE_DF_ABS))
+    )
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= cap)
+        .select("s")
+    )
+    sh_dup = sh.join(rare, "s")
+    return (
+        sh_dup.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(sh_dup.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
 
 
 def _stage_counts(name: str, rows_in: DataFrame, rows_out: DataFrame) -> DataFrame:
@@ -79,34 +129,20 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     with rows_in / rows_out / keep_frac. See module docstring."""
     docs = load_table(spark, sf_dir, "documents")
 
-    # stage 1 — near dedup: drop any doc sharing an 8-gram with a
-    # smaller-id doc (inverted-index self-join on shingle; candidate
-    # volume is sum(df^2) over 8-gram postings — near-unique outside
-    # genuine copies, so linear in practice)
-    def doc_shingles(frame: DataFrame) -> DataFrame:
-        return frame.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(T.shingles(T.tokens("text"), DECONTAM_SHINGLE_K))
-            ).alias("s"),
-        )
-
+    # stage 1 — near dedup: drop any doc sharing a non-boilerplate
+    # 8-gram with a smaller-id doc (inverted-index self-join on
+    # shingle, hot postings capped — see dup_drop_ids).
     # ONE tokenize→shingle pass for the whole funnel (VERDICT r4 #7):
-    # the 8-gram frame feeds FOUR consumers — both sides of the dup
-    # self-join, the eval-fold shingle set, and the survivor shingles
-    # for decontam — and per-branch filter pushdown makes the branches
-    # canonically different, so nothing reuses without materializing.
-    # Same lazy-checkpoint recipe (and the same executor-loss
-    # durability tradeoff, documented at functions/text.py::
-    # banded_minhash_pairs) as the minhash bands.
+    # the 8-gram frame feeds FIVE consumers — the posting-df cap, both
+    # sides of the dup self-join, the eval-fold shingle set, and the
+    # survivor shingles for decontam — and per-branch filter pushdown
+    # makes the branches canonically different, so nothing reuses
+    # without materializing. Same lazy-checkpoint recipe (and the same
+    # executor-loss durability tradeoff, documented at
+    # functions/text.py::banded_minhash_pairs) as the minhash bands.
+    n_docs = docs.count()
     sh_raw = doc_shingles(docs).localCheckpoint(eager=False)
-    dup_drop = (
-        sh_raw.select(F.col("doc_id").alias("doc_a"), "s")
-        .join(sh_raw.select(F.col("doc_id").alias("doc_b"), "s"), "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    dup_drop = dup_drop_ids(sh_raw, n_docs)
     # Stage outputs feed BOTH the next stage and the funnel's counts,
     # so without a cache every _stage_counts re-runs all upstream
     # stages (the 8-gram self-join would execute 4x). The cached frames

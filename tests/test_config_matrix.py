@@ -35,6 +35,12 @@ MATRIX_QUERIES = [
     # round-5 graded unions
     "q_key_history",
     "q_drift_psi",
+    # round-6 (VERDICT r5 #7): the posting-capped funnel — its df cap,
+    # stage caches, and eager collect must not depend on partitioning —
+    # and the round-6 graded unions
+    "q_pipeline_e2e",
+    "q_mask_pii",
+    "q_dedup_exact",
 ]
 
 

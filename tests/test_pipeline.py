@@ -10,6 +10,7 @@ import duckdb
 from ai_ready_data_framework_spark.io import table_path
 from ai_ready_data_framework_spark.operators import pipeline as P
 from ai_ready_data_framework_spark.operators import quality as Q
+from ai_ready_data_framework_spark.operators import ai as A
 from ai_ready_data_framework_spark.operators.ai import (
     EVAL_FOLD_MOD,
     MIX_DEFAULT_WEIGHT,
@@ -40,9 +41,18 @@ def _funnel_oracle_sql(sf: str) -> str:
                 FROM docs
             )
         ),
+        -- posting cap (VERDICT r5 #1): boilerplate shingles above
+        -- least(frac * n_docs, abs) postings generate no candidates
+        rare AS (
+            SELECT s FROM sh_raw GROUP BY s
+            HAVING COUNT(*) <= LEAST(
+                {A.MAX_SHINGLE_DF_FRACTION} * (SELECT COUNT(*) FROM docs),
+                {A.MAX_SHINGLE_DF_ABS})
+        ),
+        sh_dup AS (SELECT sh_raw.* FROM sh_raw SEMI JOIN rare USING (s)),
         dup_drop AS (
             SELECT DISTINCT b.doc_id
-            FROM sh_raw a JOIN sh_raw b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM sh_dup a JOIN sh_dup b ON a.s = b.s AND a.doc_id < b.doc_id
         ),
         deduped AS (
             SELECT d.* FROM docs d ANTI JOIN dup_drop x ON d.doc_id = x.doc_id
@@ -129,3 +139,55 @@ def test_pipeline_funnel_matches_duckdb_oracle(spark, sf_correctness):
     assert by_stage["1_dedup_near"][2] == by_stage["2_quality"][1]
     assert by_stage["2_quality"][2] == by_stage["3_decontam"][1]
     assert by_stage["3_decontam"][2] == by_stage["4_mix"][1]
+
+
+def test_dup_drop_posting_cap_bounds_boilerplate(spark):
+    """VERDICT r5 #1 adversarial fixture: one boilerplate 8-gram shared
+    by hundreds of docs must generate ZERO candidates (its posting list
+    exceeds the df cap), while genuine near-dups sharing a RARE 8-gram
+    are still dropped. Also pins the candidate-volume bound: with the
+    hot posting capped, the self-join's candidate count is the sum of
+    df^2 over surviving (sub-cap) shingles only — O(df_cap * df), never
+    O(hot_df^2)."""
+    import pyspark.sql.functions as F
+
+    from ai_ready_data_framework_spark.operators import ai as A
+    from ai_ready_data_framework_spark.operators import pipeline as P
+
+    boiler = "this content is licensed under the example license"  # 8 tokens+1
+    n_boiler = 300
+    rows = [
+        # boilerplate header + unique tail: NOT copies of each other
+        (i, boiler + f" unique tail {i} alpha beta gamma delta epsilon")
+        for i in range(n_boiler)
+    ]
+    # one genuine near-dup pair sharing a rare 8-gram
+    shared = "rare shared sentence of exactly eight tokens here"
+    rows += [
+        (1000, shared + " first variant ending one two three four five"),
+        (1001, shared + " second variant close six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n_docs = docs.count()
+    # cap = least(0.2 * 302, 500) = 60.4 -> the 300-wide posting is out
+    sh = P.doc_shingles(docs)
+    dropped = {r.doc_id for r in P.dup_drop_ids(sh, n_docs).collect()}
+    # the larger-id member of the genuine pair is dropped; boilerplate
+    # sharers all survive
+    assert dropped == {1001}
+    # candidate-volume pin: rebuild the capped join's candidate count
+    # and the uncapped one — the cap must remove the quadratic mass
+    cap = min(A.MAX_SHINGLE_DF_FRACTION * n_docs, A.MAX_SHINGLE_DF_ABS)
+    df_by_s = sh.groupBy("s").agg(F.count("*").alias("df"))
+    capped_cands = (
+        df_by_s.filter(F.col("df") <= cap)
+        .agg(F.sum(F.col("df") * F.col("df")))
+        .first()[0]
+    )
+    uncapped_cands = df_by_s.agg(F.sum(F.col("df") * F.col("df"))).first()[0]
+    assert uncapped_cands - capped_cands >= n_boiler * n_boiler  # hot mass gone
+    assert capped_cands <= cap * sh.count()  # O(df_cap * postings) bound
+    # plan pin: the capped dup join subtree contains the df aggregate +
+    # filter (the cap cannot silently fall out of the plan)
+    plan = P.dup_drop_ids(sh, n_docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "count(1)" in plan and "df" in plan
