@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ai_ready_data_framework_spark.checks import registries as R
 from ai_ready_data_framework_spark.functions import vector as V
+from ai_ready_data_framework_spark.functions.cache import stage_pin
 from ai_ready_data_framework_spark.io import load_tables
 from ai_ready_data_framework_spark.operators.temporal import as_of_join
 
@@ -747,17 +748,18 @@ def lineage_completeness(ctx: CheckContext) -> float:
     # re-executes the whole k-join lineage from the scan — quadratic
     # job work that measured ~4s on a registry-sized graph and would
     # be fatal on a real million-edge lineage table.
-    reached = frontier.localCheckpoint(eager=True)
+    reached = stage_pin(frontier, eager=True)
     for _ in range(10):  # graph depth bound
         nxt = (
             edges.join(reached, edges.src == reached.node)
             .select(F.col("dst").alias("node"))
             .distinct()
             .subtract(reached)
-        ).localCheckpoint(eager=True)
+        )
+        nxt = stage_pin(nxt, eager=True)
         if nxt.count() == 0:
             break
-        reached = reached.unionByName(nxt).distinct().localCheckpoint(eager=True)
+        reached = stage_pin(reached.unionByName(nxt).distinct(), eager=True)
     # score via semi-join — the reached set never leaves the engine
     n_reachable = assets.join(
         reached, assets.asset == reached.node, "left_semi"

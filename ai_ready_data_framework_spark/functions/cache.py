@@ -1,0 +1,57 @@
+"""Stage-cache pinning with a cluster-durability toggle (VERDICT r5 #3).
+
+Several operators materialize a mid-pipeline frame that feeds multiple
+downstream consumers (minhash bands, the funnel's shingle frame, the
+incident burst table, iterative closure frontiers, ...). Two ways to
+pin such a frame:
+
+- ``localCheckpoint`` (the default): truncates lineage and stores the
+  blocks on the executors that computed them. Cheapest option and the
+  right one on local[N], but NOT executor-loss-safe on a real cluster:
+  losing an executor loses its blocks AND the lineage needed to
+  recompute them, failing the job (the tradeoff documented at
+  functions/text.py::banded_minhash_pairs since round 4).
+- ``persist(MEMORY_AND_DISK)`` (the durable toggle): keeps the lineage,
+  so a lost executor's blocks recompute from source. Costs plan
+  retention — for the iterative closures (functions/graph.py,
+  checks/engine.py lineage fixpoint) the logical plan then grows with
+  each round, bounded by those loops' hard iteration caps (10).
+
+The toggle is one session conf so a cluster deployment flips EVERY
+site at once without touching operator code:
+
+    spark.conf.set("spark.aird.durableStageCache", "true")
+
+Defaults unchanged (localCheckpoint) — identical local behavior and
+bench numbers; tests/test_plans.py drives a representative operator
+through the persist branch and asserts identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+DURABLE_CACHE_CONF = "spark.aird.durableStageCache"
+
+
+def durable_cache_enabled(spark) -> bool:
+    try:
+        return str(spark.conf.get(DURABLE_CACHE_CONF, "false")).lower() == "true"
+    except Exception:  # pragma: no cover - conf service unavailable
+        return False
+
+
+def stage_pin(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Materialize a multi-consumer stage frame: localCheckpoint by
+    default, persist(MEMORY_AND_DISK) under the durability toggle
+    (module docstring). ``eager`` forces materialization now — some
+    call sites need the frame computed before mutating its inputs or
+    before a count-dependent branch."""
+    if durable_cache_enabled(df.sparkSession):
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            out.count()
+        return out
+    return df.localCheckpoint(eager=eager)

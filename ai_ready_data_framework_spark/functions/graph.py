@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ai_ready_data_framework_spark.functions.cache import stage_pin
 
 DEFAULT_MAX_ITER = 20
 
@@ -41,25 +42,26 @@ def connected_components(
     fixpoint is unique — safe for the rows-only determinism gate.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.unionByName(
-        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    sym = stage_pin(
+        sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))),
+        eager=True,
+    )
 
-    labels = (
+    labels = stage_pin(
         sym.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("node")),
+        eager=True,
     )
     for _ in range(max_iter):
         neighbor_labels = sym.join(
             labels, sym.b == labels.node
         ).select(F.col("a").alias("node"), "label")
-        new_labels = (
+        new_labels = stage_pin(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label")),
+            eager=True,
         )
         changed = (
             new_labels.alias("n")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ai_ready_data_framework_spark.functions.cache import stage_pin
 from pyspark.sql.window import Window
 
 # Stopword list for quality scoring: the function-word subset of the
@@ -281,19 +282,19 @@ def banded_minhash_pairs(
     # checkpointed RDD, so its partitions compute once at first action
     # — eager would instead run the full minhash job at plan-CONSTRUCTION
     # time, charging schema inspection and plan-only tests for it.
-    # DURABILITY TRADEOFF (ADVICE r4): localCheckpoint blocks are
-    # executor-local and non-replicated — on a real cluster an executor
-    # loss during the job FAILS it (no recompute) and it must be
-    # resubmitted. persist(MEMORY_AND_DISK) would be recompute-safe but
-    # Spark's CacheManager dedups identical plans, so repeated calls
-    # would silently read the first call's cache — exactly the
-    # measurement leak ADVICE r3 had us remove. Production at 100 TB
-    # takes neither path: it probes the durably PERSISTED band index
-    # (sources/maintenance.py::write_band_index), where a lost executor
-    # re-reads parquet.
-    bands = minhash_bands(sig, id_col, n_hashes, n_bands).localCheckpoint(
-        eager=False
-    )
+    # DURABILITY TRADEOFF (ADVICE r4, toggle added r6): by default
+    # localCheckpoint blocks are executor-local and non-replicated — on
+    # a real cluster an executor loss during the job FAILS it (no
+    # recompute) and it must be resubmitted. The cluster deployment
+    # flips spark.aird.durableStageCache=true (functions/cache.py) to
+    # use persist(MEMORY_AND_DISK) instead: recompute-safe, at the cost
+    # of CacheManager plan-dedup letting repeated identical calls read
+    # the first call's cache (fine in production, a measurement leak in
+    # a bench loop — which is why the LOCAL default stays checkpoint,
+    # ADVICE r3). Production at 100 TB usually takes neither path: it
+    # probes the durably PERSISTED band index (sources/maintenance.py::
+    # write_band_index), where a lost executor re-reads parquet.
+    bands = stage_pin(minhash_bands(sig, id_col, n_hashes, n_bands), eager=False)
     hot = (
         bands.groupBy("band", "bk")
         .agg(F.count("*").alias("__bn"), F.min(id_col).alias("__rep"))

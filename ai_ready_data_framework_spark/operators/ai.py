@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ai_ready_data_framework_spark.functions import text as T
+from ai_ready_data_framework_spark.functions.cache import stage_pin
 from ai_ready_data_framework_spark.functions import vector as V
 from ai_ready_data_framework_spark.io import load_table
 from ai_ready_data_framework_spark.registry import query
@@ -1750,7 +1751,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The checkpoint lives HERE, not in incremental_band_probe — the
     # persisted-index path must keep the bucketed table's partitioning
     # metadata, which a checkpoint would erase.
-    bands = T.minhash_bands(sig, "doc_id").localCheckpoint(eager=False)
+    bands = stage_pin(T.minhash_bands(sig, "doc_id"))
     return incremental_band_probe(bands, INCR_BATCH_MOD)
 
 

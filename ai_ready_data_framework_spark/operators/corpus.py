@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ai_ready_data_framework_spark.functions.cache import stage_pin
 from ai_ready_data_framework_spark.functions import text as T
 from ai_ready_data_framework_spark.io import load_table
 from ai_ready_data_framework_spark.registry import query
@@ -490,9 +491,10 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-query form of what production does anyway — persist the
     # featurized table, then fit/score against it (same pattern as
     # functions/graph.py's per-round checkpoint).
-    doc_buckets = feats.groupBy("doc_id", "__tgt", "bucket").agg(
-        F.count("*").alias("c")
-    ).localCheckpoint(eager=True)
+    doc_buckets = stage_pin(
+        feats.groupBy("doc_id", "__tgt", "bucket").agg(F.count("*").alias("c")),
+        eager=True,
+    )
     model = doc_buckets.groupBy("bucket").agg(
         F.sum(F.when(F.col("__tgt"), F.col("c")).otherwise(0)).alias("c_t"),
         F.sum(F.when(~F.col("__tgt"), F.col("c")).otherwise(0)).alias("c_r"),

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_ready_data_framework_spark.functions import text as T
+from ai_ready_data_framework_spark.functions.cache import stage_pin
 from ai_ready_data_framework_spark.io import load_table
 from ai_ready_data_framework_spark.operators.ai import (
     EVAL_FOLD_MOD,
@@ -141,7 +142,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executor-loss durability tradeoff, documented at
     # functions/text.py::banded_minhash_pairs) as the minhash bands.
     n_docs = docs.count()
-    sh_raw = doc_shingles(docs).localCheckpoint(eager=False)
+    sh_raw = stage_pin(doc_shingles(docs))
     dup_drop = dup_drop_ids(sh_raw, n_docs)
     # Stage outputs feed BOTH the next stage and the funnel's counts,
     # so without a cache every _stage_counts re-runs all upstream

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ai_ready_data_framework_spark.functions import text as T
+from ai_ready_data_framework_spark.functions.cache import stage_pin
 from ai_ready_data_framework_spark.io import load_table
 from ai_ready_data_framework_spark.registry import query
 
@@ -330,7 +331,7 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         grams.groupBy("doc_id", "bg")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(stage_pin)
     )
     bg_counts = tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
     prefix_counts = (

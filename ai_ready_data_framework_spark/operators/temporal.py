@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ai_ready_data_framework_spark.functions.cache import stage_pin
 from ai_ready_data_framework_spark.io import load_table
 from ai_ready_data_framework_spark.registry import query
 
@@ -1310,10 +1311,10 @@ def _error_incidents_us(events: DataFrame) -> DataFrame:
             F.count("*").alias("n"),
         )
         # THREE consumers follow (boundary collect, count collect, the
-        # merged aggregate) — checkpoint so the events scan + burst
+        # merged aggregate) — pin so the events scan + burst
         # window run once, not three times; burst rows are far smaller
         # than events (same tradeoff note as banded_minhash_pairs)
-        .localCheckpoint(eager=False)
+        .transform(stage_pin)
     )
     # Boundary bursts: first and last per bucket — the only bursts a
     # cross-bucket merge can involve. Bounded by 2 x n_buckets.

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ai_ready_data_framework_spark.functions.cache import stage_pin
 from ai_ready_data_framework_spark.functions import text as T
 from ai_ready_data_framework_spark.operators.ai import (
     SHINGLE_K,
@@ -142,7 +143,7 @@ def compact_band_index(
     base = read_band_index(spark, index_table)
     merged = base.unionByName(deltas) if deltas is not None else base
     # materialize BEFORE overwriting the table the plan reads from
-    merged = merged.localCheckpoint(eager=True)
+    merged = stage_pin(merged, eager=True)
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
     write_band_index(merged, index_table, index_path)
     _delete_recursive(spark, delta_dir)

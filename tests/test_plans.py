@@ -528,3 +528,49 @@ def test_key_history_prunes_latest_leg_before_exchange(spark, sf_smoke):
     assert shuffles and all(
         "hashpartitioning(user_id" in ln for ln in shuffles
     ), plan
+
+
+def test_stage_pin_durable_branch_selection(spark):
+    """VERDICT r5 #3: the stage-cache helper picks localCheckpoint by
+    default and persist(MEMORY_AND_DISK) under the session toggle."""
+    from pyspark import StorageLevel
+
+    from ai_ready_data_framework_spark.functions.cache import (
+        DURABLE_CACHE_CONF,
+        stage_pin,
+    )
+
+    local = stage_pin(spark.range(10))
+    assert local.storageLevel == StorageLevel.NONE  # checkpoint, not persist
+    assert local.count() == 10
+    spark.conf.set(DURABLE_CACHE_CONF, "true")
+    try:
+        durable = stage_pin(spark.range(10, 20), eager=True)
+        assert durable.storageLevel == StorageLevel.MEMORY_AND_DISK
+        assert durable.count() == 10
+        durable.unpersist()
+    finally:
+        spark.conf.set(DURABLE_CACHE_CONF, "false")
+
+
+def test_durable_stage_cache_identical_results(spark, sf_smoke):
+    """Representative operators through the persist branch: a lazy pin
+    consumer (banded minhash near-dup) and an iterative closure
+    (connected components) must return identical rows with the
+    durability toggle on."""
+    from ai_ready_data_framework_spark.functions.cache import DURABLE_CACHE_CONF
+    from ai_ready_data_framework_spark.registry import QUERIES
+
+    names = ("q_dedup_near", "q_dedup_clusters")
+    baseline = {
+        n: sorted(map(tuple, QUERIES[n](spark, sf_smoke).collect())) for n in names
+    }
+    spark.conf.set(DURABLE_CACHE_CONF, "true")
+    try:
+        for n in names:
+            durable = sorted(map(tuple, QUERIES[n](spark, sf_smoke).collect()))
+            assert durable == baseline[n], n
+            assert durable, n
+    finally:
+        spark.conf.set(DURABLE_CACHE_CONF, "false")
+        spark.catalog.clearCache()
