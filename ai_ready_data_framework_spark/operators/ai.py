@@ -995,36 +995,88 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_fingerprint",
-    oracle=f"""
+WINNOW_W = 4  # winnowing window: guarantees detection of any match
+# spanning >= W + SHINGLE_K - 1 tokens (Schleimer et al. 2003, public)
+
+FINGERPRINT_UNION_ORACLE_SQL = f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-    sh AS (
+    shd AS (
         SELECT DISTINCT doc_id, array_to_string(words[i : i + {SHINGLE_K - 1}], ' ') AS s
         FROM (
             SELECT doc_id, words,
                    unnest(range(1, greatest(len(words) - {SHINGLE_K - 1}, 1) + 1)) AS i
             FROM w
         )
+    ),
+    shp AS (
+        SELECT doc_id, i,
+               md5(array_to_string(words[i : i + {SHINGLE_K - 1}], ' ')) AS h
+        FROM (
+            SELECT doc_id, words,
+                   unnest(range(1, greatest(len(words) - {SHINGLE_K - 1}, 1) + 1)) AS i
+            FROM w
+        )
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, fp_hash FROM (
+            SELECT doc_id, i,
+                   MIN(h) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW
+                   ) AS fp_hash
+            FROM shp
+        ) WHERE i >= {WINNOW_W}
     )
-    SELECT doc_id,
+    SELECT 'minmax' AS fp_kind, doc_id,
            MIN(md5(s)) AS fp_min,
            MAX(md5(s)) AS fp_max,
-           COUNT(*) AS n_shingles
-    FROM sh
+           COUNT(*) AS n_hashes
+    FROM shd
     GROUP BY doc_id
-    """,
-)
+    UNION ALL
+    SELECT 'winnow', doc_id, MIN(fp_hash), MAX(fp_hash), COUNT(*)
+    FROM sel
+    GROUP BY doc_id
+"""
+
+
+@query("q_fingerprint", oracle=FINGERPRINT_UNION_ORACLE_SQL)
+# hard-graded union (round-6 wave): sketch + winnow summary in one slot
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North star: document fingerprinting — min/max hash over the
-    shingle set (a 2-permutation MinHash; winnowing-lite). md5 on both
-    engines makes the sketch oracle-checkable, unlike xx/murmur."""
+    """North star: document fingerprinting, tagged union of both
+    fingerprint shapes per document (round-6 union wave):
+
+    - ``minmax``: min/max md5 over the DISTINCT shingle set (a
+      2-permutation MinHash; winnowing-lite) with the distinct-shingle
+      count.
+    - ``winnow``: the same summary over the WINNOWED posting set
+      (q_fingerprint_winnow's selected hashes — every window of
+      WINNOW_W sequential k-gram hashes contributes its minimum), so
+      the graded oracle re-derives the winnowing selection itself; the
+      full posting set keeps its pytest oracle.
+
+    md5 on both engines makes the sketches oracle-checkable, unlike
+    xx/murmur. Both legs are one shuffle each (hash-agg on doc_id /
+    window on (doc, pos))."""
     sh = _doc_shingles(spark, sf_dir)
-    return sh.groupBy("doc_id").agg(
+    minmax = sh.groupBy("doc_id").agg(
         F.min(F.md5("s")).alias("fp_min"),
         F.max(F.md5("s")).alias("fp_max"),
-        F.count("*").alias("n_shingles"),
+        F.count("*").alias("n_hashes"),
+    ).select(F.lit("minmax").alias("fp_kind"), "doc_id", "fp_min", "fp_max", "n_hashes")
+    winnow = (
+        q_fingerprint_winnow(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.min("fp_hash").alias("fp_min"),
+            F.max("fp_hash").alias("fp_max"),
+            F.count("*").alias("n_hashes"),
+        )
+        .select(
+            F.lit("winnow").alias("fp_kind"), "doc_id", "fp_min", "fp_max", "n_hashes"
+        )
     )
+    return minmax.unionByName(winnow)
 
 
 TFIDF_TOP_K = 5
@@ -1072,12 +1124,9 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-WINNOW_W = 4  # winnowing window: guarantees detection of any match
-# spanning >= W + SHINGLE_K - 1 tokens (Schleimer et al. 2003, public)
-
-
-@query("q_fingerprint_winnow")  # rows-only: graded window full; DuckDB
-# oracle runs in tests/test_ai_ops.py
+@query("q_fingerprint_winnow")  # rows-only since round 6: the winnow
+# summary is hard-graded through q_fingerprint's `winnow` union leg;
+# the full posting-set DuckDB oracle runs in tests/test_ai_ops.py
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (fingerprinting, full form): winnowing — hash every
     k-gram IN SEQUENCE ORDER, slide a W-hash window, keep each

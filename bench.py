@@ -278,6 +278,9 @@ EXPECTED_CHANGES = {
     "q_mask_pii": (
         "tagged-union merge runs column-hash + span-redact legs (r6)"
     ),
+    "q_fingerprint": (
+        "tagged-union merge runs minmax + winnow-summary legs (r6)"
+    ),
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"
         " rebuild now checkpointed to one minhash pass — zero-cost"
