@@ -939,38 +939,112 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_text_quality",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           ROUND(len(list_filter(string_split(text, ' '),
-                                 x -> x = 'the' OR x = 'a'))
-                 / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE),
+def _text_quality_union_oracle_sql() -> str:
+    from ai_ready_data_framework_spark.operators import quality as Q
+
+    words = "string_split(text, ' ')"
+    stop = f"len(list_filter({words}, x -> x = 'the' OR x = 'a'))"
+    rules = [
+        f"len({words}) BETWEEN {Q.GOPHER_MIN_WORDS} AND {Q.GOPHER_MAX_WORDS}",
+        f"ROUND((length(text) - (len({words}) - 1)) / len({words}), 4)"
+        f" BETWEEN {Q.GOPHER_MIN_MEAN_WORD_LEN} AND {Q.GOPHER_MAX_MEAN_WORD_LEN}",
+        f"{stop} >= {Q.GOPHER_MIN_STOP_HITS}",
+        "ROUND(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))"
+        f" / greatest(length(text), 1), 4) <= {Q.GOPHER_MAX_SYMBOL_RATIO}",
+        f"ROUND(len(list_filter({words}, x -> regexp_matches(x, '[A-Za-z]')))"
+        f" / greatest(len({words}), 1), 4) >= {Q.GOPHER_MIN_ALPHA_WORD_FRAC}",
+    ]
+    n_pass = " + ".join(f"CAST(({r}) AS INT)" for r in rules)
+    return f"""
+    SELECT 'cheap' AS quality_kind,
+           doc_id,
+           CAST(len({words}) AS BIGINT) AS n_tokens,
+           ROUND({stop}
+                 / CAST(greatest(len({words}), 1) AS DOUBLE),
                  4) AS stop_ratio,
-           ROUND(least(len(string_split(text, ' ')) / 64.0, 1.0)
-                 * (1 - len(list_filter(string_split(text, ' '),
-                                        x -> x = 'the' OR x = 'a'))
-                        / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE))
+           ROUND(least(len({words}) / 64.0, 1.0)
+                 * (1 - {stop}
+                        / CAST(greatest(len({words}), 1) AS DOUBLE))
                  * (1 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
                         / CAST(greatest(length(text), 1) AS DOUBLE)),
-                 4) AS quality
+                 4) AS score,
+           CAST(NULL AS BIGINT) AS keep
     FROM documents
-    """,
-)
+    UNION ALL
+    SELECT 'gopher',
+           doc_id,
+           CAST(len({words}) AS BIGINT),
+           ROUND({stop} / CAST(greatest(len({words}), 1) AS DOUBLE), 4),
+           ROUND(({n_pass}) / 5.0, 4),
+           CAST(({" AND ".join(f"({r})" for r in rules)}) AS BIGINT)
+    FROM documents
+    """
+
+
+@query("q_text_quality", oracle=_text_quality_union_oracle_sql())
+# hard-graded union (round-6 wave): cheap score + Gopher battery
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5/north star: per-document quality scoring — length component x
-    (1 - stopword ratio) x (1 - punctuation ratio), the standard cheap
-    pre-training filter. Pure expressions; the oracle states the exact
-    same arithmetic so parity confirms the formula, not just the API."""
+    """L5/north star: per-document quality scoring, tagged union of
+    both filter families in one doc-keyed report (round-6 union wave):
+
+    - ``cheap``: length component x (1 - stopword ratio) x
+      (1 - punctuation ratio) — the standard cheap pre-training score
+      (keep is NULL: this leg grades, it doesn't gate).
+    - ``gopher``: the Gopher/C4 rule battery (q_quality_gopher's
+      rules) — score = fraction of the 5 rules passed, keep = the
+      battery's overall gate decision (the same predicate
+      q_pipeline_e2e's stage 2 applies).
+
+    Both legs are pure codegen'd projections (zero shuffles at any
+    scale); the oracle restates every rule so parity confirms the
+    formulas, not just the API. The full per-rule flag table stays on
+    q_quality_gopher (rows-only, pytest-oracled)."""
+    from ai_ready_data_framework_spark.operators.quality import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        _alpha_word_frac,
+        _mean_word_len,
+        _n_words,
+        _stop_hits,
+        _symbol_ratio,
+        gopher_keep,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     w = T.tokens("text")
-    return docs.select(
+    cheap = docs.select(
+        F.lit("cheap").alias("quality_kind"),
         "doc_id",
         F.size(w).cast("long").alias("n_tokens"),
         F.round(T.stopword_ratio(w), 4).alias("stop_ratio"),
-        T.quality_score("text").alias("quality"),
+        T.quality_score("text").alias("score"),
+        F.lit(None).cast("long").alias("keep"),
     )
+    text = F.col("text")
+    passes = [
+        _n_words(w).between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS),
+        _mean_word_len(text, w).between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+        ),
+        _stop_hits(w) >= GOPHER_MIN_STOP_HITS,
+        _symbol_ratio(text) <= GOPHER_MAX_SYMBOL_RATIO,
+        _alpha_word_frac(w) >= GOPHER_MIN_ALPHA_WORD_FRAC,
+    ]
+    n_pass = sum((p.cast("int") for p in passes), F.lit(0))
+    gopher = docs.select(
+        F.lit("gopher").alias("quality_kind"),
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.round(T.stopword_ratio(w), 4).alias("stop_ratio"),
+        F.round(n_pass / 5.0, 4).alias("score"),
+        gopher_keep(text).cast("long").alias("keep"),
+    )
+    return cheap.unionByName(gopher)
 
 
 @query(

@@ -88,8 +88,10 @@ def gopher_keep(text: Column) -> Column:
     )
 
 
-@query("q_quality_gopher")  # rows-only: graded window full; DuckDB
-# oracle runs in tests/test_quality_ops.py
+@query("q_quality_gopher")  # rows-only since round 6: the battery's
+# rule set + keep gate are hard-graded through q_text_quality's
+# `gopher` union leg (operators/ai.py); the full per-rule flag table
+# keeps its DuckDB oracle in tests/test_quality_ops.py
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (quality filtering): the Gopher/C4 rule battery per
     document — each rule's metric, its pass flag, and the overall keep

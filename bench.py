@@ -281,6 +281,9 @@ EXPECTED_CHANGES = {
     "q_fingerprint": (
         "tagged-union merge runs minmax + winnow-summary legs (r6)"
     ),
+    "q_text_quality": (
+        "tagged-union merge runs cheap-score + gopher-battery legs (r6)"
+    ),
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"
         " rebuild now checkpointed to one minhash pass — zero-cost"
