@@ -509,15 +509,18 @@ def fuzzy_match_pairs(
     for blk in blks:
         keyed = named.withColumn("blk", blk)
         # blocking purge: drop this arm's oversized blocks BEFORE the
-        # self-join — the count aggregate is blocking-key-sized and the
-        # semi-join keeps the candidate join linear in capped blocks
-        small = (
+        # self-join. Anti-join against the HOT blocks (> cap) rather
+        # than semi-join against the small ones: the hot set is the
+        # tiny tail of the block-size distribution (<= rows/cap keys),
+        # so AQE broadcast-converts the anti-join at runtime instead of
+        # reshuffling the whole named frame against a near-full set.
+        hot = (
             keyed.groupBy("blk")
             .agg(F.count("*").alias("__bn"))
-            .filter(F.col("__bn") <= max_block)
+            .filter(F.col("__bn") > max_block)
             .select("blk")
         )
-        keyed = keyed.join(small, "blk", "left_semi")
+        keyed = keyed.join(hot, "blk", "left_anti")
         a = keyed.select(
             F.col("k").alias("key_a"),
             F.col("name").alias("name_a"),

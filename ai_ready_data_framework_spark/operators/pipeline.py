@@ -95,13 +95,21 @@ def dup_drop_ids(sh: DataFrame, n_docs: int) -> DataFrame:
     cap = F.least(
         F.lit(MAX_SHINGLE_DF_FRACTION * n_docs), F.lit(float(MAX_SHINGLE_DF_ABS))
     )
-    rare = (
+    # The filter joins against the HOT set (df > cap), not the rare
+    # set: hot shingles are the tiny tail of the df distribution
+    # (bounded by postings/cap), so the anti-join's build side is
+    # KB-sized and AQE converts it to a broadcast at runtime — where a
+    # semi-join against the near-corpus-sized rare set must shuffle
+    # sh twice. No broadcast hint on purpose: if a pathological corpus
+    # makes the hot set large, AQE falls back to a shuffle join rather
+    # than OOMing the driver.
+    hot = (
         sh.groupBy("s")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= cap)
+        .filter(F.col("df") > cap)
         .select("s")
     )
-    sh_dup = sh.join(rare, "s")
+    sh_dup = sh.join(hot, "s", "left_anti")
     return (
         sh_dup.select(F.col("doc_id").alias("doc_a"), "s")
         .join(sh_dup.select(F.col("doc_id").alias("doc_b"), "s"), "s")
