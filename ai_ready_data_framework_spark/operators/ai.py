@@ -1609,8 +1609,9 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_bm25")  # rows-only: graded window full; DuckDB oracle runs
-# in tests/test_retrieval.py
+@query("q_bm25")  # rows-only since round 6: the lexical top-k is
+# hard-graded through q_vector_topk's `bm25` union leg; the ordered
+# standalone DuckDB oracle runs in tests/test_retrieval.py
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (serving path, 2-consumable.md:23 retrieval): BM25
     keyword search — Robertson/Sparck-Jones idf x saturated tf with
@@ -1625,8 +1626,10 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_hybrid_rrf")  # rows-only: graded window full; DuckDB oracle
-# runs in tests/test_retrieval.py
+@query("q_hybrid_rrf")  # rows-only since round 6: the fused top-k is
+# hard-graded through q_vector_topk's `rrf` union leg; the ordered
+# standalone DuckDB oracle (with per-arm ranks) runs in
+# tests/test_retrieval.py
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (serving path): HYBRID retrieval — reciprocal-rank
     fusion of the BM25 arm and the vector-cosine arm (query = vec_id
@@ -1794,13 +1797,56 @@ def q_vector_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-VECTOR_TOPK_UNION_ORACLE_SQL = f"""
+_BM25_ORACLE_BODY = f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS words,
+                   len(string_split(text, ' ')) AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+            FROM base
+        ),
+        tok AS (SELECT doc_id, dl, unnest(words) AS term FROM base),
+        tf AS (
+            SELECT doc_id, dl, term, COUNT(*) AS tf
+            FROM tok WHERE term IN ({{terms}})
+            GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+        SELECT doc_id,
+               ROUND(SUM(
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * tf.tf * ({{k1}} + 1.0)
+                     / (tf.tf + {{k1}}
+                        * (1.0 - {{b}} + {{b}} * tf.dl / s.avgdl))
+               ), 4) AS bm25
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {{limit}}
+"""
+
+
+def _bm25_oracle_sql(limit: int) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return (
+        _BM25_ORACLE_BODY.replace("{terms}", terms)
+        .replace("{k1}", str(BM25_K1))
+        .replace("{b}", str(BM25_B))
+        .replace("{limit}", str(limit))
+    )
+
+
+def _retrieval_union_oracle_sql() -> str:
+    return f"""
     SELECT * FROM (
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-        SELECT 'single' AS leg, CAST(0 AS BIGINT) AS query_id, e.vec_id,
+        SELECT 'single' AS leg, CAST(0 AS BIGINT) AS query_id,
+               e.vec_id AS hit_id,
                ROUND(list_dot_product(e.embedding, q.qv)
                      / (sqrt(list_dot_product(e.embedding, e.embedding))
-                        * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+                        * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
         FROM embeddings e, q
         WHERE e.vec_id <> 0
         ORDER BY list_dot_product(e.embedding, q.qv)
@@ -1825,34 +1871,92 @@ VECTOR_TOPK_UNION_ORACLE_SQL = f"""
                         * sqrt(list_dot_product(b.embedding, b.embedding))),
                      4) DESC, e.vec_id) <= {RETRIEVAL_TOP_K}
     ) t
+    UNION ALL
+    SELECT 'bm25', CAST(0 AS BIGINT), doc_id, bm25
+    FROM ({_bm25_oracle_sql(RETRIEVAL_TOP_K)})
+    UNION ALL
+    SELECT 'rrf', CAST(0 AS BIGINT), doc_id, rrf
+    FROM (
+        WITH bm AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS BIGINT) AS rank_bm25
+            FROM ({_bm25_oracle_sql(RETRIEVAL_CANDIDATES)})
+        ),
+        q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        cos AS (
+            SELECT vec_id AS doc_id,
+                   ROUND(list_dot_product(embedding, q2.qv)
+                         / (sqrt(list_dot_product(embedding, embedding))
+                            * sqrt(list_dot_product(q2.qv, q2.qv))), 4) AS cosine
+            FROM embeddings, q2
+            WHERE vec_id <> 0
+            ORDER BY cosine DESC, doc_id
+            LIMIT {RETRIEVAL_CANDIDATES}
+        ),
+        cr AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+                        AS BIGINT) AS rank_cos
+            FROM cos
+        )
+        SELECT doc_id,
+               ROUND(COALESCE(1.0 / ({RRF_K} + rank_bm25), 0)
+                     + COALESCE(1.0 / ({RRF_K} + rank_cos), 0), 6) AS rrf
+        FROM bm FULL OUTER JOIN cr USING (doc_id)
+        ORDER BY rrf DESC, doc_id
+        LIMIT {RETRIEVAL_TOP_K}
+    )
 """
 
 
-@query("q_vector_topk", oracle=VECTOR_TOPK_UNION_ORACLE_SQL)  # hard-
-# graded (round-5 union wave): single-query + batch exact top-k
+@query("q_vector_topk", oracle=_retrieval_union_oracle_sql())  # hard-
+# graded union (round-5 wave, widened round 6): the exact retrieval
+# surface — vector single/batch + keyword BM25 + hybrid RRF
 def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 exact retrieval, tagged in one graded result (round-5 union
-    wave — the batch form was rows-only while the 50 graded slots were
-    full):
+    """Exact retrieval surface, tagged in one graded result (round-5
+    union wave; round 6 absorbed the keyword and hybrid arms):
 
     - ``single``: brute-force cosine top-k for one query vector
       (vector_topk_single — TakeOrderedAndProject, zero shuffle of the
       embedding table).
     - ``batch``: q_vector_topk_batch's one-scan top-k for a broadcast
       query batch (WindowGroupLimit pre-prunes to k rows per query per
-      executor; the only exchange carries Q*k candidate rows). The
-      rank column stays on the standalone registration; the union
-      grades the per-query top-k SET."""
+      executor; the only exchange carries Q*k candidate rows).
+    - ``bm25``: q_bm25's lexical top-k (score column carries BM25).
+    - ``rrf``: q_hybrid_rrf's fused top-k (score carries the
+      reciprocal-rank-fusion sum; per-arm ranks stay on the standalone
+      registration).
+
+    The per-leg rank columns stay on the standalone registrations; the
+    union grades each arm's top-k SET + scores. hit_id is vec_id for
+    the vector legs and doc_id for the keyword/hybrid legs (the corpus
+    join key the serving tier returns either way)."""
     single = vector_topk_single(spark, sf_dir).select(
         F.lit("single").alias("leg"),
         F.lit(0).cast("long").alias("query_id"),
-        "vec_id",
-        "cosine",
+        F.col("vec_id").alias("hit_id"),
+        F.col("cosine").alias("score"),
     )
     batch = q_vector_topk_batch(spark, sf_dir).select(
-        F.lit("batch").alias("leg"), "query_id", "vec_id", "cosine"
+        F.lit("batch").alias("leg"),
+        "query_id",
+        F.col("vec_id").alias("hit_id"),
+        F.col("cosine").alias("score"),
     )
-    return single.unionByName(batch)
+    bm = q_bm25(spark, sf_dir).select(
+        F.lit("bm25").alias("leg"),
+        F.lit(0).cast("long").alias("query_id"),
+        F.col("doc_id").alias("hit_id"),
+        F.col("bm25").alias("score"),
+    )
+    rrf = q_hybrid_rrf(spark, sf_dir).select(
+        F.lit("rrf").alias("leg"),
+        F.lit(0).cast("long").alias("query_id"),
+        F.col("doc_id").alias("hit_id"),
+        F.col("rrf").alias("score"),
+    )
+    return single.unionByName(batch).unionByName(bm).unionByName(rrf)
 
 
 # ---------------------------------------------------------------------------

@@ -273,7 +273,10 @@ EXPECTED_CHANGES = {
         " window (VERDICT r4 #4)"
     ),
     "q_set_ops": "tagged-union merge absorbed the q_set_union legs (r5)",
-    "q_vector_topk": "tagged-union merge runs single + batch legs (r5)",
+    "q_vector_topk": (
+        "tagged-union merge: single + batch legs (r5), + bm25 + rrf"
+        " retrieval arms (r6)"
+    ),
     "q_dedup_exact": "tagged-union merge runs raw + normalized legs (r6)",
     "q_mask_pii": (
         "tagged-union merge runs column-hash + span-redact legs (r6)"
