@@ -654,28 +654,6 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_MD5_THRESHOLD = "1a"  # hex-prefix < '1a' ≈ 26/256 ≈ 10.2% sample
 
 
-@query(
-    "q_sample_stratified",
-    oracle=f"""
-    SELECT doc_id, source, lang
-    FROM documents
-    WHERE md5(CAST(doc_id AS VARCHAR)) < '{SAMPLE_MD5_THRESHOLD}'
-    """,
-)
-def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North star (dataset mixing): deterministic hash sampling — a doc
-    is in the sample iff md5(doc_id) falls under a fixed hex threshold.
-    Unlike ``df.sample`` this is reproducible across runs, engines, and
-    partitionings (the oracle literally re-derives the same sample in
-    DuckDB), composable per stratum (rate per (source, lang) by varying
-    the threshold), and stable under data re-layout — the properties a
-    training-data pipeline needs to freeze its mixture. Pure map-side
-    filter: no shuffle, pushes nothing but bytes."""
-    docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    return docs.filter(h < SAMPLE_MD5_THRESHOLD).select("doc_id", "source", "lang")
-
-
 # Per-source mixture rates (dataset mixing config); sources not listed
 # fall back to the default. Rates quantize to 1/16^8 via an 8-hex-digit
 # md5-prefix threshold so both engines compare plain strings.
@@ -688,8 +666,9 @@ def mix_threshold_hex(rate: float) -> str:
     return format(int(rate * 16**8), "08x")
 
 
-@query("q_mix_weighted")  # rows-only: the 50 graded slots are full; its
-# DuckDB oracle runs in tests/test_ai_ops.py instead
+@query("q_mix_weighted")  # rows-only since round 6: hard-graded
+# through q_sample_stratified's `weighted` union leg; standalone
+# DuckDB oracle runs in tests/test_ai_ops.py
 def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (dataset mixing): weighted per-stratum sampling — a
     doc survives iff its md5(doc_id) 8-hex prefix falls under its
@@ -714,7 +693,8 @@ GROUP_SAMPLE_K = 10  # fixed-size per-stratum sample; each source holds
 # actually select
 
 
-@query("q_group_sample")  # rows-only: graded window full; DuckDB
+@query("q_group_sample")  # rows-only since round 6: hard-graded
+# through q_sample_stratified's `group` union leg; standalone DuckDB
 # oracle runs in tests/test_ai_ops.py
 def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (dataset mixing, fixed-size form): deterministic
@@ -734,6 +714,86 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= GROUP_SAMPLE_K)
         .select("doc_id", "source", "lang", "sample_rank")
     )
+
+
+def _sampling_union_oracle_sql() -> str:
+    mix_case = " ".join(
+        f"WHEN source = '{src}' THEN '{mix_threshold_hex(w)}'"
+        for src, w in MIX_WEIGHTS.items()
+    )
+    return f"""
+    SELECT 'stratified' AS sample_kind, doc_id, source, lang,
+           CAST(NULL AS BIGINT) AS sample_rank
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < '{SAMPLE_MD5_THRESHOLD}'
+    UNION ALL
+    SELECT 'weighted', doc_id, source, lang, CAST(NULL AS BIGINT)
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          < (CASE {mix_case} ELSE '{mix_threshold_hex(MIX_DEFAULT_WEIGHT)}' END)
+    UNION ALL
+    SELECT 'group', doc_id, source, lang, sample_rank
+    FROM (
+        SELECT doc_id, source, lang,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= {GROUP_SAMPLE_K}
+    """
+
+
+@query("q_sample_stratified", oracle=_sampling_union_oracle_sql())
+# hard-graded union (round-6 wave): all three deterministic sampling
+# shapes in one slot
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (dataset mixing): deterministic hash sampling, tagged
+    union of the three frozen-sample shapes (round-6 union wave):
+
+    - ``stratified``: fixed-RATE sample — in iff md5(doc_id) falls
+      under one hex threshold (the original graded leg).
+    - ``weighted``: q_mix_weighted's per-SOURCE rate map (the mixture
+      freeze).
+    - ``group``: q_group_sample's exactly-K-per-stratum reservoir
+      (sample_rank carries the within-stratum rank; NULL on the
+      rate-based legs).
+
+    Unlike ``df.sample`` all three are reproducible across runs,
+    engines, and partitionings (the oracle re-derives every leg in
+    DuckDB) and stable under data re-layout — the properties a
+    training-data pipeline needs to freeze its mixture. The rate legs
+    are pure map-side filters (no shuffle); the group leg's window
+    collapses to WindowGroupLimit (exchange carries O(groups x K))."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    nul = F.lit(None).cast("long")
+    stratified = (
+        docs.filter(h < SAMPLE_MD5_THRESHOLD)
+        .select("doc_id", "source", "lang")
+        .select(
+            F.lit("stratified").alias("sample_kind"),
+            "doc_id",
+            "source",
+            "lang",
+            nul.alias("sample_rank"),
+        )
+    )
+    weighted = q_mix_weighted(spark, sf_dir).select(
+        F.lit("weighted").alias("sample_kind"),
+        "doc_id",
+        "source",
+        "lang",
+        nul.alias("sample_rank"),
+    )
+    grouped = q_group_sample(spark, sf_dir).select(
+        F.lit("group").alias("sample_kind"),
+        "doc_id",
+        "source",
+        "lang",
+        "sample_rank",
+    )
+    return stratified.unionByName(weighted).unionByName(grouped)
 
 
 EVAL_FOLD_MOD = 10  # doc_id % 10 == 0 → held-out eval fold

@@ -287,6 +287,9 @@ EXPECTED_CHANGES = {
     "q_text_quality": (
         "tagged-union merge runs cheap-score + gopher-battery legs (r6)"
     ),
+    "q_sample_stratified": (
+        "tagged-union merge runs stratified + weighted + group legs (r6)"
+    ),
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"
         " rebuild now checkpointed to one minhash pass — zero-cost"
