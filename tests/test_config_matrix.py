@@ -41,6 +41,10 @@ MATRIX_QUERIES = [
     "q_pipeline_e2e",
     "q_mask_pii",
     "q_dedup_exact",
+    "q_fingerprint",
+    "q_vector_topk",
+    "q_sample_stratified",
+    "q_text_quality",
 ]
 
 
