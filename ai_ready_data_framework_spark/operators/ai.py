@@ -95,31 +95,6 @@ DEDUP_UNION_ORACLE_SQL = f"""
 """
 
 
-def _dedup_group_report(docs: DataFrame, kind: str, key) -> DataFrame:
-    """Shared group-by-content-hash survivor report for both dedup
-    legs: same aggregate set so the tagged union has one schema.
-    n_raw_variants counts distinct BYTE-exact forms inside the group —
-    trivially 1 for the raw leg, and for the normalized leg the number
-    of re-stylings the normalization merged beyond byte-exact dedup."""
-    return (
-        docs.groupBy(key.alias("__h"))
-        .agg(
-            F.min("doc_id").alias("keep_doc_id"),
-            F.count("*").alias("n_copies"),
-            F.count_distinct(F.sha2("text", 256)).alias("n_raw_variants"),
-            F.min("n_chars").alias("n_chars"),
-        )
-        .drop("__h")
-        .select(
-            F.lit(kind).alias("dedup_kind"),
-            "keep_doc_id",
-            "n_copies",
-            "n_raw_variants",
-            "n_chars",
-        )
-    )
-
-
 @query("q_dedup_exact", oracle=DEDUP_UNION_ORACLE_SQL)  # hard-graded
 # union (round-6 wave): raw + normalized hash-dedup in one slot
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,14 +107,46 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hashing first keeps the shuffle key at 32 bytes regardless of
     document size (shipping full text through the exchange is the
-    classic 100 TB mistake); the normalization is a map-side projection
-    so the second leg has the identical scale shape."""
+    classic 100 TB mistake); the normalization is a map-side
+    projection. SINGLE-SCAN shape: a naive two-leg union re-reads the
+    corpus once per leg; instead one scan explodes each doc into its
+    (kind, hash) pair rows and ONE hash aggregate on (kind, hash)
+    produces both legs — at 100 TB that halves scan IO for the same
+    exchange bytes (2x rows of constant-width keys in one shuffle vs
+    1x rows in each of two). n_raw_variants counts distinct byte-exact
+    forms inside a group — trivially 1 on the raw leg, and on the
+    normalized leg the number of re-stylings the normalization merged
+    beyond byte-exact dedup. Plan pinned: one parquet scan, one
+    exchange (tests/test_plans.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    raw = _dedup_group_report(docs, "raw", F.sha2("text", 256))
-    norm = _dedup_group_report(
-        docs, "normalized", F.sha2(normalized_text(F.col("text")), 256)
+    raw_h = F.sha2("text", 256)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        raw_h.alias("__raw"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("raw").alias("dedup_kind"), raw_h.alias("__h")
+                ),
+                F.struct(
+                    F.lit("normalized").alias("dedup_kind"),
+                    F.sha2(normalized_text(F.col("text")), 256).alias("__h"),
+                ),
+            )
+        ).alias("__e"),
+    ).select("doc_id", "n_chars", "__raw", "__e.dedup_kind", "__e.__h")
+    return (
+        keyed.groupBy("dedup_kind", "__h")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.count_distinct("__raw").alias("n_raw_variants"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .drop("__h")
+        .select("dedup_kind", "keep_doc_id", "n_copies", "n_raw_variants", "n_chars")
     )
-    return raw.unionByName(norm)
 
 
 def normalized_text(col) -> "F.Column":
@@ -1080,14 +1087,6 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     w = T.tokens("text")
-    cheap = docs.select(
-        F.lit("cheap").alias("quality_kind"),
-        "doc_id",
-        F.size(w).cast("long").alias("n_tokens"),
-        F.round(T.stopword_ratio(w), 4).alias("stop_ratio"),
-        T.quality_score("text").alias("score"),
-        F.lit(None).cast("long").alias("keep"),
-    )
     text = F.col("text")
     passes = [
         _n_words(w).between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS),
@@ -1099,15 +1098,33 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _alpha_word_frac(w) >= GOPHER_MIN_ALPHA_WORD_FRAC,
     ]
     n_pass = sum((p.cast("int") for p in passes), F.lit(0))
-    gopher = docs.select(
-        F.lit("gopher").alias("quality_kind"),
-        "doc_id",
-        F.size(w).cast("long").alias("n_tokens"),
-        F.round(T.stopword_ratio(w), 4).alias("stop_ratio"),
-        F.round(n_pass / 5.0, 4).alias("score"),
-        gopher_keep(text).cast("long").alias("keep"),
-    )
-    return cheap.unionByName(gopher)
+
+    def leg(kind: str, score, keep):
+        return F.struct(
+            F.lit(kind).alias("quality_kind"),
+            F.col("doc_id").alias("doc_id"),
+            F.size(w).cast("long").alias("n_tokens"),
+            F.round(T.stopword_ratio(w), 4).alias("stop_ratio"),
+            score.alias("score"),
+            keep.alias("keep"),
+        )
+
+    # SINGLE-SCAN union: both legs are projections of the same row, so
+    # one scan explodes each doc into its two tagged rows — a
+    # unionByName of two selects would read the corpus twice (plan
+    # pinned: one parquet scan, zero exchanges, tests/test_plans.py)
+    return docs.select(
+        F.explode(
+            F.array(
+                leg("cheap", T.quality_score("text"), F.lit(None).cast("long")),
+                leg(
+                    "gopher",
+                    F.round(n_pass / 5.0, 4),
+                    gopher_keep(text).cast("long"),
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.*")
 
 
 @query(
@@ -1370,14 +1387,22 @@ def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
 
-    def hash_leg(field: str) -> DataFrame:
-        return docs.select(
+    def hash_struct(field: str):
+        return F.struct(
             F.lit("column_hash").alias("mask_kind"),
             F.col("doc_id").alias("rec_id"),
             F.lit(field).alias("field"),
             F.sha2(field, 256).alias("masked_value"),
             F.lit(1).cast("long").alias("n_spans"),
         )
+
+    # SINGLE-SCAN hash leg: both masked fields come from the same row,
+    # so one documents scan explodes into the two tagged rows instead
+    # of a two-select union re-reading the corpus (plan pinned in
+    # tests/test_plans.py)
+    hashes = docs.select(
+        F.explode(F.array(hash_struct("text"), hash_struct("source"))).alias("__r")
+    ).select("__r.*")
 
     notes = pii_contact_notes(load_table(spark, sf_dir, "customer"))
     n_spans = (
@@ -1391,7 +1416,7 @@ def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_redact(F.col("note")).alias("masked_value"),
         n_spans.alias("n_spans"),
     )
-    return hash_leg("text").unionByName(hash_leg("source")).unionByName(redact_leg)
+    return hashes.unionByName(redact_leg)
 
 
 # ---------------------------------------------------------------------------

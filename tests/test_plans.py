@@ -581,3 +581,28 @@ def test_durable_stage_cache_identical_results(spark, sf_smoke):
     finally:
         spark.conf.set(DURABLE_CACHE_CONF, "false")
         spark.catalog.clearCache()
+
+
+def test_round6_unions_are_single_scan(spark, sf_smoke):
+    """Round 6: the projection-style union legs share ONE corpus scan
+    (explode of tagged structs) — a two-select union would read the
+    parquet once per leg, doubling scan IO at 100 TB. q_mask_pii reads
+    two different tables, so its bound is one scan per table."""
+    for name, max_scans in (
+        ("q_text_quality", 1),
+        ("q_dedup_exact", 1),
+        ("q_mask_pii", 2),
+    ):
+        plan = final_plan(run(name, spark, sf_smoke))
+        n_scans = sum(
+            1 for ln in plan.splitlines()
+            if "Scan parquet" in ln or "FileScan" in ln
+        )
+        assert n_scans <= max_scans, (name, n_scans, plan)
+    # and the pure-projection unions still shuffle nothing
+    for name in ("q_text_quality", "q_mask_pii"):
+        plan = final_plan(run(name, spark, sf_smoke))
+        assert not [
+            ln for ln in plan.splitlines()
+            if "Exchange" in ln and "Broadcast" not in ln
+        ], (name, plan)
