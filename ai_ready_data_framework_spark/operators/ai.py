@@ -1011,6 +1011,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _text_quality_union_oracle_sql() -> str:
     from ai_ready_data_framework_spark.operators import quality as Q
+    from ai_ready_data_framework_spark.operators.quality import REP_NGRAM_K
 
     words = "string_split(text, ' ')"
     stop = f"len(list_filter({words}, x -> x = 'the' OR x = 'a'))"
@@ -1048,7 +1049,23 @@ def _text_quality_union_oracle_sql() -> str:
            ROUND(({n_pass}) / 5.0, 4),
            CAST(({" AND ".join(f"({r})" for r in rules)}) AS BIGINT)
     FROM documents
-    """
+    UNION ALL
+    SELECT 'repetition',
+           doc_id,
+           CAST(len({words}) AS BIGINT),
+           ROUND({stop} / CAST(greatest(len({words}), 1) AS DOUBLE), 4),
+           ROUND((len(grams) - len(list_distinct(grams)))
+                 / CAST(greatest(len(grams), 1) AS DOUBLE), 4),
+           CAST(NULL AS BIGINT)
+    FROM (
+        SELECT doc_id, text,
+               list_transform(
+                   range(1, greatest(len({words}) - ({{k}} - 1), 1) + 1),
+                   i -> array_to_string(({words})[i : i + {{k}} - 1], ' ')
+               ) AS grams
+        FROM documents
+    )
+    """.replace("{k}", str(REP_NGRAM_K))
 
 
 @query("q_text_quality", oracle=_text_quality_union_oracle_sql())
@@ -1064,6 +1081,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       rules) — score = fraction of the 5 rules passed, keep = the
       battery's overall gate decision (the same predicate
       q_pipeline_e2e's stage 2 applies).
+    - ``repetition``: q_repetition's duplicate word-3-gram fraction
+      (the Gopher repetition signal) as the score; keep NULL.
 
     Both legs are pure codegen'd projections (zero shuffles at any
     scale); the oracle restates every rule so parity confirms the
@@ -1113,6 +1132,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one scan explodes each doc into its two tagged rows — a
     # unionByName of two selects would read the corpus twice (plan
     # pinned: one parquet scan, zero exchanges, tests/test_plans.py)
+    from ai_ready_data_framework_spark.operators.quality import REP_NGRAM_K
+
+    grams = T.shingles(w, REP_NGRAM_K)
+    dup_frac = F.round(
+        (F.size(grams) - F.size(F.array_distinct(grams)))
+        / F.greatest(F.size(grams), F.lit(1)),
+        4,
+    )
     return docs.select(
         F.explode(
             F.array(
@@ -1122,6 +1149,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(n_pass / 5.0, 4),
                     gopher_keep(text).cast("long"),
                 ),
+                leg("repetition", dup_frac, F.lit(None).cast("long")),
             )
         ).alias("__r")
     ).select("__r.*")

@@ -130,8 +130,10 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_repetition")  # rows-only: graded window full; DuckDB oracle
-# runs in tests/test_quality_ops.py
+@query("q_repetition")  # rows-only since round 6: the dup-ngram
+# fraction is hard-graded through q_text_quality's `repetition` union
+# leg; the full (n_ngrams, n_distinct) detail keeps its DuckDB oracle
+# in tests/test_quality_ops.py
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (quality filtering): within-document repetition — the
     fraction of word {k}-gram occurrences that are repeats of an
