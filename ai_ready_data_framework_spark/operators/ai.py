@@ -1118,20 +1118,15 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     n_pass = sum((p.cast("int") for p in passes), F.lit(0))
 
-    def leg(kind: str, score, keep):
-        return F.struct(
-            F.lit(kind).alias("quality_kind"),
-            F.col("doc_id").alias("doc_id"),
-            F.size(w).cast("long").alias("n_tokens"),
-            F.round(T.stopword_ratio(w), 4).alias("stop_ratio"),
-            score.alias("score"),
-            keep.alias("keep"),
-        )
-
-    # SINGLE-SCAN union: both legs are projections of the same row, so
-    # one scan explodes each doc into its two tagged rows — a
-    # unionByName of two selects would read the corpus twice (plan
-    # pinned: one parquet scan, zero exchanges, tests/test_plans.py)
+    # SINGLE-SCAN union, heavy-exprs-once shape: every leg value is
+    # computed in ONE projection BELOW the explode (Generate breaks
+    # Project adjacency, so CollapseProject cannot re-inline the
+    # tokenize/shingle expressions into the per-leg rows — first
+    # attempt built per-leg structs whose expressions re-evaluated
+    # tokenization once per leg and measured 5s at sf0.1 vs ~1.7s for
+    # this shape); the post-explode projection only CASE-selects
+    # already-computed attributes by tag. One scan, zero shuffles
+    # (plan pinned: tests/test_plans.py).
     from ai_ready_data_framework_spark.operators.quality import REP_NGRAM_K
 
     grams = T.shingles(w, REP_NGRAM_K)
@@ -1140,19 +1135,37 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.greatest(F.size(grams), F.lit(1)),
         4,
     )
-    return docs.select(
-        F.explode(
-            F.array(
-                leg("cheap", T.quality_score("text"), F.lit(None).cast("long")),
-                leg(
-                    "gopher",
-                    F.round(n_pass / 5.0, 4),
-                    gopher_keep(text).cast("long"),
-                ),
-                leg("repetition", dup_frac, F.lit(None).cast("long")),
-            )
-        ).alias("__r")
-    ).select("__r.*")
+    base = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.round(T.stopword_ratio(w), 4).alias("stop_ratio"),
+        T.quality_score("text").alias("__cheap"),
+        F.round(n_pass / 5.0, 4).alias("__gopher"),
+        gopher_keep(text).cast("long").alias("__keep"),
+        dup_frac.alias("__rep"),
+    )
+    kind = F.col("quality_kind")
+    return (
+        base.select(
+            "*",
+            F.explode(
+                F.array(F.lit("cheap"), F.lit("gopher"), F.lit("repetition"))
+            ).alias("quality_kind"),
+        )
+        .select(
+            "quality_kind",
+            "doc_id",
+            "n_tokens",
+            "stop_ratio",
+            F.when(kind == "cheap", F.col("__cheap"))
+            .when(kind == "gopher", F.col("__gopher"))
+            .otherwise(F.col("__rep"))
+            .alias("score"),
+            F.when(kind == "gopher", F.col("__keep"))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
 
 
 @query(

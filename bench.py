@@ -125,6 +125,10 @@ HEADLINE = [
     "q_dedup_normalized",
     "q_multimodal_decode",
     "q_mix_budget",
+    # round-6 additions: graded union slots that previously only ran
+    # through their standalone legs
+    "q_mask_pii",
+    "q_fingerprint",
     # q_split_cluster_safe absent: it composes q_dedup_clusters (the
     # iterative component closure, itself never benched — 37s at sf0.1
     # is the closure's cost, not the split's ~0.2s projection).
