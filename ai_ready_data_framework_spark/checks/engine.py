@@ -758,8 +758,14 @@ def lineage_completeness(ctx: CheckContext) -> float:
         )
         nxt = stage_pin(nxt, eager=True)
         if nxt.count() == 0:
+            nxt.unpersist()
             break
+        prev = reached
         reached = stage_pin(reached.unionByName(nxt).distinct(), eager=True)
+        # release superseded pins (no-op under localCheckpoint; the
+        # durable persist branch leaks CacheManager entries otherwise)
+        prev.unpersist()
+        nxt.unpersist()
     # score via semi-join — the reached set never leaves the engine
     n_reachable = assets.join(
         reached, assets.asset == reached.node, "left_semi"

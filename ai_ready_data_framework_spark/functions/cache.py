@@ -15,7 +15,16 @@ pin such a frame:
   so a lost executor's blocks recompute from source. Costs plan
   retention — for the iterative closures (functions/graph.py,
   checks/engine.py lineage fixpoint) the logical plan then grows with
-  each round, bounded by those loops' hard iteration caps (10).
+  each round, bounded by those loops' hard iteration caps (graph
+  components: 20; lineage closure: 10). Persisted entries are held by
+  the CacheManager until unpersist (unlike localCheckpoint blocks,
+  which the ContextCleaner GCs), so the iterative call sites
+  unpersist each superseded round's frame — a no-op in the default
+  branch — and the funnel releases its shingle pin with its stage
+  caches. The index-compaction path (streaming/dedup.py) deliberately
+  does NOT use this helper: it must truncate lineage before
+  overwriting its own input table, which the persist branch would
+  break.
 
 The toggle is one session conf so a cluster deployment flips EVERY
 site at once without touching operator code:

@@ -69,6 +69,13 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # release the superseded round's pin: a no-op for the default
+        # localCheckpoint branch (blocks are ContextCleaner-managed),
+        # but the durable persist branch holds CacheManager entries
+        # until unpersist — without this, every closure round leaks
+        # corpus-keyed cached blocks for the session's lifetime
+        # (round-6 review)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -19,6 +19,13 @@ from pyspark.sql.window import Window
 # 'the'/'a' are its function words).
 STOPWORDS = ("the", "a")
 
+# Explicit ASCII whitespace class shared with every DuckDB oracle
+# (ADVICE r5 / round-6 review): Java regex \s matches vertical tab
+# (\x0b) while RE2's does not, so any cross-engine-checked expression
+# must spell the set out. \w is identical in both engines.
+WS_CLASS = r" \t\n\r\f\x0b"
+PUNCT_STRIP_RE = rf"[^\w{WS_CLASS}]"
+
 SIMHASH_BITS = 63  # keep the fingerprint positive in a signed 64-bit long
 
 
@@ -50,7 +57,7 @@ def stopword_ratio(words: Column) -> Column:
 
 def punct_ratio(text: Column | str) -> Column:
     t = F.col(text) if isinstance(text, str) else text
-    puncts = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    puncts = F.length(t) - F.length(F.regexp_replace(t, PUNCT_STRIP_RE, ""))
     return puncts / F.greatest(F.length(t), F.lit(1))
 
 

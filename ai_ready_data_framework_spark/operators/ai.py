@@ -65,7 +65,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not, so texts containing \x0b would normalize differently across
 # engines and break oracle parity. Spelling the class out removes the
 # engine-defined set from the contract entirely.
-_WS_CLASS = r" \t\n\r\f\x0b"
+_WS_CLASS = T.WS_CLASS
 NORMALIZE_STRIP_RE = rf"[^a-z0-9{_WS_CLASS}]"
 NORMALIZE_WS_RE = rf"[{_WS_CLASS}]+"
 
@@ -775,23 +775,33 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string").cast("binary"))
     nul = F.lit(None).cast("long")
-    stratified = (
-        docs.filter(h < SAMPLE_MD5_THRESHOLD)
-        .select("doc_id", "source", "lang")
-        .select(
-            F.lit("stratified").alias("sample_kind"),
+    # SINGLE-SCAN rate legs (round-6 review): stratified and weighted
+    # are both pure md5-threshold filters of the same rows, so one
+    # scan explodes each doc into its two tagged candidates and one
+    # filter applies the per-tag threshold — still a map-only stage,
+    # half the scan IO of two filtered selects. The group leg keeps
+    # its own scan (its WindowGroupLimit needs the full stratum).
+    thr = F.lit(mix_threshold_hex(MIX_DEFAULT_WEIGHT))
+    for src, wgt in MIX_WEIGHTS.items():
+        thr = F.when(F.col("source") == src, F.lit(mix_threshold_hex(wgt))).otherwise(
+            thr
+        )
+    kind = F.col("sample_kind")
+    rate_legs = (
+        docs.select(
             "doc_id",
             "source",
             "lang",
-            nul.alias("sample_rank"),
+            h.alias("__h"),
+            F.explode(F.array(F.lit("stratified"), F.lit("weighted"))).alias(
+                "sample_kind"
+            ),
         )
-    )
-    weighted = q_mix_weighted(spark, sf_dir).select(
-        F.lit("weighted").alias("sample_kind"),
-        "doc_id",
-        "source",
-        "lang",
-        nul.alias("sample_rank"),
+        .filter(
+            ((kind == "stratified") & (F.col("__h") < SAMPLE_MD5_THRESHOLD))
+            | ((kind == "weighted") & (F.substring("__h", 1, 8) < thr))
+        )
+        .select("sample_kind", "doc_id", "source", "lang", nul.alias("sample_rank"))
     )
     grouped = q_group_sample(spark, sf_dir).select(
         F.lit("group").alias("sample_kind"),
@@ -800,7 +810,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "sample_rank",
     )
-    return stratified.unionByName(weighted).unionByName(grouped)
+    return rate_legs.unionByName(grouped)
 
 
 EVAL_FOLD_MOD = 10  # doc_id % 10 == 0 → held-out eval fold
@@ -1036,7 +1046,7 @@ def _text_quality_union_oracle_sql() -> str:
            ROUND(least(len({words}) / 64.0, 1.0)
                  * (1 - {stop}
                         / CAST(greatest(len({words}), 1) AS DOUBLE))
-                 * (1 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 * (1 - (length(text) - length(regexp_replace(text, '{T.PUNCT_STRIP_RE}', '', 'g')))
                         / CAST(greatest(length(text), 1) AS DOUBLE)),
                  4) AS score,
            CAST(NULL AS BIGINT) AS keep
@@ -1251,21 +1261,45 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       full posting set keeps its pytest oracle.
 
     md5 on both engines makes the sketches oracle-checkable, unlike
-    xx/murmur. Both legs are one shuffle each (hash-agg on doc_id /
-    window on (doc, pos))."""
-    sh = _doc_shingles(spark, sf_dir)
-    minmax = sh.groupBy("doc_id").agg(
-        F.min(F.md5("s")).alias("fp_min"),
-        F.max(F.md5("s")).alias("fp_max"),
-        F.count("*").alias("n_hashes"),
+    xx/murmur. One scan + one doc_id exchange feed BOTH legs (see the
+    in-body note; ReusedExchange pinned)."""
+    # SINGLE-SCAN, SINGLE-SHUFFLE shape (round-6 review): both legs
+    # consume the same ordered (doc_id, pos, md5) shingle-hash frame
+    # AFTER the winnow window's doc_id exchange — min/max over all
+    # hashes equal min/max over the distinct set, count_distinct gives
+    # the distinct-shingle count, and the winnow leg just filters to
+    # full windows and reduces the selected column. The windowed frame
+    # is stage-pinned (the minhash-bands recipe): column pruning
+    # deletes the unused window from the minmax branch, so without the
+    # pin the branches diverge canonically and the corpus is tokenized
+    # and shuffled once PER LEG (measured; no ReusedExchange possible).
+    # Plan pinned in tests/test_plans.py: one parquet scan.
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.posexplode(T.shingles(T.tokens("text"), SHINGLE_K)).alias("pos", "s"),
+    ).select("doc_id", "pos", F.md5("s").alias("h"))
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    w_all = stage_pin(h.withColumn("fp", F.min("h").over(win)))
+    # size(collect_set) not count_distinct: the checkpoint erases the
+    # window's doc_id partitioning metadata, and count_distinct would
+    # re-exchange postings TWICE per leg (Expand two-phase); the set
+    # builds map-side and each leg pays exactly one doc-keyed exchange
+    # of per-doc partial sets
+    minmax = w_all.groupBy("doc_id").agg(
+        F.min("h").alias("fp_min"),
+        F.max("h").alias("fp_max"),
+        F.size(F.collect_set("h")).cast("long").alias("n_hashes"),
     ).select(F.lit("minmax").alias("fp_kind"), "doc_id", "fp_min", "fp_max", "n_hashes")
     winnow = (
-        q_fingerprint_winnow(spark, sf_dir)
+        w_all.filter(F.col("pos") >= WINNOW_W - 1)
         .groupBy("doc_id")
         .agg(
-            F.min("fp_hash").alias("fp_min"),
-            F.max("fp_hash").alias("fp_max"),
-            F.count("*").alias("n_hashes"),
+            F.min("fp").alias("fp_min"),
+            F.max("fp").alias("fp_max"),
+            F.size(F.collect_set("fp")).cast("long").alias("n_hashes"),
         )
         .select(
             F.lit("winnow").alias("fp_kind"), "doc_id", "fp_min", "fp_max", "n_hashes"

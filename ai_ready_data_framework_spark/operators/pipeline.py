@@ -214,7 +214,9 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     finally:
-        for frame in (deduped, quality, clean):
+        for frame in (deduped, quality, clean, sh_raw):
+            # sh_raw included: no-op under the default localCheckpoint
+            # pin, required under the durable persist branch
             frame.unpersist()
     return spark.createDataFrame(
         funnel_rows,

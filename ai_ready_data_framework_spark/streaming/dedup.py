@@ -142,8 +142,15 @@ def compact_band_index(
     )
     base = read_band_index(spark, index_table)
     merged = base.unionByName(deltas) if deltas is not None else base
-    # materialize BEFORE overwriting the table the plan reads from
-    merged = stage_pin(merged, eager=True)
+    # Materialize BEFORE overwriting the table the plan reads from.
+    # Deliberately NOT stage_pin (round-6 review): the durable toggle's
+    # persist branch keeps LINEAGE, and this frame's lineage reads the
+    # very table the next lines drop and rewrite — an executor loss
+    # mid-write would recompute from the dropped table and lose the
+    # index. Compaction requires a true lineage-truncating barrier;
+    # on a real cluster the equivalent durable form is a reliable
+    # checkpoint() or staging the merged frame to a temp path first.
+    merged = merged.localCheckpoint(eager=True)
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
     write_band_index(merged, index_table, index_path)
     _delete_recursive(spark, delta_dir)

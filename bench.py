@@ -286,7 +286,10 @@ EXPECTED_CHANGES = {
         "tagged-union merge runs column-hash + span-redact legs (r6)"
     ),
     "q_fingerprint": (
-        "tagged-union merge runs minmax + winnow-summary legs (r6)"
+        "tagged-union merge runs minmax + winnow-summary legs (r6);"
+        " late-r6 single-pass rewrite trades ~0.4s of local checkpoint"
+        " overhead for one corpus scan + one tokenize pass instead of"
+        " two of each"
     ),
     "q_text_quality": (
         "tagged-union merge runs cheap-score + gopher-battery legs (r6)"

@@ -10,6 +10,7 @@ import math
 
 import duckdb
 
+from ai_ready_data_framework_spark.functions.text import PUNCT_STRIP_RE
 from ai_ready_data_framework_spark.io import table_path
 from ai_ready_data_framework_spark.operators import corpus as C
 from ai_ready_data_framework_spark.registry import QUERIES
@@ -341,7 +342,7 @@ def test_sample_quality_matches_duckdb_oracle(spark, sf_correctness):
                                               x -> x IN ('the', 'a')))
                            / GREATEST(len(string_split(text, ' ')), 1))
                        * (1 - (length(text)
-                               - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                               - length(regexp_replace(text, '{PUNCT_STRIP_RE}', '', 'g')))
                            / GREATEST(length(text), 1)),
                        1.0), 0.0), 4) AS quality_score,
                    (doc_id * {QSAMPLE_HASH_MULT}) % {QSAMPLE_HASH_MOD}
@@ -366,7 +367,7 @@ def test_sample_quality_matches_duckdb_oracle(spark, sf_correctness):
                                        x -> x IN ('the', 'a')))
                     / GREATEST(len(string_split(text, ' ')), 1))
                 * (1 - (length(text)
-                        - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                        - length(regexp_replace(text, '{PUNCT_STRIP_RE}', '', 'g')))
                     / GREATEST(length(text), 1)),
                 1.0), 0.0), 4)
             FROM read_parquet('{_docs(sf_correctness)}')"""
@@ -756,7 +757,7 @@ def test_ht_estimate_matches_duckdb_and_is_unbiased(spark, sf_correctness):
                                    x -> x IN ('the', 'a')))
                 / GREATEST(len(string_split(text, ' ')), 1))
             * (1 - (length(text)
-                    - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                    - length(regexp_replace(text, '{PUNCT_STRIP_RE}', '', 'g')))
                 / GREATEST(length(text), 1)),
             1.0), 0.0), 4)"""
     sql = f"""

@@ -592,6 +592,9 @@ def test_round6_unions_are_single_scan(spark, sf_smoke):
         ("q_text_quality", 1),
         ("q_dedup_exact", 1),
         ("q_mask_pii", 2),
+        # 0 in practice: the shared shingle-hash frame is stage-pinned,
+        # so the executed plan reads the checkpointed RDD
+        ("q_fingerprint", 1),
     ):
         plan = final_plan(run(name, spark, sf_smoke))
         n_scans = sum(
