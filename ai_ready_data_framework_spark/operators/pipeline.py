@@ -91,30 +91,31 @@ def dup_drop_ids(sh: DataFrame, n_docs: int) -> DataFrame:
     surviving shingle. Dedup of true mass-duplicates (which share MANY
     shingles, including rare ones) still triggers via any of their
     sub-cap shingles; documents identical only in boilerplate no
-    longer count as copies."""
+    longer count as copies.
+
+    Physical shape (late round 6): the greedy smaller-id-wins rule
+    never needs the posting SELF-join the spec (and the DuckDB oracle,
+    which keeps the declarative pair form as an independent check)
+    states — a doc is dropped iff it exceeds the MINIMUM doc_id of any
+    sub-cap shingle group it belongs to. So one (s → min, df)
+    aggregate joined back to the postings replaces pair generation
+    entirely: candidate volume falls from O(sum(df^2)) — bounded by
+    the cap — to O(postings), the join's build side is one narrow row
+    per shingle, and hot-key skew is ordinary equi-join skew that
+    AQE's skew-join splitting already handles."""
     cap = F.least(
         F.lit(MAX_SHINGLE_DF_FRACTION * n_docs), F.lit(float(MAX_SHINGLE_DF_ABS))
     )
-    # The filter joins against the HOT set (df > cap), not the rare
-    # set: hot shingles are the tiny tail of the df distribution
-    # (bounded by postings/cap), so the anti-join's build side is
-    # KB-sized and AQE converts it to a broadcast at runtime — where a
-    # semi-join against the near-corpus-sized rare set must shuffle
-    # sh twice. No broadcast hint on purpose: if a pathological corpus
-    # makes the hot set large, AQE falls back to a shuffle join rather
-    # than OOMing the driver.
-    hot = (
-        sh.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > cap)
-        .select("s")
+    groups = sh.groupBy("s").agg(
+        F.min("doc_id").alias("__mn"), F.count("*").alias("df")
     )
-    sh_dup = sh.join(hot, "s", "left_anti")
+    keep_groups = groups.filter((F.col("df") <= cap) & (F.col("df") >= 2)).select(
+        "s", "__mn"
+    )
     return (
-        sh_dup.select(F.col("doc_id").alias("doc_a"), "s")
-        .join(sh_dup.select(F.col("doc_id").alias("doc_b"), "s"), "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(F.col("doc_b").alias("doc_id"))
+        sh.join(keep_groups, "s")
+        .filter(F.col("doc_id") > F.col("__mn"))
+        .select("doc_id")
         .distinct()
     )
 
@@ -139,14 +140,14 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
     # stage 1 — near dedup: drop any doc sharing a non-boilerplate
-    # 8-gram with a smaller-id doc (inverted-index self-join on
-    # shingle, hot postings capped — see dup_drop_ids).
+    # 8-gram with a smaller-id doc (per-shingle min-join, hot postings
+    # capped — see dup_drop_ids).
     # ONE tokenize→shingle pass for the whole funnel (VERDICT r4 #7):
-    # the 8-gram frame feeds FIVE consumers — the posting-df cap, both
-    # sides of the dup self-join, the eval-fold shingle set, and the
-    # survivor shingles for decontam — and per-branch filter pushdown
-    # makes the branches canonically different, so nothing reuses
-    # without materializing. Same lazy-checkpoint recipe (and the same
+    # the 8-gram frame feeds FOUR consumers — the (min, df) shingle
+    # aggregate, the dup min-join's posting side, the eval-fold
+    # shingle set, and the survivor shingles for decontam — and
+    # per-branch filter pushdown makes the branches canonically
+    # different, so nothing reuses without materializing. Same lazy-checkpoint recipe (and the same
     # executor-loss durability tradeoff, documented at
     # functions/text.py::banded_minhash_pairs) as the minhash bands.
     n_docs = docs.count()
