@@ -145,10 +145,11 @@ def test_dup_drop_posting_cap_bounds_boilerplate(spark):
     """VERDICT r5 #1 adversarial fixture: one boilerplate 8-gram shared
     by hundreds of docs must generate ZERO candidates (its posting list
     exceeds the df cap), while genuine near-dups sharing a RARE 8-gram
-    are still dropped. Also pins the candidate-volume bound: with the
-    hot posting capped, the self-join's candidate count is the sum of
-    df^2 over surviving (sub-cap) shingles only — O(df_cap * df), never
-    O(hot_df^2)."""
+    are still dropped. Also pins the candidate-volume bounds: the cap
+    removes the hot shingle's df^2 pair mass from the declarative pair
+    rule (which the DuckDB funnel oracle still states), and the shipped
+    min-join implementation's join volume is the sub-cap POSTINGS —
+    O(postings), never O(df^2) at all."""
     import pyspark.sql.functions as F
 
     from ai_ready_data_framework_spark.operators import ai as A
@@ -187,7 +188,15 @@ def test_dup_drop_posting_cap_bounds_boilerplate(spark):
     uncapped_cands = df_by_s.agg(F.sum(F.col("df") * F.col("df"))).first()[0]
     assert uncapped_cands - capped_cands >= n_boiler * n_boiler  # hot mass gone
     assert capped_cands <= cap * sh.count()  # O(df_cap * postings) bound
-    # plan pin: the capped dup join subtree contains the df aggregate +
-    # filter (the cap cannot silently fall out of the plan)
+    # shipped min-join shape: its join volume is exactly the sub-cap
+    # postings (strictly <= all postings) — no pair generation anywhere
+    sub_cap_postings = (
+        sh.join(
+            df_by_s.filter(F.col("df") <= cap).select("s"), "s", "left_semi"
+        ).count()
+    )
+    assert sub_cap_postings <= sh.count()
+    # plan pin: the capped dup subtree contains the (min, df) aggregate
+    # + filter (the cap cannot silently fall out of the plan)
     plan = P.dup_drop_ids(sh, n_docs)._jdf.queryExecution().optimizedPlan().toString()
-    assert "count(1)" in plan and "df" in plan
+    assert "count(1)" in plan and "df" in plan and "min(doc_id" in plan
