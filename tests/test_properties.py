@@ -482,3 +482,83 @@ def test_error_incident_stitch_property(spark, offsets):
         (k, grp[0], grp[-1], len(grp))
         for k, grp in enumerate(expected, start=1)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Round 6: funnel dedup min-join rule vs brute-force pair reference
+# ---------------------------------------------------------------------------
+
+word_docs = st.lists(
+    st.lists(st.integers(0, 5), min_size=1, max_size=12),  # word ids
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(docs=word_docs)
+@SETTINGS
+def test_dup_drop_min_join_matches_pair_rule(spark, docs):
+    """The shipped per-shingle min-join (operators/pipeline.py::
+    dup_drop_ids) must equal the declarative capped pair rule for ANY
+    corpus: doc b is dropped iff some a < b shares a shingle whose
+    posting df is within the cap. Tiny vocab (6 words) makes shared
+    shingles and cap-exceeding postings both common."""
+    from ai_ready_data_framework_spark.operators import ai as A
+    from ai_ready_data_framework_spark.operators import pipeline as P
+
+    texts = [(i, " ".join(f"w{w}" for w in ws)) for i, ws in enumerate(docs)]
+    n_docs = len(texts)
+    if n_docs == 0:
+        return
+    frame = spark.createDataFrame(texts, "doc_id long, text string")
+    # k=2 shingles via the same helper the funnel uses
+    sh = P.doc_shingles(frame, k=2)
+    got = {r.doc_id for r in P.dup_drop_ids(sh, n_docs).collect()}
+
+    # brute-force reference on the driver
+    postings: dict[str, set[int]] = {}
+    for r in sh.collect():
+        postings.setdefault(r.s, set()).add(r.doc_id)
+    cap = min(A.MAX_SHINGLE_DF_FRACTION * n_docs, A.MAX_SHINGLE_DF_ABS)
+    expected = set()
+    for ids in postings.values():
+        if 2 <= len(ids) <= cap:
+            mn = min(ids)
+            expected |= {i for i in ids if i > mn}
+    assert got == expected
+
+
+ascii_texts = st.text(
+    alphabet=st.sampled_from(
+        list("abXY 019,.!\t\n\r\f\x0b")  # letters, digits, punct, ALL ws
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(text=ascii_texts)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_normalized_text_cross_engine_parity(spark, text):
+    """normalized_text must hash identically in Spark and DuckDB for
+    ANY ascii text including every whitespace char in the explicit
+    class (the \\x0b case is exactly where \\s semantics diverge
+    between Java and RE2 — ADVICE r5)."""
+    import duckdb
+
+    from ai_ready_data_framework_spark.operators.ai import (
+        NORMALIZED_SHA_SQL,
+        normalized_text,
+    )
+
+    spark_val = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(F.sha2(normalized_text(F.col("text")), 256).alias("h"))
+        .collect()[0][0]
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (text VARCHAR)")
+    con.execute("INSERT INTO t VALUES (?)", [text])
+    duck_val = con.execute(f"SELECT {NORMALIZED_SHA_SQL} FROM t").fetchone()[0]
+    assert spark_val == duck_val
