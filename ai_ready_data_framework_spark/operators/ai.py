@@ -243,13 +243,17 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
     n_docs = load_table(spark, sf_dir, "documents").count()
     n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
+    # anti-join against the HOT tail (df > cap) rather than semi-join
+    # against the near-full rare set: the hot set is bounded by
+    # postings/cap, so AQE broadcast-converts the filter at runtime
+    # (same shape as the funnel cap and the fuzzy blocking purge)
+    hot = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
         F.col("df")
-        <= F.least(
+        > F.least(
             F.lit(MAX_SHINGLE_DF_FRACTION * n_docs), F.lit(float(MAX_SHINGLE_DF_ABS))
         )
     )
-    shf = sh.join(rare.select("s"), "s")
+    shf = sh.join(hot.select("s"), "s", "left_anti")
     a = shf.select(F.col("doc_id").alias("doc_a"), "s")
     b = shf.select(F.col("doc_id").alias("doc_b"), "s")
     pairs = (
@@ -1887,18 +1891,19 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = q_fingerprint_winnow(spark, sf_dir)
     n = postings.groupBy("doc_id").agg(F.count("*").alias("n"))
     n_docs = load_table(spark, sf_dir, "documents").count()
-    rare = (
+    # hot-tail anti-join, same rationale as q_dedup_ngram's cap
+    hot = (
         postings.groupBy("fp_hash")
         .agg(F.count("*").alias("df"))
         .filter(
             F.col("df")
-            <= F.least(
+            > F.least(
                 F.lit(MAX_SHINGLE_DF_FRACTION * n_docs),
                 F.lit(float(MAX_SHINGLE_DF_ABS)),
             )
         )
     )
-    pf = postings.join(rare.select("fp_hash"), "fp_hash")
+    pf = postings.join(hot.select("fp_hash"), "fp_hash", "left_anti")
     a = pf.select(F.col("doc_id").alias("doc_a"), "fp_hash")
     b = pf.select(F.col("doc_id").alias("doc_b"), "fp_hash")
     pairs = (
