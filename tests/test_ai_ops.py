@@ -1407,3 +1407,30 @@ def test_ivf_recall_parameterized_over_nprobe(spark, sf_smoke):
     assert r4 >= 0.4, f"ivf nprobe=4 recall {r4}"
     assert r2 >= 0.1, f"ivf nprobe=2 recall {r2}"
     assert r4 >= r2, (r4, r2)
+
+
+def test_brp_recall_parameterized_over_tables(spark, sf_smoke):
+    """ANNConfig round-out: more hash tables -> more candidates -> at
+    least as much recall for BRP-LSH, with both settings above their
+    floors (single-query top-10 vs brute-force L2)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = {
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", V.l2_distance(F.col("embedding"), F.col("qv")).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+
+    def recall(cfg):
+        rows = ai.q_vector_ann(spark, sf_smoke, cfg).collect()
+        return len(exact & {r.vec_id for r in rows}) / 10
+
+    r4 = recall(ai.DEFAULT_ANN)
+    r2 = recall(ai.ANNConfig(brp_num_hash_tables=2))
+    assert r4 >= 0.5, f"brp 4-table recall {r4}"
+    assert r2 >= 0.1, f"brp 2-table recall {r2}"
+    assert r4 >= r2 - 0.1, (r4, r2)  # small slack: different hash draws
