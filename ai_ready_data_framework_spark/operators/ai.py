@@ -1632,8 +1632,9 @@ def q_vector_ann_ivf(
         "embedding",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
     )
-    # Train the quantizer on a deterministic ~4k-row sample (every
-    # m-th vec_id): centroid quality needs a sample, not the corpus —
+    # Train the quantizer on a deterministic ~4k-row hash sample
+    # (pmod(xxhash64(vec_id), m) — id-distribution-robust, the ADVICE
+    # r5 recipe): centroid quality needs a sample, not the corpus —
     # at 100 TB fitting on everything would dominate the build.
     n = vecs.count()
     m = max(1, n // 4096)
@@ -1647,7 +1648,9 @@ def q_vector_ann_ivf(
     # iteration is a Spark job over this frame (functions/mlfit.py)
     from ai_ready_data_framework_spark.functions.mlfit import fit_cached
 
-    model = fit_cached(km, vecs.filter(F.col("vec_id") % m == 0).select("v"))
+    model = fit_cached(
+        km, vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(m)) == 0).select("v")
+    )
     assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
 
     centroids = spark.createDataFrame(
@@ -2366,7 +2369,9 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ai_ready_data_framework_spark.functions.mlfit import fit_cached
 
-    model = fit_cached(km, vecs.filter(F.col("vec_id") % m == 0).select("v"))
+    model = fit_cached(
+        km, vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(m)) == 0).select("v")
+    )
     return model.transform(vecs).select("vec_id", "cluster_id", "embedding")
 
 
@@ -2633,7 +2638,7 @@ def q_vector_ann_pq(
     step = max(1, n // cfg.pq_fit_sample)
     sample = [
         r.embedding
-        for r in emb.filter(F.col("vec_id") % step == 0)
+        for r in emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(step)) == 0)
         .select("embedding")
         .collect()
     ]
