@@ -696,32 +696,64 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_partition_batched(events)
 
 
-@query(
-    "q_time_rollup",
-    oracle="""
+TIME_ROLLUP_UNION_ORACLE_SQL = """
     WITH base AS (
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
                CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
+    ),
+    rolled AS (
+        SELECT day, hour,
+               CAST(GROUPING(day, hour) AS BIGINT) AS gid,
+               COUNT(*) AS n_events,
+               SUM(cents) AS sum_cents
+        FROM base
+        GROUP BY GROUPING SETS ((day, hour), (day), ())
     )
-    SELECT day, hour,
-           CAST(GROUPING(day, hour) AS BIGINT) AS gid,
-           COUNT(*) AS n_events,
-           SUM(cents) / 100.0 AS sum_value
-    FROM base
-    GROUP BY GROUPING SETS ((day, hour), (day), ())
-    """,
-)
+    SELECT 'rollup' AS kind, day, hour, gid, n_events,
+           sum_cents / 100.0 AS sum_value,
+           CAST(NULL AS DOUBLE) AS prev_value,
+           CAST(NULL AS DOUBLE) AS pct_change
+    FROM rolled
+    UNION ALL
+    SELECT * FROM (
+        WITH daily AS (
+            SELECT day, n_events, sum_cents / 100.0 AS sum_value,
+                   lag(sum_cents / 100.0) OVER (ORDER BY day) AS prev
+            FROM rolled WHERE gid = 1
+        )
+        SELECT 'pop', day, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               n_events, sum_value,
+               ROUND(prev, 4),
+               ROUND((sum_value - prev) / prev * 100.0, 4)
+        FROM daily
+    ) p
+"""
+
+
+@query("q_time_rollup", oracle=TIME_ROLLUP_UNION_ORACLE_SQL)  # hard-graded
+# (round-6 sixth union wave): rollup + period-over-period in one slot
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-granularity time rollup (the hypertable continuous-
-    aggregate shape): ONE pass over events producing hourly rows,
-    daily rows, and the grand total via GROUPING SETS ((day, hour),
-    (day), ()) with grouping_id disambiguating levels. At 100 TB this
-    replaces three separate scans with one; Catalyst plans a single
-    Expand (x3 — one replica per grouping set, the same machinery as
-    rollup/cube) feeding one hash aggregate whose output is
-    calendar-sized, not events-sized.
+    """Multi-granularity time rollup + period-over-period report,
+    tagged in one graded result (sixth union wave — the PoP leg was
+    rows-only while the 50 graded slots were full; q_period_over_period
+    keeps its standalone registration + pytest oracle):
+
+    - ``rollup``: ONE pass over events producing hourly rows, daily
+      rows, and the grand total via GROUPING SETS ((day, hour), (day),
+      ()) with grouping_id disambiguating levels. At 100 TB this
+      replaces three separate scans with one; Catalyst plans a single
+      Expand (x3) feeding one hash aggregate whose output is
+      calendar-sized, not events-sized.
+    - ``pop``: daily totals with previous-day value and percent change
+      — derived from the SAME aggregate's day-level rows (gid = 1), so
+      the union adds ZERO extra scans or corpus-sized shuffles. The
+      lag window is global-order but runs on the calendar-sized frame.
+
+    The calendar-sized rollup is stage-pinned (functions/cache.py) so
+    both legs read one materialization — without the pin Catalyst
+    would re-run the events scan + aggregate for each union branch.
 
     The grand-total level sums EVERY event's value in one aggregate;
     float summation order varies with partition scheduling (caught by
@@ -736,7 +768,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    return (
+    rolled = stage_pin(
         base.groupingSets([["day", "hour"], ["day"], []], "day", "hour")
         .agg(
             F.grouping_id().cast("long").alias("gid"),
@@ -745,6 +777,34 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "hour", "gid", "n_events", "sum_value")
     )
+    roll_leg = rolled.select(
+        F.lit("rollup").alias("kind"),
+        "day",
+        "hour",
+        "gid",
+        "n_events",
+        "sum_value",
+        F.lit(None).cast("double").alias("prev_value"),
+        F.lit(None).cast("double").alias("pct_change"),
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("sum_value").over(w)
+    pop_leg = (
+        rolled.filter(F.col("gid") == 1)
+        .select(
+            F.lit("pop").alias("kind"),
+            "day",
+            F.lit(None).cast("string").alias("hour"),
+            F.lit(None).cast("long").alias("gid"),
+            "n_events",
+            "sum_value",
+            F.round(prev, 4).alias("prev_value"),
+            F.round(
+                (F.col("sum_value") - prev) / prev * 100.0, 4
+            ).alias("pct_change"),
+        )
+    )
+    return roll_leg.unionByName(pop_leg)
 
 
 @query(

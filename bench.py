@@ -297,6 +297,11 @@ EXPECTED_CHANGES = {
     "q_sample_stratified": (
         "tagged-union merge runs stratified + weighted + group legs (r6)"
     ),
+    "q_time_rollup": (
+        "tagged-union merge adds the period-over-period leg (r6 sixth"
+        " wave) — derived from the stage-pinned rollup aggregate's"
+        " day-level rows, zero extra scans"
+    ),
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"
         " rebuild now checkpointed to one minhash pass — zero-cost"

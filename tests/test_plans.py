@@ -595,6 +595,10 @@ def test_round6_unions_are_single_scan(spark, sf_smoke):
         # 0 in practice: the shared shingle-hash frame is stage-pinned,
         # so the executed plan reads the checkpointed RDD
         ("q_fingerprint", 1),
+        # sixth union wave: the pop leg derives from the stage-pinned
+        # rollup aggregate's day-level rows — 0 scans in the executed
+        # plan (both legs read the checkpointed calendar-sized RDD)
+        ("q_time_rollup", 1),
     ):
         plan = final_plan(run(name, spark, sf_smoke))
         n_scans = sum(

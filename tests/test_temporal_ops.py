@@ -132,33 +132,32 @@ def test_ewma_strategies_identical(spark, sf_correctness):
 
 
 def test_time_rollup_matches_duckdb_oracle(spark, sf_correctness):
-    """Multi-granularity GROUPING SETS rollup: identical (day, hour,
-    gid, count, sum) rows from both engines; level counts must be
-    conservative (hourly sums to daily sums to the grand total)."""
+    """Multi-granularity GROUPING SETS rollup + PoP union (sixth union
+    wave): identical (kind, day, hour, gid, count, sum, prev, pct) rows
+    from both engines; level counts must be conservative (hourly sums
+    to daily sums to the grand total) and the pop leg must mirror the
+    rollup's day-level rows exactly."""
     ev = table_path(sf_correctness, "events")
-    sql = f"""
-        WITH base AS (
-            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
-                   CAST(round(value * 100) AS BIGINT) AS cents
-            FROM read_parquet('{ev}')
-        )
-        SELECT day, hour,
-               CAST(GROUPING(day, hour) AS BIGINT) AS gid,
-               COUNT(*) AS n_events,
-               SUM(cents) / 100.0 AS sum_value
-        FROM base
-        GROUP BY GROUPING SETS ((day, hour), (day), ())
-    """
-    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{ev}')")
+    expected = {
+        tuple(r)
+        for r in con.execute(TP.TIME_ROLLUP_UNION_ORACLE_SQL).fetchall()
+    }
     rows = QUERIES["q_time_rollup"](spark, sf_correctness).collect()
     assert {tuple(r) for r in rows} == expected
-    total = [r for r in rows if r.gid == 3]
-    hourly = [r for r in rows if r.gid == 0]
-    daily = [r for r in rows if r.gid == 1]
+    total = [r for r in rows if r.kind == "rollup" and r.gid == 3]
+    hourly = [r for r in rows if r.kind == "rollup" and r.gid == 0]
+    daily = [r for r in rows if r.kind == "rollup" and r.gid == 1]
+    pop = [r for r in rows if r.kind == "pop"]
     assert len(total) == 1
     assert sum(r.n_events for r in hourly) == total[0].n_events
     assert sum(r.n_events for r in daily) == total[0].n_events
+    # the pop leg is exactly the day level re-keyed with lag columns
+    assert {(r.day, r.n_events, r.sum_value) for r in pop} == {
+        (r.day, r.n_events, r.sum_value) for r in daily
+    }
+    assert sum(1 for r in pop if r.prev_value is None) == 1
 
 
 def test_retention_matches_duckdb_oracle(spark, sf_correctness):
