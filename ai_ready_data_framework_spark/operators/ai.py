@@ -2798,64 +2798,102 @@ def q_knn_graph(
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_split_leakage_safe",  # hard-graded (round-4 union wave)
-    oracle="""
+def _split_union_oracle_sql() -> str:
+    thr_train = mix_threshold_hex(SPLIT_TRAIN_FRAC)
+    thr_val = mix_threshold_hex(SPLIT_TRAIN_FRAC + SPLIT_VAL_FRAC)
+    draw = (
+        "CASE WHEN substring(md5(CAST({rep} AS VARCHAR)), 1, 8)"
+        f" < '{thr_train}' THEN 'train'"
+        " WHEN substring(md5(CAST({rep} AS VARCHAR)), 1, 8)"
+        f" < '{thr_val}' THEN 'val'"
+        " ELSE 'test' END"
+    )
+    return f"""
     WITH hashed AS (
         SELECT doc_id, source, sha256(text) AS th FROM documents
     ),
     groups AS (
         SELECT th, MIN(doc_id) AS group_rep FROM hashed GROUP BY th
     )
-    SELECT h.doc_id, h.source, g.group_rep,
-           CASE WHEN substring(md5(CAST(g.group_rep AS VARCHAR)), 1, 8)
-                     < 'cccccccc' THEN 'train'
-                WHEN substring(md5(CAST(g.group_rep AS VARCHAR)), 1, 8)
-                     < 'e6666666' THEN 'val'
-                ELSE 'test' END AS split
+    SELECT 'dup_group' AS split_kind, h.doc_id, h.source, g.group_rep,
+           {draw.format(rep="g.group_rep")} AS split
     FROM hashed h JOIN groups g USING (th)
-    """,
-)
-def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North star (dataset splits, leakage-hardened): q_split_assign
-    hashes each doc independently, so two IDENTICAL documents can land
-    in train and test — exactly the contamination q_contamination
-    exists to catch. This variant assigns splits to DUPLICATE GROUPS,
-    not docs: the atomic unit is the exact-dup group (sha2(text)), the
-    group key is its min doc_id, and the group's md5 draw places every
-    member in the same split. The same recipe lifts to near-dup
-    clusters (q_dedup_clusters' component ids as group keys) when
-    MinHash clusters are materialized — that path inherits the
-    rows-only contract of its sketch.
+    UNION ALL
+    SELECT 'doc_hash', doc_id, source, doc_id,
+           {draw.format(rep="doc_id")}
+    FROM documents
+    """
 
-    Spark shape: one (hash -> min doc_id) aggregate (constant-width
-    keys, never full text through the exchange), broadcast-joined back?
-    No — the group map is corpus-sized, so it re-joins on the hash key
-    as a plain shuffle join; the split expression itself is a pure
-    projection. Fractions + zero-leakage invariants asserted in
-    tests/test_retrieval.py."""
+
+@query("q_split_leakage_safe", oracle=_split_union_oracle_sql())
+# hard-graded union (round-4 wave; round-6 sixth wave absorbed the
+# q_split_assign leg)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (dataset splits), tagged union of both deterministic
+    split-assignment disciplines (sixth union wave — the per-doc leg
+    was rows-only while the 50 graded slots were full;
+    q_split_assign keeps its standalone registration + pytest oracle):
+
+    - ``doc_hash``: q_split_assign's per-document draw — each doc is
+      its own atomic unit (group_rep = doc_id, truthfully: a singleton
+      group), split by its own md5 threshold draw. Pure projection over
+      a 2-column pruned scan; zero shuffles.
+    - ``dup_group``: the leakage-hardened form — per-doc hashing can
+      put two IDENTICAL documents in train and test (exactly the
+      contamination q_contamination exists to catch), so this leg
+      assigns splits to DUPLICATE GROUPS: the atomic unit is the
+      exact-dup group (sha2(text)), the group key is its min doc_id,
+      and the group's md5 draw places every member in the same split.
+      The same recipe lifts to near-dup clusters
+      (q_split_cluster_safe).
+
+    BOTH legs share one draw rule — split = threshold(md5(group_rep))
+    — so the union stays a function of group_rep (pinned by the
+    cross-operator draw-consistency test in tests/test_retrieval.py).
+
+    Spark shape: the dup_group leg runs one (hash -> min doc_id)
+    aggregate (constant-width keys, never full text through the
+    exchange — plan-pinned) and re-joins on the hash key as a plain
+    shuffle join (the group map is corpus-sized, no broadcast); the
+    doc_hash leg is a pure projection whose second scan reads ONLY
+    (doc_id, source) via parquet column pruning — no text bytes, so
+    sharing the dup_group leg's scan via a pin would cost more than
+    the pruned re-read. Fractions + zero-leakage invariants asserted
+    in tests/test_retrieval.py."""
     docs = load_table(spark, sf_dir, "documents")
+    thr_train = mix_threshold_hex(SPLIT_TRAIN_FRAC)
+    thr_val = mix_threshold_hex(SPLIT_TRAIN_FRAC + SPLIT_VAL_FRAC)
+
+    def draw(rep):
+        h8 = F.substring(F.md5(rep.cast("string").cast("binary")), 1, 8)
+        return (
+            F.when(h8 < thr_train, "train")
+            .when(h8 < thr_val, "val")
+            .otherwise("test")
+        )
+
     hashed = docs.select(
         "doc_id", "source", F.sha2(F.col("text"), 256).alias("th")
     )
     groups = hashed.groupBy("th").agg(F.min("doc_id").alias("group_rep"))
-    h8 = F.substring(
-        F.md5(F.col("group_rep").cast("string").cast("binary")), 1, 8
-    )
-    thr_train = mix_threshold_hex(SPLIT_TRAIN_FRAC)
-    thr_val = mix_threshold_hex(SPLIT_TRAIN_FRAC + SPLIT_VAL_FRAC)
-    return (
+    dup_leg = (
         hashed.join(groups, "th")
         .select(
+            F.lit("dup_group").alias("split_kind"),
             "doc_id",
             "source",
             "group_rep",
-            F.when(h8 < thr_train, "train")
-            .when(h8 < thr_val, "val")
-            .otherwise("test")
-            .alias("split"),
+            draw(F.col("group_rep")).alias("split"),
         )
     )
+    doc_leg = docs.select(
+        F.lit("doc_hash").alias("split_kind"),
+        "doc_id",
+        "source",
+        F.col("doc_id").alias("group_rep"),
+        draw(F.col("doc_id")).alias("split"),
+    )
+    return dup_leg.unionByName(doc_leg)
 
 
 @query("q_split_cluster_safe")  # iterative components group key ->

@@ -302,6 +302,10 @@ EXPECTED_CHANGES = {
         " wave) — derived from the stage-pinned rollup aggregate's"
         " day-level rows, zero extra scans"
     ),
+    "q_split_leakage_safe": (
+        "tagged-union merge adds the per-doc q_split_assign leg (r6"
+        " sixth wave) — a pure projection over a 2-column pruned scan"
+    ),
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"
         " rebuild now checkpointed to one minhash pass — zero-cost"

@@ -45,6 +45,9 @@ MATRIX_QUERIES = [
     "q_vector_topk",
     "q_sample_stratified",
     "q_text_quality",
+    # round-6 sixth union wave (q_time_rollup above already covers its
+    # widened pop leg)
+    "q_split_leakage_safe",
 ]
 
 

@@ -411,7 +411,14 @@ def test_leakage_safe_split_duplicates_share_split(spark, tmp_path_factory, corp
     spark.createDataFrame(
         rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
     ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
-    out = QUERIES["q_split_leakage_safe"](spark, str(d)).collect()
+    all_rows = QUERIES["q_split_leakage_safe"](spark, str(d)).collect()
+    # sixth union wave: the doc_hash leg draws per doc_id (group_rep =
+    # doc_id, split = the same threshold draw) — check it inline, then
+    # run the leakage invariants on the dup_group leg
+    doc_leg = [r for r in all_rows if r.split_kind == "doc_hash"]
+    assert len(doc_leg) == len(rows)
+    assert all(r.group_rep == r.doc_id for r in doc_leg)
+    out = [r for r in all_rows if r.split_kind == "dup_group"]
     assert len(out) == len(rows)
     by_text_split = {}
     by_text_rep = {}

@@ -220,39 +220,43 @@ def test_feature_bins_matches_duckdb_oracle(spark, sf_correctness):
 
 
 def test_split_leakage_safe_matches_duckdb_oracle(spark, sf_correctness):
-    """Leakage-safe split: DuckDB recomputes the exact-dup-group split
-    assignment; beyond set equality, no text hash may span two splits
-    (the invariant q_split_assign cannot give)."""
-    thr_train = ai.mix_threshold_hex(ai.SPLIT_TRAIN_FRAC)
-    thr_val = ai.mix_threshold_hex(ai.SPLIT_TRAIN_FRAC + ai.SPLIT_VAL_FRAC)
-    sql = f"""
-        WITH hashed AS (
-            SELECT doc_id, source, sha256(text) AS th
-            FROM read_parquet('{table_path(sf_correctness, "documents")}')
-        ),
-        groups AS (
-            SELECT th, MIN(doc_id) AS group_rep FROM hashed GROUP BY th
-        )
-        SELECT h.doc_id, h.source, g.group_rep,
-               CASE WHEN substring(md5(CAST(g.group_rep AS VARCHAR)), 1, 8)
-                         < '{thr_train}' THEN 'train'
-                    WHEN substring(md5(CAST(g.group_rep AS VARCHAR)), 1, 8)
-                         < '{thr_val}' THEN 'val'
-                    ELSE 'test' END AS split
-        FROM hashed h JOIN groups g USING (th)
-    """
-    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    """Leakage-safe split union: DuckDB recomputes BOTH legs via the
+    registered union oracle; beyond set equality, no text hash may span
+    two splits in the dup_group leg (the invariant the doc_hash leg
+    cannot give), and the doc_hash leg must equal q_split_assign."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{table_path(sf_correctness, 'documents')}')"
+    )
+    expected = {
+        tuple(r)
+        for r in con.execute(ai._split_union_oracle_sql()).fetchall()
+    }
     rows = QUERIES["q_split_leakage_safe"](spark, sf_correctness).collect()
     assert {tuple(r) for r in rows} == expected
     # zero leakage: all members of a dup group share one split
     by_group = {}
     for r in rows:
-        by_group.setdefault(r.group_rep, set()).add(r.split)
+        if r.split_kind == "dup_group":
+            by_group.setdefault(r.group_rep, set()).add(r.split)
     assert all(len(s) == 1 for s in by_group.values())
+    # the doc_hash leg IS q_split_assign (plus the truthful singleton
+    # group_rep)
+    assign = {
+        (r.doc_id, r.source, r.split)
+        for r in QUERIES["q_split_assign"](spark, sf_correctness).collect()
+    }
+    doc_leg = {
+        (r.doc_id, r.source, r.split)
+        for r in rows
+        if r.split_kind == "doc_hash"
+    }
+    assert doc_leg == assign
     # fractions still near 80/10/10 (group draw is uniform)
-    n = len(rows)
-    n_train = sum(1 for r in rows if r.split == "train")
-    assert abs(n_train / n - 0.8) < 0.08
+    dup = [r for r in rows if r.split_kind == "dup_group"]
+    n_train = sum(1 for r in dup if r.split == "train")
+    assert abs(n_train / len(dup) - 0.8) < 0.08
 
 
 def test_split_cluster_safe_invariants(spark, sf_correctness):
