@@ -46,6 +46,10 @@ NEAR_DUP_JACCARD = 0.5
 MAX_SHINGLE_DF_FRACTION = 0.2
 MAX_SHINGLE_DF_ABS = 500
 
+WINNOW_W = 4  # winnowing window: guarantees detection of any match
+# spanning >= W + SHINGLE_K - 1 tokens (Schleimer et al. 2003, public)
+CONTAINMENT_THRESHOLD = 0.8
+
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -195,9 +199,7 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_ngram",
-    oracle=f"""
+NGRAM_PAIR_UNION_ORACLE_SQL = f"""
     WITH w AS (
         SELECT doc_id, string_split(text, ' ') AS words FROM documents
     ),
@@ -221,25 +223,67 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
-    SELECT doc_a, doc_b, shared,
-           ROUND(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) AS jaccard
+    SELECT 'jaccard' AS pair_kind, doc_a, doc_b, shared,
+           ROUND(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) AS score
     FROM p
     JOIN n na ON p.doc_a = na.doc_id
     JOIN n nb ON p.doc_b = nb.doc_id
     WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= {NEAR_DUP_JACCARD}
-    """,
-)
-def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 (exact variant): n-gram Jaccard near-dup pairs via inverted
-    index — explode distinct 2-word shingles, drop ultra-common
-    shingles (posting cap), equi-join on shingle, count shared, compute
-    Jaccard against full distinct-shingle counts. Candidate volume is
-    sum(df^2) over surviving shingles — fine on natural text (long-tail
-    vocabulary), expensive on small-vocabulary corpora like this
-    synthetic one (931 shingles, avg df 275 at sf0.1 → ~36M candidate
-    rows). That cost is inherent to EXACT pair generation; this query
-    is the recall oracle for q_dedup_near (banded MinHash), which is
-    the headline scale path."""
+    UNION ALL
+    SELECT * FROM (
+        WITH shp AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(words[i : i + {SHINGLE_K - 1}], ' ')) AS h
+            FROM (
+                SELECT doc_id, words,
+                       unnest(range(1, greatest(len(words) - {SHINGLE_K - 1}, 1) + 1)) AS i
+                FROM w
+            )
+        ),
+        win AS (
+            SELECT DISTINCT doc_id,
+                   MIN(h) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW
+                   ) AS fp
+            FROM shp QUALIFY i >= {WINNOW_W}
+        ),
+        wn AS (SELECT doc_id, COUNT(*) AS n FROM win GROUP BY 1),
+        wrare AS (
+            SELECT fp FROM win GROUP BY fp
+            HAVING COUNT(*) <= LEAST({MAX_SHINGLE_DF_FRACTION} * (SELECT COUNT(*) FROM documents),
+                                     {MAX_SHINGLE_DF_ABS})
+        ),
+        pf AS (SELECT win.* FROM win JOIN wrare USING (fp)),
+        wp AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+            FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT 'containment', doc_a, doc_b, shared,
+               ROUND(shared / LEAST(na.n, nb.n), 4)
+        FROM wp
+        JOIN wn na ON wp.doc_a = na.doc_id
+        JOIN wn nb ON wp.doc_b = nb.doc_id
+        WHERE shared / LEAST(na.n, nb.n) >= {CONTAINMENT_THRESHOLD}
+    ) c
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted index — the
+    jaccard leg of the graded q_dedup_ngram union, kept standalone
+    because the closure consumers (q_dedup_clusters,
+    q_split_cluster_safe) and the MinHash recall oracle need ONLY the
+    symmetric pair set: explode distinct 2-word shingles, drop
+    ultra-common shingles (posting cap), equi-join on shingle, count
+    shared, compute Jaccard against full distinct-shingle counts.
+    Candidate volume is sum(df^2) over surviving shingles — fine on
+    natural text (long-tail vocabulary), expensive on small-vocabulary
+    corpora like this synthetic one (931 shingles, avg df 275 at sf0.1
+    → ~36M candidate rows). That cost is inherent to EXACT pair
+    generation; this path is the recall oracle for q_dedup_near
+    (banded MinHash), which is the headline scale path."""
     sh = _doc_shingles(spark, sf_dir)
     n_docs = load_table(spark, sf_dir, "documents").count()
     n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -273,6 +317,47 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= NEAR_DUP_JACCARD)
         .select("doc_a", "doc_b", "shared", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@query("q_dedup_ngram", oracle=NGRAM_PAIR_UNION_ORACLE_SQL)
+# hard-graded union (round-6 sixth wave): symmetric Jaccard +
+# asymmetric containment pair scoring in one slot
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (exact pair scoring), tagged union of both deterministic
+    pair-score disciplines (sixth union wave — the containment leg was
+    rows-only while the 50 graded slots were full; q_containment_pairs
+    keeps its standalone registration + pytest oracle):
+
+    - ``jaccard``: ngram_jaccard_pairs — symmetric n-gram Jaccard
+      near-dup pairs via a df-capped inverted-index self-join (see the
+      helper docstring for the candidate-volume bound).
+    - ``containment``: q_containment_pairs — shared WINNOWED
+      fingerprints over the SMALLER document's posting count, the
+      asymmetric quote/subset detector Jaccard misses. Same df-cap
+      rule, postings from the winnowing pass (q_fingerprint_winnow).
+
+    Both scores are ratios of integer posting counts (exact division,
+    rounded once) — no cross-partition float accumulation, so the
+    union is exact-hash safe under any partitioning (invariance
+    matrix). The legs run different posting constructions (distinct
+    shingle strings vs position-dense winnowed hashes) over the same
+    table, so this is a join-style union like q_key_history — one scan
+    per leg's own pipeline, not a projection union."""
+    jac = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.lit("jaccard").alias("pair_kind"),
+        "doc_a",
+        "doc_b",
+        "shared",
+        F.col("jaccard").alias("score"),
+    )
+    cont = q_containment_pairs(spark, sf_dir).select(
+        F.lit("containment").alias("pair_kind"),
+        "doc_a",
+        "doc_b",
+        "shared",
+        F.col("containment").alias("score"),
+    )
+    return jac.unionByName(cont)
 
 
 @query("q_dedup_near")  # MinHash sketches are engine-specific → rows-only
@@ -359,7 +444,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes the rows-only determinism gate; the same closure runs
     unchanged over banded-MinHash pairs at scale. Correctness vs a
     union-find oracle is asserted in tests/test_ai_ops.py."""
-    pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     from ai_ready_data_framework_spark.functions.graph import connected_components
 
     comp = connected_components(pairs, "doc_a", "doc_b")
@@ -1204,8 +1289,8 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-WINNOW_W = 4  # winnowing window: guarantees detection of any match
-# spanning >= W + SHINGLE_K - 1 tokens (Schleimer et al. 2003, public)
+# WINNOW_W is defined with the dedup-family constants at the top of
+# the module (the q_dedup_ngram union oracle needs it too).
 
 FINGERPRINT_UNION_ORACLE_SQL = f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -1870,7 +1955,8 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CONTAINMENT_THRESHOLD = 0.8
+# CONTAINMENT_THRESHOLD is defined with the dedup-family constants at
+# the top of the module (the q_dedup_ngram union oracle needs it too).
 
 
 @query("q_containment_pairs")  # rows-only: graded window full; DuckDB
@@ -2926,7 +3012,7 @@ def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    ngram_edges = q_dedup_ngram(spark, sf_dir).select(
+    ngram_edges = ngram_jaccard_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     sem_edges = semantic_dup_pairs(

@@ -20,6 +20,7 @@ def test_minhash_recall_vs_exact(spark, sf_smoke):
     exact = {
         (r.doc_a, r.doc_b)
         for r in QUERIES["q_dedup_ngram"](spark, sf_smoke).collect()
+        if r.pair_kind == "jaccard"
     }
     approx = {
         (r.doc_a, r.doc_b)
@@ -89,7 +90,11 @@ def test_connected_components_vs_union_find(spark, sf_smoke):
     union-find partition of the near-dup pair graph."""
     from ai_ready_data_framework_spark.functions.graph import connected_components
 
-    pairs_df = QUERIES["q_dedup_ngram"](spark, sf_smoke).select("doc_a", "doc_b")
+    pairs_df = (
+        QUERIES["q_dedup_ngram"](spark, sf_smoke)
+        .filter(F.col("pair_kind") == "jaccard")
+        .select("doc_a", "doc_b")
+    )
     pairs = [(r.doc_a, r.doc_b) for r in pairs_df.collect()]
     assert pairs, "near-dup pairs expected in corpus"
     expected = _union_find_components(pairs)
@@ -116,7 +121,11 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_smoke):
     """Every pair's two docs land in the same cluster; cluster sizes
     sum to the number of distinct docs appearing in any pair; each
     representative is its cluster's min member."""
-    pairs = QUERIES["q_dedup_ngram"](spark, sf_smoke).collect()
+    pairs = [
+        r
+        for r in QUERIES["q_dedup_ngram"](spark, sf_smoke).collect()
+        if r.pair_kind == "jaccard"
+    ]
     clusters = QUERIES["q_dedup_clusters"](spark, sf_smoke).collect()
     member_to_rep = {m: c.keep_doc_id for c in clusters for m in c.members}
     for p in pairs:

@@ -48,6 +48,7 @@ MATRIX_QUERIES = [
     # round-6 sixth union wave (q_time_rollup above already covers its
     # widened pop leg)
     "q_split_leakage_safe",
+    "q_dedup_ngram",
 ]
 
 
