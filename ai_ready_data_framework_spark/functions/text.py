@@ -378,6 +378,32 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best_score > 0, best).otherwise(F.lit("en"))
 
 
+def lang_id_sql(lower_col: str) -> str:
+    """DuckDB expression twin of :func:`lang_id`, generated from the
+    SAME marker table so the two can never drift (the q_text_stats
+    graded union's lang_id leg). ``lower_col`` must already hold the
+    lowered text. Semantics mirrored exactly: per-language score =
+    sum over markers of occurrence count (length delta / marker
+    length, float division in both engines, marker order preserved);
+    winner = FIRST language in sorted order achieving the maximal
+    score (the Python fold replaces only on strict >); zero max falls
+    back to 'en'."""
+    langs = sorted(_LANG_MARKERS)
+    score = {
+        lang: " + ".join(
+            f"(length({lower_col}) - length(replace({lower_col}, '{m}', '')))"
+            f" / {max(len(m), 1)}"
+            for m in _LANG_MARKERS[lang]
+        )
+        for lang in langs
+    }
+    g = "greatest(" + ", ".join(f"({score[lang]})" for lang in langs) + ")"
+    first = " ".join(
+        f"WHEN ({score[lang]}) = {g} THEN '{lang}'" for lang in langs
+    )
+    return f"(CASE WHEN {g} > 0 THEN (CASE {first} END) ELSE 'en' END)"
+
+
 # --- BPE merge learning (tokenizer induction) ---------------------------
 
 

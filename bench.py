@@ -306,6 +306,11 @@ EXPECTED_CHANGES = {
         "tagged-union merge adds the per-doc q_split_assign leg (r6"
         " sixth wave) — a pure projection over a 2-column pruned scan"
     ),
+    "q_text_stats": (
+        "tagged-union merge adds the lang-ID agreement leg (r6 sixth"
+        " wave) — one shared scan/aggregate, but the marker-ngram"
+        " cascade evaluates 25 replace() calls per doc"
+    ),
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"
         " rebuild now checkpointed to one minhash pass — zero-cost"

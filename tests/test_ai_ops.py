@@ -484,6 +484,39 @@ def test_lang_id_known_phrases(spark):
     assert out[0] == "en"
     assert out[1] == "es"
     assert out[2] == "de"
+    # the generated DuckDB twin agrees phrase-by-phrase (the graded
+    # q_text_stats lang_id leg depends on this equivalence)
+    import duckdb
+
+    con = duckdb.connect()
+    phrases = [
+        "the cat and the dog of the house",
+        "el que de los perros y de el gato",
+        "ich mag der schnelle und ein schiff",
+    ]
+    for phrase, want in zip(phrases, out):
+        got = con.execute(
+            "SELECT " + T.lang_id_sql("lower(t)") + " FROM (SELECT ? AS t)",
+            [phrase],
+        ).fetchone()[0]
+        assert got == want, (phrase, got, want)
+
+
+def test_text_stats_lang_leg_matches_standalone(spark, sf_smoke):
+    """The q_text_stats union's lang_id leg must equal q_lang_id's
+    standalone agreement matrix row-for-row."""
+    from ai_ready_data_framework_spark.registry import QUERIES
+
+    leg = {
+        (r.lang, r.detected, r.n_docs)
+        for r in QUERIES["q_text_stats"](spark, sf_smoke).collect()
+        if r.stat_kind == "lang_id"
+    }
+    standalone = {
+        (r.lang, r.detected, r.n_docs)
+        for r in QUERIES["q_lang_id"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
 
 
 def test_check_values_normalized(spark, sf_smoke):

@@ -49,6 +49,7 @@ MATRIX_QUERIES = [
     # widened pop leg)
     "q_split_leakage_safe",
     "q_dedup_ngram",
+    "q_text_stats",
 ]
 
 

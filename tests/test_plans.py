@@ -599,6 +599,9 @@ def test_round6_unions_are_single_scan(spark, sf_smoke):
         # rollup aggregate's day-level rows — 0 scans in the executed
         # plan (both legs read the checkpointed calendar-sized RDD)
         ("q_time_rollup", 1),
+        # sixth wave: stats + lang_id legs feed ONE tagged aggregate
+        # over one scan (heavy exprs below the Generate)
+        ("q_text_stats", 1),
     ):
         plan = final_plan(run(name, spark, sf_smoke))
         n_scans = sum(
