@@ -351,12 +351,17 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_id(text: Column | str) -> Column:
-    """Heuristic language ID: count marker-ngram hits per language,
-    pick the max (ties break by language code order). Pure expression —
-    a case/when cascade over instr counts."""
+def lang_marker_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-ngram score columns (occurrence counts via
+    length delta / marker length). Split out so plan-conscious callers
+    (q_text_stats' graded lang_id leg) can BIND each score once in a
+    projection and run the argmax cascade over the bound attributes —
+    the in-place fold in :func:`lang_id` nests each score expression
+    into every later comparison (the expression tree doubles per
+    language), which re-evaluates the 25 replace() calls many times
+    per row (measured 3.5s vs ~1s at sf0.1)."""
     t = F.lower(F.col(text) if isinstance(text, str) else text)
-    scores = {
+    return {
         lang: sum(
             (F.length(t) - F.length(F.replace(t, F.lit(m), F.lit(""))))
             / F.lit(max(len(m), 1))
@@ -364,6 +369,35 @@ def lang_id(text: Column | str) -> Column:
         )
         for lang, markers in _LANG_MARKERS.items()
     }
+
+
+def lang_id_from_scores(score_cols: dict[str, Column]) -> Column:
+    """Argmax cascade over already-BOUND score columns: winner = first
+    language in sorted order achieving the maximal score, 'en' when
+    every score is zero — the exact semantics of :func:`lang_id`
+    (strict-> replacement fold) and of the generated DuckDB twin
+    :func:`lang_id_sql`."""
+    langs = sorted(score_cols)
+    g = F.greatest(*[score_cols[lang] for lang in langs])
+    first = None
+    for lang in langs:
+        cond = score_cols[lang] == g
+        first = (
+            F.when(cond, F.lit(lang))
+            if first is None
+            else first.when(cond, F.lit(lang))
+        )
+    return F.when(g > 0, first).otherwise(F.lit("en"))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: count marker-ngram hits per language,
+    pick the max (ties break by language code order). Pure expression —
+    a case/when cascade over instr counts. NOTE: the inline fold nests
+    score expressions (fine for ad-hoc projections); hot paths should
+    bind :func:`lang_marker_scores` in a projection and apply
+    :func:`lang_id_from_scores` (see q_text_stats)."""
+    scores = lang_marker_scores(text)
     langs = sorted(scores)
     best = None
     best_score = None

@@ -1155,12 +1155,28 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     spaces disjoint, and the stat columns are masked per kind in the
     output projection."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
+    # bind each marker score ONCE, then argmax over the bound columns:
+    # the inline lang_id() fold nests score expressions into every
+    # later comparison (tree doubles per language -> the 25 replace()
+    # calls re-evaluate many times per row; measured 3.5s vs ~1s at
+    # sf0.1 for this slot)
+    scores = T.lang_marker_scores("text")
+    langs = sorted(scores)
+    scored = docs.select(
         "source",
         "lang",
         F.size(T.tokens("text")).alias("__nt"),
         F.length("text").alias("__nc"),
-        T.lang_id("text").alias("__det"),
+        *[scores[lang].alias(f"__s_{lang}") for lang in langs],
+    )
+    base = scored.select(
+        "source",
+        "lang",
+        "__nt",
+        "__nc",
+        T.lang_id_from_scores(
+            {lang: F.col(f"__s_{lang}") for lang in langs}
+        ).alias("__det"),
     )
     kind = F.col("stat_kind")
     tagged = base.select(

@@ -308,8 +308,10 @@ EXPECTED_CHANGES = {
     ),
     "q_text_stats": (
         "tagged-union merge adds the lang-ID agreement leg (r6 sixth"
-        " wave) — one shared scan/aggregate, but the marker-ngram"
-        " cascade evaluates 25 replace() calls per doc"
+        " wave) — one shared scan/aggregate; the marker scores bind"
+        " once in a projection (the naive in-place argmax fold nested"
+        " the 25 replace() calls into every comparison and measured"
+        " 3.5s; bound form ~1s)"
     ),
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"

@@ -500,6 +500,16 @@ def test_lang_id_known_phrases(spark):
             [phrase],
         ).fetchone()[0]
         assert got == want, (phrase, got, want)
+    # the bound-scores variant (the graded leg's plan shape) agrees too
+    scores = T.lang_marker_scores("text")
+    bound = df.select(
+        *[scores[lang].alias(f"s_{lang}") for lang in sorted(scores)]
+    ).select(
+        T.lang_id_from_scores(
+            {lang: F.col(f"s_{lang}") for lang in sorted(scores)}
+        ).alias("lang")
+    )
+    assert [r.lang for r in bound.collect()] == out
 
 
 def test_text_stats_lang_leg_matches_standalone(spark, sf_smoke):
