@@ -1369,26 +1369,95 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_token_bpe",
-    oracle=r"""
-    SELECT source,
+def _token_profile_union_oracle_sql() -> str:
+    from ai_ready_data_framework_spark.operators.quality import (
+        HEAVY_HITTERS_K,
+        HEAVY_MIN_COUNT,
+    )
+
+    return r"""
+    SELECT 'bpe_totals' AS token_kind, source AS key,
+           COUNT(*) AS n_docs,
            CAST(SUM(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])'))) AS BIGINT)
-               AS total_bpe_tokens,
-           COUNT(*) AS n_docs
+               AS n_tokens,
+           CAST(NULL AS BIGINT) AS rank,
+           CAST(NULL AS DOUBLE) AS share
     FROM documents
     GROUP BY source
-    """,
-)
-def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5: BPE-ish token counting (letter runs / digit runs / symbols)
-    — the budget estimator a training pipeline runs before tokenizing
-    100 TB for real."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.sum(F.size(T.bpe_ish_tokens("text"))).cast("long").alias("total_bpe_tokens"),
-        F.count("*").alias("n_docs"),
+    UNION ALL
+    SELECT * FROM (
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        counts AS (
+            SELECT term, COUNT(*) AS occurrences,
+                   COUNT(DISTINCT doc_id) AS doc_freq
+            FROM tok GROUP BY 1
+        ),
+        tot AS (SELECT COUNT(*) AS total FROM tok)
+        SELECT 'heavy_hitter', term, doc_freq, occurrences,
+               CAST(row_number() OVER (ORDER BY occurrences DESC, term)
+                    AS BIGINT) AS rank,
+               ROUND(occurrences / total, 6)
+        FROM counts, tot
+        WHERE occurrences >= HEAVYMIN
+        QUALIFY rank <= HEAVYK
+    ) h
+    """.replace("HEAVYMIN", str(HEAVY_MIN_COUNT)).replace(
+        "HEAVYK", str(HEAVY_HITTERS_K)
     )
+
+
+@query("q_token_bpe", oracle=_token_profile_union_oracle_sql())
+# hard-graded union (round-6 sixth wave): BPE budget totals + the
+# heavy-hitter vocabulary profile in one token-profiling slot
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 (token profiling), tagged union (sixth union wave — the
+    heavy-hitters leg was rows-only while the 50 graded slots were
+    full; q_heavy_hitters keeps its standalone registration + pytest
+    oracle). Every column is truthful in BOTH legs: ``key`` names the
+    profiled entity, ``n_docs`` counts documents, ``n_tokens`` counts
+    token occurrences.
+
+    - ``bpe_totals``: BPE-ish token counting per source (letter runs /
+      digit runs / symbols) — the budget estimator a training pipeline
+      runs before tokenizing 100 TB for real. key = source.
+    - ``heavy_hitter``: the top-K most frequent whitespace tokens with
+      document frequency, rank, and corpus share (q_heavy_hitters —
+      window-free ranking, min-count pruned; see its docstring for the
+      TakeOrderedAndProject + broadcast-triangle shape). key = term,
+      n_docs = doc frequency, n_tokens = occurrences; rank/share NULL
+      on the totals leg. The oracle mirrors the min-count prune so a
+      corpus where pruned terms would otherwise rank cannot diverge.
+
+    Integer counts and one exact ratio — no float accumulation, so the
+    union is exact-hash safe under any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_leg = docs.groupBy("source").agg(
+        F.sum(F.size(T.bpe_ish_tokens("text"))).cast("long").alias("n_tokens"),
+        F.count("*").alias("n_docs"),
+    ).select(
+        F.lit("bpe_totals").alias("token_kind"),
+        F.col("source").alias("key"),
+        "n_docs",
+        "n_tokens",
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("double").alias("share"),
+    )
+    from ai_ready_data_framework_spark.operators.quality import (
+        q_heavy_hitters,
+    )
+
+    hh_leg = q_heavy_hitters(spark, sf_dir).select(
+        F.lit("heavy_hitter").alias("token_kind"),
+        F.col("term").alias("key"),
+        F.col("doc_freq").cast("long").alias("n_docs"),
+        F.col("occurrences").cast("long").alias("n_tokens"),
+        "rank",
+        "share",
+    )
+    return bpe_leg.unionByName(hh_leg)
 
 
 # WINNOW_W is defined with the dedup-family constants at the top of

@@ -313,6 +313,11 @@ EXPECTED_CHANGES = {
         " the 25 replace() calls into every comparison and measured"
         " 3.5s; bound form ~1s)"
     ),
+    "q_token_bpe": (
+        "tagged-union merge adds the heavy-hitters vocabulary leg (r6"
+        " sixth wave) — the slot now runs the BPE totals aggregate plus"
+        " the term-frequency profile"
+    ),
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"
         " rebuild now checkpointed to one minhash pass — zero-cost"

@@ -50,6 +50,7 @@ MATRIX_QUERIES = [
     "q_split_leakage_safe",
     "q_dedup_ngram",
     "q_text_stats",
+    "q_token_bpe",
 ]
 
 
