@@ -2053,7 +2053,9 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hard-graded through q_vector_topk's `rrf` union leg; the ordered
 # standalone DuckDB oracle (with per-arm ranks) runs in
 # tests/test_retrieval.py
-def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_hybrid_rrf(
+    spark: SparkSession, sf_dir: str, bm_scores: DataFrame | None = None
+) -> DataFrame:
     """North star (serving path): HYBRID retrieval — reciprocal-rank
     fusion of the BM25 arm and the vector-cosine arm (query = vec_id
     0, joined on doc_id == vec_id): rrf = sum over arms of
@@ -2065,9 +2067,12 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving tier actually fuses), ranks are assigned within the tiny
     C-row candidate sets (single-partition window over 50 rows, by
     construction not a scale concern), and the fusion join touches at
-    most 2C rows."""
+    most 2C rows. ``bm_scores`` lets a composing caller (the
+    q_vector_topk union) pass an already-pinned BM25 score frame so
+    the tf aggregate runs once for both the bm25 and rrf legs;
+    standalone calls compute their own."""
     bm_top = (
-        _bm25_scores(spark, sf_dir)
+        (_bm25_scores(spark, sf_dir) if bm_scores is None else bm_scores)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(RETRIEVAL_CANDIDATES)
     )
@@ -2369,13 +2374,23 @@ def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("hit_id"),
         F.col("cosine").alias("score"),
     )
-    bm = q_bm25(spark, sf_dir).select(
-        F.lit("bm25").alias("leg"),
-        F.lit(0).cast("long").alias("query_id"),
-        F.col("doc_id").alias("hit_id"),
-        F.col("bm25").alias("score"),
+    # ONE BM25 scoring pass feeds both keyword legs: the scores frame
+    # (docs matching the query terms — narrow, candidate-sized) is
+    # stage-pinned and consumed by the bm25 top-k AND the rrf fusion
+    # arm; without the pin each leg re-ran the tf aggregate (r6,
+    # ~0.4s at sf0.1)
+    bm_scores = stage_pin(_bm25_scores(spark, sf_dir))
+    bm = (
+        bm_scores.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RETRIEVAL_TOP_K)
+        .select(
+            F.lit("bm25").alias("leg"),
+            F.lit(0).cast("long").alias("query_id"),
+            F.col("doc_id").alias("hit_id"),
+            F.col("bm25").alias("score"),
+        )
     )
-    rrf = q_hybrid_rrf(spark, sf_dir).select(
+    rrf = q_hybrid_rrf(spark, sf_dir, bm_scores=bm_scores).select(
         F.lit("rrf").alias("leg"),
         F.lit(0).cast("long").alias("query_id"),
         F.col("doc_id").alias("hit_id"),
