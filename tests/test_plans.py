@@ -616,3 +616,18 @@ def test_round6_unions_are_single_scan(spark, sf_smoke):
             ln for ln in plan.splitlines()
             if "Exchange" in ln and "Broadcast" not in ln
         ], (name, plan)
+
+
+def test_sixth_wave_union_plans(spark, sf_smoke):
+    """Sixth-wave union slots keep their legs' pinned physical
+    properties when composed: the token-profiling union stays
+    WindowExec-free (heavy-hitter ranks come from the K-row broadcast
+    triangle join, VERDICT r3 #6), and the pair-score union generates
+    candidates only through equi-joins (df-capped inverted index —
+    never a cartesian product)."""
+    plan = final_plan(run("q_token_bpe", spark, sf_smoke))
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    plan = final_plan(run("q_dedup_ngram", spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
