@@ -161,8 +161,18 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # curation run does anyway.
     deduped = docs.join(dup_drop, "doc_id", "left_anti").cache()
 
-    # stage 2 — quality: the Gopher battery's keep decision
-    quality = deduped.filter(gopher_keep(F.col("text"))).cache()
+    # stage 2 — quality: the Gopher battery's keep decision. Once the
+    # gopher predicate has evaluated, NOTHING downstream needs text —
+    # decontam joins on doc_id, the mixture draw reads (doc_id,
+    # source), and the funnel reports counts — so the cached survivor
+    # frames hold only (doc_id, source). At 100 TB that is the
+    # difference between caching the corpus and caching an id list
+    # (locally: ~half the funnel's cache write traffic).
+    quality = (
+        deduped.filter(gopher_keep(F.col("text")))
+        .select("doc_id", "source")
+        .cache()
+    )
 
     # stage 3 — decontamination: the held-out fold leaves the corpus,
     # and any training doc sharing one DECONTAM_SHINGLE_K-gram with it
