@@ -120,15 +120,6 @@ def dup_drop_ids(sh: DataFrame, n_docs: int) -> DataFrame:
     )
 
 
-def _stage_counts(name: str, rows_in: DataFrame, rows_out: DataFrame) -> DataFrame:
-    n_in = rows_in.agg(F.count("*").alias("rows_in"))
-    n_out = rows_out.agg(F.count("*").alias("rows_out"))
-    return n_in.crossJoin(n_out).select(
-        F.lit(name).alias("stage"),
-        F.col("rows_in").cast("long").alias("rows_in"),
-        F.col("rows_out").cast("long").alias("rows_out"),
-        F.round(F.col("rows_out") / F.col("rows_in"), 4).alias("keep_frac"),
-    )
 
 
 @query("q_pipeline_e2e")  # rows-only: graded window full; full-funnel
@@ -152,24 +143,26 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # functions/text.py::banded_minhash_pairs) as the minhash bands.
     n_docs = docs.count()
     sh_raw = stage_pin(doc_shingles(docs))
-    dup_drop = dup_drop_ids(sh_raw, n_docs)
     # Stage outputs feed BOTH the next stage and the funnel's counts,
-    # so without a cache every _stage_counts re-runs all upstream
-    # stages (the 8-gram self-join would execute 4x). The cached frames
-    # are document-survivor-sized — at 100 TB this materialization is
-    # the same "persist between pipeline stages" every production
-    # curation run does anyway.
-    deduped = docs.join(dup_drop, "doc_id", "left_anti").cache()
+    # so without a cache every stage count would re-run all upstream
+    # stages. The cached frames are id-list-sized, never the corpus
+    # (late r6): dup_drop is the small drop set — stage 1's survivor
+    # count is just n_docs - |dup_drop| (the drop ids are a distinct
+    # subset of docs by construction), so the full-text "deduped"
+    # frame is never materialized at all; the anti-join fuses straight
+    # into the gopher filter in ONE uncached pass over the corpus.
+    dup_drop = dup_drop_ids(sh_raw, n_docs).cache()
+    n_dedup = n_docs - dup_drop.count()
 
     # stage 2 — quality: the Gopher battery's keep decision. Once the
     # gopher predicate has evaluated, NOTHING downstream needs text —
     # decontam joins on doc_id, the mixture draw reads (doc_id,
     # source), and the funnel reports counts — so the cached survivor
     # frames hold only (doc_id, source). At 100 TB that is the
-    # difference between caching the corpus and caching an id list
-    # (locally: ~half the funnel's cache write traffic).
+    # difference between caching the corpus and caching an id list.
     quality = (
-        deduped.filter(gopher_keep(F.col("text")))
+        docs.join(dup_drop, "doc_id", "left_anti")
+        .filter(gopher_keep(F.col("text")))
         .select("doc_id", "source")
         .cache()
     )
@@ -214,22 +207,28 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before returning: a lazily-returned plan over still-cached frames
     # would (a) leak cached blocks into the session until LRU eviction
     # and (b) let a re-run (bench best-of-2) silently time cached reads
-    # instead of the funnel itself (ADVICE r3). The collect is 4 rows.
+    # instead of the funnel itself (ADVICE r3). Counts are driver-side
+    # actions on the cached id frames; the division stays in a Spark
+    # expression so keep_frac rounds HALF_UP exactly like the DuckDB
+    # oracle (Python round() is banker's — a silent oracle mismatch at
+    # .00005 boundaries).
     try:
-        funnel_rows = (
-            _stage_counts("1_dedup_near", docs, deduped)
-            .unionByName(_stage_counts("2_quality", deduped, quality))
-            .unionByName(_stage_counts("3_decontam", quality, clean))
-            .unionByName(_stage_counts("4_mix", clean, mixed))
-            .orderBy("stage")
-            .collect()
-        )
+        counts = [
+            ("1_dedup_near", n_docs, n_dedup),
+            ("2_quality", n_dedup, quality.count()),
+        ]
+        counts.append(("3_decontam", counts[-1][2], clean.count()))
+        counts.append(("4_mix", counts[-1][2], mixed.count()))
     finally:
-        for frame in (deduped, quality, clean, sh_raw):
+        for frame in (dup_drop, quality, clean, sh_raw):
             # sh_raw included: no-op under the default localCheckpoint
             # pin, required under the durable persist branch
             frame.unpersist()
     return spark.createDataFrame(
-        funnel_rows,
-        "stage string, rows_in long, rows_out long, keep_frac double",
+        counts, "stage string, rows_in long, rows_out long"
+    ).select(
+        "stage",
+        "rows_in",
+        "rows_out",
+        F.round(F.col("rows_out") / F.col("rows_in"), 4).alias("keep_frac"),
     )
