@@ -237,6 +237,30 @@ def test_period_over_period_matches_duckdb_oracle(spark, sf_correctness):
     assert len(firsts) == 1  # only the first day lacks a predecessor
 
 
+def test_time_rollup_pop_leg_single_day(spark, tmp_path):
+    """Degenerate pop leg: a corpus whose events all land on ONE day
+    produces exactly one pop row with NULL prev/pct (no predecessor),
+    mirroring the rollup's single day-level row — the lag-edge the
+    graded union must not mangle."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 3, 5, 10, i), i % 3, "view", 1.25, "{}")
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["q_time_rollup"](spark, str(tmp_path)).collect()
+    pop = [r for r in out if r.kind == "pop"]
+    daily = [r for r in out if r.kind == "rollup" and r.gid == 1]
+    assert len(pop) == 1 and len(daily) == 1
+    assert pop[0].prev_value is None and pop[0].pct_change is None
+    assert pop[0].n_events == 6 and pop[0].sum_value == daily[0].sum_value
+
+
 def test_feature_backfill_matches_duckdb_oracle(spark, sf_correctness):
     """q_feature_backfill (multi-horizon trailing features) is
     SQL-expressible but the graded window is full, so its DuckDB
