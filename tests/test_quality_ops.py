@@ -283,3 +283,39 @@ def test_quality_classifier_fit_is_sample_bounded(spark, sf_smoke, monkeypatch):
     assert {(r.doc_id, r.p_keep) for r in rows} == {
         (r.doc_id, r.p_keep) for r in again
     }
+
+
+def test_token_union_tiny_vocab(spark, tmp_path):
+    """q_token_bpe's graded union on a corpus with FEWER distinct terms
+    than HEAVY_HITTERS_K and some below the min-count prune: the
+    heavy_hitter leg must emit only surviving terms (< K rows) and the
+    registered union oracle must agree exactly — the edge the fixture
+    corpus (vocab > K, all counts >= 5) never exercises."""
+    from ai_ready_data_framework_spark.operators.ai import (
+        _token_profile_union_oracle_sql,
+    )
+
+    rows = [
+        (0, "alpha alpha beta", "en", "s1", 16),
+        (1, "alpha gamma", "en", "s1", 11),
+        (2, "beta beta", "en", "s2", 9),
+        (3, "solo", "en", "s2", 4),  # 'solo' and 'gamma' prune out
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        tuple(r) for r in QUERIES["q_token_bpe"](spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    expected = {
+        tuple(r) for r in con.execute(_token_profile_union_oracle_sql()).fetchall()
+    }
+    assert got == expected
+    hh = {r for r in got if r[0] == "heavy_hitter"}
+    assert {r[1] for r in hh} == {"alpha", "beta"}  # pruned: gamma, solo
+    assert len(hh) < Q.HEAVY_HITTERS_K
