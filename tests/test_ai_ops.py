@@ -1486,3 +1486,53 @@ def test_brp_recall_parameterized_over_tables(spark, sf_smoke):
     assert r4 >= 0.5, f"brp 4-table recall {r4}"
     assert r2 >= 0.1, f"brp 2-table recall {r2}"
     assert r4 >= r2 - 0.1, (r4, r2)  # small slack: different hash draws
+
+
+def test_ngram_pair_union_tiny_corpus(spark, tmp_path):
+    """q_dedup_ngram's graded union on a hand-built corpus: one
+    near-identical pair (jaccard leg), one short-doc-quoted-in-long-doc
+    pair that only containment can see, and an unrelated doc; the
+    registered union oracle must agree exactly, including on the
+    asymmetric-only pair."""
+    import duckdb
+
+    from ai_ready_data_framework_spark.operators.ai import (
+        NGRAM_PAIR_UNION_ORACLE_SQL,
+    )
+
+    long_quote = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, "red fox jumps over the lazy dog tonight", "en", "s", 1),
+        (1, "red fox jumps over the lazy dog today", "en", "s", 1),
+        (2, long_quote, "en", "s", 1),
+        (3, long_quote + " iota kappa mu nu xi omicron pi rho sigma tau"
+            " upsilon phi chi psi omega one two three four five", "en", "s", 1),
+        (4, "completely different words entirely here now", "en", "s", 1),
+    ] + [
+        # filler with disjoint vocabulary: n_docs must be large enough
+        # that the RELATIVE df cap (0.2 * n_docs) does not drop the
+        # df=2 shingles the true pairs share — on a 5-doc corpus the
+        # cap is 1.0 and every shared shingle is "boilerplate"
+        (10 + i, f"filler{i}a filler{i}b filler{i}c filler{i}d", "en", "s", 1)
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        tuple(r)
+        for r in QUERIES["q_dedup_ngram"](spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    expected = {
+        tuple(r) for r in con.execute(NGRAM_PAIR_UNION_ORACLE_SQL).fetchall()
+    }
+    assert got == expected
+    kinds = {(r[0], r[1], r[2]) for r in got}
+    assert ("jaccard", 0, 1) in kinds  # the near-identical pair
+    assert ("containment", 2, 3) in kinds  # asymmetric-only pair
+    assert ("jaccard", 2, 3) not in kinds  # jaccard threshold misses it
