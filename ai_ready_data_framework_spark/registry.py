@@ -58,7 +58,13 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_join_broadcast",
     "q_join_anti",
     # r5 tagged-union demotions: hard-graded through q_set_ops /
-    # q_embed_dup / q_drift_psi / q_key_history union legs
+    # q_embed_dup / q_drift_psi / q_key_history union legs.
+    # r6 waves five and six likewise hard-grade (through their union
+    # legs, positions in this tail unchanged): q_dedup_normalized,
+    # q_pii_redact, q_fingerprint_winnow, q_quality_gopher,
+    # q_repetition, q_bm25, q_hybrid_rrf, q_mix_weighted,
+    # q_group_sample, q_vector_topk_batch, q_period_over_period,
+    # q_split_assign, q_containment_pairs, q_lang_id, q_heavy_hitters
     "q_set_union",
     "q_fuzzy_match",
     "q_window_sliding",
