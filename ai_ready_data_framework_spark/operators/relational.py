@@ -809,6 +809,75 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZSCORE_THRESHOLD = 3.0
+
+# Milli-unit quantization for the z-score sufficient statistics
+# (VERDICT r6 #1, the "cents trick"): every CROSS-PARTITION aggregate
+# is an exact integer sum, so partial-aggregation merge order cannot
+# move the result by an ulp; the mean/stddev/z derive per row from
+# those integers using only IEEE-exact operations (+ - * / sqrt are
+# exactly rounded by IEEE 754, unlike ln/exp), so the same integers
+# produce bit-identical doubles in Spark and DuckDB and the 4-decimal
+# rounded z can never flap between runs or engines. floor(x*1000+0.5)
+# rather than round(): both engines define floor identically on
+# doubles, while round()'s half-case handling is engine-specific.
+ZSCORE_MILLI = 1000
+
+
+def _zscore_milli_frame(events: DataFrame) -> DataFrame:
+    """(event_id, user_id, event_type, value, vm, z): the restated
+    exact-hash-safe z pipeline shared by the standalone
+    q_anomaly_zscore and the q_window_lag graded union leg. Long sums
+    bound the exactness window: n * max(vm)^2 must stay below 2^63
+    (the fixture's max vm is ~5e5, so ~3e7 rows per type fit); beyond
+    that, swap the long sums for decimal(38,0) (same shape, same
+    determinism argument)."""
+    vm = F.floor(F.col("value") * ZSCORE_MILLI + F.lit(0.5)).cast("long")
+    mv = events.select(
+        "event_id", "user_id", "event_type", "value", vm.alias("vm")
+    )
+    stats = mv.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vm").cast("double").alias("sv"),
+        F.sum(F.col("vm") * F.col("vm")).cast("double").alias("qv"),
+    )
+    var_num = F.col("qv") - F.col("sv") * F.col("sv") / F.col("n")
+    z = (F.col("vm") - F.col("sv") / F.col("n")) / F.sqrt(
+        var_num / (F.col("n") - 1)
+    )
+    return (
+        mv.join(F.broadcast(stats), "event_type")
+        .filter(var_num > 0)  # degenerate constant groups emit no z
+        .select("event_id", "user_id", "event_type", "value", "vm", z.alias("z"))
+    )
+
+
+# The identical restatement in DuckDB SQL, interpolated into BOTH the
+# q_window_lag union oracle and the standalone pytest oracle so the
+# engines cannot drift. Expression tree mirrors _zscore_milli_frame
+# exactly (same parenthesization -> same IEEE evaluation order).
+ZSCORE_MILLI_ORACLE_CTE = f"""
+        mv AS (
+            SELECT event_id, user_id, event_type, value,
+                   CAST(FLOOR(value * {ZSCORE_MILLI} + 0.5) AS BIGINT) AS vm
+            FROM events
+        ),
+        zs AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(vm) AS DOUBLE) AS sv,
+                   CAST(SUM(vm * vm) AS DOUBLE) AS qv
+            FROM mv GROUP BY 1
+        ),
+        zrows AS (
+            SELECT event_id, user_id, mv.event_type, value,
+                   (vm - sv / n) / sqrt((qv - sv * sv / n) / (n - 1)) AS z
+            FROM mv JOIN zs ON mv.event_type = zs.event_type
+            WHERE qv - sv * sv / n > 0
+        )
+"""
+
+
 def q_window_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: inter-event deltas (propagation_latency_compliance,
     requirements.yaml:99-101). Partition by user, order by event time
@@ -823,11 +892,26 @@ def q_window_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 + W3 in one graded slot (tagged union, the q_agg_distinct
-    precedent, round 4): lag gaps and the running rows-frame sum over
-    the SAME (user, ts, event_id) window ordering, projected onto
-    (metric, event_id, user_id, value). gap_us rides as an exact
-    integer-valued double (micro gaps ≪ 2^53)."""
+    """W2 + W3 + the anomaly z-score in one graded slot (tagged union,
+    the q_agg_distinct precedent; `zscore` leg added round 7 — the
+    seventh union wave): three per-event derived metrics projected
+    onto (metric, event_id, user_id, value).
+
+    - ``gap_us``: inter-event lag deltas per user (W2); rides as an
+      exact integer-valued double (micro gaps ≪ 2^53).
+    - ``running_value``: the running rows-frame sum over the same
+      (user, ts, event_id) ordering (W3).
+    - ``zscore``: q_anomaly_zscore's flagged outliers — value = the
+      event's per-type z-score, hash-gradable since the integer-milli
+      restatement (VERDICT r6 #1; see _zscore_milli_frame: integer
+      sufficient statistics + IEEE-exact per-row derivation). Only
+      |z| > {3} rows appear, mirroring the standalone query.
+
+    The window legs share one events scan lineage each; the zscore leg
+    is a different aggregate topology (5-row broadcast stats, no
+    window), so it reads events once more — all three scans prune to
+    a handful of columns, and no leg windows over an unpartitioned
+    frame."""
     gaps = q_window_lag_gaps(spark, sf_dir).select(
         F.lit("gap_us").alias("metric"),
         "event_id",
@@ -840,12 +924,24 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("running_value").alias("value"),
     )
-    return gaps.unionByName(running)
+    events = load_table(spark, sf_dir, "events")
+    zscore = (
+        _zscore_milli_frame(events)
+        .filter(F.abs("z") > ZSCORE_THRESHOLD)
+        .select(
+            F.lit("zscore").alias("metric"),
+            "event_id",
+            "user_id",
+            F.round("z", 4).alias("value"),
+        )
+    )
+    return gaps.unionByName(running).unionByName(zscore)
 
 
 query(
     "q_window_lag",
-    oracle="""
+    oracle=f"""
+    WITH {ZSCORE_MILLI_ORACLE_CTE}
     SELECT 'gap_us' AS metric,
            event_id,
            user_id,
@@ -862,6 +958,10 @@ query(
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ), 4)
     FROM events
+    UNION ALL
+    SELECT 'zscore', event_id, user_id, ROUND(z, 4)
+    FROM zrows
+    WHERE abs(z) > {ZSCORE_THRESHOLD}
     """,
 )(q_window_lag)
 
@@ -1493,31 +1593,32 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_orders") > 0)
 
 
-ZSCORE_THRESHOLD = 3.0
-
-
-@query("q_anomaly_zscore")  # rows-only: graded window full; DuckDB
-# oracle runs in tests/test_retrieval.py
+@query("q_anomaly_zscore")  # rows-only registration; HARD-GRADED since
+# round 7 through q_window_lag's `zscore` union leg; exact (tolerance-
+# free) DuckDB oracle runs in tests/test_retrieval.py
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical anomaly detection: events whose value sits more
     than {3} sample standard deviations from their event-type mean —
     the data-quality tripwire (outlier fraction feeds the check
-    engine's distribution checks). Shape: per-type stats are a
-    5-row aggregate BROADCAST back onto the stream — never a window
-    over the raw events (a per-type window would funnel each type
-    through one reducer at scale); the flagged output is
-    anomaly-sized, not events-sized."""
+    engine's distribution checks).
+
+    Exact-hash-safe restatement (VERDICT r6 #1): values quantize to
+    integer milli-units, the per-type sufficient statistics (n, sum,
+    sum-of-squares) are exact INTEGER sums, and mean/stddev/z derive
+    per row via IEEE-exact ops only — see ZSCORE_MILLI. z is invariant
+    to the unit scale, so quantization is the only semantic change
+    (values are 2-decimal currency-like doubles; milli-units represent
+    them exactly).
+
+    Shape: per-type stats are a 5-row aggregate BROADCAST back onto
+    the stream — never a window over the raw events (a per-type window
+    would funnel each type through one reducer at scale); the flagged
+    output is anomaly-sized, not events-sized."""
     events = load_table(spark, sf_dir, "events")
-    stats = events.groupBy("event_type").agg(
-        F.avg("value").alias("mu"),
-        F.stddev_samp("value").alias("sigma"),
-    )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
-        events.join(F.broadcast(stats), "event_type")
-        .withColumn("z", F.round(z, 4))
+        _zscore_milli_frame(events)
         .filter(F.abs("z") > ZSCORE_THRESHOLD)
-        .select("event_id", "event_type", "value", "z")
+        .select("event_id", "event_type", "value", F.round("z", 4).alias("z"))
     )
 
 

@@ -264,7 +264,10 @@ EXPECTED_CHANGES = {
     "q_join_asof": "tagged-union merge runs both strategies",
     "q_join_semi": "tagged-union merge runs both strategies",
     "q_join_inner": "tagged-union merge runs both strategies (r4)",
-    "q_window_lag": "tagged-union merge runs lag + running legs (r4)",
+    "q_window_lag": (
+        "tagged-union merge runs lag + running legs (r4) + the"
+        " integer-milli zscore outlier leg (r7 seventh wave)"
+    ),
     "q_window_tumbling": (
         "tagged-union merge runs tumbling + sliding legs (r4 wave 3)"
     ),

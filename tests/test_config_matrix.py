@@ -51,6 +51,14 @@ MATRIX_QUERIES = [
     "q_dedup_ngram",
     "q_text_stats",
     "q_token_bpe",
+    # round-7 seventh wave: the integer-restated float-sum family
+    # (VERDICT r6 #1) — the whole point of the restatement is that
+    # partitioning cannot move a rounded digit, so prove it here
+    "q_window_lag",
+    "q_anomaly_zscore",
+    "q_token_entropy",
+    "q_source_divergence",
+    "q_cooccur_pmi",
 ]
 
 

