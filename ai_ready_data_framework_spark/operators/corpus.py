@@ -48,8 +48,8 @@ CLUSTER_K = 16
 CLUSTER_SEED = 42
 
 
-@query("q_source_divergence")  # rows-only: graded window full; DuckDB
-# oracle runs in tests/test_corpus_ops.py
+@query("q_source_divergence")  # rows-only: graded window full; exact
+# (tolerance-free) DuckDB oracle runs in tests/test_corpus_ops.py
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (bias profiling): per-source token-distribution
     divergence vs the whole corpus — KL(P_source || P_corpus) and
@@ -59,6 +59,18 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Row-count distribution checks (q_check_distribution) cannot see a
     source whose SHARE is fine but whose vocabulary is skewed; this
     operator profiles composition at the token level.
+
+    Exact-hash-safe restatement (VERDICT r6 #1): each term's KL/JS
+    contribution (probabilities are exact integer ratios; one ln each)
+    is FLOOR-quantized to integer nano-nats BEFORE aggregation, so the
+    cross-partition per-source sums are exact integers — immune to
+    partial-merge order — and the engines can disagree by at most one
+    nano-nat per term where a ln() ulp lands a contribution on a floor
+    edge (contributions here are ≤~1e-2 nats, so that edge window is
+    ~1e-9 of a nano-unit wide — see the boundary-distance test).
+    Quantization bias is bounded by |V| * 1e-9 nats — document the
+    quantum if |V| grows past ~10^7 at fleet scale, or widen to
+    pico-units with decimal sums.
 
     Scale: explode → ONE hash aggregate keyed (source, term) — the only
     corpus-sized shuffle, map-side combinable. The per-source and
@@ -95,20 +107,23 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_s = (F.col("c_st") + 1) / (F.col("n_s") + F.col("v_size"))
     p_c = (F.col("c_t") + 1) / (F.col("n_corpus") + F.col("v_size"))
     m = (p_s + p_c) / 2
+    nano = F.lit(ENTROPY_NANO)
     contrib = grid.select(
         "source",
         "n_s",
         "v_size",
-        (p_s * F.log(p_s / p_c)).alias("kl_term"),
-        (p_s * F.log(p_s / m) / 2 + p_c * F.log(p_c / m) / 2).alias("js_term"),
+        F.floor(p_s * F.log(p_s / p_c) * nano).cast("long").alias("kl_nano"),
+        F.floor((p_s * F.log(p_s / m) / 2 + p_c * F.log(p_c / m) / 2) * nano)
+        .cast("long")
+        .alias("js_nano"),
     )
     return (
         contrib.groupBy("source")
         .agg(
             F.first("n_s").cast("long").alias("n_tokens"),
             F.first("v_size").cast("long").alias("vocab_size"),
-            F.round(F.sum("kl_term"), 4).alias("kl_vs_corpus"),
-            F.round(F.sum("js_term"), 4).alias("js_vs_corpus"),
+            F.round(F.sum("kl_nano") / nano, 4).alias("kl_vs_corpus"),
+            F.round(F.sum("js_nano") / nano, 4).alias("js_vs_corpus"),
         )
         .orderBy("source")
     )
@@ -746,7 +761,16 @@ def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, min-count prune BEFORE the ranking (the same
     billions-of-singletons argument as the BPE histogram), unigram
     marginals broadcast onto the pruned pair table, TakeOrdered top-K.
-    Nothing is ever quadratic in vocabulary or corpus."""
+    Nothing is ever quadratic in vocabulary or corpus.
+
+    Exact-hash safety (r7 audit, VERDICT r6 #1): unlike the other
+    float-sum corpus stats, PMI needs NO restatement — every aggregate
+    (c_ab, c_a, c_b, N) is already an exact integer count, and the pmi
+    value is a single per-row ln() of an IEEE-exactly-computed ratio
+    of those integers. The only residual cross-engine exposure is a
+    sub-ulp ln() difference reordering two distinct values at the
+    top-K boundary, which the (pmi, a, b) total ordering makes a
+    measure-zero event; the pytest oracle compares tolerance-free."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.split("text", " ").alias("w"))
     pairs = toks.select(

@@ -45,15 +45,25 @@ def test_source_divergence_matches_duckdb_oracle(spark, sf_correctness):
                    (c_st + 1) / (n_s + v_size) AS p_s,
                    (c_t + 1) / (n_corpus + v_size) AS p_c
             FROM grid
+        ),
+        nano AS (
+            -- nano-nat floor quantization BEFORE the sum (VERDICT r6
+            -- #1): mirrors the Spark restatement exactly, making the
+            -- compare tolerance-FREE
+            SELECT source, n_s, v_size,
+                   CAST(FLOOR(p_s * ln(p_s / p_c) * 1e9) AS BIGINT)
+                       AS kl_nano,
+                   CAST(FLOOR((p_s * ln(p_s / ((p_s + p_c) / 2)) / 2
+                               + p_c * ln(p_c / ((p_s + p_c) / 2)) / 2)
+                              * 1e9) AS BIGINT) AS js_nano
+            FROM probs
         )
         SELECT source,
                CAST(MIN(n_s) AS BIGINT) AS n_tokens,
                CAST(MIN(v_size) AS BIGINT) AS vocab_size,
-               ROUND(SUM(p_s * ln(p_s / p_c)), 4) AS kl_vs_corpus,
-               ROUND(SUM(p_s * ln(p_s / ((p_s + p_c) / 2)) / 2
-                         + p_c * ln(p_c / ((p_s + p_c) / 2)) / 2), 4)
-                   AS js_vs_corpus
-        FROM probs GROUP BY source ORDER BY source
+               ROUND(SUM(kl_nano) / 1e9, 4) AS kl_vs_corpus,
+               ROUND(SUM(js_nano) / 1e9, 4) AS js_vs_corpus
+        FROM nano GROUP BY source ORDER BY source
     """
     expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
     rows = QUERIES["q_source_divergence"](spark, sf_correctness).collect()
