@@ -1108,34 +1108,103 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _text_stats_union_oracle_sql() -> str:
+    null_card = """
+           CAST(NULL AS BIGINT) AS n_dup_docs,
+           CAST(NULL AS DOUBLE) AS dup_frac,
+           CAST(NULL AS BIGINT) AS total_tokens,
+           CAST(NULL AS BIGINT) AS n_langs,
+           CAST(NULL AS VARCHAR) AS top_lang,
+           CAST(NULL AS DOUBLE) AS top_lang_share"""
     return f"""
     SELECT 'stats' AS stat_kind, source, lang,
            CAST(NULL AS VARCHAR) AS detected,
            COUNT(*) AS n_docs,
-           ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
-           ROUND(AVG(length(text)), 4) AS avg_chars,
-           CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+           ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_tokens,
+           ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 4)
+               AS avg_chars,
+           CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+           {null_card}
     FROM documents
     GROUP BY source, lang
     UNION ALL
     SELECT 'lang_id', CAST(NULL AS VARCHAR), lang, detected,
            COUNT(*), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-           CAST(NULL AS BIGINT)
+           CAST(NULL AS BIGINT),
+           {null_card}
     FROM (
         SELECT lang, {T.lang_id_sql("lower(text)")} AS detected
         FROM documents
     )
     GROUP BY lang, detected
+    UNION ALL
+    SELECT * FROM (
+        WITH dbase AS (
+            SELECT source, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                   CAST(length(text) AS BIGINT) AS nc,
+                   sha256(text) AS h
+            FROM documents
+        ),
+        dlang AS (
+            SELECT source, lang, COUNT(*) AS cnt,
+                   CAST(SUM(nt) AS BIGINT) AS toks,
+                   CAST(SUM(nc) AS BIGINT) AS chars,
+                   CAST(MAX(nt) AS BIGINT) AS m_nt
+            FROM dbase GROUP BY 1, 2
+        ),
+        dmix AS (
+            SELECT source,
+                   CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                   CAST(SUM(toks) AS BIGINT) AS total_tokens,
+                   CAST(SUM(chars) AS BIGINT) AS total_chars,
+                   COUNT(*) AS n_langs,
+                   CAST(MAX(m_nt) AS BIGINT) AS max_tokens
+            FROM dlang GROUP BY 1
+        ),
+        dtop AS (
+            SELECT source, lang AS top_lang, cnt AS top_cnt FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY cnt DESC, lang DESC
+                ) AS rn FROM dlang
+            ) WHERE rn = 1
+        ),
+        ddups AS (
+            SELECT source,
+                   CAST(SUM(CASE WHEN copies > 1 THEN copies ELSE 0 END)
+                        AS BIGINT) AS n_dup_docs
+            FROM (
+                SELECT source, h, COUNT(*) AS copies FROM dbase GROUP BY 1, 2
+            )
+            GROUP BY 1
+        )
+        SELECT 'datacard' AS stat_kind, m.source,
+               CAST(NULL AS VARCHAR) AS lang,
+               CAST(NULL AS VARCHAR) AS detected,
+               m.n_docs,
+               ROUND(CAST(m.total_tokens AS DOUBLE) / m.n_docs, 4)
+                   AS avg_tokens,
+               ROUND(CAST(m.total_chars AS DOUBLE) / m.n_docs, 4)
+                   AS avg_chars,
+               m.max_tokens,
+               d.n_dup_docs,
+               ROUND(CAST(d.n_dup_docs AS DOUBLE) / m.n_docs, 4) AS dup_frac,
+               m.total_tokens,
+               m.n_langs,
+               t.top_lang,
+               ROUND(CAST(t.top_cnt AS DOUBLE) / m.n_docs, 4)
+                   AS top_lang_share
+        FROM dmix m JOIN dtop t USING (source) JOIN ddups d USING (source)
+    ) dc
     """
 
 
 @query("q_text_stats", oracle=_text_stats_union_oracle_sql())
-# hard-graded union (round-6 sixth wave): corpus stats + language-ID
-# agreement matrix in one slot
+# hard-graded union (r6 sixth wave + r7 seventh wave): corpus stats +
+# language-ID agreement matrix + per-source data card in one slot
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5 (text analysis), tagged union (sixth union wave — the
-    lang-ID leg was rows-only while the 50 graded slots were full;
-    q_lang_id keeps its standalone registration):
+    """L5 (text analysis), tagged union (sixth wave added lang_id;
+    seventh wave adds the data card — VERDICT r6 #4):
 
     - ``stats``: corpus statistics per (source, lang) — token counts,
       doc lengths (provenance grouping per FIXTURES.md
@@ -1145,15 +1214,29 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       (functions/text.py::lang_id; its DuckDB twin lang_id_sql is
       generated from the SAME marker table so the engines cannot
       drift).
+    - ``datacard`` (r7): q_datacard's per-source documentation row —
+      volume, token mass, language mix (n_langs / top_lang /
+      top_lang_share), and exact-duplicate share — every column an
+      integer count or an exact integer ratio, so the leg is
+      hash-safe by construction. One honest divergence from the
+      standalone q_datacard: char totals here come from length(text)
+      (the slot's existing avg_chars contract) rather than the
+      declared n_chars column — identical wherever the
+      constraint_declaration check passes.
 
-    Single-scan shape: token count, char count, and the detected
-    language evaluate ONCE per doc BELOW the tag explode (the heavy
-    exprs computed above a Generate re-evaluate per tag — the r6
-    lesson from q_text_quality); each doc then emits two tagged rows
-    into ONE map-side-combinable aggregate keyed
-    (kind, source, lang, detected) — per-kind NULL keys keep the key
-    spaces disjoint, and the stat columns are masked per kind in the
-    output projection."""
+    Single-scan shape, preserved through the fold: token count, char
+    count, detected language, and the content sha2 evaluate ONCE per
+    doc BELOW the tag explode (the r6 heavy-exprs-once lesson); each
+    doc emits three tagged rows into ONE map-side-combinable
+    first-level aggregate keyed (kind, source, lang, detected, hash) —
+    per-kind NULL keys keep the key spaces disjoint. stats/lang_id
+    rows leave that aggregate at final granularity; the datacard's
+    second-level rollups (per-source mix from the stats rows, dup
+    share from the (source, hash) rows) run over the STAGE-PINNED
+    first-level result, so the corpus is scanned once and everything
+    downstream is vocabulary-/source-sized. The (source, hash) leg of
+    the exchange carries 32-byte hashes, never text — the same
+    dedup-aggregate shape as q_dedup_exact at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     # bind each marker score ONCE, then argmax over the bound columns:
     # the inline lang_id() fold nests score expressions into every
@@ -1166,7 +1249,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         F.size(T.tokens("text")).alias("__nt"),
-        F.length("text").alias("__nc"),
+        F.length("text").cast("long").alias("__nc"),
+        F.sha2("text", 256).alias("__hash"),
         *[scores[lang].alias(f"__s_{lang}") for lang in langs],
     )
     base = scored.select(
@@ -1174,6 +1258,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "__nt",
         "__nc",
+        "__hash",
         T.lang_id_from_scores(
             {lang: F.col(f"__s_{lang}") for lang in langs}
         ).alias("__det"),
@@ -1181,33 +1266,91 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = F.col("stat_kind")
     tagged = base.select(
         "*",
-        F.explode(F.array(F.lit("stats"), F.lit("lang_id"))).alias(
-            "stat_kind"
-        ),
+        F.explode(
+            F.array(F.lit("stats"), F.lit("lang_id"), F.lit("datacard"))
+        ).alias("stat_kind"),
     ).select(
         "stat_kind",
-        F.when(kind == "stats", F.col("source")).alias("source"),
-        "lang",
+        F.when(kind != "lang_id", F.col("source")).alias("source"),
+        F.when(kind != "datacard", F.col("lang")).alias("lang"),
         F.when(kind == "lang_id", F.col("__det")).alias("detected"),
+        F.when(kind == "datacard", F.col("__hash")).alias("__h"),
         "__nt",
         "__nc",
     )
-    agg = tagged.groupBy("stat_kind", "source", "lang", "detected").agg(
-        F.count("*").alias("n_docs"),
-        F.round(F.avg("__nt"), 4).alias("__avg_t"),
-        F.round(F.avg("__nc"), 4).alias("__avg_c"),
-        F.max("__nt").cast("long").alias("__max_t"),
+    fl = stage_pin(
+        tagged.groupBy("stat_kind", "source", "lang", "detected", "__h").agg(
+            F.count("*").alias("n"),
+            F.sum("__nt").alias("s_nt"),
+            F.sum("__nc").alias("s_nc"),
+            F.max("__nt").cast("long").alias("m_nt"),
+        )
     )
-    return agg.select(
+    null_card = [
+        F.lit(None).cast("long").alias("n_dup_docs"),
+        F.lit(None).cast("double").alias("dup_frac"),
+        F.lit(None).cast("long").alias("total_tokens"),
+        F.lit(None).cast("long").alias("n_langs"),
+        F.lit(None).cast("string").alias("top_lang"),
+        F.lit(None).cast("double").alias("top_lang_share"),
+    ]
+    stats_rows = fl.filter(kind == "stats").select(
         "stat_kind",
         "source",
         "lang",
         "detected",
-        "n_docs",
-        F.when(kind == "stats", F.col("__avg_t")).alias("avg_tokens"),
-        F.when(kind == "stats", F.col("__avg_c")).alias("avg_chars"),
-        F.when(kind == "stats", F.col("__max_t")).alias("max_tokens"),
+        F.col("n").alias("n_docs"),
+        F.round(F.col("s_nt") / F.col("n"), 4).alias("avg_tokens"),
+        F.round(F.col("s_nc") / F.col("n"), 4).alias("avg_chars"),
+        F.col("m_nt").alias("max_tokens"),
+        *null_card,
     )
+    lang_rows = fl.filter(kind == "lang_id").select(
+        "stat_kind",
+        "source",
+        "lang",
+        "detected",
+        F.col("n").alias("n_docs"),
+        F.lit(None).cast("double").alias("avg_tokens"),
+        F.lit(None).cast("double").alias("avg_chars"),
+        F.lit(None).cast("long").alias("max_tokens"),
+        *null_card,
+    )
+    # datacard rollups run over the PINNED first-level aggregate —
+    # (source, hash) rows are one row per distinct content per source
+    # (n = copies), stats rows one per (source, lang)
+    dups = fl.filter(kind == "datacard").groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.sum("s_nt").cast("long").alias("total_tokens"),
+        F.sum("s_nc").cast("long").alias("total_chars"),
+    )
+    mix = fl.filter(kind == "stats").groupBy("source").agg(
+        F.count("*").alias("n_langs"),
+        F.max(F.struct(F.col("n").alias("cnt"), F.col("lang"))).alias("__top"),
+        F.max("m_nt").alias("max_tokens"),
+    )
+    card_rows = dups.join(mix, "source").select(
+        F.lit("datacard").alias("stat_kind"),
+        "source",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("detected"),
+        "n_docs",
+        F.round(F.col("total_tokens") / F.col("n_docs"), 4).alias("avg_tokens"),
+        F.round(F.col("total_chars") / F.col("n_docs"), 4).alias("avg_chars"),
+        "max_tokens",
+        "n_dup_docs",
+        F.round(F.col("n_dup_docs") / F.col("n_docs"), 4).alias("dup_frac"),
+        "total_tokens",
+        "n_langs",
+        F.col("__top").getField("lang").alias("top_lang"),
+        F.round(F.col("__top").getField("cnt") / F.col("n_docs"), 4).alias(
+            "top_lang_share"
+        ),
+    )
+    return stats_rows.unionByName(lang_rows).unionByName(card_rows)
 
 
 def _text_quality_union_oracle_sql() -> str:

@@ -314,7 +314,10 @@ EXPECTED_CHANGES = {
         " wave) — one shared scan/aggregate; the marker scores bind"
         " once in a projection (the naive in-place argmax fold nested"
         " the 25 replace() calls into every comparison and measured"
-        " 3.5s; bound form ~1s)"
+        " 3.5s; bound form ~1s). r7 seventh wave adds the datacard leg:"
+        " a per-doc sha2, a third tag row into the same first-level"
+        " aggregate (now stage-pinned), and two source-sized rollups —"
+        " still one corpus scan"
     ),
     "q_token_bpe": (
         "tagged-union merge adds the heavy-hitters vocabulary leg (r6"
