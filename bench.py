@@ -284,7 +284,11 @@ EXPECTED_CHANGES = {
         "tagged-union merge: single + batch legs (r5), + bm25 + rrf"
         " retrieval arms (r6)"
     ),
-    "q_dedup_exact": "tagged-union merge runs raw + normalized legs (r6)",
+    "q_dedup_exact": (
+        "tagged-union merge runs raw + normalized legs (r6) + the"
+        " line-dedup summary leg (r7 seventh wave: block postings +"
+        " reassembly sha)"
+    ),
     "q_mask_pii": (
         "tagged-union merge runs column-hash + span-redact legs (r6)"
     ),

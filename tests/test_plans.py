@@ -590,7 +590,15 @@ def test_round6_unions_are_single_scan(spark, sf_smoke):
     two different tables, so its bound is one scan per table."""
     for name, max_scans in (
         ("q_text_quality", 1),
-        ("q_dedup_exact", 1),
+        # r7: raw+normalized still share ONE scan via the tagged
+        # explode; the lines leg (block postings + per-doc reassembly)
+        # is a different aggregate topology and owns the other two —
+        # its block frame feeds both the (hash, doc) posting aggregate
+        # and the reassembly join, and re-reading pruned columnar
+        # parquet is deliberately preferred over stage-pinning an
+        # exploded text-block frame (corpus-sized cache) or a per-hash
+        # window (hot-boilerplate reducer funnel)
+        ("q_dedup_exact", 3),
         ("q_mask_pii", 2),
         # 0 in practice: the shared shingle-hash frame is stage-pinned,
         # so the executed plan reads the checkpointed RDD
