@@ -11,7 +11,12 @@ pin such a frame:
   losing an executor loses its blocks AND the lineage needed to
   recompute them, failing the job (the tradeoff documented at
   functions/text.py::banded_minhash_pairs since round 4).
-- ``persist(MEMORY_AND_DISK)`` (the durable toggle): keeps the lineage,
+- ``checkpoint`` (the durable toggle WITH a configured
+  ``setCheckpointDir``, r7): a reliable checkpoint to shared storage —
+  survives executor loss AND truncates lineage, so the iterative
+  closures keep flat plans. The production-cluster setting.
+- ``persist(MEMORY_AND_DISK)`` (the durable toggle, no checkpoint
+  dir): keeps the lineage,
   so a lost executor's blocks recompute from source. Costs plan
   retention — for the iterative closures (functions/graph.py,
   checks/engine.py lineage fixpoint) the logical plan then grows with
@@ -50,13 +55,35 @@ def durable_cache_enabled(spark) -> bool:
         return False
 
 
+def _reliable_checkpoint_dir_set(spark) -> bool:
+    try:
+        return spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    except Exception:  # pragma: no cover - py4j surface unavailable
+        return False
+
+
 def stage_pin(df: DataFrame, eager: bool = False) -> DataFrame:
     """Materialize a multi-consumer stage frame: localCheckpoint by
-    default, persist(MEMORY_AND_DISK) under the durability toggle
-    (module docstring). ``eager`` forces materialization now — some
-    call sites need the frame computed before mutating its inputs or
-    before a count-dependent branch."""
-    if durable_cache_enabled(df.sparkSession):
+    default; under the durability toggle, a RELIABLE checkpoint when
+    ``spark.sparkContext.setCheckpointDir`` points at shared storage,
+    else persist(MEMORY_AND_DISK) (module docstring). ``eager`` forces
+    materialization now — some call sites need the frame computed
+    before mutating its inputs or before a count-dependent branch.
+
+    The reliable-checkpoint branch is the cluster-production answer
+    for the ITERATIVE sites (graph components, lineage fixpoint): it
+    both survives executor loss AND truncates lineage, where the
+    persist branch retains it — each closure round's plan then embeds
+    the previous round's, growing exponentially in round count
+    (measured: ~1.1 MB optimized plan at the 20-round cap on the
+    fixture's component closure, vs ~300 bytes truncated). The
+    iteration caps bound that growth, so persist stays CORRECT as the
+    dirless fallback — but point a checkpoint dir at durable storage
+    before running deep closures on a real cluster."""
+    spark = df.sparkSession
+    if durable_cache_enabled(spark):
+        if _reliable_checkpoint_dir_set(spark):
+            return df.checkpoint(eager=eager)
         from pyspark import StorageLevel
 
         out = df.persist(StorageLevel.MEMORY_AND_DISK)

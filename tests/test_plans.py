@@ -560,27 +560,171 @@ def test_stage_pin_durable_branch_selection(spark):
         spark.conf.set(DURABLE_CACHE_CONF, "false")
 
 
-def test_durable_stage_cache_identical_results(spark, sf_smoke):
-    """Representative operators through the persist branch: a lazy pin
-    consumer (banded minhash near-dup) and an iterative closure
-    (connected components) must return identical rows with the
-    durability toggle on."""
+# Every stage_pin call site in the engine (functions/cache.py), keyed
+# by the registered query that executes it (VERDICT r6 #3: drive ALL
+# sites through the durable persist branch, not one representative):
+#   functions/text.py::banded_minhash_pairs   -> q_dedup_near
+#   functions/graph.py iterative closure (x3) -> q_dedup_clusters
+#   operators/ai.py winnowed shingle frame    -> q_fingerprint
+#   operators/ai.py shared bm25 score frame   -> q_vector_topk
+#   operators/ai.py inline band rebuild       -> q_dedup_incremental
+#   operators/ai.py shared (doc,term) tf      -> q_token_bpe (r7)
+#   operators/temporal.py rollup aggregate    -> q_time_rollup
+#   operators/temporal.py incident stitch     -> q_join_interval
+#   operators/corpus.py DSIR doc buckets      -> q_dsir_weights
+#   operators/pipeline.py funnel shingles     -> q_pipeline_e2e
+#   operators/quality.py perplexity tf        -> q_perplexity
+#   operators/ai.py first-level text stats    -> q_text_stats (r7)
+#   checks/engine.py lineage fixpoint (x3)    -> (own test below)
+DURABLE_SITE_QUERIES = [
+    "q_dedup_near",
+    "q_dedup_clusters",
+    "q_fingerprint",
+    "q_vector_topk",
+    "q_dedup_incremental",
+    "q_token_bpe",
+    "q_time_rollup",
+    "q_join_interval",
+    "q_dsir_weights",
+    "q_pipeline_e2e",
+    "q_perplexity",
+    "q_text_stats",
+]
+
+
+@pytest.mark.parametrize("name", DURABLE_SITE_QUERIES)
+def test_durable_stage_cache_identical_results(spark, sf_smoke, name):
+    """Each stage_pin site through the persist branch: identical rows
+    with the durability toggle on, and bounded plan retention — the
+    persist branch keeps lineage (that is its point: executor-loss
+    recovery), so the final plan may grow vs the checkpoint-truncated
+    default, but must stay within a fixed factor, not explode with
+    data size or (for the iterative sites) with iteration count."""
     from ai_ready_data_framework_spark.functions.cache import DURABLE_CACHE_CONF
     from ai_ready_data_framework_spark.registry import QUERIES
 
-    names = ("q_dedup_near", "q_dedup_clusters")
-    baseline = {
-        n: sorted(map(tuple, QUERIES[n](spark, sf_smoke).collect())) for n in names
-    }
+    def plan_len(df) -> int:
+        return len(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    base_df = QUERIES[name](spark, sf_smoke)
+    baseline = sorted(map(tuple, base_df.collect()), key=_null_safe_row_key)
+    base_plan = plan_len(base_df)
     spark.conf.set(DURABLE_CACHE_CONF, "true")
     try:
-        for n in names:
-            durable = sorted(map(tuple, QUERIES[n](spark, sf_smoke).collect()))
-            assert durable == baseline[n], n
-            assert durable, n
+        durable_df = QUERIES[name](spark, sf_smoke)
+        durable = sorted(
+            map(tuple, durable_df.collect()), key=_null_safe_row_key
+        )
+        assert durable == baseline, name
+        assert durable, name
+        durable_plan = plan_len(durable_df)
+        # lineage retention is bounded. Lazy single-pin sites re-grow
+        # by one pinned subtree (constant factor + allowance). The
+        # iterative closure is the documented worst case of the
+        # persist FALLBACK (no checkpoint dir): each round's plan
+        # embeds the previous round's, exponential in rounds but
+        # hard-capped by the loop bound (measured ~1.1 MB at the
+        # fixture's depth; the reliable-checkpoint branch below is
+        # the production answer and stays truncated)
+        cap = (
+            2_000_000
+            if name == "q_dedup_clusters"
+            else 20 * base_plan + 100_000
+        )
+        assert durable_plan < cap, (name, base_plan, durable_plan)
     finally:
         spark.conf.set(DURABLE_CACHE_CONF, "false")
         spark.catalog.clearCache()
+
+
+def _null_safe_row_key(row: tuple) -> tuple:
+    return tuple((v is None, 0 if v is None else v) for v in row)
+
+
+def test_durable_stage_cache_lineage_fixpoint(spark, sf_smoke):
+    """The checks-engine lineage closure (the remaining stage_pin
+    site, iterative like graph.py) through the persist branch: the
+    transitive-closure score must be identical, and the per-round
+    unpersist discipline must leave no CacheManager entries behind
+    (the durable branch would otherwise leak one pin per round).
+    Leak accounting is a DELTA — getPersistentRDDs also tracks
+    not-yet-GC'd localCheckpoint blocks from earlier tests."""
+    from ai_ready_data_framework_spark.checks import engine as E
+    from ai_ready_data_framework_spark.functions.cache import DURABLE_CACHE_CONF
+
+    base = E.lineage_completeness(
+        E.CheckContext(spark=spark, sf_dir=sf_smoke)
+    )
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    spark.conf.set(DURABLE_CACHE_CONF, "true")
+    try:
+        durable = E.lineage_completeness(
+            E.CheckContext(spark=spark, sf_dir=sf_smoke)
+        )
+        assert durable == base
+        assert durable > 0.0
+        # the loop unpersists superseded rounds; only the final
+        # `reached` pin plus the ctx's two cached seed frames may be
+        # newly registered
+        assert jsc.getPersistentRDDs().size() - before <= 3, (
+            before,
+            jsc.getPersistentRDDs().size(),
+        )
+    finally:
+        spark.conf.set(DURABLE_CACHE_CONF, "false")
+        spark.catalog.clearCache()
+
+
+def test_durable_reliable_checkpoint_truncates_iterative_plans(
+    spark, sf_smoke, tmp_path
+):
+    """With a checkpoint dir configured (the cluster-production setup),
+    the durable branch switches to RELIABLE checkpoints: identical
+    results AND truncated lineage even for the iterative closure —
+    the persist fallback's exponential-in-rounds plan (the r6 VERDICT
+    #3 hazard) disappears. Runs LAST among the durable tests: the
+    checkpoint dir is session state, restored via the scala setter in
+    the finally (with a documented best-effort fallback)."""
+    from ai_ready_data_framework_spark.checks import engine as E
+    from ai_ready_data_framework_spark.functions.cache import DURABLE_CACHE_CONF
+    from ai_ready_data_framework_spark.registry import QUERIES
+
+    base = sorted(
+        map(tuple, QUERIES["q_dedup_clusters"](spark, sf_smoke).collect())
+    )
+    base_score = E.lineage_completeness(
+        E.CheckContext(spark=spark, sf_dir=sf_smoke)
+    )
+    sc = spark.sparkContext
+    spark.conf.set(DURABLE_CACHE_CONF, "true")
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        ck_df = QUERIES["q_dedup_clusters"](spark, sf_smoke)
+        assert sorted(map(tuple, ck_df.collect())) == base
+        plan = ck_df._jdf.queryExecution().optimizedPlan().toString()
+        # reliable checkpoints truncate: the closure's final plan is
+        # scan-of-checkpoint sized, nowhere near the persist
+        # fallback's ~1.1 MB retained lineage
+        assert len(plan) < 50_000, len(plan)
+        assert (
+            E.lineage_completeness(E.CheckContext(spark=spark, sf_dir=sf_smoke))
+            == base_score
+        )
+    finally:
+        spark.conf.set(DURABLE_CACHE_CONF, "false")
+        spark.catalog.clearCache()
+        try:  # clear the checkpoint dir (scala Option setter)
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                spark._jvm.scala.Option.empty()
+            )
+        except Exception:
+            # best effort: a left-over checkpoint dir only changes
+            # WHICH durable branch later tests take, never results
+            pass
 
 
 def test_round6_unions_are_single_scan(spark, sf_smoke):
