@@ -65,6 +65,10 @@ ROWS_ONLY_TAIL_ORDER = [
     # q_repetition, q_bm25, q_hybrid_rrf, q_mix_weighted,
     # q_group_sample, q_vector_topk_batch, q_period_over_period,
     # q_split_assign, q_containment_pairs, q_lang_id, q_heavy_hitters
+    # r7 seventh wave likewise hard-grades: q_anomaly_zscore (via
+    # q_window_lag's zscore leg), q_token_entropy (q_token_bpe's
+    # doc_entropy leg), q_datacard (q_text_stats' datacard leg),
+    # q_dedup_lines (q_dedup_exact's lines leg)
     "q_set_union",
     "q_fuzzy_match",
     "q_window_sliding",
