@@ -1610,6 +1610,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _token_profile_union_oracle_sql() -> str:
     from ai_ready_data_framework_spark.operators.corpus import (
         ENTROPY_NANO_ORACLE_SQL,
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
     )
     from ai_ready_data_framework_spark.operators.quality import (
         HEAVY_HITTERS_K,
@@ -1625,7 +1627,10 @@ def _token_profile_union_oracle_sql() -> str:
            CAST(NULL AS DOUBLE) AS share,
            CAST(NULL AS BIGINT) AS n_unique,
            CAST(NULL AS DOUBLE) AS entropy,
-           CAST(NULL AS DOUBLE) AS entropy_norm
+           CAST(NULL AS DOUBLE) AS entropy_norm,
+           CAST(NULL AS DOUBLE) AS pmi,
+           CAST(NULL AS DOUBLE) AS kl_vs_corpus,
+           CAST(NULL AS DOUBLE) AS js_vs_corpus
     FROM documents
     GROUP BY source
     UNION ALL
@@ -1645,6 +1650,8 @@ def _token_profile_union_oracle_sql() -> str:
                     AS BIGINT) AS rank,
                ROUND(occurrences / total, 6),
                CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                CAST(NULL AS DOUBLE)
         FROM counts, tot
         WHERE occurrences >= HEAVYMIN
@@ -1654,11 +1661,99 @@ def _token_profile_union_oracle_sql() -> str:
     SELECT 'doc_entropy', CAST(doc_id AS VARCHAR),
            CAST(NULL AS BIGINT), n_tokens,
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
-           n_unique, entropy, entropy_norm
+           n_unique, entropy, entropy_norm,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE)
     FROM (ENTROPYSQL) e
+    UNION ALL
+    SELECT * FROM (
+        -- src_divergence leg (r7 eighth wave): the nano-nat KL/JS
+        -- restatement over (source, term) counts — mirrors
+        -- corpus.source_divergence_from_st term for term
+        WITH dst AS (
+            SELECT source, term, COUNT(*) AS c_st FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ) GROUP BY 1, 2
+        ),
+        dsrc AS (
+            SELECT source, SUM(c_st) AS n_s, COUNT(*) AS n_src_terms
+            FROM dst GROUP BY 1
+        ),
+        dterm AS (SELECT term, SUM(c_st) AS c_t FROM dst GROUP BY 1),
+        dtot AS (
+            SELECT SUM(c_t) AS n_corpus, COUNT(*) AS v_size FROM dterm
+        ),
+        dprob AS (
+            SELECT s.source, s.n_s, s.n_src_terms,
+                   (COALESCE(dst.c_st, 0) + 1) / (s.n_s + x.v_size) AS p_s,
+                   (t.c_t + 1) / (x.n_corpus + x.v_size) AS p_c
+            FROM dsrc s CROSS JOIN dterm t CROSS JOIN dtot x
+            LEFT JOIN dst ON dst.source = s.source AND dst.term = t.term
+        ),
+        dnano AS (
+            SELECT source, n_s, n_src_terms,
+                   CAST(FLOOR(p_s * ln(p_s / p_c) * 1e9) AS BIGINT)
+                       AS kl_nano,
+                   CAST(FLOOR((p_s * ln(p_s / ((p_s + p_c) / 2)) / 2
+                               + p_c * ln(p_c / ((p_s + p_c) / 2)) / 2)
+                              * 1e9) AS BIGINT) AS js_nano
+            FROM dprob
+        )
+        SELECT 'src_divergence', source, CAST(NULL AS BIGINT),
+               CAST(MIN(n_s) AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               CAST(MIN(n_src_terms) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE),
+               ROUND(SUM(kl_nano) / 1e9, 4),
+               ROUND(SUM(js_nano) / 1e9, 4)
+        FROM dnano GROUP BY source
+    ) d
+    UNION ALL
+    SELECT * FROM (
+        -- pmi leg (r7 eighth wave): ranked adjacent-bigram PMI —
+        -- mirrors corpus.pmi_topk (marginal product cast to DOUBLE,
+        -- identical parenthesization)
+        WITH ppairs AS (
+            SELECT w[i] AS a, w[i + 1] AS b FROM (
+                SELECT w, unnest(range(1, len(w))) AS i FROM (
+                    SELECT string_split(text, ' ') AS w FROM documents
+                )
+            )
+        ),
+        ppc AS (SELECT a, b, COUNT(*) AS c_ab FROM ppairs GROUP BY a, b),
+        puni AS (
+            SELECT t, COUNT(*) AS c_t FROM (
+                SELECT a AS t FROM ppairs UNION ALL SELECT b FROM ppairs
+            ) GROUP BY t
+        ),
+        pn AS (SELECT COUNT(*) AS n_total FROM ppairs),
+        ranked AS (
+            SELECT pc.a, pc.b, pc.c_ab,
+                   ROUND(LN(2.0 * pn.n_total * pc.c_ab
+                            / (CAST(ua.c_t AS DOUBLE) * ub.c_t)), 4)
+                       AS pmi
+            FROM ppc pc, pn
+            JOIN puni ua ON ua.t = pc.a
+            JOIN puni ub ON ub.t = pc.b
+            WHERE pc.c_ab >= PMIMIN
+        )
+        SELECT 'pmi', a || ' ' || b, CAST(NULL AS BIGINT),
+               CAST(c_ab AS BIGINT),
+               CAST(row_number() OVER (ORDER BY pmi DESC, a, b)
+                    AS BIGINT) AS prank,
+               CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               pmi, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM ranked
+        QUALIFY prank <= PMIK
+    ) p
     """.replace("HEAVYMIN", str(HEAVY_MIN_COUNT)).replace(
         "HEAVYK", str(HEAVY_HITTERS_K)
-    ).replace("ENTROPYSQL", ENTROPY_NANO_ORACLE_SQL)
+    ).replace("ENTROPYSQL", ENTROPY_NANO_ORACLE_SQL).replace(
+        "PMIMIN", str(PMI_MIN_COUNT)
+    ).replace("PMIK", str(PMI_TOP_K))
 
 
 @query("q_token_bpe", oracle=_token_profile_union_oracle_sql())
@@ -1686,17 +1781,31 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
       Shannon entropy, hash-gradable since the nano-nat integer
       restatement (VERDICT r6 #1; corpus.py::ENTROPY_NANO). key =
       doc_id.
+    - ``src_divergence`` (r7 eighth wave): q_source_divergence's
+      per-source KL/JS vs the corpus (nano-nat quantized, hash-safe).
+      key = source, n_tokens = the source's token occurrences,
+      n_unique = the source's distinct terms; the leg derives its
+      (source, term) counts from the SAME pinned tf frame.
+    - ``pmi`` (r7 eighth wave): q_cooccur_pmi's ranked top-K adjacent
+      bigrams. key = the bigram ("a b" — whitespace tokens cannot
+      contain a space, so the join of the pair is injective),
+      n_tokens = the bigram's occurrences, rank = PMI rank; pmi is
+      a single per-row ln() of an exact integer ratio (already
+      hash-safe per the r7 audit).
 
-    Scan shape: the heavy-hitter and entropy legs both reduce the SAME
-    stage-pinned (doc_id, term, c) tf frame (one corpus scan + one
-    map-side-combinable exchange feed both aggregate topologies —
-    re-deriving term counts from tf also drops q_heavy_hitters'
-    count_distinct Expand); the bpe_totals leg tokenizes differently
-    (BPE-ish, not whitespace) so it keeps its own scan. 2 scans for 3
-    legs, no float accumulation anywhere — exact-hash safe under any
-    partitioning."""
+    Scan shape: the heavy-hitter, entropy, and divergence legs all
+    reduce the SAME stage-pinned (doc_id, source, term, c) tf frame
+    (one corpus scan + one map-side-combinable exchange feed all three
+    aggregate topologies — re-deriving term counts from tf also drops
+    q_heavy_hitters' count_distinct Expand); the bpe_totals leg
+    tokenizes differently (BPE-ish, not whitespace) and the pmi leg
+    needs token ADJACENCY the tf aggregate discards, so each keeps its
+    own scan. 3 scans for 5 legs; every cross-partition aggregate is
+    an exact integer — exact-hash safe under any partitioning."""
     from ai_ready_data_framework_spark.operators.corpus import (
         doc_entropy_from_tf,
+        pmi_topk,
+        source_divergence_from_st,
         token_tf_frame,
     )
     from ai_ready_data_framework_spark.operators.quality import (
@@ -1707,6 +1816,11 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_unique"),
         F.lit(None).cast("double").alias("entropy"),
         F.lit(None).cast("double").alias("entropy_norm"),
+    ]
+    null_eighth_cols = [
+        F.lit(None).cast("double").alias("pmi"),
+        F.lit(None).cast("double").alias("kl_vs_corpus"),
+        F.lit(None).cast("double").alias("js_vs_corpus"),
     ]
     docs = load_table(spark, sf_dir, "documents")
     bpe_leg = docs.groupBy("source").agg(
@@ -1720,6 +1834,7 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("rank"),
         F.lit(None).cast("double").alias("share"),
         *null_entropy_cols,
+        *null_eighth_cols,
     )
     tf = stage_pin(token_tf_frame(docs))
     counts = tf.groupBy("term").agg(
@@ -1733,6 +1848,7 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         "share",
         *null_entropy_cols,
+        *null_eighth_cols,
     )
     ent_leg = doc_entropy_from_tf(tf).select(
         F.lit("doc_entropy").alias("token_kind"),
@@ -1744,8 +1860,41 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique",
         "entropy",
         "entropy_norm",
+        *null_eighth_cols,
     )
-    return bpe_leg.unionByName(hh_leg).unionByName(ent_leg)
+    st = tf.groupBy("source", "term").agg(F.sum("c").alias("c_st"))
+    div_leg = source_divergence_from_st(st).select(
+        F.lit("src_divergence").alias("token_kind"),
+        F.col("source").alias("key"),
+        F.lit(None).cast("long").alias("n_docs"),
+        "n_tokens",
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("double").alias("share"),
+        F.col("n_src_terms").alias("n_unique"),
+        F.lit(None).cast("double").alias("entropy"),
+        F.lit(None).cast("double").alias("entropy_norm"),
+        F.lit(None).cast("double").alias("pmi"),
+        "kl_vs_corpus",
+        "js_vs_corpus",
+    )
+    pmi_leg = pmi_topk(docs).select(
+        F.lit("pmi").alias("token_kind"),
+        F.concat_ws(" ", "a", "b").alias("key"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.col("c_ab").cast("long").alias("n_tokens"),
+        "rank",
+        F.lit(None).cast("double").alias("share"),
+        *null_entropy_cols,
+        F.col("pmi"),
+        F.lit(None).cast("double").alias("kl_vs_corpus"),
+        F.lit(None).cast("double").alias("js_vs_corpus"),
+    )
+    return (
+        bpe_leg.unionByName(hh_leg)
+        .unionByName(ent_leg)
+        .unionByName(div_leg)
+        .unionByName(pmi_leg)
+    )
 
 
 # WINNOW_W is defined with the dedup-family constants at the top of

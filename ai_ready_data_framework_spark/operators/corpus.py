@@ -48,7 +48,9 @@ CLUSTER_K = 16
 CLUSTER_SEED = 42
 
 
-@query("q_source_divergence")  # rows-only: graded window full; exact
+@query("q_source_divergence")  # rows-only registration; HARD-GRADED
+# since round 7 (eighth wave) through q_token_bpe's `src_divergence`
+# union leg (counts derived from the shared pinned tf frame); exact
 # (tolerance-free) DuckDB oracle runs in tests/test_corpus_ops.py
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (bias profiling): per-source token-distribution
@@ -82,8 +84,23 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
     st = toks.groupBy("source", "term").agg(F.count("*").alias("c_st"))
+    return source_divergence_from_st(st).select(
+        "source", "n_tokens", "vocab_size", "kl_vs_corpus", "js_vs_corpus"
+    )
 
-    src_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+
+def source_divergence_from_st(st: DataFrame) -> DataFrame:
+    """The divergence tail over a (source, term, c_st) aggregate —
+    split out (round 7 eighth wave) so q_token_bpe's src_divergence
+    union leg can feed it counts derived from the shared stage-pinned
+    tf frame (sum(c) grouped (source, term)) instead of re-exploding
+    the corpus; q_source_divergence feeds it the direct token
+    aggregate. Everything below the input is vocabulary-sized (see
+    q_source_divergence's scale note)."""
+    src_tot = st.groupBy("source").agg(
+        F.sum("c_st").alias("n_s"),
+        F.count("*").alias("n_src_terms"),
+    )
     term_tot = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
     totals = term_tot.agg(
         F.sum("c_t").alias("n_corpus"), F.count("*").alias("v_size")
@@ -112,6 +129,7 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_s",
         "v_size",
+        "n_src_terms",
         F.floor(p_s * F.log(p_s / p_c) * nano).cast("long").alias("kl_nano"),
         F.floor((p_s * F.log(p_s / m) / 2 + p_c * F.log(p_c / m) / 2) * nano)
         .cast("long")
@@ -122,6 +140,7 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.first("n_s").cast("long").alias("n_tokens"),
             F.first("v_size").cast("long").alias("vocab_size"),
+            F.first("n_src_terms").cast("long").alias("n_src_terms"),
             F.round(F.sum("kl_nano") / nano, 4).alias("kl_vs_corpus"),
             F.round(F.sum("js_nano") / nano, 4).alias("js_vs_corpus"),
         )
@@ -231,14 +250,18 @@ ENTROPY_NANO = 1e9
 
 
 def token_tf_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, term, c): the per-document term-frequency aggregate —
-    one explode + one map-side-combinable hash aggregate; the shared
-    first stage of entropy profiling and heavy-hitter ranking
-    (q_token_bpe pins it so both union legs pay the corpus scan
-    once)."""
+    """(doc_id, source, term, c): the per-document term-frequency
+    aggregate — one explode + one map-side-combinable hash aggregate;
+    the shared first stage of entropy profiling, heavy-hitter ranking,
+    and per-source divergence (q_token_bpe pins it so all three union
+    legs pay the corpus scan once). ``source`` rides the group key for
+    free: it is functionally dependent on doc_id, so the key widening
+    changes neither cardinality nor the combine."""
     return (
-        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
-        .groupBy("doc_id", "term")
+        docs.select(
+            "doc_id", "source", F.explode(T.tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "source", "term")
         .agg(F.count("*").alias("c"))
     )
 
@@ -738,8 +761,10 @@ PMI_MIN_COUNT = 5  # pairs below this never reach the ranking
 PMI_TOP_K = 50
 
 
-@query("q_cooccur_pmi")  # rows-only: graded window full; DuckDB oracle
-# runs in tests/test_corpus_ops.py
+@query("q_cooccur_pmi")  # rows-only registration; HARD-GRADED since
+# round 7 (eighth wave) through q_token_bpe's `pmi` union leg (ranked
+# top-K, hash-safe per the r7 integer-statistics audit); ORDER-
+# sensitive DuckDB oracle runs in tests/test_corpus_ops.py
 def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (corpus statistics): pointwise mutual information of
     adjacent token pairs — the co-occurrence statistic embedding
@@ -772,35 +797,83 @@ def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-K boundary, which the (pmi, a, b) total ordering makes a
     measure-zero event; the pytest oracle compares tolerance-free."""
     docs = load_table(spark, sf_dir, "documents")
+    return pmi_topk(docs).select("a", "b", "c_ab", "c_a", "c_b", "pmi")
+
+
+def pmi_topk(docs: DataFrame) -> DataFrame:
+    """The ranked PMI top-K over a documents frame — split out (round 7
+    eighth wave) so q_token_bpe's pmi union leg shares the exact
+    estimator with the standalone registration. Returns
+    (rank, a, b, c_ab, c_a, c_b, pmi) ordered by the ranking.
+
+    N arrives as a broadcast 1-row aggregate over the bigram counts
+    (NOT a driver-side pairs.count() — r7 change: no eager action at
+    plan-build time, and the scalar derives from the vocabulary-sized
+    aggregate instead of re-exploding the corpus). 2.0 * N * c_ab is
+    computed in DOUBLE so the product cannot overflow long at corpus
+    scale; the parenthesization ((2N)·c_ab)/(c_a·c_b) is mirrored in
+    both oracles. Rank is the same broadcast-triangle over the K-row
+    result heavy_hitters_ranked uses (no WindowExec)."""
     toks = docs.select(F.split("text", " ").alias("w"))
     pairs = toks.select(
         F.posexplode(F.slice("w", 1, F.size("w") - 1)).alias("i", "a"),
         F.col("w"),
     ).select("a", F.col("w").getItem(F.col("i") + 1).alias("b"))
-    pair_counts = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
-    # total bigrams + unigram marginals from the SAME pass semantics
+    # ONE corpus-sized aggregate, stage-pinned: the unigram marginals
+    # and the bigram total are slot-pooled SUMS of c_ab (each bigram
+    # occurrence fills one a-slot and one b-slot), so they derive from
+    # the bigram-vocabulary-sized aggregate — without the pin, each of
+    # the three downstream references would re-expand the corpus
+    # (Spark re-executes shared subtrees; measured 4 scans in the
+    # union plan before the pin, 1 after)
+    pair_counts = stage_pin(pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab")))
     uni = (
-        pairs.select(F.col("a").alias("t"))
-        .unionAll(pairs.select(F.col("b").alias("t")))
+        pair_counts.select(F.col("a").alias("t"), "c_ab")
+        .unionAll(pair_counts.select(F.col("b").alias("t"), "c_ab"))
         .groupBy("t")
-        .agg(F.count("*").alias("c_t"))
+        .agg(F.sum("c_ab").alias("c_t"))
     )
-    n_total = pairs.count()
+    totals = pair_counts.agg(F.sum("c_ab").cast("double").alias("__n_total"))
     pruned = pair_counts.filter(F.col("c_ab") >= PMI_MIN_COUNT)
     ua = uni.select(F.col("t").alias("a"), F.col("c_t").alias("c_a"))
     ub = uni.select(F.col("t").alias("b"), F.col("c_t").alias("c_b"))
+    # marginal product in DOUBLE (long x long overflows once marginals
+    # pass ~3e9 at fleet scale); the oracles cast identically so both
+    # engines run the same IEEE multiply
     pmi = F.round(
         F.log(
-            F.lit(float(2 * n_total))
+            (F.lit(2.0) * F.col("__n_total"))
             * F.col("c_ab")
-            / (F.col("c_a") * F.col("c_b"))
+            / (F.col("c_a").cast("double") * F.col("c_b"))
         ),
         4,
     )
-    return (
+    top = (
         pruned.join(F.broadcast(ua), "a")
         .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(totals))
         .select("a", "b", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
         .limit(PMI_TOP_K)
+    )
+    before = top.select(
+        F.col("pmi").alias("__p2"),
+        F.col("a").alias("__a2"),
+        F.col("b").alias("__b2"),
+    )
+    strictly_before = (
+        (F.col("__p2") > F.col("pmi"))
+        | ((F.col("__p2") == F.col("pmi")) & (F.col("__a2") < F.col("a")))
+        | (
+            (F.col("__p2") == F.col("pmi"))
+            & (F.col("__a2") == F.col("a"))
+            & (F.col("__b2") < F.col("b"))
+        )
+    )
+    return (
+        top.join(F.broadcast(before), strictly_before, "left")
+        .groupBy("a", "b", "c_ab", "c_a", "c_b", "pmi")
+        .agg((F.count("__a2") + 1).cast("long").alias("rank"))
+        .select("rank", "a", "b", "c_ab", "c_a", "c_b", "pmi")
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
     )

@@ -325,10 +325,11 @@ EXPECTED_CHANGES = {
     ),
     "q_token_bpe": (
         "tagged-union merge adds the heavy-hitters vocabulary leg (r6"
-        " sixth wave) and the nano-nat doc-entropy leg (r7 seventh"
-        " wave); the hh + entropy legs share one stage-pinned"
-        " (doc, term) tf frame so the slot still scans the corpus"
-        " twice (bpe tokenizer differs), not three times"
+        " sixth wave), the nano-nat doc-entropy leg (r7 seventh wave),"
+        " and the src-divergence + ranked-PMI legs (r7 eighth wave);"
+        " the hh + entropy + divergence legs share one stage-pinned"
+        " (doc, source, term) tf frame and the pmi leg pins its bigram"
+        " aggregate, so 5 legs cost 3 corpus scans"
     ),
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"

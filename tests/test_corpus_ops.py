@@ -878,7 +878,8 @@ def test_cooccur_pmi_matches_duckdb_oracle(spark, sf_correctness):
         ),
         n AS (SELECT COUNT(*) AS n_total FROM pairs)
         SELECT pc.a, pc.b, pc.c_ab, ua.c_t AS c_a, ub.c_t AS c_b,
-               ROUND(LN(2.0 * n.n_total * pc.c_ab / (ua.c_t * ub.c_t)), 4)
+               ROUND(LN(2.0 * n.n_total * pc.c_ab
+                        / (CAST(ua.c_t AS DOUBLE) * ub.c_t)), 4)
                    AS pmi
         FROM pc, n
         JOIN uni ua ON ua.t = pc.a

@@ -572,6 +572,7 @@ def test_stage_pin_durable_branch_selection(spark):
 #   operators/temporal.py rollup aggregate    -> q_time_rollup
 #   operators/temporal.py incident stitch     -> q_join_interval
 #   operators/corpus.py DSIR doc buckets      -> q_dsir_weights
+#   operators/corpus.py pmi bigram counts     -> q_token_bpe (r7 8th)
 #   operators/pipeline.py funnel shingles     -> q_pipeline_e2e
 #   operators/quality.py perplexity tf        -> q_perplexity
 #   operators/ai.py first-level text stats    -> q_text_stats (r7)
@@ -754,12 +755,14 @@ def test_round6_unions_are_single_scan(spark, sf_smoke):
         # sixth wave: stats + lang_id legs feed ONE tagged aggregate
         # over one scan (heavy exprs below the Generate)
         ("q_text_stats", 1),
-        # r7 seventh wave: heavy-hitter + doc-entropy legs share one
-        # stage-pinned tf frame (their scan executes as the pinned RDD
-        # read); the bpe_totals leg tokenizes differently (BPE-ish vs
-        # whitespace) so it keeps its own scan — bound is 2, and the
-        # pin keeps the tf subtree from re-scanning per leg
-        ("q_token_bpe", 2),
+        # r7 seventh+eighth waves: heavy-hitter + doc-entropy +
+        # src-divergence legs share one stage-pinned tf frame (their
+        # scan executes as the pinned RDD read); the bpe_totals leg
+        # tokenizes differently (BPE-ish vs whitespace) and the pmi
+        # leg needs token adjacency the tf aggregate discards, so each
+        # keeps its own scan — bound is 3, and the pin keeps the tf
+        # subtree from re-scanning per leg
+        ("q_token_bpe", 3),
     ):
         plan = final_plan(run(name, spark, sf_smoke))
         n_scans = sum(
