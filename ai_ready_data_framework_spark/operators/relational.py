@@ -1216,37 +1216,170 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dataset profiling
 # ---------------------------------------------------------------------------
 
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+CORR_PAIRS = tuple(
+    (a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1 :]
+)
+
+
+def _centi(c: str):
+    """Centi-quantized integer form of a <=2-decimal numeric column
+    (FLOOR(v*100 + 0.5) — round-half-up, the r7 zscore recipe). The
+    CORR_COLS carry at most 2 fraction digits, so the quantization is
+    lossless on the data; it exists so every cross-partition aggregate
+    below is an exact integer."""
+    return F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
+
+
+def corr_sufficient_stats(li: DataFrame) -> DataFrame:
+    """The 1-row integer sufficient statistics for every CORR_PAIRS
+    Pearson correlation in ONE aggregate: n, per-column Σq and Σq²,
+    per-pair Σq_a·q_b. The centi columns bind ONCE in a projection
+    below the aggregate (the r6 bind-once lesson: repeating _centi
+    inside every product re-evaluates the floor chain per term).
+    Per-row products stay in long (centi values ~1e7 keep the product
+    under 1e14); the SUMS are decimal(38,0) so they cannot overflow at
+    fleet scale (1e12 rows x 1e14 = 1e26 << 1e38; DuckDB's HUGEINT
+    sums are likewise exact). Exact integers -> the result is
+    invariant to partitioning and partial-merge order (VERDICT r6 #1,
+    eighth wave)."""
+    bound = li.select(*[_centi(c).alias(f"q_{c}") for c in CORR_COLS])
+    aggs = [F.count("*").cast("long").alias("cn")]
+    for c in CORR_COLS:
+        q = F.col(f"q_{c}")
+        aggs += [
+            F.sum(q.cast("decimal(38,0)")).alias(f"cs_{c}"),
+            F.sum((q * q).cast("decimal(38,0)")).alias(f"css_{c}"),
+        ]
+    for a, b in CORR_PAIRS:
+        aggs.append(
+            F.sum(
+                (F.col(f"q_{a}") * F.col(f"q_{b}")).cast("decimal(38,0)")
+            ).alias(f"csp_{a}_{b}")
+        )
+    return bound.agg(*aggs)
+
+
+def corr_from_sums(a: str, b: str):
+    """Pearson r derived per ROW from the integer sufficient
+    statistics: every input casts to double (deterministic nearest
+    double of the same exact integer in any engine), then the
+    derivation is +,-,x,/,sqrt only — IEEE-correctly-rounded, so both
+    engines produce the identical double and the identical 4-decimal
+    rounding. The DuckDB mirrors reproduce this parenthesization
+    exactly: (n*sxy - sx*sy) / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy))."""
+    n = F.col("cn").cast("double")
+    sx = F.col(f"cs_{a}").cast("double")
+    sy = F.col(f"cs_{b}").cast("double")
+    sxx = F.col(f"css_{a}").cast("double")
+    syy = F.col(f"css_{b}").cast("double")
+    sxy = F.col(f"csp_{a}_{b}").cast("double")
+    return F.round(
+        (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        4,
+    )
+
+
+def corr_oracle_inner_sql() -> str:
+    """The identical restatement in DuckDB SQL: one CTE of centi
+    columns, one sufficient-statistics aggregate, per-pair derivation
+    with the same parenthesization. Interpolated into q_profile's
+    graded union oracle and the standalone pytest oracle."""
+    qcols = ", ".join(
+        f"CAST(FLOOR({c} * 100 + 0.5) AS BIGINT) AS q_{c}" for c in CORR_COLS
+    )
+    stats = ["COUNT(*) AS cn"]
+    for c in CORR_COLS:
+        stats += [
+            f"SUM(q_{c}) AS cs_{c}",
+            f"SUM(q_{c} * q_{c}) AS css_{c}",
+        ]
+    for a, b in CORR_PAIRS:
+        stats.append(f"SUM(q_{a} * q_{b}) AS csp_{a}_{b}")
+    derive = []
+    for a, b in CORR_PAIRS:
+        n = "CAST(cn AS DOUBLE)"
+        sx, sy = f"CAST(cs_{a} AS DOUBLE)", f"CAST(cs_{b} AS DOUBLE)"
+        sxx, syy = f"CAST(css_{a} AS DOUBLE)", f"CAST(css_{b} AS DOUBLE)"
+        sxy = f"CAST(csp_{a}_{b} AS DOUBLE)"
+        derive.append(
+            f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+                   ROUND(({n} * {sxy} - {sx} * {sy})
+                         / SQRT(({n} * {sxx} - {sx} * {sx})
+                                * ({n} * {syy} - {sy} * {sy})), 4)
+                       AS pearson_r,
+                   CAST(cn AS BIGINT) AS n_rows
+            FROM cstats"""
+        )
+    return (
+        f"WITH cq AS (SELECT {qcols} FROM lineitem),\n"
+        f"cstats AS (SELECT {', '.join(stats)} FROM cq)\n"
+        + "\nUNION ALL\n".join(derive)
+    )
+
+
+
+
 PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
 
 
-@query(
-    "q_profile",
-    oracle="\n    UNION ALL\n".join(
+def _profile_union_oracle_sql() -> str:
+    col_legs = "\n    UNION ALL\n".join(
         f"""
-    SELECT '{c}' AS col_name,
+    SELECT 'column' AS profile_kind,
+           '{c}' AS col_name,
+           CAST(NULL AS VARCHAR) AS col_b,
            ROUND(AVG(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END), 4) AS null_frac,
            COUNT(DISTINCT {c}) AS n_distinct,
            CAST(MIN({c}) AS VARCHAR) AS min_value,
-           CAST(MAX({c}) AS VARCHAR) AS max_value
+           CAST(MAX({c}) AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS pearson_r,
+           COUNT(*) AS n_rows
     FROM orders"""
         for c in PROFILE_COLS
-    ),
-)
-def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dataset profiling — the first query any training pipeline runs
-    against a new asset: per-column null fraction, exact distinct
-    count, min/max. At 100 TB swap countDistinct for
-    approx_count_distinct (the exact form is the oracle).
+    )
+    return f"""{col_legs}
+    UNION ALL
+    SELECT 'corr' AS profile_kind,
+           col_a AS col_name,
+           col_b,
+           CAST(NULL AS DOUBLE) AS null_frac,
+           CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           pearson_r,
+           n_rows
+    FROM (
+        {corr_oracle_inner_sql()}
+    ) c_inner
+    """
 
-    TWO aggregate subtrees, not one: mixing DISTINCT and plain
-    aggregates in a single agg makes Catalyst Expand every input row
-    once per distinct column AND evaluate the plain min/max/avg (with
-    their casts) on every expanded copy — measured 2.7x slower than
-    running the plain aggregates in one codegen'd pass and the
-    distinct Expand over only its own columns, then cross-joining the
-    two 1-row results."""
+
+@query("q_profile", oracle=_profile_union_oracle_sql())
+# hard-graded union (r7 eighth wave): column profile + corr profile
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling, tagged union (r7 eighth wave) — the first
+    query any training pipeline runs against a new asset:
+
+    - ``column``: per-column null fraction, exact distinct count,
+      min/max over the orders table (col_b/pearson_r NULL; n_rows =
+      table rows). At 100 TB swap countDistinct for
+      approx_count_distinct (the exact form is the oracle).
+    - ``corr``: q_corr_matrix's pairwise Pearson relationships profile
+      over the fact table's numeric columns (col_name/col_b = the
+      pair; hash-gradable since the integer-sufficient-statistics
+      restatement, VERDICT r6 #1 — see q_corr_matrix).
+
+    TWO aggregate subtrees for the column leg, not one: mixing
+    DISTINCT and plain aggregates in a single agg makes Catalyst
+    Expand every input row once per distinct column AND evaluate the
+    plain min/max/avg (with their casts) on every expanded copy —
+    measured 2.7x slower than running the plain aggregates in one
+    codegen'd pass and the distinct Expand over only its own columns,
+    then cross-joining the two 1-row results. The corr leg is one
+    fused integer aggregate over its own (different-table) scan."""
     orders = load_table(spark, sf_dir, "orders")
-    plain_aggs = []
+    plain_aggs = [F.count("*").cast("long").alias("n_rows")]
     for c in PROFILE_COLS:
         plain_aggs += [
             F.round(F.avg(F.when(F.col(c).isNull(), 1.0).otherwise(0.0)), 4).alias(f"nf_{c}"),
@@ -1263,48 +1396,89 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(f"nd_{c}").alias("n_distinct"),
                 F.col(f"mn_{c}").alias("min_value"),
                 F.col(f"mx_{c}").alias("max_value"),
+                F.col("n_rows").alias("n_rows"),
             )
             for c in PROFILE_COLS
         ]
     )
-    return one.select(F.explode(per_col).alias("p")).select("p.*")
+    col_leg = (
+        one.select(F.explode(per_col).alias("p"))
+        .select("p.*")
+        .select(
+            F.lit("column").alias("profile_kind"),
+            "col_name",
+            F.lit(None).cast("string").alias("col_b"),
+            "null_frac",
+            "n_distinct",
+            "min_value",
+            "max_value",
+            F.lit(None).cast("double").alias("pearson_r"),
+            "n_rows",
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    corr_one = corr_sufficient_stats(li)
+    per_pair = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_name"),
+                F.lit(b).alias("col_b"),
+                corr_from_sums(a, b).alias("pearson_r"),
+                F.col("cn").alias("n_rows"),
+            )
+            for a, b in CORR_PAIRS
+        ]
+    )
+    corr_leg = (
+        corr_one.select(F.explode(per_pair).alias("p"))
+        .select("p.*")
+        .select(
+            F.lit("corr").alias("profile_kind"),
+            "col_name",
+            "col_b",
+            F.lit(None).cast("double").alias("null_frac"),
+            F.lit(None).cast("long").alias("n_distinct"),
+            F.lit(None).cast("string").alias("min_value"),
+            F.lit(None).cast("string").alias("max_value"),
+            "pearson_r",
+            "n_rows",
+        )
+    )
+    return col_leg.unionByName(corr_leg)
 
 
-CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-
-
-@query("q_corr_matrix")  # rows-only: graded window full; DuckDB oracle
-# runs in tests/test_corpus_ops.py (rounding-tolerant compare: corr is
-# a ratio of large floating sums, so the 4th decimal can differ by one
-# ulp-rounding step between engines)
+@query("q_corr_matrix")  # rows-only registration; HARD-GRADED since
+# round 7 (eighth wave) through q_profile's `corr` union leg — the
+# integer-sufficient-statistics restatement (VERDICT r6 #1) makes the
+# rounded r exact-hash-safe; exact DuckDB mirror + tolerant native-corr
+# cross-check run in tests/test_corpus_ops.py
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profiling (relationships): pairwise Pearson correlation
     over the fact table's numeric columns — the feature-redundancy /
     leakage-screen profile run before any feature set ships. All
-    C(n,2) correlations compute in ONE aggregate over one scan (each
-    corr is a handful of accumulating sums; Catalyst fuses them), then
-    the 1-row result explodes to the pair-per-row report. Map-side
-    combinable, output C(n,2) rows at any corpus size."""
+    C(n,2) correlations compute in ONE aggregate over one scan (the
+    sufficient statistics are a handful of accumulating integer sums;
+    Catalyst fuses them), then the 1-row result explodes to the
+    pair-per-row report. Map-side combinable, output C(n,2) rows at
+    any corpus size.
+
+    r7 restatement: Spark's corr() accumulates FLOATING co-moments
+    whose partial-merge order can move the 4th decimal; the
+    corr_sufficient_stats() form aggregates exact centi-quantized
+    integers instead and derives r per row (corr_from_sums), making
+    the output bitwise partition-invariant — the property that lets
+    the corr leg ride q_profile's hash-graded union."""
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = [
-        (a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1 :]
-    ]
-    one = li.agg(
-        F.count("*").alias("n"),
-        *[
-            F.corr(a, b).alias(f"c_{a}_{b}")
-            for a, b in pairs
-        ],
-    )
+    one = corr_sufficient_stats(li)
     per_pair = F.array(
         *[
             F.struct(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
-                F.round(F.col(f"c_{a}_{b}"), 4).alias("pearson_r"),
-                F.col("n").cast("long").alias("n_rows"),
+                corr_from_sums(a, b).alias("pearson_r"),
+                F.col("cn").alias("n_rows"),
             )
-            for a, b in pairs
+            for a, b in CORR_PAIRS
         ]
     )
     return one.select(F.explode(per_pair).alias("p")).select("p.*")

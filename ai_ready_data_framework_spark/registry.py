@@ -68,7 +68,10 @@ ROWS_ONLY_TAIL_ORDER = [
     # r7 seventh wave likewise hard-grades: q_anomaly_zscore (via
     # q_window_lag's zscore leg), q_token_entropy (q_token_bpe's
     # doc_entropy leg), q_datacard (q_text_stats' datacard leg),
-    # q_dedup_lines (q_dedup_exact's lines leg)
+    # q_dedup_lines (q_dedup_exact's lines leg), q_source_divergence +
+    # q_cooccur_pmi (q_token_bpe's divergence/pmi legs)
+    # r7 eighth wave: q_corr_matrix (via q_profile's corr leg — the
+    # integer-sufficient-statistics restatement)
     "q_set_union",
     "q_fuzzy_match",
     "q_window_sliding",

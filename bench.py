@@ -331,6 +331,11 @@ EXPECTED_CHANGES = {
         " (doc, source, term) tf frame and the pmi leg pins its bigram"
         " aggregate, so 5 legs cost 3 corpus scans"
     ),
+    "q_profile": (
+        "tagged-union merge adds q_corr_matrix's pairwise-Pearson leg"
+        " (r7 eighth wave) — a second fused integer aggregate over the"
+        " lineitem scan beside the orders column profile"
+    ),
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"
         " rebuild now checkpointed to one minhash pass — zero-cost"

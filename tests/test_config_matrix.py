@@ -59,6 +59,10 @@ MATRIX_QUERIES = [
     "q_token_entropy",
     "q_source_divergence",
     "q_cooccur_pmi",
+    # round-7 eighth wave: the corr leg's integer sufficient
+    # statistics (decimal sums) must be partition-invariant too
+    "q_profile",
+    "q_corr_matrix",
 ]
 
 

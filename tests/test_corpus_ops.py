@@ -207,29 +207,44 @@ def test_cluster_assign_invariants(spark, sf_correctness):
 
 
 def test_corr_matrix_matches_duckdb_oracle(spark, sf_correctness):
-    """Pearson correlations vs DuckDB, tolerant to one rounding step in
-    the 4th decimal (corr divides large floating sums; partial-sum
-    order differs between engines)."""
-    from ai_ready_data_framework_spark.operators.relational import CORR_COLS
+    """Two oracles since the r7 integer restatement: (1) EXACT
+    tolerance-free equality against the DuckDB mirror of the
+    centi-quantized sufficient-statistics derivation (the hash-safety
+    property q_profile's corr leg grades on), and (2) a tolerant
+    cross-check against DuckDB's NATIVE corr() proving the restatement
+    still computes Pearson r (quantization is lossless on <=2-decimal
+    columns; only float-accumulation order separates the two)."""
+    from ai_ready_data_framework_spark.operators.relational import (
+        CORR_COLS,
+        corr_oracle_inner_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{table_path(sf_correctness, 'lineitem')}')"
+    )
+    rows = QUERIES["q_corr_matrix"](spark, sf_correctness).collect()
+    exact = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(corr_oracle_inner_sql()).fetchall()
+    }
+    assert len(rows) == len(exact) == 6
+    for r in rows:
+        assert (r.pearson_r, r.n_rows) == exact[(r.col_a, r.col_b)], r
 
     pair_sql = "\nUNION ALL\n".join(
         f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
-                   corr({a}, {b}) AS pearson_r,
-                   COUNT(*) AS n_rows
-            FROM read_parquet('{table_path(sf_correctness, "lineitem")}')"""
+                   corr({a}, {b}) AS pearson_r
+            FROM lineitem"""
         for i, a in enumerate(CORR_COLS)
         for b in CORR_COLS[i + 1 :]
     )
-    expected = {
-        (r[0], r[1]): (r[2], r[3])
-        for r in duckdb.connect().execute(pair_sql).fetchall()
+    native = {
+        (r[0], r[1]): r[2] for r in con.execute(pair_sql).fetchall()
     }
-    rows = QUERIES["q_corr_matrix"](spark, sf_correctness).collect()
-    assert len(rows) == len(expected) == 6
     for r in rows:
-        exp_r, exp_n = expected[(r.col_a, r.col_b)]
-        assert r.n_rows == exp_n
-        assert abs(r.pearson_r - exp_r) <= 2e-4, (r.col_a, r.col_b, r.pearson_r, exp_r)
+        assert abs(r.pearson_r - native[(r.col_a, r.col_b)]) <= 2e-4, r
         assert -1.0 <= r.pearson_r <= 1.0
 
 

@@ -99,6 +99,9 @@ def test_profile_approx_within_tolerance(spark, sf_correctness):
     null_frac and min/max identical."""
     exact = (
         registry.QUERIES["q_profile"](spark, sf_correctness)
+        # r7: q_profile is a tagged union; the sketch twin mirrors the
+        # per-column leg only
+        .where("profile_kind = 'column'")
         .toPandas()
         .set_index("col_name")
     )
