@@ -3784,10 +3784,44 @@ def q_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LEN_BUCKET_MIN = 16
 LEN_BUCKET_MAX = 1024
+# Every power-of-two bucket cap in [MIN, MAX] — the bucket expression
+# below is a pure-integer CASE chain over this list.
+LEN_BUCKET_CAPS = tuple(
+    1 << i
+    for i in range(LEN_BUCKET_MIN.bit_length() - 1, LEN_BUCKET_MAX.bit_length())
+)
+
+# The identical CASE chain for DuckDB oracles (expects an `n_tok`
+# column in scope).
+LEN_BUCKET_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN n_tok <= {c} THEN {c}" for c in LEN_BUCKET_CAPS)
+    + f" ELSE {LEN_BUCKET_CAPS[-1]} END"
+)
 
 
-@query("q_length_buckets")  # rows-only: graded window full; DuckDB
-# oracle runs in tests/test_retrieval.py
+def pow2_len_bucket(n_tok: Column) -> Column:
+    """Power-of-two ceiling bucket of an integer token count, clamped
+    to [LEN_BUCKET_MIN, LEN_BUCKET_MAX] — as a pure-INTEGER comparison
+    chain, not ``pow(2, ceil(log2(x)))``. The transcendental form puts
+    every exact power-of-two doc ON a log2 rounding boundary (an
+    engine computing log2(64) = 6.0000000000000001 would ceil into the
+    NEXT bucket), which is exactly the class of drift the hash-graded
+    oracle compare cannot tolerate; integer comparisons are bitwise
+    identical in any engine, and the chain of literal compares also
+    codegens tighter than pow/log. Branches are independent literal
+    predicates, so the when-chain does not re-thread fold state (the
+    r6 lang-id lesson does not apply)."""
+    expr = F.when(n_tok <= LEN_BUCKET_CAPS[0], LEN_BUCKET_CAPS[0])
+    for cap in LEN_BUCKET_CAPS[1:]:
+        expr = expr.when(n_tok <= cap, cap)
+    return expr.otherwise(LEN_BUCKET_CAPS[-1]).cast("long")
+
+
+@query("q_length_buckets")  # rows-only registration; HARD-GRADED since
+# round 7 (ninth wave) through q_histogram_bins' `length_bucket` union
+# leg. The independent pytest oracle in tests/test_retrieval.py keeps
+# the POWER/LOG2 derivation as a cross-check of the CASE-chain form.
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (batching efficiency): length-bucketed batching
     stats. Batching docs of wildly different token counts pads every
@@ -3813,14 +3847,10 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(LEN_BUCKET_MAX).cast("long"),
         ).alias("n_tok"),
     )
-    # next power of two >= n_tok, clamped to [MIN, MAX]
-    clamped = F.least(
-        F.greatest(F.col("n_tok"), F.lit(LEN_BUCKET_MIN)),
-        F.lit(LEN_BUCKET_MAX),
-    )
-    bucket = F.pow(
-        F.lit(2.0), F.ceil(F.log2(clamped.cast("double")))
-    ).cast("long")
+    # next power of two >= n_tok, clamped to [MIN, MAX] — integer CASE
+    # chain, not pow/log2 (see pow2_len_bucket: exact-power-of-two docs
+    # sit on a log2 rounding boundary)
+    bucket = pow2_len_bucket(F.col("n_tok"))
     bucketed = (
         toks.withColumn("bucket", bucket)
         .groupBy("bucket")
@@ -3840,9 +3870,7 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_frac"),
         )
     )
-    global_cap = F.max(
-        F.pow(F.lit(2.0), F.ceil(F.log2(clamped.cast("double")))).cast("long")
-    )
+    global_cap = F.max(pow2_len_bucket(F.col("n_tok")))
     single = toks.agg(
         global_cap.alias("bucket"),
         F.count("*").alias("n_docs"),

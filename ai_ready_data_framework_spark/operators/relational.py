@@ -1895,9 +1895,13 @@ def q_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_histogram_bins",
-    oracle=f"""
+def _hist_union_oracle_sql() -> str:
+    from ai_ready_data_framework_spark.operators.ai import (
+        LEN_BUCKET_CASE_SQL,
+        LEN_BUCKET_MAX,
+    )
+
+    return f"""
     WITH s AS (
         SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
     ),
@@ -1912,13 +1916,42 @@ def q_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(quantile_cont(o_totalprice, 0.50), 4) AS q2,
                ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q3
         FROM orders GROUP BY 1
+    ),
+    ltoks AS (
+        SELECT LEAST(CAST(len(string_split(text, ' ')) AS BIGINT),
+                     {LEN_BUCKET_MAX}) AS n_tok
+        FROM documents
+    ),
+    lbk AS (
+        SELECT n_tok, CAST({LEN_BUCKET_CASE_SQL} AS BIGINT) AS bucket
+        FROM ltoks
+    ),
+    lleg AS (
+        SELECT 'bucketed' AS scheme, bucket,
+               COUNT(*) AS n_rows,
+               CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+               CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+               ROUND(1 - CAST(SUM(n_tok) AS DOUBLE)
+                         / (COUNT(*) * bucket), 4) AS waste_frac
+        FROM lbk GROUP BY bucket
+        UNION ALL
+        SELECT 'single_bucket', MAX(bucket),
+               COUNT(*),
+               CAST(SUM(n_tok) AS BIGINT),
+               CAST(COUNT(*) * MAX(bucket) AS BIGINT),
+               ROUND(1 - CAST(SUM(n_tok) AS DOUBLE)
+                         / (COUNT(*) * MAX(bucket)), 4)
+        FROM lbk
     )
     SELECT 'equi_width' AS method,
            '*' AS grp,
            bucket AS bin,
-           COUNT(*) AS n_orders,
+           COUNT(*) AS n_rows,
            ROUND(lo + bucket * ((hi - lo) / {HIST_BUCKETS}), 4) AS lo,
-           CAST(NULL AS DOUBLE) AS hi
+           CAST(NULL AS DOUBLE) AS hi,
+           CAST(NULL AS BIGINT) AS real_tokens,
+           CAST(NULL AS BIGINT) AS padded_tokens,
+           CAST(NULL AS DOUBLE) AS waste_frac
     FROM bk GROUP BY bucket, bk.lo, bk.hi
     UNION ALL
     SELECT 'quantile',
@@ -1929,33 +1962,78 @@ def q_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE 3 END AS BIGINT),
            COUNT(*),
            ROUND(MIN(o_totalprice), 4),
-           ROUND(MAX(o_totalprice), 4)
+           ROUND(MAX(o_totalprice), 4),
+           CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
     FROM orders JOIN bounds USING (o_orderpriority)
     GROUP BY 1, 2, 3
-    """,
-)
+    UNION ALL
+    SELECT 'length_bucket', scheme, bucket, n_rows,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           real_tokens, padded_tokens, waste_frac
+    FROM lleg
+    """
+
+
+@query("q_histogram_bins", oracle=_hist_union_oracle_sql())
+# hard-graded union (r4 wave + r7 ninth wave): equi-width histogram +
+# quantile binning + length bucketing in one discretization slot
 def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogramming / discretization in one graded slot (tagged
-    union, the q_agg_distinct precedent): the global equi-width
-    histogram (q_histogram) and the per-group exact-quartile binning
-    (q_feature_bins), projected onto (method, grp, bin, n_orders, lo,
-    hi). Both legs keep their own plan shapes — each is a broadcast of
-    a tiny bounds aggregate back onto the scan feeding one
-    bucket-cardinality group-by."""
+    union, the q_agg_distinct precedent). Every column is truthful in
+    every leg: ``grp`` is the within-method grouping, ``bin`` the bin
+    label, ``n_rows`` the rows binned; leg-specific metrics are NULL
+    where inapplicable.
+
+    - ``equi_width``: the global equi-width histogram (q_histogram) —
+      bin = bucket index, lo = bucket lower bound.
+    - ``quantile``: per-group exact-quartile binning (q_feature_bins) —
+      grp = order priority, lo/hi = observed price range.
+    - ``length_bucket`` (r7 ninth wave): q_length_buckets' batching
+      stats — grp = scheme (bucketed vs the single-bucket baseline),
+      bin = the power-of-two token cap, plus real/padded token counts
+      and the padding-waste fraction. Hash-gradable because the bucket
+      is a pure-integer CASE chain (pow2_len_bucket — the pow/log2
+      form puts exact-power-of-two docs on a rounding boundary) and
+      waste_frac is a ratio of exact integers.
+
+    The two orders legs keep their broadcast-bounds plan shapes; the
+    length leg is scan + one bucket-cardinality aggregate (no join)."""
+    from ai_ready_data_framework_spark.operators.ai import q_length_buckets
+
+    null_len_cols = [
+        F.lit(None).cast("long").alias("real_tokens"),
+        F.lit(None).cast("long").alias("padded_tokens"),
+        F.lit(None).cast("double").alias("waste_frac"),
+    ]
     eq = q_histogram(spark, sf_dir).select(
         F.lit("equi_width").alias("method"),
         F.lit("*").alias("grp"),
         F.col("bucket").alias("bin"),
-        "n_orders",
+        F.col("n_orders").alias("n_rows"),
         F.col("bucket_lo").alias("lo"),
         F.lit(None).cast("double").alias("hi"),
+        *null_len_cols,
     )
     qt = q_feature_bins(spark, sf_dir).select(
         F.lit("quantile").alias("method"),
         F.col("o_orderpriority").alias("grp"),
         "bin",
-        "n_orders",
+        F.col("n_orders").alias("n_rows"),
         F.col("min_price").alias("lo"),
         F.col("max_price").alias("hi"),
+        *null_len_cols,
     )
-    return eq.unionByName(qt)
+    ln = q_length_buckets(spark, sf_dir).select(
+        F.lit("length_bucket").alias("method"),
+        F.col("scheme").alias("grp"),
+        F.col("bucket").alias("bin"),
+        F.col("n_docs").alias("n_rows"),
+        F.lit(None).cast("double").alias("lo"),
+        F.lit(None).cast("double").alias("hi"),
+        "real_tokens",
+        "padded_tokens",
+        "waste_frac",
+    )
+    return eq.unionByName(qt).unionByName(ln)

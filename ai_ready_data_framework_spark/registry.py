@@ -72,6 +72,12 @@ ROWS_ONLY_TAIL_ORDER = [
     # q_cooccur_pmi (q_token_bpe's divergence/pmi legs)
     # r7 eighth wave: q_corr_matrix (via q_profile's corr leg — the
     # integer-sufficient-statistics restatement)
+    # r7 ninth wave: q_length_buckets (q_histogram_bins' length_bucket
+    # leg, integer CASE-chain buckets), q_sample_quality
+    # (q_sample_stratified's quality leg, integer sampling gate),
+    # q_tfidf_topterms (q_token_bpe's tfidf leg off the shared tf
+    # frame), q_perplexity (q_text_quality's perplexity leg, nano-nat
+    # restatement)
     "q_set_union",
     "q_fuzzy_match",
     "q_window_sliding",

@@ -336,6 +336,11 @@ EXPECTED_CHANGES = {
         " (r7 eighth wave) — a second fused integer aggregate over the"
         " lineitem scan beside the orders column profile"
     ),
+    "q_histogram_bins": (
+        "tagged-union merge adds q_length_buckets' length_bucket leg"
+        " (r7 ninth wave) — one documents scan + bucket-cardinality"
+        " aggregate beside the two orders legs"
+    ),
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"
         " rebuild now checkpointed to one minhash pass — zero-cost"
