@@ -844,6 +844,38 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_MD5_THRESHOLD = "1a"  # hex-prefix < '1a' ≈ 26/256 ≈ 10.2% sample
 
+# Soft quality-weighted sampling (DCLM-style) — constants live up here
+# because q_sample_stratified's graded union oracle (below) interpolates
+# them at import time; the operator itself is further down the module.
+QSAMPLE_BETA = 2  # sharpens the quality preference: p_keep = score^beta.
+# INTEGER exponent by construction: the sampling gate is restated in
+# exact int64 arithmetic (r7 ninth wave), which encodes the square
+# directly — a fractional beta would reintroduce pow() and its
+# engine-specific ulps into the keep/drop boundary.
+# Knuth multiplicative hash constants: portable BIGINT arithmetic that
+# both Spark and any ANSI oracle compute bit-identically — unlike
+# hex-digest string compares, this supports a PER-ROW threshold.
+QSAMPLE_HASH_MULT = 2654435761
+QSAMPLE_HASH_MOD = 4294967296
+
+
+def qsample_gate(doc_id: Column, quality: Column) -> tuple[Column, Column]:
+    """(keep?, keep_prob) for the soft quality sample, as an EXACT
+    integer comparison (r7 ninth wave): with u = k/2^32 (k the Knuth
+    hash of doc_id) and q = m/10^4 (quality_score is round-4 by
+    construction, so m is an exact integer), the float gate
+    u < q^2 is equivalent to k * 10^8 < m^2 * 2^32 — all int64
+    (max ~4.3e17 < 2^63), bitwise identical in any engine, no
+    pow()-ulp risk on the keep/drop boundary. keep_prob = m^2/10^8
+    rounds tie-free: m^2 = 5000 mod 10^4 is impossible (8 is not a
+    quadratic residue mod 16), so both engines' round-half modes
+    agree."""
+    k = F.pmod(doc_id * QSAMPLE_HASH_MULT, F.lit(QSAMPLE_HASH_MOD))
+    m = F.floor(quality * 10000 + F.lit(0.5)).cast("long")
+    keep = (k * F.lit(10**8)) < (m * m * F.lit(QSAMPLE_HASH_MOD))
+    keep_prob = F.round((m * m) / F.lit(float(10**8)), 4)
+    return keep, keep_prob
+
 
 # Per-source mixture rates (dataset mixing config); sources not listed
 # fall back to the default. Rates quantize to 1/16^8 via an 8-hex-digit
@@ -907,6 +939,25 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_score_sql(text_expr: str = "text") -> str:
+    """DuckDB restatement of functions.text.quality_score — the
+    identical expression tree (left-associated product, same clamps,
+    round 4) so both engines produce the bitwise-identical double:
+    every input is an exact integer (token/char/match counts) and
+    every op is IEEE-correctly-rounded (÷64.0 is exact — power of
+    two)."""
+    stop_list = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+    toks = f"string_split({text_expr}, ' ')"
+    return f"""ROUND(GREATEST(LEAST(
+        LEAST(len({toks}) / 64.0, 1.0)
+        * (1 - len(list_filter({toks}, x -> x IN ({stop_list})))
+            / GREATEST(len({toks}), 1))
+        * (1 - (length({text_expr})
+                - length(regexp_replace({text_expr}, '{T.PUNCT_STRIP_RE}', '', 'g')))
+            / GREATEST(length({text_expr}), 1)),
+        1.0), 0.0), 4)"""
+
+
 def _sampling_union_oracle_sql() -> str:
     mix_case = " ".join(
         f"WHEN source = '{src}' THEN '{mix_threshold_hex(w)}'"
@@ -932,15 +983,26 @@ def _sampling_union_oracle_sql() -> str:
                ) AS BIGINT) AS sample_rank
         FROM documents
     ) WHERE sample_rank <= {GROUP_SAMPLE_K}
+    UNION ALL
+    -- quality leg (r7 ninth wave): the soft quality sample's integer
+    -- gate — k*10^8 < m^2*2^32, all BIGINT (see qsample_gate)
+    SELECT 'quality', doc_id, source, lang, CAST(NULL AS BIGINT)
+    FROM (
+        SELECT doc_id, source, lang,
+               (doc_id * {QSAMPLE_HASH_MULT}) % {QSAMPLE_HASH_MOD} AS k,
+               CAST(FLOOR({quality_score_sql()} * 10000 + 0.5) AS BIGINT) AS m
+        FROM documents
+    ) WHERE k * 100000000 < m * m * {QSAMPLE_HASH_MOD}
     """
 
 
 @query("q_sample_stratified", oracle=_sampling_union_oracle_sql())
-# hard-graded union (round-6 wave): all three deterministic sampling
-# shapes in one slot
+# hard-graded union (round-6 wave + r7 ninth wave): all four
+# deterministic sampling shapes in one slot
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (dataset mixing): deterministic hash sampling, tagged
-    union of the three frozen-sample shapes (round-6 union wave):
+    union of the four frozen-sample shapes (round-6 union wave; quality
+    leg r7 ninth wave):
 
     - ``stratified``: fixed-RATE sample — in iff md5(doc_id) falls
       under one hex threshold (the original graded leg).
@@ -949,27 +1011,37 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``group``: q_group_sample's exactly-K-per-stratum reservoir
       (sample_rank carries the within-stratum rank; NULL on the
       rate-based legs).
+    - ``quality`` (r7 ninth wave): q_sample_quality's soft
+      quality-weighted sample — a doc survives iff its Knuth-hash
+      uniform draw falls under quality_score^2, hash-gradable since
+      the gate is pure int64 (qsample_gate: k·10^8 < m²·2^32).
 
-    Unlike ``df.sample`` all three are reproducible across runs,
+    Unlike ``df.sample`` all four are reproducible across runs,
     engines, and partitionings (the oracle re-derives every leg in
     DuckDB) and stable under data re-layout — the properties a
-    training-data pipeline needs to freeze its mixture. The rate legs
-    are pure map-side filters (no shuffle); the group leg's window
-    collapses to WindowGroupLimit (exchange carries O(groups x K))."""
+    training-data pipeline needs to freeze its mixture. The rate and
+    quality legs are pure map-side filters (no shuffle); the group
+    leg's window collapses to WindowGroupLimit (exchange carries
+    O(groups x K))."""
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string").cast("binary"))
     nul = F.lit(None).cast("long")
-    # SINGLE-SCAN rate legs (round-6 review): stratified and weighted
-    # are both pure md5-threshold filters of the same rows, so one
-    # scan explodes each doc into its two tagged candidates and one
-    # filter applies the per-tag threshold — still a map-only stage,
-    # half the scan IO of two filtered selects. The group leg keeps
-    # its own scan (its WindowGroupLimit needs the full stratum).
+    # SINGLE-SCAN map-side legs (round-6 review, extended r7):
+    # stratified, weighted, and quality are all pure per-row gates of
+    # the same rows, so one scan explodes each doc into its three
+    # tagged candidates and one filter applies the per-tag gate —
+    # still a map-only stage, a third of the scan IO of three filtered
+    # selects. The gates (md5 hex, threshold CASE, integer quality
+    # gate) all bind ONCE in the projection BELOW the Generate (the r6
+    # explode-union lesson: expressions referenced through an exploded
+    # row re-evaluate per copy). The group leg keeps its own scan (its
+    # WindowGroupLimit needs the full stratum).
     thr = F.lit(mix_threshold_hex(MIX_DEFAULT_WEIGHT))
     for src, wgt in MIX_WEIGHTS.items():
         thr = F.when(F.col("source") == src, F.lit(mix_threshold_hex(wgt))).otherwise(
             thr
         )
+    q_keep, _ = qsample_gate(F.col("doc_id"), T.quality_score(F.col("text")))
     kind = F.col("sample_kind")
     rate_legs = (
         docs.select(
@@ -977,13 +1049,17 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "lang",
             h.alias("__h"),
-            F.explode(F.array(F.lit("stratified"), F.lit("weighted"))).alias(
-                "sample_kind"
-            ),
+            q_keep.alias("__q_keep"),
+            F.explode(
+                F.array(
+                    F.lit("stratified"), F.lit("weighted"), F.lit("quality")
+                )
+            ).alias("sample_kind"),
         )
         .filter(
             ((kind == "stratified") & (F.col("__h") < SAMPLE_MD5_THRESHOLD))
             | ((kind == "weighted") & (F.substring("__h", 1, 8) < thr))
+            | ((kind == "quality") & F.col("__q_keep"))
         )
         .select("sample_kind", "doc_id", "source", "lang", nul.alias("sample_rank"))
     )
@@ -2840,16 +2916,9 @@ def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Soft quality-weighted sampling (DCLM-style)
 # ---------------------------------------------------------------------------
 
-QSAMPLE_BETA = 2.0  # sharpens the quality preference: p_keep = score^beta
-# Knuth multiplicative hash constants: portable BIGINT arithmetic that
-# both Spark and any ANSI oracle compute bit-identically — unlike
-# hex-digest string compares, this supports a PER-ROW threshold.
-QSAMPLE_HASH_MULT = 2654435761
-QSAMPLE_HASH_MOD = 4294967296
-
-
-@query("q_sample_quality")  # rows-only: graded window full; DuckDB
-# oracle runs in tests/test_corpus_ops.py
+@query("q_sample_quality")  # rows-only registration; HARD-GRADED since
+# round 7 (ninth wave) through q_sample_stratified's `quality` union
+# leg; standalone DuckDB oracle runs in tests/test_corpus_ops.py
 def q_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (soft curation): quality-WEIGHTED sampling — instead
     of a hard keep/drop filter, each document survives with probability
@@ -2858,25 +2927,17 @@ def q_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic: the per-doc uniform draw is a Knuth multiplicative
     hash of doc_id (portable integer arithmetic, reproducible across
     runs, engines, and partitionings), so the sample is a frozen set,
-    not an RNG draw. Pure projection + filter: zero shuffles, the
-    same map-side-only shape as q_mix_weighted."""
+    not an RNG draw — and since r7 the draw-vs-probability compare is
+    pure int64 (qsample_gate), so the kept SET is exact-hash-safe.
+    Pure projection + filter: zero shuffles, the same map-side-only
+    shape as q_mix_weighted."""
     docs = load_table(spark, sf_dir, "documents")
     q = T.quality_score(F.col("text"))
-    frac = (
-        F.pmod(F.col("doc_id") * QSAMPLE_HASH_MULT, F.lit(QSAMPLE_HASH_MOD))
-        / F.lit(float(QSAMPLE_HASH_MOD))
-    )
-    keep_prob = F.pow(q, F.lit(QSAMPLE_BETA))
+    keep, keep_prob = qsample_gate(F.col("doc_id"), F.col("quality_score"))
     return (
-        docs.select(
-            "doc_id",
-            "source",
-            q.alias("quality_score"),
-            F.round(keep_prob, 4).alias("keep_prob"),
-            frac.alias("__u"),
-        )
-        .filter(F.col("__u") < F.col("keep_prob"))
-        .drop("__u")
+        docs.select("doc_id", "source", q.alias("quality_score"))
+        .withColumn("keep_prob", keep_prob)
+        .filter(keep)
     )
 
 

@@ -302,7 +302,9 @@ EXPECTED_CHANGES = {
         "tagged-union merge runs cheap-score + gopher-battery legs (r6)"
     ),
     "q_sample_stratified": (
-        "tagged-union merge runs stratified + weighted + group legs (r6)"
+        "tagged-union merge runs stratified + weighted + group legs"
+        " (r6); r7 ninth wave adds the quality leg — the shared"
+        " map-side scan now reads text and scores it once per doc"
     ),
     "q_time_rollup": (
         "tagged-union merge adds the period-over-period leg (r6 sixth"

@@ -391,32 +391,32 @@ def test_drift_psi_matches_duckdb_oracle(spark, sf_correctness):
 
 
 def test_sample_quality_matches_duckdb_oracle(spark, sf_correctness):
+    """Mirrors the r7 integer gate (k*10^8 < m^2*2^32 — see
+    qsample_gate); keep_prob likewise derives from the exact integer
+    m^2/10^8 so the compare is tolerance-free."""
     from ai_ready_data_framework_spark.operators.ai import (
-        QSAMPLE_BETA,
         QSAMPLE_HASH_MOD,
         QSAMPLE_HASH_MULT,
+        quality_score_sql,
     )
 
     sql = f"""
         WITH scored AS (
             SELECT doc_id, source,
-                   ROUND(GREATEST(LEAST(
-                       LEAST(len(string_split(text, ' ')) / 64.0, 1.0)
-                       * (1 - len(list_filter(string_split(text, ' '),
-                                              x -> x IN ('the', 'a')))
-                           / GREATEST(len(string_split(text, ' ')), 1))
-                       * (1 - (length(text)
-                               - length(regexp_replace(text, '{PUNCT_STRIP_RE}', '', 'g')))
-                           / GREATEST(length(text), 1)),
-                       1.0), 0.0), 4) AS quality_score,
-                   (doc_id * {QSAMPLE_HASH_MULT}) % {QSAMPLE_HASH_MOD}
-                       / CAST({QSAMPLE_HASH_MOD} AS DOUBLE) AS u
+                   {quality_score_sql()} AS quality_score,
+                   (doc_id * {QSAMPLE_HASH_MULT}) % {QSAMPLE_HASH_MOD} AS k
             FROM read_parquet('{_docs(sf_correctness)}')
+        ),
+        gated AS (
+            SELECT doc_id, source, quality_score,
+                   CAST(FLOOR(quality_score * 10000 + 0.5) AS BIGINT) AS m,
+                   k
+            FROM scored
         )
         SELECT doc_id, source, quality_score,
-               ROUND(POW(quality_score, {QSAMPLE_BETA}), 4) AS keep_prob
-        FROM scored
-        WHERE u < POW(quality_score, {QSAMPLE_BETA})
+               ROUND(m * m / 100000000.0, 4) AS keep_prob
+        FROM gated
+        WHERE k * 100000000 < m * m * {QSAMPLE_HASH_MOD}
     """
     expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
     rows = QUERIES["q_sample_quality"](spark, sf_correctness).collect()
