@@ -1683,6 +1683,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 5
+
+
 def _token_profile_union_oracle_sql() -> str:
     from ai_ready_data_framework_spark.operators.corpus import (
         ENTROPY_NANO_ORACLE_SQL,
@@ -1706,7 +1709,8 @@ def _token_profile_union_oracle_sql() -> str:
            CAST(NULL AS DOUBLE) AS entropy_norm,
            CAST(NULL AS DOUBLE) AS pmi,
            CAST(NULL AS DOUBLE) AS kl_vs_corpus,
-           CAST(NULL AS DOUBLE) AS js_vs_corpus
+           CAST(NULL AS DOUBLE) AS js_vs_corpus,
+           CAST(NULL AS DOUBLE) AS tfidf
     FROM documents
     GROUP BY source
     UNION ALL
@@ -1728,7 +1732,7 @@ def _token_profile_union_oracle_sql() -> str:
                CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
                CAST(NULL AS DOUBLE),
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-               CAST(NULL AS DOUBLE)
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
         FROM counts, tot
         WHERE occurrences >= HEAVYMIN
         QUALIFY rank <= HEAVYK
@@ -1739,8 +1743,40 @@ def _token_profile_union_oracle_sql() -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
            n_unique, entropy, entropy_norm,
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-           CAST(NULL AS DOUBLE)
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM (ENTROPYSQL) e
+    UNION ALL
+    SELECT * FROM (
+        -- tfidf leg (r7 ninth wave): per-doc top-K TF-IDF terms —
+        -- mirrors the Spark leg's expression tree (c * ln((N+1)/(df+1)),
+        -- ROUND 4, rank on the ROUNDED score with a term tie-break)
+        WITH ttf AS (
+            SELECT doc_id, term, COUNT(*) AS c FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ) GROUP BY 1, 2
+        ),
+        tdf AS (SELECT term, COUNT(*) AS df FROM ttf GROUP BY 1),
+        tnd AS (SELECT COUNT(*) AS n FROM documents),
+        tsc AS (
+            SELECT ttf.doc_id, ttf.term, ttf.c, tdf.df,
+                   ROUND(ttf.c * LN((tnd.n + 1.0) / (tdf.df + 1.0)), 4)
+                       AS score
+            FROM ttf JOIN tdf USING (term), tnd
+        )
+        SELECT 'tfidf',
+               CAST(doc_id AS VARCHAR) || ' ' || term,
+               CAST(df AS BIGINT), CAST(c AS BIGINT),
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term
+               ) AS BIGINT) AS trank,
+               CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), score
+        FROM tsc
+        QUALIFY trank <= TFIDFK
+    ) tf
     UNION ALL
     SELECT * FROM (
         -- src_divergence leg (r7 eighth wave): the nano-nat KL/JS
@@ -1783,7 +1819,8 @@ def _token_profile_union_oracle_sql() -> str:
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                CAST(NULL AS DOUBLE),
                ROUND(SUM(kl_nano) / 1e9, 4),
-               ROUND(SUM(js_nano) / 1e9, 4)
+               ROUND(SUM(js_nano) / 1e9, 4),
+               CAST(NULL AS DOUBLE)
         FROM dnano GROUP BY source
     ) d
     UNION ALL
@@ -1821,7 +1858,8 @@ def _token_profile_union_oracle_sql() -> str:
                     AS BIGINT) AS prank,
                CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-               pmi, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+               pmi, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE)
         FROM ranked
         QUALIFY prank <= PMIK
     ) p
@@ -1829,7 +1867,7 @@ def _token_profile_union_oracle_sql() -> str:
         "HEAVYK", str(HEAVY_HITTERS_K)
     ).replace("ENTROPYSQL", ENTROPY_NANO_ORACLE_SQL).replace(
         "PMIMIN", str(PMI_MIN_COUNT)
-    ).replace("PMIK", str(PMI_TOP_K))
+    ).replace("PMIK", str(PMI_TOP_K)).replace("TFIDFK", str(TFIDF_TOP_K))
 
 
 @query("q_token_bpe", oracle=_token_profile_union_oracle_sql())
@@ -1868,15 +1906,26 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
       n_tokens = the bigram's occurrences, rank = PMI rank; pmi is
       a single per-row ln() of an exact integer ratio (already
       hash-safe per the r7 audit).
+    - ``tfidf`` (r7 ninth wave): q_tfidf_topterms' per-doc top-K
+      TF-IDF terms. key = the (doc, term) pair ("<doc_id> <term>" —
+      same injective-concat convention as pmi), n_docs = the term's
+      document frequency, n_tokens = the term's occurrences IN the
+      doc, rank = the within-doc rank on the ROUNDED score (term
+      tie-break, so both engines order identically); tfidf is a
+      single per-row ln() of an exact integer ratio scaled by an
+      exact integer — the pmi hash-safety argument verbatim
+      (boundary-distance test in tests/test_ai_ops.py).
 
-    Scan shape: the heavy-hitter, entropy, and divergence legs all
-    reduce the SAME stage-pinned (doc_id, source, term, c) tf frame
-    (one corpus scan + one map-side-combinable exchange feed all three
-    aggregate topologies — re-deriving term counts from tf also drops
-    q_heavy_hitters' count_distinct Expand); the bpe_totals leg
+    Scan shape: the heavy-hitter, entropy, divergence, AND tfidf legs
+    all reduce the SAME stage-pinned (doc_id, source, term, c) tf
+    frame (one corpus scan + one map-side-combinable exchange feed all
+    four aggregate topologies — re-deriving term counts from tf also
+    drops q_heavy_hitters' count_distinct Expand; the tfidf leg even
+    reuses the heavy-hitter leg's (term, occurrences, doc_freq)
+    aggregate as its document-frequency table); the bpe_totals leg
     tokenizes differently (BPE-ish, not whitespace) and the pmi leg
     needs token ADJACENCY the tf aggregate discards, so each keeps its
-    own scan. 3 scans for 5 legs; every cross-partition aggregate is
+    own scan. 3 scans for 6 legs; every cross-partition aggregate is
     an exact integer — exact-hash safe under any partitioning."""
     from ai_ready_data_framework_spark.operators.corpus import (
         doc_entropy_from_tf,
@@ -1898,6 +1947,7 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("kl_vs_corpus"),
         F.lit(None).cast("double").alias("js_vs_corpus"),
     ]
+    null_tfidf = F.lit(None).cast("double").alias("tfidf")
     docs = load_table(spark, sf_dir, "documents")
     bpe_leg = docs.groupBy("source").agg(
         F.sum(F.size(T.bpe_ish_tokens("text"))).cast("long").alias("n_tokens"),
@@ -1911,6 +1961,7 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("share"),
         *null_entropy_cols,
         *null_eighth_cols,
+        null_tfidf,
     )
     tf = stage_pin(token_tf_frame(docs))
     counts = tf.groupBy("term").agg(
@@ -1925,6 +1976,7 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share",
         *null_entropy_cols,
         *null_eighth_cols,
+        null_tfidf,
     )
     ent_leg = doc_entropy_from_tf(tf).select(
         F.lit("doc_entropy").alias("token_kind"),
@@ -1937,6 +1989,7 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy",
         "entropy_norm",
         *null_eighth_cols,
+        null_tfidf,
     )
     st = tf.groupBy("source", "term").agg(F.sum("c").alias("c_st"))
     div_leg = source_divergence_from_st(st).select(
@@ -1952,6 +2005,7 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("pmi"),
         "kl_vs_corpus",
         "js_vs_corpus",
+        null_tfidf,
     )
     pmi_leg = pmi_topk(docs).select(
         F.lit("pmi").alias("token_kind"),
@@ -1964,12 +2018,47 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pmi"),
         F.lit(None).cast("double").alias("kl_vs_corpus"),
         F.lit(None).cast("double").alias("js_vs_corpus"),
+        null_tfidf,
+    )
+    # tfidf leg: scored off the SAME pinned tf frame, with the hh leg's
+    # (term, occurrences, doc_freq) aggregate broadcast back as the df
+    # table — no new scan, one doc-keyed WindowGroupLimit exchange
+    n_total_docs = docs.count()
+    idf = F.log((n_total_docs + 1.0) / (F.col("doc_freq") + 1.0))
+    tw = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_score"), F.asc("term")
+    )
+    tfidf_leg = (
+        tf.join(F.broadcast(counts), "term")
+        .select(
+            "doc_id",
+            "term",
+            "c",
+            "doc_freq",
+            F.round(F.col("c") * idf, 4).alias("tfidf_score"),
+        )
+        .withColumn("rank", F.row_number().over(tw).cast("long"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            F.lit("tfidf").alias("token_kind"),
+            F.concat_ws(
+                " ", F.col("doc_id").cast("string"), F.col("term")
+            ).alias("key"),
+            F.col("doc_freq").cast("long").alias("n_docs"),
+            F.col("c").cast("long").alias("n_tokens"),
+            "rank",
+            F.lit(None).cast("double").alias("share"),
+            *null_entropy_cols,
+            *null_eighth_cols,
+            F.col("tfidf_score").alias("tfidf"),
+        )
     )
     return (
         bpe_leg.unionByName(hh_leg)
         .unionByName(ent_leg)
         .unionByName(div_leg)
         .unionByName(pmi_leg)
+        .unionByName(tfidf_leg)
     )
 
 

@@ -328,10 +328,11 @@ EXPECTED_CHANGES = {
     "q_token_bpe": (
         "tagged-union merge adds the heavy-hitters vocabulary leg (r6"
         " sixth wave), the nano-nat doc-entropy leg (r7 seventh wave),"
-        " and the src-divergence + ranked-PMI legs (r7 eighth wave);"
-        " the hh + entropy + divergence legs share one stage-pinned"
+        " the src-divergence + ranked-PMI legs (r7 eighth wave), and"
+        " the per-doc tfidf top-K leg (r7 ninth wave); the hh +"
+        " entropy + divergence + tfidf legs share one stage-pinned"
         " (doc, source, term) tf frame and the pmi leg pins its bigram"
-        " aggregate, so 5 legs cost 3 corpus scans"
+        " aggregate, so 6 legs cost 3 corpus scans"
     ),
     "q_profile": (
         "tagged-union merge adds q_corr_matrix's pairwise-Pearson leg"

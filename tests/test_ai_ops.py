@@ -211,6 +211,33 @@ def test_tfidf_topterms_matches_duckdb_oracle(spark, sf_correctness):
     assert got, "tf-idf terms expected"
 
 
+def test_tfidf_scores_clear_rounding_boundaries(spark, sf_correctness):
+    """Flap-proofing evidence for q_token_bpe's hash-graded tfidf leg
+    (the entropy-leg pattern): a cross-engine ln() ulp moves
+    c * ln((N+1)/(df+1)) by <= |score| * 1.2e-16 (~1e-14 here), so a
+    4-decimal flip — of the displayed score OR of the rank order —
+    needs the unrounded value within that distance of a x.xxxx5
+    half-way boundary. Assert every fixture score clears boundaries by
+    orders of magnitude more."""
+    from pyspark.sql import functions as F
+
+    from ai_ready_data_framework_spark.io import load_table
+    from ai_ready_data_framework_spark.operators.corpus import token_tf_frame
+
+    docs = load_table(spark, sf_correctness, "documents")
+    n_docs = docs.count()
+    tf = token_tf_frame(docs)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    raw = F.col("c") * F.log((n_docs + 1.0) / (F.col("df") + 1.0))
+    scaled = raw * 10000
+    frac = scaled - F.floor(scaled)
+    dist = F.abs(frac - 0.5)
+    row = (
+        tf.join(dfreq, "term").select(F.min(dist).alias("d")).collect()[0]
+    )
+    assert row.d > 1e-9, row  # drift bound is ~1e-10 in scaled units
+
+
 def test_mix_weighted_matches_duckdb_oracle(spark, sf_correctness):
     """q_mix_weighted is SQL-expressible but the graded window is full,
     so its DuckDB oracle runs here: identical row set from both engines

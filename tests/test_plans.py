@@ -787,8 +787,16 @@ def test_sixth_wave_union_plans(spark, sf_smoke):
     candidates only through equi-joins (df-capped inverted index —
     never a cartesian product)."""
     plan = final_plan(run("q_token_bpe", spark, sf_smoke))
-    assert "Window" not in plan, plan
+    # heavy-hitter/pmi ranks still come from K-row TakeOrdered reductions
     assert "TakeOrderedAndProject" in plan, plan
+    # the r7 tfidf leg owns the only windows, and they must stay
+    # doc_id-PARTITIONED with a WindowGroupLimit pre-prune (each
+    # executor keeps its local top-K per doc before the exchange); an
+    # unpartitioned window spec would single-partition the corpus
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "doc_id" in ln, ln
+    assert "WindowGroupLimit" in plan, plan
     plan = final_plan(run("q_dedup_ngram", spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
