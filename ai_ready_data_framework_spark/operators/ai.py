@@ -1554,7 +1554,9 @@ def _text_quality_union_oracle_sql() -> str:
                  * (1 - (length(text) - length(regexp_replace(text, '{T.PUNCT_STRIP_RE}', '', 'g')))
                         / CAST(greatest(length(text), 1) AS DOUBLE)),
                  4) AS score,
-           CAST(NULL AS BIGINT) AS keep
+           CAST(NULL AS BIGINT) AS keep,
+           CAST(NULL AS BIGINT) AS n_bigrams,
+           CAST(NULL AS DOUBLE) AS avg_logp
     FROM documents
     UNION ALL
     SELECT 'gopher',
@@ -1562,7 +1564,8 @@ def _text_quality_union_oracle_sql() -> str:
            CAST(len({words}) AS BIGINT),
            ROUND({stop} / CAST(greatest(len({words}), 1) AS DOUBLE), 4),
            ROUND(({n_pass}) / 5.0, 4),
-           CAST(({" AND ".join(f"({r})" for r in rules)}) AS BIGINT)
+           CAST(({" AND ".join(f"({r})" for r in rules)}) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
     FROM documents
     UNION ALL
     SELECT 'repetition',
@@ -1571,7 +1574,8 @@ def _text_quality_union_oracle_sql() -> str:
            ROUND({stop} / CAST(greatest(len({words}), 1) AS DOUBLE), 4),
            ROUND((len(grams) - len(list_distinct(grams)))
                  / CAST(greatest(len(grams), 1) AS DOUBLE), 4),
-           CAST(NULL AS BIGINT)
+           CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
     FROM (
         SELECT doc_id, text,
                list_transform(
@@ -1580,14 +1584,27 @@ def _text_quality_union_oracle_sql() -> str:
                ) AS grams
         FROM documents
     )
+    UNION ALL
+    -- perplexity leg (r7 ninth wave): the bigram-LM quality score,
+    -- hash-gradable since the PPL_NANO integer restatement (score =
+    -- perplexity; the leg keeps its full n_bigrams/avg_logp output)
+    SELECT 'perplexity', doc_id,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           perplexity, CAST(NULL AS BIGINT),
+           n_bigrams, avg_logp
+    FROM (
+        {Q.PERPLEXITY_NANO_ORACLE_SQL}
+    ) px
     """.replace("{k}", str(REP_NGRAM_K))
 
 
 @query("q_text_quality", oracle=_text_quality_union_oracle_sql())
-# hard-graded union (round-6 wave): cheap score + Gopher battery
+# hard-graded union (round-6 wave + r7 ninth wave): cheap score +
+# Gopher battery + repetition + bigram-LM perplexity
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5/north star: per-document quality scoring, tagged union of
-    both filter families in one doc-keyed report (round-6 union wave):
+    the filter families in one doc-keyed report (round-6 union wave;
+    perplexity leg r7 ninth wave):
 
     - ``cheap``: length component x (1 - stopword ratio) x
       (1 - punctuation ratio) — the standard cheap pre-training score
@@ -1598,11 +1615,20 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       q_pipeline_e2e's stage 2 applies).
     - ``repetition``: q_repetition's duplicate word-3-gram fraction
       (the Gopher repetition signal) as the score; keep NULL.
+    - ``perplexity``: q_perplexity's CCNet-style bigram-LM score
+      (score = perplexity; n_bigrams/avg_logp carried in their own
+      columns, NULL on the projection legs, whose n_tokens/stop_ratio
+      are NULL here in turn). Hash-gradable since the PPL_NANO
+      integer restatement of the per-doc Σ tf·ln p (VERDICT r6 #1
+      recipe; quality.py::perplexity_per_doc).
 
-    Both legs are pure codegen'd projections (zero shuffles at any
-    scale); the oracle restates every rule so parity confirms the
-    formulas, not just the API. The full per-rule flag table stays on
-    q_quality_gopher (rows-only, pytest-oracled)."""
+    The three projection legs stay one codegen'd scan with zero
+    shuffles; the perplexity leg brings its own model pipeline (one
+    corpus-sized (doc, bigram) shuffle + broadcast model — see
+    q_perplexity). The oracle restates every rule AND the full bigram
+    model so parity confirms the formulas, not just the API. The full
+    per-rule flag table stays on q_quality_gopher (rows-only,
+    pytest-oracled)."""
     from ai_ready_data_framework_spark.operators.quality import (
         GOPHER_MAX_MEAN_WORD_LEN,
         GOPHER_MAX_SYMBOL_RATIO,
@@ -1660,7 +1686,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac.alias("__rep"),
     )
     kind = F.col("quality_kind")
-    return (
+    proj_legs = (
         base.select(
             "*",
             F.explode(
@@ -1679,8 +1705,25 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(kind == "gopher", F.col("__keep"))
             .cast("long")
             .alias("keep"),
+            F.lit(None).cast("long").alias("n_bigrams"),
+            F.lit(None).cast("double").alias("avg_logp"),
         )
     )
+    from ai_ready_data_framework_spark.operators.quality import (
+        perplexity_per_doc,
+    )
+
+    ppl_leg = perplexity_per_doc(docs).select(
+        F.lit("perplexity").alias("quality_kind"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("double").alias("stop_ratio"),
+        F.col("perplexity").alias("score"),
+        F.lit(None).cast("long").alias("keep"),
+        "n_bigrams",
+        "avg_logp",
+    )
+    return proj_legs.unionByName(ppl_leg)
 
 
 TFIDF_TOP_K = 5

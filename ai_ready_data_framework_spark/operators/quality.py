@@ -305,33 +305,22 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LM_SMOOTH_K = 1.0  # add-k (Laplace) smoothing
 
+# Nano-nat quantization for the per-doc Σ tf·ln p aggregate (r7 ninth
+# wave — the corpus.py ENTROPY_NANO recipe): each (doc, bigram) row's
+# transcendental contribution FLOORs to an integer count of nano-nats
+# BEFORE the cross-partition sum, so partial-merge order cannot move
+# the total and a 1-ulp cross-engine ln() moves it by at most 1 nano
+# per row; avg_logp and exp(-avg) derive per ROW from the integer
+# sufficient statistics.
+PPL_NANO = 1e9
 
-@query("q_perplexity")  # rows-only: graded window full; DuckDB oracle
-# runs in tests/test_quality_ops.py
-def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North star (quality filtering): perplexity-style scoring — each
-    document's mean bigram log-probability under an add-k-smoothed
-    conditional bigram model TRAINED ON THE CORPUS ITSELF, exp(-mean)
-    as perplexity. The CCNet-style filter signal: documents whose
-    token transitions are improbable under the corpus model (spam,
-    garbled text) score high and get dropped/downweighted.
-    P(w2|w1) = (c(w1,w2)+k) / (c(w1,·)+k·V): the denominator is the
-    bigram-PREFIX count (proper conditional normalization) and V the
-    number of distinct prefixes.
 
-    Shape: ONE corpus-sized shuffle total. Per-doc bigram term
-    frequencies aggregate the exploded bigrams on (doc, bg); the
-    model — bigram counts, prefix counts, vocab size — derives from
-    tf's output (vocab^2-sized, shuffles only model-table partials;
-    the two scans Catalyst keeps share the same pruned explode) and
-    is BROADCAST back onto tf, so scoring never reshuffles the
-    corpus; the per-occurrence average Σ(tf·logp)/Σ(tf) then reuses
-    doc-keyed partial aggregation. At natural-text scale where the
-    bigram model outgrows the broadcast threshold, swap the broadcast
-    hint for an equi-join on bg — same semantics, one more shuffle.
-    Counts stay exact integers; only the final log ratio floats.
-    Pinned in test_plans.py: no corpus re-shuffle, no cartesian."""
-    docs = load_table(spark, sf_dir, "documents")
+def perplexity_per_doc(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logp, perplexity) under the corpus-fit
+    add-k bigram model — the shared core of q_perplexity and
+    q_text_quality's hash-graded ``perplexity`` union leg. See
+    q_perplexity's docstring for the plan shape and PPL_NANO for why
+    the doc aggregate sums exact integers."""
     words = T.tokens("text")
     grams = docs.select(
         "doc_id",
@@ -358,19 +347,105 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_bg") + LM_SMOOTH_K)
         / (F.col("c_prefix") + LM_SMOOTH_K * F.col("v"))
     )
+    contrib = F.floor(F.col("tf") * logp * F.lit(PPL_NANO)).cast("long")
     scored = (
         tf.join(F.broadcast(bg_counts), "bg")
         .withColumn("w1", F.split("bg", " ")[0])
         .join(F.broadcast(prefix_counts), "w1")
         .crossJoin(F.broadcast(vocab))
-        .select("doc_id", "tf", (F.col("tf") * logp).alias("tf_logp"))
+        .select("doc_id", "tf", contrib.alias("nano"))
     )
-    avg_logp = F.sum("tf_logp") / F.sum("tf")
-    return scored.groupBy("doc_id").agg(
+    per_doc = scored.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum("nano").cast("long").alias("s_nano"),
+    )
+    avg_logp = (F.col("s_nano") / F.lit(PPL_NANO)) / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
         F.round(avg_logp, 4).alias("avg_logp"),
         F.round(F.exp(-avg_logp), 4).alias("perplexity"),
     )
+
+
+# The identical nano-nat restatement in DuckDB SQL (a complete SELECT
+# over the pre-registered `documents` view), interpolated into BOTH
+# q_text_quality's graded union oracle and the standalone pytest
+# oracle. Expression trees mirror perplexity_per_doc term for term.
+PERPLEXITY_NANO_ORACLE_SQL = f"""
+    WITH pw AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    pgrams AS (
+        SELECT doc_id, array_to_string(words[i : i + 1], ' ') AS bg
+        FROM (
+            SELECT doc_id, words,
+                   unnest(range(1, greatest(len(words) - 1, 1) + 1)) AS i
+            FROM pw
+        )
+        WHERE len(words) >= 2
+    ),
+    ptf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM pgrams GROUP BY 1, 2),
+    pbgc AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c_bg FROM ptf GROUP BY 1),
+    ppfx AS (
+        SELECT string_split(bg, ' ')[1] AS w1,
+               CAST(SUM(c_bg) AS BIGINT) AS c_prefix
+        FROM pbgc GROUP BY 1
+    ),
+    pv AS (SELECT COUNT(*) AS v FROM ppfx),
+    pnano AS (
+        SELECT ptf.doc_id, ptf.tf,
+               CAST(FLOOR(ptf.tf
+                          * ln((c_bg + {LM_SMOOTH_K})
+                               / (c_prefix + {LM_SMOOTH_K} * v))
+                          * 1e9) AS BIGINT) AS nano
+        FROM ptf
+        JOIN pbgc USING (bg)
+        JOIN ppfx ON string_split(ptf.bg, ' ')[1] = ppfx.w1
+        CROSS JOIN pv
+    ),
+    pdoc AS (
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               CAST(SUM(nano) AS BIGINT) AS s_nano
+        FROM pnano GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           ROUND((s_nano / 1e9) / n_bigrams, 4) AS avg_logp,
+           ROUND(EXP(-((s_nano / 1e9) / n_bigrams)), 4) AS perplexity
+    FROM pdoc
+"""
+
+
+@query("q_perplexity")  # rows-only registration; HARD-GRADED since
+# round 7 (ninth wave) through q_text_quality's `perplexity` union
+# leg; standalone DuckDB oracle runs in tests/test_quality_ops.py
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (quality filtering): perplexity-style scoring — each
+    document's mean bigram log-probability under an add-k-smoothed
+    conditional bigram model TRAINED ON THE CORPUS ITSELF, exp(-mean)
+    as perplexity. The CCNet-style filter signal: documents whose
+    token transitions are improbable under the corpus model (spam,
+    garbled text) score high and get dropped/downweighted.
+    P(w2|w1) = (c(w1,w2)+k) / (c(w1,·)+k·V): the denominator is the
+    bigram-PREFIX count (proper conditional normalization) and V the
+    number of distinct prefixes.
+
+    Shape: ONE corpus-sized shuffle total. Per-doc bigram term
+    frequencies aggregate the exploded bigrams on (doc, bg); the
+    model — bigram counts, prefix counts, vocab size — derives from
+    tf's output (vocab^2-sized, shuffles only model-table partials;
+    the two scans Catalyst keeps share the same pruned explode) and
+    is BROADCAST back onto tf, so scoring never reshuffles the
+    corpus; the per-occurrence average Σ(tf·logp)/Σ(tf) then reuses
+    doc-keyed partial aggregation. At natural-text scale where the
+    bigram model outgrows the broadcast threshold, swap the broadcast
+    hint for an equi-join on bg — same semantics, one more shuffle.
+    Counts stay exact integers; since r7 the per-doc Σ tf·ln p is ALSO
+    an exact integer (PPL_NANO quantization), so the output is
+    partitioning-invariant and hash-gradable.
+    Pinned in test_plans.py: no corpus re-shuffle, no cartesian."""
+    return perplexity_per_doc(load_table(spark, sf_dir, "documents"))
 
 
 # Model-based quality filtering (the fastText-classifier pattern from

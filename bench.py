@@ -299,7 +299,10 @@ EXPECTED_CHANGES = {
         " two of each"
     ),
     "q_text_quality": (
-        "tagged-union merge runs cheap-score + gopher-battery legs (r6)"
+        "tagged-union merge runs cheap-score + gopher-battery legs"
+        " (r6); r7 ninth wave adds the bigram-LM perplexity leg — the"
+        " slot now also pays q_perplexity's model pipeline (one"
+        " (doc, bigram) shuffle + broadcast model)"
     ),
     "q_sample_stratified": (
         "tagged-union merge runs stratified + weighted + group legs"

@@ -734,7 +734,11 @@ def test_round6_unions_are_single_scan(spark, sf_smoke):
     parquet once per leg, doubling scan IO at 100 TB. q_mask_pii reads
     two different tables, so its bound is one scan per table."""
     for name, max_scans in (
-        ("q_text_quality", 1),
+        # r7 ninth wave: the three projection legs still share ONE
+        # scan via the tagged explode; the perplexity leg adds its
+        # bigram-explode scan (the model side reads the stage-pinned
+        # tf RDD, not parquet)
+        ("q_text_quality", 2),
         # r7: raw+normalized still share ONE scan via the tagged
         # explode; the lines leg (block postings + per-doc reassembly)
         # is a different aggregate topology and owns the other two —
@@ -771,7 +775,10 @@ def test_round6_unions_are_single_scan(spark, sf_smoke):
         )
         assert n_scans <= max_scans, (name, n_scans, plan)
     # and the pure-projection unions still shuffle nothing
-    for name in ("q_text_quality", "q_mask_pii"):
+    # (q_text_quality left this list in r7: its ninth-wave perplexity
+    # leg legitimately owns keyed-aggregate exchanges — its shuffle
+    # discipline is pinned by test_perplexity_plan instead)
+    for name in ("q_mask_pii",):
         plan = final_plan(run(name, spark, sf_smoke))
         assert not [
             ln for ln in plan.splitlines()

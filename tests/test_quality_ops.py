@@ -152,48 +152,87 @@ def test_pii_redact_matches_duckdb_oracle(spark, sf_correctness):
 
 def test_perplexity_matches_duckdb_oracle(spark, sf_correctness):
     """Bigram-LM perplexity: identical (doc, n_bigrams, avg_logp,
-    perplexity) from both engines under the same add-1-smoothed
-    corpus model."""
-    sql = f"""
-        WITH w AS (
-            SELECT doc_id, string_split(text, ' ') AS words
-            FROM read_parquet('{_docs(sf_correctness)}')
-        ),
-        grams AS (
-            SELECT doc_id, array_to_string(words[i : i + 1], ' ') AS bg
-            FROM (
-                SELECT doc_id, words,
-                       unnest(range(1, greatest(len(words) - 1, 1) + 1)) AS i
-                FROM w
-            )
-            WHERE len(words) >= 2
-        ),
-        bgc AS (SELECT bg, COUNT(*) AS c_bg FROM grams GROUP BY 1),
-        pfx AS (
-            SELECT string_split(bg, ' ')[1] AS w1,
-                   CAST(SUM(c_bg) AS BIGINT) AS c_prefix
-            FROM bgc GROUP BY 1
-        ),
-        v AS (SELECT COUNT(*) AS v FROM pfx)
-        SELECT doc_id,
-               COUNT(*) AS n_bigrams,
-               ROUND(AVG(ln((c_bg + {Q.LM_SMOOTH_K}) / (c_prefix + {Q.LM_SMOOTH_K} * v))), 4)
-                   AS avg_logp,
-               ROUND(exp(-AVG(ln((c_bg + {Q.LM_SMOOTH_K}) / (c_prefix + {Q.LM_SMOOTH_K} * v)))), 4)
-                   AS perplexity
-        FROM grams
-        JOIN bgc USING (bg)
-        JOIN pfx ON string_split(bg, ' ')[1] = pfx.w1
-        CROSS JOIN v
-        GROUP BY doc_id
-    """
-    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    perplexity) from both engines under the same add-1-smoothed corpus
+    model — exact equality since the r7 PPL_NANO integer restatement
+    (the same SQL q_text_quality's graded union interpolates)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{_docs(sf_correctness)}')"
+    )
+    expected = {
+        tuple(r)
+        for r in con.execute(Q.PERPLEXITY_NANO_ORACLE_SQL).fetchall()
+    }
     rows = QUERIES["q_perplexity"](spark, sf_correctness).collect()
     assert {tuple(r) for r in rows} == expected
     # perplexity must vary across docs (a constant score filters nothing)
     ppls = {r.perplexity for r in rows}
     assert len(ppls) > 10
     assert all(r.perplexity > 1.0 for r in rows)
+
+
+def test_perplexity_values_clear_rounding_boundaries(spark, sf_correctness):
+    """Flap-proofing for q_text_quality's hash-graded perplexity leg
+    (the entropy-leg pattern): cross-engine ln() drift moves the
+    nano-quantized per-doc sum by at most 1 nano per (doc, bigram) row
+    — ≤ n_bigrams nano-nats, i.e. ≤ 1e-9 in avg_logp and ~|ppl|·1e-9
+    in exp(-avg). Assert every unrounded fixture value clears the
+    x.xxxx5 half-way boundary by orders of magnitude more."""
+    from pyspark.sql import functions as F
+
+    from ai_ready_data_framework_spark.functions import text as T
+    from ai_ready_data_framework_spark.io import load_table
+    from ai_ready_data_framework_spark.operators.quality import (
+        LM_SMOOTH_K,
+        PPL_NANO,
+    )
+
+    # recompute the UNROUNDED avg/ppl from the same integer sufficient
+    # statistics the operator aggregates (the entropy-test pattern —
+    # measuring on the rounded outputs would be circular)
+    docs = load_table(spark, sf_correctness, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(T.shingles(T.tokens("text"), 2)).alias("bg")
+    ).filter(F.size(F.split("bg", " ")) == 2)
+    tf = grams.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    bg_counts = tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
+    prefix = (
+        bg_counts.withColumn("w1", F.split("bg", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c_bg").alias("c_prefix"))
+    )
+    vocab = prefix.agg(F.count("*").alias("v"))
+    logp = F.log(
+        (F.col("c_bg") + LM_SMOOTH_K)
+        / (F.col("c_prefix") + LM_SMOOTH_K * F.col("v"))
+    )
+    nano = F.floor(F.col("tf") * logp * F.lit(PPL_NANO)).cast("long")
+    per_doc = (
+        tf.join(F.broadcast(bg_counts), "bg")
+        .withColumn("w1", F.split("bg", " ")[0])
+        .join(F.broadcast(prefix), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n"), F.sum(nano).alias("s_nano"))
+    )
+    avg = (F.col("s_nano") / F.lit(PPL_NANO)) / F.col("n")
+    ppl = F.exp(-avg)
+
+    def boundary_dist(col):
+        scaled = col * 10000
+        frac = scaled - F.floor(scaled)
+        return F.abs(frac - 0.5)
+
+    row = per_doc.select(
+        F.min(boundary_dist(avg)).alias("da"),
+        F.min(boundary_dist(ppl)).alias("dp"),
+    ).collect()[0]
+    # distances are in rounded-digit units: drift ≤ n nano-nats on a
+    # sum divided by n → ≤ 1e-9 in avg (1e-5 scaled) and ~ppl·1e-9 in
+    # the exp (≤ ~1e-4 scaled at fixture ppl ≤ 12). Require 2x.
+    assert row.da > 2e-5, row
+    assert row.dp > 2e-4, row
 
 
 def test_quality_classifier_separates_and_is_deterministic(spark, sf_smoke):
