@@ -1334,7 +1334,11 @@ def _profile_union_oracle_sql() -> str:
            CAST(MIN({c}) AS VARCHAR) AS min_value,
            CAST(MAX({c}) AS VARCHAR) AS max_value,
            CAST(NULL AS DOUBLE) AS pearson_r,
-           COUNT(*) AS n_rows
+           COUNT(*) AS n_rows,
+           CAST(NULL AS BIGINT) AS max_group,
+           CAST(NULL AS DOUBLE) AS p50_group,
+           CAST(NULL AS DOUBLE) AS p99_group,
+           CAST(NULL AS DOUBLE) AS skew_factor
     FROM orders"""
         for c in PROFILE_COLS
     )
@@ -1348,15 +1352,36 @@ def _profile_union_oracle_sql() -> str:
            CAST(NULL AS VARCHAR) AS min_value,
            CAST(NULL AS VARCHAR) AS max_value,
            pearson_r,
-           n_rows
+           n_rows,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM (
         {corr_oracle_inner_sql()}
     ) c_inner
+    UNION ALL
+    -- keyskew leg (r7 tenth wave): q_skew_profile's group-size
+    -- distribution summary over the fact table's join key (the top-K
+    -- heavy-key rows stay on the standalone's pytest oracle — the
+    -- q_fingerprint summary-leg precedent)
+    SELECT 'keyskew', 'l_orderkey',
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE),
+           CAST(SUM(cnt) AS BIGINT),
+           CAST(MAX(cnt) AS BIGINT),
+           ROUND(quantile_cont(cnt, 0.5), 4),
+           ROUND(quantile_cont(cnt, 0.99), 4),
+           ROUND(MAX(cnt) / AVG(cnt), 4)
+    FROM (
+        SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ) kcnt
     """
 
 
 @query("q_profile", oracle=_profile_union_oracle_sql())
-# hard-graded union (r7 eighth wave): column profile + corr profile
+# hard-graded union (r7 eighth + tenth waves): column profile + corr
+# profile + join-key skew summary
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profiling, tagged union (r7 eighth wave) — the first
     query any training pipeline runs against a new asset:
@@ -1369,6 +1394,15 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       over the fact table's numeric columns (col_name/col_b = the
       pair; hash-gradable since the integer-sufficient-statistics
       restatement, VERDICT r6 #1 — see q_corr_matrix).
+    - ``keyskew`` (r7 tenth wave): q_skew_profile's join-key
+      group-size distribution summary (col_name = the profiled key;
+      n_distinct = distinct keys, n_rows = fact rows, plus
+      max/p50/p99 group size and skew_factor = max/mean). Hash-safe:
+      integer counts, int-ratio skew factor, and the percentile
+      interpolation is proven exactly equal to quantile_cont by the
+      standalone's tolerance-free pytest oracle. The top-K heavy-key
+      rows stay on the standalone registration (the q_fingerprint
+      summary-leg precedent).
 
     TWO aggregate subtrees for the column leg, not one: mixing
     DISTINCT and plain aggregates in a single agg makes Catalyst
@@ -1376,8 +1410,15 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain min/max/avg (with their casts) on every expanded copy —
     measured 2.7x slower than running the plain aggregates in one
     codegen'd pass and the distinct Expand over only its own columns,
-    then cross-joining the two 1-row results. The corr leg is one
-    fused integer aggregate over its own (different-table) scan."""
+    then cross-joining the two 1-row results. The corr and keyskew
+    legs are each one fused aggregate over their own (different-table)
+    scans of lineitem."""
+    null_skew_cols = [
+        F.lit(None).cast("long").alias("max_group"),
+        F.lit(None).cast("double").alias("p50_group"),
+        F.lit(None).cast("double").alias("p99_group"),
+        F.lit(None).cast("double").alias("skew_factor"),
+    ]
     orders = load_table(spark, sf_dir, "orders")
     plain_aggs = [F.count("*").cast("long").alias("n_rows")]
     for c in PROFILE_COLS:
@@ -1414,6 +1455,7 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
             F.lit(None).cast("double").alias("pearson_r"),
             "n_rows",
+            *null_skew_cols,
         )
     )
     li = load_table(spark, sf_dir, "lineitem")
@@ -1442,9 +1484,37 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("max_value"),
             "pearson_r",
             "n_rows",
+            *null_skew_cols,
         )
     )
-    return col_leg.unionByName(corr_leg)
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    skew_leg = per_key.agg(
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_group"),
+        F.round(
+            F.expr("CAST(percentile(cnt, 0.5) AS DOUBLE)"), 4
+        ).alias("p50_group"),
+        F.round(
+            F.expr("CAST(percentile(cnt, 0.99) AS DOUBLE)"), 4
+        ).alias("p99_group"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_factor"),
+    ).select(
+        F.lit("keyskew").alias("profile_kind"),
+        F.lit("l_orderkey").alias("col_name"),
+        F.lit(None).cast("string").alias("col_b"),
+        F.lit(None).cast("double").alias("null_frac"),
+        "n_distinct",
+        F.lit(None).cast("string").alias("min_value"),
+        F.lit(None).cast("string").alias("max_value"),
+        F.lit(None).cast("double").alias("pearson_r"),
+        "n_rows",
+        "max_group",
+        "p50_group",
+        "p99_group",
+        "skew_factor",
+    )
+    return col_leg.unionByName(corr_leg).unionByName(skew_leg)
 
 
 @query("q_corr_matrix")  # rows-only registration; HARD-GRADED since

@@ -78,6 +78,8 @@ ROWS_ONLY_TAIL_ORDER = [
     # q_tfidf_topterms (q_token_bpe's tfidf leg off the shared tf
     # frame), q_perplexity (q_text_quality's perplexity leg, nano-nat
     # restatement)
+    # r7 tenth wave: q_skew_profile's distribution summary (via
+    # q_profile's keyskew leg; top-K key rows stay pytest-oracled)
     "q_set_union",
     "q_fuzzy_match",
     "q_window_sliding",

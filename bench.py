@@ -339,8 +339,9 @@ EXPECTED_CHANGES = {
     ),
     "q_profile": (
         "tagged-union merge adds q_corr_matrix's pairwise-Pearson leg"
-        " (r7 eighth wave) — a second fused integer aggregate over the"
-        " lineitem scan beside the orders column profile"
+        " (r7 eighth wave) and q_skew_profile's keyskew summary leg"
+        " (r7 tenth wave) — two more fused aggregates over lineitem"
+        " beside the orders column profile"
     ),
     "q_histogram_bins": (
         "tagged-union merge adds q_length_buckets' length_bucket leg"
