@@ -859,6 +859,12 @@ QSAMPLE_HASH_MULT = 2654435761
 QSAMPLE_HASH_MOD = 4294967296
 
 
+def qsample_m(quality: Column) -> Column:
+    """quality_score recovered as the exact integer m = q·10^4
+    (quality_score is round-4 by construction)."""
+    return F.floor(quality * 10000 + F.lit(0.5)).cast("long")
+
+
 def qsample_gate(doc_id: Column, quality: Column) -> tuple[Column, Column]:
     """(keep?, keep_prob) for the soft quality sample, as an EXACT
     integer comparison (r7 ninth wave): with u = k/2^32 (k the Knuth
@@ -871,10 +877,65 @@ def qsample_gate(doc_id: Column, quality: Column) -> tuple[Column, Column]:
     quadratic residue mod 16), so both engines' round-half modes
     agree."""
     k = F.pmod(doc_id * QSAMPLE_HASH_MULT, F.lit(QSAMPLE_HASH_MOD))
-    m = F.floor(quality * 10000 + F.lit(0.5)).cast("long")
+    m = qsample_m(quality)
     keep = (k * F.lit(10**8)) < (m * m * F.lit(QSAMPLE_HASH_MOD))
     keep_prob = F.round((m * m) / F.lit(float(10**8)), 4)
     return keep, keep_prob
+
+
+# Micro-unit quantization for the Horvitz-Thompson reweighted sums
+# (r7): inv_p = 10^8/m^2 and n_chars·inv_p are single correctly-rounded
+# IEEE divisions/multiplications of exact integers — deterministic in
+# any engine — but their cross-partition SUM is not order-safe, so each
+# per-row term FLOORs to integer micro-units first and the aggregate
+# sums decimal(38,0) exactly (per-row ≤ 1e17, so int64 would overflow
+# on a large corpus; quantization error ≤ rows·1e-6, invisible at the
+# 4-decimal output away from boundaries).
+HT_MICRO = 1e6
+
+
+def ht_inv_p(m: Column) -> Column:
+    """Exact HT weight 1/p = 10^8/m² from the integer quality m."""
+    return F.lit(float(10**8)) / (m * m)
+
+
+def ht_oracle_sql(chars_expr: str = "n_chars") -> str:
+    """DuckDB restatement of the HT audit (integer gate + micro-unit
+    sums), parameterized on the char-count source: the standalone
+    query audits the declared ``n_chars`` column, q_text_stats' graded
+    ``ht`` leg audits ``length(text)`` (the slot's existing char
+    contract — identical wherever constraint_declaration passes).
+    Returns a complete SELECT over the pre-registered `documents`
+    view with columns (source, n_true, n_sampled, n_hat, chars_true,
+    chars_hat)."""
+    micro = int(HT_MICRO)
+    return f"""
+    WITH hbase AS (
+        SELECT source,
+               CAST({chars_expr} AS BIGINT) AS nc,
+               CAST(FLOOR({quality_score_sql()} * 10000 + 0.5) AS BIGINT) AS m,
+               (doc_id * {QSAMPLE_HASH_MULT}) % {QSAMPLE_HASH_MOD} AS k
+        FROM documents
+    ),
+    hrows AS (
+        SELECT source, nc,
+               CASE WHEN k * 100000000 < m * m * {QSAMPLE_HASH_MOD}
+                    THEN 1 ELSE 0 END AS kept,
+               100000000.0 / (m * m) AS invp
+        FROM hbase
+    )
+    SELECT source,
+           COUNT(*) AS n_true,
+           CAST(SUM(kept) AS BIGINT) AS n_sampled,
+           ROUND(SUM(CASE WHEN kept = 1
+                          THEN CAST(FLOOR(invp * {micro}) AS HUGEINT)
+                          ELSE 0 END) / {micro}.0, 4) AS n_hat,
+           CAST(SUM(nc) AS BIGINT) AS chars_true,
+           ROUND(SUM(CASE WHEN kept = 1
+                          THEN CAST(FLOOR(nc * invp * {micro}) AS HUGEINT)
+                          ELSE 0 END) / {micro}.0, 4) AS chars_hat
+    FROM hrows GROUP BY source
+    """
 
 
 # Per-source mixture rates (dataset mixing config); sources not listed
@@ -1286,6 +1347,11 @@ def _text_stats_union_oracle_sql() -> str:
            CAST(NULL AS BIGINT) AS n_langs,
            CAST(NULL AS VARCHAR) AS top_lang,
            CAST(NULL AS DOUBLE) AS top_lang_share"""
+    null_ht = """
+           CAST(NULL AS BIGINT) AS n_sampled,
+           CAST(NULL AS DOUBLE) AS n_hat,
+           CAST(NULL AS BIGINT) AS chars_true,
+           CAST(NULL AS DOUBLE) AS chars_hat"""
     return f"""
     SELECT 'stats' AS stat_kind, source, lang,
            CAST(NULL AS VARCHAR) AS detected,
@@ -1295,14 +1361,16 @@ def _text_stats_union_oracle_sql() -> str:
            ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 4)
                AS avg_chars,
            CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
-           {null_card}
+           {null_card},
+           {null_ht}
     FROM documents
     GROUP BY source, lang
     UNION ALL
     SELECT 'lang_id', CAST(NULL AS VARCHAR), lang, detected,
            COUNT(*), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS BIGINT),
-           {null_card}
+           {null_card},
+           {null_ht}
     FROM (
         SELECT lang, {T.lang_id_sql("lower(text)")} AS detected
         FROM documents
@@ -1364,18 +1432,35 @@ def _text_stats_union_oracle_sql() -> str:
                m.n_langs,
                t.top_lang,
                ROUND(CAST(t.top_cnt AS DOUBLE) / m.n_docs, 4)
-                   AS top_lang_share
+                   AS top_lang_share,
+               {null_ht}
         FROM dmix m JOIN dtop t USING (source) JOIN ddups d USING (source)
     ) dc
+    UNION ALL
+    -- ht leg (r7 eleventh fold): Horvitz-Thompson audit of the frozen
+    -- quality sample (integer gate + micro-unit sums; chars from
+    -- length(text), the slot's char contract)
+    SELECT 'ht', source,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           n_true,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT),
+           {null_card},
+           n_sampled, n_hat, chars_true, chars_hat
+    FROM (
+        {ht_oracle_sql("length(text)")}
+    ) hto
     """
 
 
 @query("q_text_stats", oracle=_text_stats_union_oracle_sql())
-# hard-graded union (r6 sixth wave + r7 seventh wave): corpus stats +
-# language-ID agreement matrix + per-source data card in one slot
+# hard-graded union (r6 sixth wave + r7 seventh wave + r7 eleventh
+# fold): corpus stats + language-ID agreement matrix + per-source data
+# card + Horvitz-Thompson sample audit in one slot
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 (text analysis), tagged union (sixth wave added lang_id;
-    seventh wave adds the data card — VERDICT r6 #4):
+    seventh wave adds the data card — VERDICT r6 #4; the r7 eleventh
+    fold adds the ``ht`` audit leg):
 
     - ``stats``: corpus statistics per (source, lang) — token counts,
       doc lengths (provenance grouping per FIXTURES.md
@@ -1394,20 +1479,29 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       (the slot's existing avg_chars contract) rather than the
       declared n_chars column — identical wherever the
       constraint_declaration check passes.
+    - ``ht`` (r7 eleventh fold): q_ht_estimate's Horvitz-Thompson
+      audit of the frozen quality sample — per source: true doc/char
+      totals beside the 1/p-reweighted estimates from the kept docs
+      alone. Hash-safe end to end: the keep gate is q_sample_quality's
+      exact int64 gate, 1/p = 10^8/m² is one correctly-rounded
+      division of exact integers, and the reweighted sums aggregate
+      FLOOR-quantized integer micro-units (HT_MICRO). Same
+      length(text) char divergence note as the datacard leg.
 
-    Single-scan shape, preserved through the fold: token count, char
-    count, detected language, and the content sha2 evaluate ONCE per
-    doc BELOW the tag explode (the r6 heavy-exprs-once lesson); each
-    doc emits three tagged rows into ONE map-side-combinable
-    first-level aggregate keyed (kind, source, lang, detected, hash) —
-    per-kind NULL keys keep the key spaces disjoint. stats/lang_id
-    rows leave that aggregate at final granularity; the datacard's
-    second-level rollups (per-source mix from the stats rows, dup
-    share from the (source, hash) rows) run over the STAGE-PINNED
-    first-level result, so the corpus is scanned once and everything
-    downstream is vocabulary-/source-sized. The (source, hash) leg of
-    the exchange carries 32-byte hashes, never text — the same
-    dedup-aggregate shape as q_dedup_exact at 100 TB."""
+    Single-scan shape, preserved through both folds: token count, char
+    count, detected language, content sha2, the quality integer m, and
+    the ht micro-unit measures evaluate ONCE per doc BELOW the tag
+    explode (the r6 heavy-exprs-once lesson); each doc emits four
+    tagged rows into ONE map-side-combinable first-level aggregate
+    keyed (kind, source, lang, detected, hash) — per-kind NULL keys
+    keep the key spaces disjoint. stats/lang_id/ht rows leave that
+    aggregate at final granularity; the datacard's second-level
+    rollups (per-source mix from the stats rows, dup share from the
+    (source, hash) rows) run over the STAGE-PINNED first-level result,
+    so the corpus is scanned once and everything downstream is
+    vocabulary-/source-sized. The (source, hash) leg of the exchange
+    carries 32-byte hashes, never text — the same dedup-aggregate
+    shape as q_dedup_exact at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     # bind each marker score ONCE, then argmax over the bound columns:
     # the inline lang_id() fold nests score expressions into every
@@ -1422,8 +1516,20 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(T.tokens("text")).alias("__nt"),
         F.length("text").cast("long").alias("__nc"),
         F.sha2("text", 256).alias("__hash"),
+        qsample_m(T.quality_score("text")).alias("__m"),
+        F.pmod(
+            F.col("doc_id") * QSAMPLE_HASH_MULT, F.lit(QSAMPLE_HASH_MOD)
+        ).alias("__k"),
         *[scores[lang].alias(f"__s_{lang}") for lang in langs],
     )
+    # ht-leg measures from the bound integers (the same int64 gate and
+    # exact 1/p = 10^8/m^2 as q_sample_quality / q_ht_estimate; chars
+    # from the slot's length(text) contract — the datacard divergence
+    # note applies)
+    ht_kept = (F.col("__k") * F.lit(10**8)) < (
+        F.col("__m") * F.col("__m") * F.lit(QSAMPLE_HASH_MOD)
+    )
+    ht_w = ht_inv_p(F.col("__m"))
     base = scored.select(
         "source",
         "lang",
@@ -1433,21 +1539,35 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.lang_id_from_scores(
             {lang: F.col(f"__s_{lang}") for lang in langs}
         ).alias("__det"),
+        ht_kept.cast("long").alias("__kept"),
+        F.when(ht_kept, F.floor(ht_w * F.lit(HT_MICRO)))
+        .otherwise(0)
+        .cast("decimal(38,0)")
+        .alias("__invp_micro"),
+        F.when(ht_kept, F.floor(F.col("__nc") * ht_w * F.lit(HT_MICRO)))
+        .otherwise(0)
+        .cast("decimal(38,0)")
+        .alias("__chars_invp_micro"),
     )
     kind = F.col("stat_kind")
     tagged = base.select(
         "*",
         F.explode(
-            F.array(F.lit("stats"), F.lit("lang_id"), F.lit("datacard"))
+            F.array(
+                F.lit("stats"), F.lit("lang_id"), F.lit("datacard"), F.lit("ht")
+            )
         ).alias("stat_kind"),
     ).select(
         "stat_kind",
         F.when(kind != "lang_id", F.col("source")).alias("source"),
-        F.when(kind != "datacard", F.col("lang")).alias("lang"),
+        F.when(kind.isin("stats", "lang_id"), F.col("lang")).alias("lang"),
         F.when(kind == "lang_id", F.col("__det")).alias("detected"),
         F.when(kind == "datacard", F.col("__hash")).alias("__h"),
         "__nt",
         "__nc",
+        "__kept",
+        "__invp_micro",
+        "__chars_invp_micro",
     )
     fl = stage_pin(
         tagged.groupBy("stat_kind", "source", "lang", "detected", "__h").agg(
@@ -1455,6 +1575,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__nt").alias("s_nt"),
             F.sum("__nc").alias("s_nc"),
             F.max("__nt").cast("long").alias("m_nt"),
+            F.sum("__kept").alias("n_kept"),
+            F.sum("__invp_micro").alias("s_invp"),
+            F.sum("__chars_invp_micro").alias("s_cinvp"),
         )
     )
     null_card = [
@@ -1464,6 +1587,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_langs"),
         F.lit(None).cast("string").alias("top_lang"),
         F.lit(None).cast("double").alias("top_lang_share"),
+    ]
+    null_ht = [
+        F.lit(None).cast("long").alias("n_sampled"),
+        F.lit(None).cast("double").alias("n_hat"),
+        F.lit(None).cast("long").alias("chars_true"),
+        F.lit(None).cast("double").alias("chars_hat"),
     ]
     stats_rows = fl.filter(kind == "stats").select(
         "stat_kind",
@@ -1475,6 +1604,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s_nc") / F.col("n"), 4).alias("avg_chars"),
         F.col("m_nt").alias("max_tokens"),
         *null_card,
+        *null_ht,
     )
     lang_rows = fl.filter(kind == "lang_id").select(
         "stat_kind",
@@ -1486,6 +1616,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("avg_chars"),
         F.lit(None).cast("long").alias("max_tokens"),
         *null_card,
+        *null_ht,
     )
     # datacard rollups run over the PINNED first-level aggregate —
     # (source, hash) rows are one row per distinct content per source
@@ -1520,8 +1651,36 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__top").getField("cnt") / F.col("n_docs"), 4).alias(
             "top_lang_share"
         ),
+        *null_ht,
     )
-    return stats_rows.unionByName(lang_rows).unionByName(card_rows)
+    # ht leg (r7 eleventh fold): per-source Horvitz-Thompson audit of
+    # the frozen quality sample, read straight off the same pinned
+    # first-level aggregate (its integer micro-unit sums ride the
+    # shared exchange as three more map-side-combinable columns)
+    ht_rows = fl.filter(kind == "ht").select(
+        "stat_kind",
+        "source",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("detected"),
+        F.col("n").alias("n_docs"),
+        F.lit(None).cast("double").alias("avg_tokens"),
+        F.lit(None).cast("double").alias("avg_chars"),
+        F.lit(None).cast("long").alias("max_tokens"),
+        *null_card,
+        F.col("n_kept").cast("long").alias("n_sampled"),
+        F.round(
+            F.col("s_invp").cast("double") / F.lit(HT_MICRO), 4
+        ).alias("n_hat"),
+        F.col("s_nc").cast("long").alias("chars_true"),
+        F.round(
+            F.col("s_cinvp").cast("double") / F.lit(HT_MICRO), 4
+        ).alias("chars_hat"),
+    )
+    return (
+        stats_rows.unionByName(lang_rows)
+        .unionByName(card_rows)
+        .unionByName(ht_rows)
+    )
 
 
 def _text_quality_union_oracle_sql() -> str:
@@ -4190,8 +4349,10 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_agreement(emb.select("vec_id", "label", "embedding"))
 
 
-@query("q_ht_estimate")  # rows-only: graded window full; DuckDB oracle
-# + unbiasedness bound run in tests/test_corpus_ops.py
+@query("q_ht_estimate")  # rows-only registration; HARD-GRADED since
+# round 7 (eleventh fold) through q_text_stats' `ht` union leg; the
+# standalone DuckDB oracle + unbiasedness bound run in
+# tests/test_corpus_ops.py
 def q_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (weighted-sample correctness): Horvitz-Thompson
     audit of the soft quality sample — the statistic that makes
@@ -4202,30 +4363,42 @@ def q_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     at audit time) and is the standing check that downstream consumers
     reweight instead of treating a quality-biased sample as uniform.
 
+    r7 restatement: the keep decision now uses the SAME exact int64
+    gate q_sample_quality freezes (qsample_gate — the float pow() form
+    could disagree with the shipped sample on a boundary ulp, i.e.
+    audit a slightly different sample than the one frozen), the weight
+    1/p = 10^8/m² is an exact correctly-rounded division of integers,
+    and the reweighted sums aggregate FLOOR-quantized integer
+    micro-units (HT_MICRO) — order-invariant, hash-gradable.
+
     One keyed aggregate over one scan: truth columns and HT columns are
     parallel aggregate expressions on the same pass — at 100 TB the
     audit costs exactly one corpus read."""
     docs = load_table(spark, sf_dir, "documents")
     q = T.quality_score(F.col("text"))
-    p = F.pow(q, F.lit(QSAMPLE_BETA))
-    u = (
-        F.pmod(F.col("doc_id") * QSAMPLE_HASH_MULT, F.lit(QSAMPLE_HASH_MOD))
-        / F.lit(float(QSAMPLE_HASH_MOD))
-    )
+    keep, _ = qsample_gate(F.col("doc_id"), q)
+    inv_p = ht_inv_p(qsample_m(q))
     base = docs.select(
         "source",
         "n_chars",
-        (u < p).alias("kept"),
-        p.alias("p"),
+        keep.alias("kept"),
+        F.when(keep, F.floor(inv_p * F.lit(HT_MICRO)))
+        .otherwise(0)
+        .cast("decimal(38,0)")
+        .alias("invp_micro"),
+        F.when(keep, F.floor(F.col("n_chars") * inv_p * F.lit(HT_MICRO)))
+        .otherwise(0)
+        .cast("decimal(38,0)")
+        .alias("chars_invp_micro"),
     )
     return base.groupBy("source").agg(
         F.count("*").alias("n_true"),
         F.count(F.when(F.col("kept"), 1)).alias("n_sampled"),
-        F.round(F.sum(F.when(F.col("kept"), 1.0 / F.col("p"))), 4).alias(
-            "n_hat"
-        ),
+        F.round(
+            F.sum("invp_micro").cast("double") / F.lit(HT_MICRO), 4
+        ).alias("n_hat"),
         F.sum("n_chars").alias("chars_true"),
         F.round(
-            F.sum(F.when(F.col("kept"), F.col("n_chars") / F.col("p"))), 4
+            F.sum("chars_invp_micro").cast("double") / F.lit(HT_MICRO), 4
         ).alias("chars_hat"),
     )

@@ -80,6 +80,8 @@ ROWS_ONLY_TAIL_ORDER = [
     # restatement)
     # r7 tenth wave: q_skew_profile's distribution summary (via
     # q_profile's keyskew leg; top-K key rows stay pytest-oracled)
+    # r7 eleventh fold: q_ht_estimate (q_text_stats' ht leg riding the
+    # same pinned single-scan aggregate; int64 gate + micro-unit sums)
     "q_set_union",
     "q_fuzzy_match",
     "q_window_sliding",

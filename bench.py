@@ -326,7 +326,9 @@ EXPECTED_CHANGES = {
         " 3.5s; bound form ~1s). r7 seventh wave adds the datacard leg:"
         " a per-doc sha2, a third tag row into the same first-level"
         " aggregate (now stage-pinned), and two source-sized rollups —"
-        " still one corpus scan"
+        " still one corpus scan. r7 eleventh fold adds the HT-audit"
+        " leg: per-doc quality scoring + a fourth tag row with integer"
+        " micro-unit sums riding the same aggregate — still one scan"
     ),
     "q_token_bpe": (
         "tagged-union merge adds the heavy-hitters vocabulary leg (r6"

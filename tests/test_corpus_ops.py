@@ -805,55 +805,32 @@ def test_distinct_sketch_within_hll_error_of_exact(spark, sf_correctness):
 
 
 def test_ht_estimate_matches_duckdb_and_is_unbiased(spark, sf_correctness):
-    """DuckDB recomputes the HT columns (tolerance compare — 1/p sums
-    are float-order sensitive); and the reweighted estimates must sit
-    near the truth: per-source within 35%, corpus-wide within 15% —
-    the whole point of Horvitz-Thompson reweighting."""
-    from ai_ready_data_framework_spark.operators.ai import (
-        QSAMPLE_BETA,
-        QSAMPLE_HASH_MOD,
-        QSAMPLE_HASH_MULT,
-    )
+    """EXACT tolerance-free compare since the r7 restatement (integer
+    gate shared with q_sample_quality + micro-quantized reweighted
+    sums — the same SQL q_text_stats' graded ht leg interpolates, here
+    over the declared n_chars column); and the reweighted estimates
+    must sit near the truth: the whole point of Horvitz-Thompson
+    reweighting."""
+    from ai_ready_data_framework_spark.operators.ai import ht_oracle_sql
 
-    score_sql = """ROUND(GREATEST(LEAST(
-            LEAST(len(string_split(text, ' ')) / 64.0, 1.0)
-            * (1 - len(list_filter(string_split(text, ' '),
-                                   x -> x IN ('the', 'a')))
-                / GREATEST(len(string_split(text, ' ')), 1))
-            * (1 - (length(text)
-                    - length(regexp_replace(text, '{PUNCT_STRIP_RE}', '', 'g')))
-                / GREATEST(length(text), 1)),
-            1.0), 0.0), 4)"""
-    sql = f"""
-        WITH scored AS (
-            SELECT source, n_chars,
-                   POW({score_sql}, {QSAMPLE_BETA}) AS p,
-                   (doc_id * {QSAMPLE_HASH_MULT}) % {QSAMPLE_HASH_MOD}
-                       / CAST({QSAMPLE_HASH_MOD} AS DOUBLE) AS u
-            FROM read_parquet('{_docs(sf_correctness)}')
-        )
-        SELECT source,
-               COUNT(*) AS n_true,
-               COUNT(*) FILTER (u < p) AS n_sampled,
-               SUM(1.0 / p) FILTER (u < p) AS n_hat,
-               SUM(n_chars) AS chars_true,
-               SUM(n_chars / p) FILTER (u < p) AS chars_hat
-        FROM scored GROUP BY source
-    """
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{_docs(sf_correctness)}')"
+    )
     expected = {
-        r[0]: r[1:] for r in duckdb.connect().execute(sql).fetchall()
+        r[0]: r[1:] for r in con.execute(ht_oracle_sql("n_chars")).fetchall()
     }
     rows = QUERIES["q_ht_estimate"](spark, sf_correctness).collect()
     assert {r.source for r in rows} == set(expected)
     for r in rows:
-        n_true, n_sampled, n_hat, chars_true, chars_hat = expected[r.source]
-        assert (r.n_true, r.n_sampled, r.chars_true) == (
-            n_true,
-            n_sampled,
-            chars_true,
-        )
-        assert abs(r.n_hat - n_hat) < 1e-2
-        assert abs(r.chars_hat - chars_hat) < 1e-1
+        assert (
+            r.n_true,
+            r.n_sampled,
+            r.n_hat,
+            r.chars_true,
+            r.chars_hat,
+        ) == expected[r.source], r
         # per-source sanity only: at ~25 docs/source HT variance is
         # large (sd ~ sqrt(n*(1/p-1))); the real unbiasedness claim is
         # the corpus-wide bound below
