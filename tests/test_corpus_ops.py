@@ -840,6 +840,40 @@ def test_ht_estimate_matches_duckdb_and_is_unbiased(spark, sf_correctness):
     assert abs(tot_hat - tot_true) / tot_true < 0.15, (tot_hat, tot_true)
 
 
+def test_quality_gate_zero_and_full_score_edges(spark, tmp_path):
+    """Gate edges for the r7 int64 sampling gate shared by
+    q_sample_quality / q_ht_estimate / the text_stats ht leg: a
+    quality-0 doc (m = 0 → inv_p divides by zero, guarded by the keep
+    CASE) is NEVER kept; a quality-1 doc (m = 10^4) is ALWAYS kept
+    (k < 2^32 holds for every Knuth hash); the HT audit stays finite
+    and counts both."""
+    punct_only = "!!!!????;;;;"  # no spaces: punct_ratio exactly 1
+    # -> score exactly 0 -> m = 0 (the divide-by-zero guard path)
+    clean = " ".join(f"word{i}" for i in range(80))  # len comp 1, no
+    # stopwords, no punctuation -> score 1 -> m = 10^4
+    rows = [
+        (i, punct_only, "en", "s", len(punct_only)) for i in range(1, 21)
+    ] + [
+        (i, clean, "en", "s", len(clean)) for i in range(21, 41)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    kept = QUERIES["q_sample_quality"](spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in kept} == set(range(21, 41)), kept
+    assert all(r.quality_score == 1.0 and r.keep_prob == 1.0 for r in kept)
+    ht = QUERIES["q_ht_estimate"](spark, str(tmp_path)).collect()
+    assert len(ht) == 1
+    r = ht[0]
+    assert (r.n_true, r.n_sampled) == (40, 20)
+    # every kept doc has p = 1 -> HT estimate counts only the certain
+    # stratum: n_hat == 20 exactly, chars_hat == kept chars exactly
+    assert r.n_hat == 20.0, r
+    assert r.chars_hat == float(20 * len(clean)), r
+    assert math.isfinite(r.chars_hat)
+
+
 def test_cooccur_pmi_matches_duckdb_oracle(spark, sf_correctness):
     """DuckDB recomputes bigram counts, two-sided unigram marginals,
     the min-count prune, and the PMI ranking; ORDER-sensitive compare

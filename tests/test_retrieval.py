@@ -402,3 +402,37 @@ def test_length_buckets_truncate_over_cap_docs(spark, tmp_path):
         r for r in rows if r.scheme == "bucketed" and r.bucket == ai.LEN_BUCKET_MAX
     )
     assert cap_row.real_tokens == ai.LEN_BUCKET_MAX  # truncated, not raw 5000
+
+
+def test_length_buckets_exact_power_of_two_boundaries(spark, tmp_path):
+    """The r7 hash-graded leg's raison d'être: a doc of EXACTLY 2^k
+    tokens must land in the 2^k bucket, not 2^(k+1) — the
+    pow(2, ceil(log2 x)) form puts these docs on a transcendental
+    rounding boundary, the integer CASE chain cannot miss. One doc per
+    cap plus one just above each cap (→ next bucket)."""
+    docs = []
+    did = 0
+    for cap in ai.LEN_BUCKET_CAPS:
+        did += 1
+        docs.append((did, " ".join(["w"] * cap), "en", "s", 2 * cap))
+        if cap < ai.LEN_BUCKET_MAX:
+            did += 1
+            docs.append((did, " ".join(["w"] * (cap + 1)), "en", "s", 2 * cap))
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["q_length_buckets"](spark, str(tmp_path)).collect()
+    by_bucket = {
+        r.bucket: r for r in rows if r.scheme == "bucketed"
+    }
+    caps = list(ai.LEN_BUCKET_CAPS)
+    for i, cap in enumerate(caps):
+        row = by_bucket[cap]
+        # the exact-cap doc lands IN its own bucket (n_tok == cap) and
+        # the cap+1 doc of the PREVIOUS cap also lands here
+        expected_docs = 1 + (1 if i > 0 else 0)
+        assert row.n_docs == expected_docs, (cap, row)
+        # the exact-cap doc pads nothing; only the spill-over doc does
+        expected_real = cap + (caps[i - 1] + 1 if i > 0 else 0)
+        assert row.real_tokens == expected_real, (cap, row)
