@@ -369,11 +369,20 @@ def q_join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 + J2 in one graded slot (tagged union, the q_agg_distinct /
-    q_join_asof precedent): the three-table star join and the
-    fact⋈broadcast-dim join, projected onto (strategy, grp, n, amount).
-    Both legs keep their own physical plans — test_dim_joins_broadcast
-    pins BroadcastHashJoin on each single query."""
+    """J1 + J2 (+ the skew-resilient J-rewrite since r7) in one graded
+    slot (tagged union, the q_agg_distinct / q_join_asof precedent):
+    the three-table star join, the fact⋈broadcast-dim join, and the
+    salted+replicated skew join, projected onto
+    (strategy, grp, n, amount). Each leg keeps its own physical plan —
+    test_dim_joins_broadcast pins BroadcastHashJoin on the dim legs.
+
+    The ``salted_replicated`` leg (r7 twelfth fold) is q_join_skew's
+    rewrite for hot probe keys when the build side cannot broadcast:
+    its graded ORACLE is the PLAIN equi-join, so the hash gate proves
+    the salt/replicate/widen rewrite produces bit-identical aggregates
+    — the same strategy-equivalence contract q_agg_distinct's salted
+    leg carries. grp = returnflag || '/' || orderstatus (single-char
+    flag, so the concat is injective)."""
     star = q_join_inner_star(spark, sf_dir).select(
         F.lit("star_nation").alias("strategy"),
         F.col("n_name").alias("grp"),
@@ -386,7 +395,13 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_items").alias("n"),
         F.col("revenue").alias("amount"),
     )
-    return star.unionByName(dim)
+    skew = q_join_skew(spark, sf_dir).select(
+        F.lit("salted_replicated").alias("strategy"),
+        F.concat_ws("/", "l_returnflag", "o_orderstatus").alias("grp"),
+        F.col("n_items").alias("n"),
+        F.col("sum_price").alias("amount"),
+    )
+    return star.unionByName(dim).unionByName(skew)
 
 
 query(
@@ -408,6 +423,17 @@ query(
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
+    UNION ALL
+    -- salted_replicated leg (r7 twelfth fold): the oracle is the
+    -- PLAIN join — the hash gate proves the salt/replicate rewrite
+    -- exactly equivalent
+    SELECT 'salted_replicated',
+           l.l_returnflag || '/' || o.o_orderstatus,
+           COUNT(*),
+           ROUND(SUM(l.l_extendedprice), 4)
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
     """,
 )(q_join_inner)
 
@@ -1898,8 +1924,11 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_join_skew")  # rows-only: graded window full; DuckDB oracle
-# runs in tests/test_retrieval.py
+@query("q_join_skew")  # rows-only registration; HARD-GRADED since
+# round 7 (twelfth fold) through q_join_inner's salted_replicated
+# union leg, whose oracle is the PLAIN join (strategy equivalence
+# under the hash gate); the standalone DuckDB oracle also runs in
+# tests/test_retrieval.py
 def q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-family, skew-resilient form: lineitem-to-orders equi-join via
     ``replicated_skew_join`` — the rewrite for the case AQE cannot

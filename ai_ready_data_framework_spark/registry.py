@@ -82,6 +82,8 @@ ROWS_ONLY_TAIL_ORDER = [
     # q_profile's keyskew leg; top-K key rows stay pytest-oracled)
     # r7 eleventh fold: q_ht_estimate (q_text_stats' ht leg riding the
     # same pinned single-scan aggregate; int64 gate + micro-unit sums)
+    # r7 twelfth fold: q_join_skew (q_join_inner's salted_replicated
+    # leg — the oracle is the plain join, proving the rewrite exact)
     "q_set_union",
     "q_fuzzy_match",
     "q_window_sliding",

@@ -350,6 +350,12 @@ EXPECTED_CHANGES = {
         " (r7 ninth wave) — one documents scan + bucket-cardinality"
         " aggregate beside the two orders legs"
     ),
+    "q_join_inner": (
+        "tagged-union merge adds q_join_skew's salted_replicated leg"
+        " (r7 twelfth fold) — the slot now also pays the full"
+        " salt+replicate lineitem-orders join whose oracle is the"
+        " plain join (strategy equivalence under the hash gate)"
+    ),
     "q_dedup_incremental": (
         "r4 hot-bucket cap: the bucket-size exception scan; inline band"
         " rebuild now checkpointed to one minhash pass — zero-cost"

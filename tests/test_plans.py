@@ -38,6 +38,10 @@ def test_filter_pushdown_and_pruning(spark, sf_smoke):
 
 
 def test_dim_joins_broadcast(spark, sf_smoke):
+    # (q_join_inner's r7 salted_replicated leg is a shuffle join by
+    # design at scale, but AQE broadcast-converts it at smoke scale,
+    # so the no-SortMergeJoin pin still holds on the whole union; the
+    # dim legs are the ones that must broadcast at ANY scale)
     for q in ("q_join_broadcast", "q_join_inner"):
         plan = final_plan(run(q, spark, sf_smoke))
         assert "BroadcastHashJoin" in plan, (q, plan)
