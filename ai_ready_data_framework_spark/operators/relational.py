@@ -1428,7 +1428,10 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       interpolation is proven exactly equal to quantile_cont by the
       standalone's tolerance-free pytest oracle. The top-K heavy-key
       rows stay on the standalone registration (the q_fingerprint
-      summary-leg precedent).
+      summary-leg precedent). At 100 TB swap the exact percentile
+      (whose merge buffers hold every group size) for
+      percentile_approx — same countDistinct→approx doctrine as the
+      column leg; the exact form is the oracle.
 
     TWO aggregate subtrees for the column leg, not one: mixing
     DISTINCT and plain aggregates in a single agg makes Catalyst

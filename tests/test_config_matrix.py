@@ -63,6 +63,14 @@ MATRIX_QUERIES = [
     # statistics (decimal sums) must be partition-invariant too
     "q_profile",
     "q_corr_matrix",
+    # round-7 ninth-twelfth folds: the int64 sampling gate + HT
+    # micro-unit sums (q_sample_quality via q_sample_stratified and
+    # q_ht_estimate via q_text_stats are covered by those two slots
+    # above), the length-bucket CASE chain, and the salted skew-join
+    # rewrite whose result must not depend on salt partitioning
+    "q_histogram_bins",
+    "q_join_inner",
+    "q_ht_estimate",
 ]
 
 
