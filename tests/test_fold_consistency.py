@@ -1,0 +1,161 @@
+"""Leg-vs-standalone consistency for the round-7 union folds.
+
+Each hard-graded union leg absorbed a standalone registered query. The
+graded oracle guards the LEG and the standalone's own pytest oracle
+guards the STANDALONE — but nothing else ties the two code paths
+together, so a future edit to one could silently diverge from the
+other. These tests pin leg == standalone directly (the
+test_text_stats_lang_leg_matches_standalone precedent), so the pair
+can only move in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_ready_data_framework_spark.registry import QUERIES
+
+
+def _leg(spark, sf, union_name: str, tag_col: str, tag: str):
+    df = QUERIES[union_name](spark, sf)
+    return df.filter(F.col(tag_col) == tag)
+
+
+def test_sample_quality_leg_matches_standalone(spark, sf_smoke):
+    """q_sample_stratified's quality leg freezes the SAME doc set as
+    q_sample_quality (both run qsample_gate, but through different
+    plan shapes: tagged-explode filter vs plain projection filter)."""
+    leg = {
+        (r.doc_id, r.source)
+        for r in _leg(
+            spark, sf_smoke, "q_sample_stratified", "sample_kind", "quality"
+        ).collect()
+    }
+    standalone = {
+        (r.doc_id, r.source)
+        for r in QUERIES["q_sample_quality"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
+
+
+def test_perplexity_leg_matches_standalone(spark, sf_smoke):
+    """q_text_quality's perplexity leg carries q_perplexity's numbers
+    verbatim (score = perplexity)."""
+    leg = {
+        (r.doc_id, r.n_bigrams, r.avg_logp, r.score)
+        for r in _leg(
+            spark, sf_smoke, "q_text_quality", "quality_kind", "perplexity"
+        ).collect()
+    }
+    standalone = {
+        (r.doc_id, r.n_bigrams, r.avg_logp, r.perplexity)
+        for r in QUERIES["q_perplexity"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
+
+
+def test_tfidf_leg_matches_standalone(spark, sf_smoke):
+    """q_token_bpe's tfidf leg (key = "<doc_id> <term>") carries
+    q_tfidf_topterms' per-doc top-K: same (doc, term, rank, score)
+    sets; the leg's n_docs is the term's df and n_tokens the in-doc
+    tf, both recoverable from the standalone's corpus_tf path only via
+    the shared counts frame — so compare the identifying columns."""
+    leg = set()
+    for r in _leg(
+        spark, sf_smoke, "q_token_bpe", "token_kind", "tfidf"
+    ).collect():
+        doc_id, term = r.key.split(" ", 1)
+        leg.add((int(doc_id), term, r.rank, r.tfidf))
+    standalone = {
+        (r.doc_id, r.term, r.rn, r.score)
+        for r in QUERIES["q_tfidf_topterms"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
+
+
+def test_length_bucket_leg_matches_standalone(spark, sf_smoke):
+    leg = {
+        (r.grp, r.bin, r.n_rows, r.real_tokens, r.padded_tokens, r.waste_frac)
+        for r in _leg(
+            spark, sf_smoke, "q_histogram_bins", "method", "length_bucket"
+        ).collect()
+    }
+    standalone = {
+        (r.scheme, r.bucket, r.n_docs, r.real_tokens, r.padded_tokens, r.waste_frac)
+        for r in QUERIES["q_length_buckets"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
+
+
+def test_corr_leg_matches_standalone(spark, sf_smoke):
+    leg = {
+        (r.col_name, r.col_b, r.pearson_r, r.n_rows)
+        for r in _leg(
+            spark, sf_smoke, "q_profile", "profile_kind", "corr"
+        ).collect()
+    }
+    standalone = {
+        (r.col_a, r.col_b, r.pearson_r, r.n_rows)
+        for r in QUERIES["q_corr_matrix"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
+
+
+def test_keyskew_leg_matches_standalone_summary(spark, sf_smoke):
+    """q_profile's keyskew leg == the summary columns every
+    q_skew_profile row carries (the standalone adds the top-K key
+    rows the summary leg deliberately leaves to pytest)."""
+    (leg,) = _leg(
+        spark, sf_smoke, "q_profile", "profile_kind", "keyskew"
+    ).collect()
+    sk = QUERIES["q_skew_profile"](spark, sf_smoke).collect()[0]
+    assert (
+        leg.n_distinct,
+        leg.max_group,
+        leg.p50_group,
+        leg.p99_group,
+        leg.skew_factor,
+    ) == (sk.n_keys, sk.max_cnt, sk.p50_cnt, sk.p99_cnt, sk.skew_factor)
+
+
+def test_ht_leg_matches_standalone(spark, sf_smoke):
+    """q_text_stats' ht leg == q_ht_estimate per source. chars compare
+    only when the declared n_chars column equals length(text) on the
+    fixture (the documented divergence); the doc-count and n_hat
+    columns must ALWAYS agree (same gate, same weights)."""
+    from ai_ready_data_framework_spark.io import load_table
+
+    leg = {
+        r.source: (r.n_docs, r.n_sampled, r.n_hat, r.chars_true, r.chars_hat)
+        for r in _leg(
+            spark, sf_smoke, "q_text_stats", "stat_kind", "ht"
+        ).collect()
+    }
+    standalone = {
+        r.source: (r.n_true, r.n_sampled, r.n_hat, r.chars_true, r.chars_hat)
+        for r in QUERIES["q_ht_estimate"](spark, sf_smoke).collect()
+    }
+    assert set(leg) == set(standalone) and leg
+    docs = load_table(spark, sf_smoke, "documents")
+    chars_match = (
+        docs.filter(F.col("n_chars") != F.length("text")).limit(1).count() == 0
+    )
+    for src, l in leg.items():
+        s = standalone[src]
+        assert l[:3] == s[:3], (src, l, s)
+        if chars_match:
+            assert l == s, (src, l, s)
+
+
+def test_skew_join_leg_matches_standalone(spark, sf_smoke):
+    leg = {
+        (r.grp, r.n, r.amount)
+        for r in _leg(
+            spark, sf_smoke, "q_join_inner", "strategy", "salted_replicated"
+        ).collect()
+    }
+    standalone = {
+        (f"{r.l_returnflag}/{r.o_orderstatus}", r.n_items, r.sum_price)
+        for r in QUERIES["q_join_skew"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
