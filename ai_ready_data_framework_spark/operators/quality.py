@@ -336,7 +336,12 @@ def perplexity_per_doc(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("tf"))
         .transform(stage_pin)
     )
-    bg_counts = tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
+    # bg_counts is referenced THREE times (the scoring broadcast, the
+    # prefix derivation, and vocab via prefix) — unpinned, Catalyst
+    # recomputes the tf-sized aggregate per reference (measured ~0.4s
+    # of the slot at sf0.1); pinned, the corpus-scale work runs once
+    # and the two model tables derive from the bigram-vocab-sized RDD
+    bg_counts = stage_pin(tf.groupBy("bg").agg(F.sum("tf").alias("c_bg")))
     prefix_counts = (
         bg_counts.withColumn("w1", F.split("bg", " ")[0])
         .groupBy("w1")

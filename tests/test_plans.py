@@ -578,7 +578,10 @@ def test_stage_pin_durable_branch_selection(spark):
 #   operators/corpus.py DSIR doc buckets      -> q_dsir_weights
 #   operators/corpus.py pmi bigram counts     -> q_token_bpe (r7 8th)
 #   operators/pipeline.py funnel shingles     -> q_pipeline_e2e
-#   operators/quality.py perplexity tf        -> q_perplexity
+#   operators/quality.py perplexity tf + bg   -> q_perplexity (bg
+#                                                 counts pinned late
+#                                                 r7: 3 tf-sized
+#                                                 recomputes -> 1)
 #   operators/ai.py first-level text stats    -> q_text_stats (r7)
 #   checks/engine.py lineage fixpoint (x3)    -> (own test below)
 DURABLE_SITE_QUERIES = [
