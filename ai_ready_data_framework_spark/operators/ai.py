@@ -2166,6 +2166,13 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_tfidf,
     )
     tf = stage_pin(token_tf_frame(docs))
+    # counts is deliberately NOT stage-pinned even though the
+    # heavy-hitter triangle and the tfidf broadcast both reference it:
+    # each consumer prunes it to K rows / a broadcast before any wide
+    # reuse, and the pin's vocab-sized checkpoint write costs MORE
+    # than the saved recomputes (measured r7: 2.74s -> 2.91s pinned —
+    # the opposite verdict from perplexity_per_doc's bg_counts, whose
+    # unpinned form recomputed three FULL tf-sized aggregations)
     counts = tf.groupBy("term").agg(
         F.sum("c").alias("occurrences"), F.count("*").alias("doc_freq")
     )
