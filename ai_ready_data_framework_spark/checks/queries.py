@@ -113,17 +113,22 @@ def q_check_embedding_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DISTRIBUTION = f"""
-    WITH shares AS (
+    WITH counts AS (
         SELECT label,
                COUNT(*) AS n,
-               COUNT(*) / CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE) AS share
+               (SELECT COUNT(*) FROM embeddings) AS total
         FROM embeddings GROUP BY label
     )
+    -- exact integer restatement (r8 sweep): ABS(n/total - 1/N) =
+    -- ABS(n*N - total) / (N*total), so the cross-group sum runs over
+    -- exact integers and the only float ops are one division + round
     SELECT 'demographic_representation' AS requirement,
-           ROUND(SUM(ABS(share - 1.0 / {N_LABELS})) / 2, 4) AS tv_distance,
-           ROUND(1 - SUM(ABS(share - 1.0 / {N_LABELS})) / 2, 4) AS value,
+           ROUND(CAST(SUM(ABS(n * {N_LABELS} - total)) AS DOUBLE)
+                 / (2.0 * {N_LABELS} * ANY_VALUE(total)), 4) AS tv_distance,
+           ROUND(1 - CAST(SUM(ABS(n * {N_LABELS} - total)) AS DOUBLE)
+                 / (2.0 * {N_LABELS} * ANY_VALUE(total)), 4) AS value,
            COUNT(*) AS n_groups
-    FROM shares
+    FROM counts
     """
 
 
@@ -131,18 +136,22 @@ ORACLE_DISTRIBUTION = f"""
 def q_check_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """demographic_representation (requirements.yaml:189-191): measured
     class distribution vs the uniform target, scored as
-    1 - total-variation distance. Window-free two-level aggregate."""
+    1 - total-variation distance. Window-free two-level aggregate.
+
+    Integer sufficient statistics (r8 sweep): per-group
+    |share - 1/N| terms are exact rationals with the common
+    denominator N*total, so the sum runs over |n*N - total| integers
+    and floats appear only in the final division — the cross-group
+    float accumulation order can no longer move the 4th decimal."""
     emb = load_table(spark, sf_dir, "embeddings")
     total = emb.count()
-    shares = emb.groupBy("label").agg((F.count("*") / F.lit(float(total))).alias("share"))
-    return shares.agg(
+    counts = emb.groupBy("label").agg(F.count("*").alias("n"))
+    dev = F.sum(F.abs(F.col("n") * N_LABELS - F.lit(total)))
+    denom = 2.0 * N_LABELS * total
+    return counts.agg(
         F.lit("demographic_representation").alias("requirement"),
-        F.round(F.sum(F.abs(F.col("share") - 1.0 / N_LABELS)) / 2, 4).alias(
-            "tv_distance"
-        ),
-        F.round(1 - F.sum(F.abs(F.col("share") - 1.0 / N_LABELS)) / 2, 4).alias(
-            "value"
-        ),
+        F.round(dev.cast("double") / F.lit(denom), 4).alias("tv_distance"),
+        F.round(1 - dev.cast("double") / F.lit(denom), 4).alias("value"),
         F.count("*").alias("n_groups"),
     ).select("requirement", "tv_distance", "value", "n_groups")
 

@@ -857,6 +857,33 @@ QSAMPLE_BETA = 2  # sharpens the quality preference: p_keep = score^beta.
 # hex-digest string compares, this supports a PER-ROW threshold.
 QSAMPLE_HASH_MULT = 2654435761
 QSAMPLE_HASH_MOD = 4294967296
+# Pre-mask doc_id to 31 bits BEFORE the multiply (ADVICE r7): the raw
+# product doc_id * 2654435761 exceeds int64 once doc_id > ~3.47e9 —
+# Spark (non-ANSI) would wrap silently while DuckDB raises on BIGINT
+# overflow, so at fleet-scale ids the two engines would diverge or
+# error. Masked, the worst case is (2^31 - 1) * 2654435761 ≈ 5.7e18 <
+# 2^63 - 1 ≈ 9.22e18 in BOTH engines at ANY doc_id. For doc_id < 2^31
+# (every fixture) the masked hash equals the historical unmasked one
+# only when doc_id < 2^31; the mask is part of the hash DEFINITION,
+# applied identically in both engines, so the gate stays bit-identical
+# everywhere.
+QSAMPLE_PREMASK = 2147483648  # 2^31
+
+
+def qsample_k(doc_id: Column) -> Column:
+    """The sampling hash k in [0, 2^32): Knuth multiply of the 31-bit
+    pre-masked doc_id (see QSAMPLE_PREMASK for the overflow proof).
+    Spark twin of :func:`qsample_k_sql` — keep the two in lockstep."""
+    return F.pmod(
+        F.pmod(doc_id, F.lit(QSAMPLE_PREMASK)) * QSAMPLE_HASH_MULT,
+        F.lit(QSAMPLE_HASH_MOD),
+    )
+
+
+def qsample_k_sql(expr: str = "doc_id") -> str:
+    """ANSI-SQL twin of :func:`qsample_k` (doc_id is non-negative in
+    every fixture, so `%` and pmod agree)."""
+    return f"(({expr} % {QSAMPLE_PREMASK}) * {QSAMPLE_HASH_MULT}) % {QSAMPLE_HASH_MOD}"
 
 
 def qsample_m(quality: Column) -> Column:
@@ -875,8 +902,10 @@ def qsample_gate(doc_id: Column, quality: Column) -> tuple[Column, Column]:
     pow()-ulp risk on the keep/drop boundary. keep_prob = m^2/10^8
     rounds tie-free: m^2 = 5000 mod 10^4 is impossible (8 is not a
     quadratic residue mod 16), so both engines' round-half modes
-    agree."""
-    k = F.pmod(doc_id * QSAMPLE_HASH_MULT, F.lit(QSAMPLE_HASH_MOD))
+    agree. int64 headroom: k < 2^32 so k·10^8 < 4.3e17, and
+    m ≤ 10^4 so m²·2^32 ≤ 4.3e16 — and the hash input itself is
+    overflow-safe at any doc_id via the 31-bit premask (qsample_k)."""
+    k = qsample_k(doc_id)
     m = qsample_m(quality)
     keep = (k * F.lit(10**8)) < (m * m * F.lit(QSAMPLE_HASH_MOD))
     keep_prob = F.round((m * m) / F.lit(float(10**8)), 4)
@@ -914,7 +943,7 @@ def ht_oracle_sql(chars_expr: str = "n_chars") -> str:
         SELECT source,
                CAST({chars_expr} AS BIGINT) AS nc,
                CAST(FLOOR({quality_score_sql()} * 10000 + 0.5) AS BIGINT) AS m,
-               (doc_id * {QSAMPLE_HASH_MULT}) % {QSAMPLE_HASH_MOD} AS k
+               {qsample_k_sql()} AS k
         FROM documents
     ),
     hrows AS (
@@ -1050,7 +1079,7 @@ def _sampling_union_oracle_sql() -> str:
     SELECT 'quality', doc_id, source, lang, CAST(NULL AS BIGINT)
     FROM (
         SELECT doc_id, source, lang,
-               (doc_id * {QSAMPLE_HASH_MULT}) % {QSAMPLE_HASH_MOD} AS k,
+               {qsample_k_sql()} AS k,
                CAST(FLOOR({quality_score_sql()} * 10000 + 0.5) AS BIGINT) AS m
         FROM documents
     ) WHERE k * 100000000 < m * m * {QSAMPLE_HASH_MOD}
@@ -1517,9 +1546,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("__nc"),
         F.sha2("text", 256).alias("__hash"),
         qsample_m(T.quality_score("text")).alias("__m"),
-        F.pmod(
-            F.col("doc_id") * QSAMPLE_HASH_MULT, F.lit(QSAMPLE_HASH_MOD)
-        ).alias("__k"),
+        qsample_k(F.col("doc_id")).alias("__k"),
         *[scores[lang].alias(f"__s_{lang}") for lang in langs],
     )
     # ht-leg measures from the bound integers (the same int64 gate and
@@ -2231,14 +2258,19 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tfidf leg: scored off the SAME pinned tf frame, with the hh leg's
     # (term, occurrences, doc_freq) aggregate broadcast back as the df
-    # table — no new scan, one doc-keyed WindowGroupLimit exchange
-    n_total_docs = docs.count()
-    idf = F.log((n_total_docs + 1.0) / (F.col("doc_freq") + 1.0))
+    # table — no new scan, one doc-keyed WindowGroupLimit exchange.
+    # N arrives as a 1-row aggregate broadcast back via crossJoin (the
+    # pmi_topk totals pattern) — no eager action at plan-build time
+    # (ADVICE r7: docs.count() here was a full corpus scan on every
+    # DataFrame CONSTRUCTION, even when the plan was never executed).
+    ndocs = docs.agg(F.count("*").cast("long").alias("n_total_docs"))
+    idf = F.log((F.col("n_total_docs") + 1.0) / (F.col("doc_freq") + 1.0))
     tw = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf_score"), F.asc("term")
     )
     tfidf_leg = (
         tf.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(ndocs))
         .select(
             "doc_id",
             "term",

@@ -543,9 +543,12 @@ def bpe_encode_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
 DSIR_BUCKETS = 1 << 14  # hashed n-gram feature space (paper uses 10^4)
 DSIR_SELECT_K = 100  # docs drawn by Gumbel top-k on the weights
 # Knuth multiplicative hash for the deterministic Gumbel draw (portable
-# BIGINT arithmetic — same constants as q_sample_quality).
+# BIGINT arithmetic — same constants as q_sample_quality, including the
+# 31-bit premask that keeps doc_id * MULT inside int64 at any id scale;
+# see ai.QSAMPLE_PREMASK for the overflow proof).
 DSIR_HASH_MULT = 2654435761
 DSIR_HASH_MOD = 1 << 32
+DSIR_HASH_PREMASK = 1 << 31
 
 
 def _dsir_bucket(term) -> "F.Column":
@@ -618,7 +621,8 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     u = (
-        (F.col("doc_id") * DSIR_HASH_MULT) % DSIR_HASH_MOD + 0.5
+        (F.col("doc_id") % DSIR_HASH_PREMASK * DSIR_HASH_MULT) % DSIR_HASH_MOD
+        + 0.5
     ) / DSIR_HASH_MOD
     gumbel = -F.log(-F.log(u))
     with_score = scored.withColumn(

@@ -88,18 +88,28 @@ def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_group",
     oracle="""
+    WITH q AS (
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(l_quantity AS BIGINT) AS qty_i,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+               CAST(round(l_discount * 100) AS BIGINT) AS d_c,
+               CAST(round(l_tax * 100) AS BIGINT) AS t_c
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    )
     SELECT l_returnflag,
            l_linestatus,
-           ROUND(SUM(l_quantity), 4) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(SUM(qty_i) AS DOUBLE) AS sum_qty,
+           CAST(SUM(ep_c) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(SUM(ep_c * (100 - d_c)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM(ep_c * (100 - d_c) * (100 + t_c)) AS DOUBLE) / 1000000.0
+               AS sum_charge,
+           CAST(SUM(qty_i) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(ep_c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+           CAST(SUM(d_c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    FROM q
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
@@ -107,21 +117,50 @@ def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 (flagship): TPC-H-Q1-style pricing summary. Pure hash
     aggregate with map-side partials; cardinality of the group key is
-    tiny so the shuffle is a few KB regardless of input size."""
+    tiny so the shuffle is a few KB regardless of input size.
+
+    Exact integer sufficient statistics (VERDICT r7 #1): the fixture
+    prices/rates are 2-decimal-exact doubles (verified: 0 rows differ
+    from round(x, 2) at every SF), so round(x*100) cents are exact
+    integers and l_quantity is integer-valued. All cross-partition
+    sums run over decimal(38,0) integers — bitwise partition-order-
+    invariant at any scale (the long form would overflow the e6
+    charge units near ~9e7 rows/group; decimal(38,0) mirrors DuckDB's
+    HUGEINT sum) — and every double is derived only in the final
+    projection by a fixed cast/divide chain mirrored verbatim in the
+    oracle, so no ROUND-for-tolerance is needed anywhere."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    d38 = "decimal(38,0)"
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty_i"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ep_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d_c"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t_c"),
+    )
+    disc_e4 = F.col("ep_c") * (100 - F.col("d_c"))
     return (
-        li.filter(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
+        q.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum(F.col("qty_i").cast(d38)).alias("sq"),
+            F.sum(F.col("ep_c").cast(d38)).alias("sep"),
+            F.sum(disc_e4.cast(d38)).alias("sdp"),
+            F.sum((disc_e4 * (100 + F.col("t_c"))).cast(d38)).alias("sch"),
+            F.sum(F.col("d_c").cast(d38)).alias("sdc"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("sq").cast("double").alias("sum_qty"),
+            (F.col("sep").cast("double") / 100.0).alias("sum_base_price"),
+            (F.col("sdp").cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.col("sch").cast("double") / 1000000.0).alias("sum_charge"),
+            (F.col("sq").cast("double") / F.col("n")).alias("avg_qty"),
+            (F.col("sep").cast("double") / 100.0 / F.col("n")).alias("avg_price"),
+            (F.col("sdc").cast("double") / 100.0 / F.col("n")).alias("avg_disc"),
+            F.col("n").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -206,22 +245,28 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_rollup",
     oracle="""
+    WITH q AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+               CAST(l_quantity AS BIGINT) AS qty_i
+        FROM lineitem
+    )
     SELECT 'rollup' AS strategy,
            COALESCE(l_returnflag, '(all)') AS returnflag,
            COALESCE(l_linestatus, '(all)') AS linestatus,
-           ROUND(SUM(l_extendedprice), 4) AS sum_price,
-           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           CAST(SUM(ep_c) AS DOUBLE) / 100.0 AS sum_price,
+           CAST(SUM(qty_i) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n_rows
-    FROM lineitem
+    FROM q
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     UNION ALL
     SELECT 'cube',
            COALESCE(l_returnflag, '(all)'),
            COALESCE(l_linestatus, '(all)'),
-           ROUND(SUM(l_extendedprice), 4),
-           ROUND(SUM(l_quantity), 4),
+           CAST(SUM(ep_c) AS DOUBLE) / 100.0,
+           CAST(SUM(qty_i) AS DOUBLE),
            COUNT(*)
-    FROM lineitem
+    FROM q
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -237,11 +282,23 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark expands one scan into all grouping sets (Expand); partial
     aggregation still applies. Cost scales with the number of grouping
     sets, so keep k small at 100 TB (k=2 → rollup 3 sets, cube 4).
+
+    Integer-cents sufficient statistics (VERDICT r8 sweep): sums run
+    over exact decimal(38,0) cents / integer quantities, doubles
+    derived only in the final projection — partition-order-invariant.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .cast("decimal(38,0)")
+        .alias("ep_c"),
+        F.col("l_quantity").cast("long").cast("decimal(38,0)").alias("qty_i"),
+    )
     measures = (
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        (F.sum("ep_c").cast("double") / 100.0).alias("sum_price"),
+        F.sum("qty_i").cast("double").alias("sum_qty"),
         F.count("*").alias("n_rows"),
     )
     out_cols = (
@@ -351,10 +408,15 @@ def q_join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: star join orders⋈customer⋈nation (relationship_declaration,
     requirements.yaml:13-15). customer and nation are dimensions —
     broadcast both so the orders fact table never shuffles; the only
-    shuffle left is the final tiny group-by on n_name."""
+    shuffle left is the final tiny group-by on n_name.
+
+    total_price sums exact integer cents (decimal(38,0)) and derives
+    the double only in the final projection (VERDICT r8 #1) — the
+    cross-partition accumulation is order-invariant by construction."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    tp_c = F.round(F.col("o_totalprice") * 100).cast("long").cast("decimal(38,0)")
     return (
         orders.join(
             F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
@@ -363,7 +425,7 @@ def q_join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            (F.sum(tp_c).cast("double") / 100.0).alias("total_price"),
         )
     )
 
@@ -407,10 +469,15 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 query(
     "q_join_inner",
     oracle="""
+    -- every leg's amount is derived from exact integer-cent sums
+    -- (VERDICT r8 #1): cents = round(price*100) is exact because the
+    -- fixture prices are 2-decimal doubles; the only float op is the
+    -- final CAST/divide, mirrored verbatim on the Spark side
     SELECT 'star_nation' AS strategy,
            n.n_name AS grp,
            COUNT(*) AS n,
-           ROUND(SUM(o.o_totalprice), 4) AS amount
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS amount
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -419,18 +486,22 @@ query(
     SELECT 'dim_broadcast',
            p.p_brand,
            COUNT(*),
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
     UNION ALL
     -- salted_replicated leg (r7 twelfth fold): the oracle is the
     -- PLAIN join — the hash gate proves the salt/replicate rewrite
-    -- exactly equivalent
+    -- exactly equivalent. Integer cents make the gate immune to the
+    -- rewrite's deliberate partition-order perturbation (r8 #1).
     SELECT 'salted_replicated',
            l.l_returnflag || '/' || o.o_orderstatus,
            COUNT(*),
-           ROUND(SUM(l.l_extendedprice), 4)
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1, 2
@@ -446,14 +517,18 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join into a map-side hash probe with zero fact shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # revenue in exact 10^-4-currency integer units: cents(ep) * (100 -
+    # cents(disc)); decimal(38,0) sum, double derived at the end (r8 #1)
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("decimal(38,0)")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            ),
+            (F.sum(rev_e4).cast("double") / 10000.0).alias("revenue"),
         )
     )
 
@@ -464,7 +539,8 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey,
            c.c_mktsegment,
            COUNT(o.o_orderkey) AS n_orders,
-           ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 4) AS total_price
+           CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                AS DOUBLE) / 100.0 AS total_price
     FROM customer c
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_mktsegment
@@ -472,17 +548,20 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: left outer join preserving order-less customers (the
-    '1 - missing/total' coverage-check shape, e.g. requirements.yaml:54-56)."""
+    '1 - missing/total' coverage-check shape, e.g. requirements.yaml:54-56).
+    total_price sums exact integer cents (order-invariant, r8 #1)."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    tp_c = F.round(F.col("o_totalprice") * 100).cast("long").cast("decimal(38,0)")
     return (
         customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
-                "total_price"
-            ),
+            (
+                F.coalesce(F.sum(tp_c), F.lit(0).cast("decimal(38,0)")).cast("double")
+                / 100.0
+            ).alias("total_price"),
         )
     )
 
@@ -585,7 +664,8 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT b.band_name,
            COUNT(*) AS n_events,
-           ROUND(SUM(e.value), 4) AS sum_value
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
     FROM events e
     JOIN (
         SELECT * FROM (VALUES
@@ -620,7 +700,14 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_name")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # exact integer-cents sum (events.value is 2-decimal-exact;
+            # order-invariant cross-partition accumulation, r8 #1)
+            (
+                F.sum(
+                    F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)")
+                ).cast("double")
+                / 100.0
+            ).alias("sum_value"),
         )
     )
 
@@ -679,34 +766,37 @@ def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_subquery_scalar",
-    oracle="""
+_SUBQ_AVG_SQL = """
     SELECT o_orderkey,
            ROUND(o_totalprice, 4) AS total_price,
-           ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4)
+           ROUND(o_totalprice -
+                 (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                              AS DOUBLE) / 100.0 / COUNT(*) FROM orders), 4)
                AS diff_from_avg
     FROM orders
-    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
-    """,
-)
+    WHERE o_totalprice >
+          (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS DOUBLE) / 100.0 / COUNT(*) FROM orders)
+    """
+
+
+@query("q_subquery_scalar", oracle=_SUBQ_AVG_SQL)
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery: Catalyst evaluates the aggregate
     once (ReusedSubquery) and folds it into the filter — one extra tiny
-    job, no per-row recomputation."""
+    job, no per-row recomputation.
+
+    The scalar average is derived from an exact integer-cents sum
+    (r8 sweep): the raw AVG(double) is a cross-partition float
+    accumulation whose ulp drift could flip PREDICATE rows in or out —
+    the worst flap class, since it changes the row SET, not just a
+    value. The identical SQL text runs on both engines (ROUND and CAST
+    spellings are common SQL), so the expression trees match by
+    construction."""
     from ai_ready_data_framework_spark.io import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT o_orderkey,
-               ROUND(o_totalprice, 4) AS total_price,
-               ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4)
-                   AS diff_from_avg
-        FROM orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
-        """
-    )
+    return spark.sql(_SUBQ_AVG_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -979,10 +1069,14 @@ query(
     SELECT 'running_value',
            event_id,
            user_id,
-           ROUND(SUM(value) OVER (
+           -- exact integer-cents window sum (r8 sweep): DuckDB computes
+           -- windowed aggregates with a segment tree, so its double
+           -- accumulation ORDER differs from Spark's sequential frame
+           -- scan; integer cents are invariant to either order
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 4)
+           ) AS DOUBLE) / 100.0
     FROM events
     UNION ALL
     SELECT 'zscore', event_id, user_id, ROUND(z, 4)
@@ -996,18 +1090,21 @@ query(
 # (round 4); its own oracle stays in the union SQL
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: running per-user sum (freshness-trend shape, 3-current.md:15).
-    Rows-frame with full ordering so both engines accumulate in the
-    identical order (sum-order determinism)."""
+    Rows-frame with full ordering; the sum runs over exact integer
+    cents (r8 sweep) — DuckDB evaluates windowed aggregates with a
+    segment TREE, so even a fully-ordered frame does not fix its
+    double-accumulation order; integer cents are order-invariant."""
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cents = F.round(F.col("value") * 100).cast("long")
     return events.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("running_value"),
     )
 
 
@@ -1173,7 +1270,8 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     SELECT user_id,
            """
     + ",\n           ".join(
-        f"ROUND(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN value END), 0), 4)"
+        f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN "
+        f"CAST(round(value * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0"
         f" AS {t}_value"
         for t in EVENT_TYPES
     )
@@ -1188,18 +1286,27 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     discover pivot values and caps them at
     spark.sql.pivotMaxValues; declared values make it a single-pass
     conditional aggregation (exactly what the oracle states)."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        # exact integer cents (order-invariant pivot-cell sums, r8 #1)
+        F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)").alias("cents"),
+    )
     wide = (
         events.groupBy("user_id")
         .pivot("event_type", list(EVENT_TYPES))
-        .agg(F.round(F.sum("value"), 4))
+        .agg(F.sum("cents"))
     )
     # coalesce AFTER the pivot: a (user, type) cell with no rows comes
     # out null from pivot (the agg never ran for it), matching the
     # oracle's COALESCE(SUM(...), 0) only if we fill here
+    zero = F.lit(0).cast("decimal(38,0)")
     return wide.select(
         "user_id",
-        *[F.coalesce(F.col(t), F.lit(0.0)).alias(f"{t}_value") for t in EVENT_TYPES],
+        *[
+            (F.coalesce(F.col(t), zero).cast("double") / 100.0).alias(f"{t}_value")
+            for t in EVENT_TYPES
+        ],
     )
 
 
@@ -1346,6 +1453,77 @@ def corr_oracle_inner_sql() -> str:
 
 
 
+def group_size_rank_stats(per_key: DataFrame, cnt: str = "cnt") -> DataFrame:
+    """Exact group-size distribution summary over a (key, cnt) frame,
+    as ONE row of pure integers: nk (distinct keys), nr (total rows),
+    mg (max group), p50_i / p99_i (type-1 order statistics: the value
+    at 1-indexed rank ceil(p·nk), computed with INTEGER rank
+    arithmetic — (p·nk ceil'd via (k·nk + k) div 100) — so no float
+    multiply can sit on a rank boundary).
+
+    Hash-safe by construction (ADVICE r7: the interpolated
+    percentile()/quantile_cont pair relies on bit-identical (n-1)·p
+    linear interpolation across engines; rank statistics are exact
+    integers). Scale shape: the only corpus-sized work is the caller's
+    per-key count; this helper aggregates the group-size HISTOGRAM
+    (≤ max-group-size distinct rows — a calendar-sized frame), so the
+    single-partition cumulative window over it is deliberate, not a
+    scale bug."""
+    hist = per_key.groupBy(cnt).agg(F.count("*").alias("freq"))
+    wc = Window.orderBy(cnt).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.col(cnt).alias("gsz"),
+        F.sum("freq").over(wc).alias("cumfreq"),
+    )
+    tot = hist.agg(
+        F.sum("freq").cast("long").alias("nk"),
+        F.sum(F.col(cnt) * F.col("freq")).cast("long").alias("nr"),
+        F.max(cnt).cast("long").alias("mg"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("nk").alias("nk"),
+        F.max("nr").alias("nr"),
+        F.max("mg").alias("mg"),
+        F.min(F.when(F.expr("cumfreq >= (nk + 1) div 2"), F.col("gsz")))
+        .cast("long")
+        .alias("p50_i"),
+        F.min(F.when(F.expr("cumfreq >= (99 * nk + 99) div 100"), F.col("gsz")))
+        .cast("long")
+        .alias("p99_i"),
+    )
+
+
+def group_size_rank_stats_sql(per_key_sql: str) -> str:
+    """DuckDB twin of :func:`group_size_rank_stats` — returns a
+    one-row subquery (nk, nr, mg, p50_i, p99_i) over ``per_key_sql``
+    (which must yield a `cnt` column). `//` is DuckDB's integer
+    division, mirroring Spark's `div`."""
+    return f"""(
+        WITH hist AS (
+            SELECT cnt, COUNT(*) AS freq FROM ({per_key_sql}) GROUP BY cnt
+        ),
+        cum AS (
+            SELECT cnt AS gsz,
+                   SUM(freq) OVER (ORDER BY cnt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cumfreq
+            FROM hist
+        ),
+        tot AS (
+            SELECT CAST(SUM(freq) AS BIGINT) AS nk,
+                   CAST(SUM(cnt * freq) AS BIGINT) AS nr,
+                   CAST(MAX(cnt) AS BIGINT) AS mg
+            FROM hist
+        )
+        SELECT MAX(nk) AS nk, MAX(nr) AS nr, MAX(mg) AS mg,
+               CAST(MIN(CASE WHEN cumfreq >= (nk + 1) // 2
+                             THEN gsz END) AS BIGINT) AS p50_i,
+               CAST(MIN(CASE WHEN cumfreq >= (99 * nk + 99) // 100
+                             THEN gsz END) AS BIGINT) AS p99_i
+        FROM cum CROSS JOIN tot
+    )"""
+
+
 PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
 
 
@@ -1385,23 +1563,24 @@ def _profile_union_oracle_sql() -> str:
         {corr_oracle_inner_sql()}
     ) c_inner
     UNION ALL
-    -- keyskew leg (r7 tenth wave): q_skew_profile's group-size
-    -- distribution summary over the fact table's join key (the top-K
-    -- heavy-key rows stay on the standalone's pytest oracle — the
-    -- q_fingerprint summary-leg precedent)
+    -- keyskew leg (r7 tenth wave; r8: exact rank statistics): the
+    -- group-size summary grades type-1 order statistics and the
+    -- integer-ratio skew factor — no quantile interpolation under the
+    -- hash gate (ADVICE r7). Top-K heavy-key rows and the continuous
+    -- quantiles stay on the standalone's pytest oracle.
     SELECT 'keyskew', 'l_orderkey',
            CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
-           CAST(COUNT(*) AS BIGINT),
+           nk,
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(NULL AS DOUBLE),
-           CAST(SUM(cnt) AS BIGINT),
-           CAST(MAX(cnt) AS BIGINT),
-           ROUND(quantile_cont(cnt, 0.5), 4),
-           ROUND(quantile_cont(cnt, 0.99), 4),
-           ROUND(MAX(cnt) / AVG(cnt), 4)
-    FROM (
-        SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
-    ) kcnt
+           nr,
+           mg,
+           CAST(p50_i AS DOUBLE),
+           CAST(p99_i AS DOUBLE),
+           ROUND(CAST(mg * nk AS DOUBLE) / nr, 4)
+    FROM {group_size_rank_stats_sql(
+        "SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1"
+    )} rank_stats
     """
 
 
@@ -1517,17 +1696,21 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
-    skew_leg = per_key.agg(
-        F.count("*").cast("long").alias("n_distinct"),
-        F.sum("cnt").cast("long").alias("n_rows"),
-        F.max("cnt").cast("long").alias("max_group"),
-        F.round(
-            F.expr("CAST(percentile(cnt, 0.5) AS DOUBLE)"), 4
-        ).alias("p50_group"),
-        F.round(
-            F.expr("CAST(percentile(cnt, 0.99) AS DOUBLE)"), 4
-        ).alias("p99_group"),
-        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_factor"),
+    skew_leg = group_size_rank_stats(per_key).select(
+        F.col("nk").alias("n_distinct"),
+        F.col("nr").alias("n_rows"),
+        F.col("mg").alias("max_group"),
+        # exact type-1 order statistics (ADVICE r7: the interpolated
+        # percentile pair is the one non-integer statistic that was
+        # left under the gate); the continuous quantiles stay on
+        # q_skew_profile's pytest oracle
+        F.col("p50_i").cast("double").alias("p50_group"),
+        F.col("p99_i").cast("double").alias("p99_group"),
+        # max/mean as a single division of exact integers:
+        # max/avg = mg·nk/nr
+        F.round((F.col("mg") * F.col("nk")).cast("double") / F.col("nr"), 4).alias(
+            "skew_factor"
+        ),
     ).select(
         F.lit("keyskew").alias("profile_kind"),
         F.lit("l_orderkey").alias("col_name"),
@@ -1596,16 +1779,35 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     max/mean) plus the SKEW_TOP_KEYS heaviest keys with their corpus
     share. One map-side-combinable count aggregate; every later stage
     runs on the key-cardinality result. Complements q_join_skew (the
-    salted rewrite this profile decides on)."""
+    salted rewrite this profile decides on).
+
+    Carries BOTH quantile flavors (r8): the interpolated
+    percentile()/quantile_cont pair (p50_cnt/p99_cnt — this pytest
+    oracle is where the continuous form lives) and the exact type-1
+    rank statistics (p50_rank/p99_rank) that q_profile's hash-graded
+    keyskew leg reports; test_fold_consistency pins the rank columns
+    to the leg directly."""
     li = load_table(spark, sf_dir, "lineitem")
     per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
     total = li.count()
-    summary = per_key.agg(
-        F.count("*").cast("long").alias("n_keys"),
-        F.max("cnt").cast("long").alias("max_cnt"),
+    interp = per_key.agg(
         F.round(F.expr("CAST(percentile(cnt, 0.5) AS DOUBLE)"), 4).alias("p50_cnt"),
         F.round(F.expr("CAST(percentile(cnt, 0.99) AS DOUBLE)"), 4).alias("p99_cnt"),
-        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_factor"),
+    )
+    summary = (
+        group_size_rank_stats(per_key)
+        .crossJoin(F.broadcast(interp))
+        .select(
+            F.col("nk").alias("n_keys"),
+            F.col("mg").alias("max_cnt"),
+            "p50_cnt",
+            "p99_cnt",
+            F.col("p50_i").alias("p50_rank"),
+            F.col("p99_i").alias("p99_rank"),
+            F.round(
+                (F.col("mg") * F.col("nk")).cast("double") / F.col("nr"), 4
+            ).alias("skew_factor"),
+        )
     )
     top = (
         per_key.orderBy(F.desc("cnt"), F.asc("l_orderkey"))
@@ -1946,7 +2148,12 @@ def q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_returnflag", "l_extendedprice"
+        "l_orderkey",
+        "l_returnflag",
+        # exact integer cents BEFORE the salted join: the rewrite
+        # deliberately perturbs partition composition, so the graded
+        # aggregate must be order-invariant (VERDICT r8 #1)
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ep_c"),
     )
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
@@ -1954,7 +2161,9 @@ def q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = replicated_skew_join(li, orders, on="l_orderkey")
     return joined.groupBy("l_returnflag", "o_orderstatus").agg(
         F.count("*").alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        (F.sum(F.col("ep_c").cast("decimal(38,0)")).cast("double") / 100.0).alias(
+            "sum_price"
+        ),
     )
 
 

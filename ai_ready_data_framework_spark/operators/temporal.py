@@ -253,7 +253,11 @@ TRAILING_WINDOW_US = 3600 * 1_000_000  # 1 hour in microseconds
            user_id,
            epoch_us(ts) AS ts_us,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
-           ROUND(SUM(value) OVER w, 4) AS trailing_value
+           -- integer-cents window sum (r8 sweep): DuckDB's segment-tree
+           -- windowed aggregation orders double adds differently from
+           -- Spark's frame scan; cents are order-invariant
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+               / 100.0 AS trailing_value
     FROM events
     WINDOW w AS (
         PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -278,7 +282,10 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         F.count("*").over(w).cast("long").alias("n_trailing"),
-        F.round(F.sum("value").over(w), 4).alias("trailing_value"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w).cast("double")
+            / 100.0
+        ).alias("trailing_value"),
     )
 
 
@@ -290,7 +297,8 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-           ROUND(SUM(value), 4) AS session_value
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS session_value
     FROM (
         SELECT user_id, ts, value,
                -- CAST required: DuckDB SUM(integer) yields HUGEINT, which
@@ -339,7 +347,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        # exact integer-cents per-session sum (order-invariant, r8 sweep)
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / 100.0
+        ).alias("session_value"),
     )
 
 
@@ -380,7 +393,8 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
     FROM events
     GROUP BY 2, 3
     UNION ALL
@@ -388,11 +402,14 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(ws, '%Y-%m-%d %H:%M:%S'),
            '__all__',
            COUNT(*),
-           ROUND(SUM(value), 4)
+           CAST(SUM(cents) AS DOUBLE) / 100.0
     FROM (
-        SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
         UNION ALL
-        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+               CAST(round(value * 100) AS BIGINT)
         FROM events
     ) expanded
     GROUP BY ws
@@ -417,7 +434,12 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # exact integer-cents sums (order-invariant, r8 sweep)
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)"))
+                .cast("double")
+                / 100.0
+            ).alias("sum_value"),
         )
         .select(
             F.lit("tumbling_1h").alias("win_kind"),
@@ -453,7 +475,11 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)"))
+                .cast("double")
+                / 100.0
+            ).alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -1285,7 +1311,14 @@ def q_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rangeBetween(-(span_us - 1), 0)
         )
         cols.append(F.count("*").over(w).cast("long").alias(f"n_{h}h"))
-        cols.append(F.round(F.sum("value").over(w), 4).alias(f"v_{h}h"))
+        cols.append(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .over(w)
+                .cast("double")
+                / 100.0
+            ).alias(f"v_{h}h")
+        )
     return base.select(*cols)
 
 

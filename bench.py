@@ -251,52 +251,36 @@ def build_compact(out: dict, regressions: dict | None) -> dict:
     return compact
 
 
-# Queries whose wall time legitimately changed: the guard records the
-# reason instead of flagging. Tagged-union merges run ~2x work per slot
-# (r2: distinct/rollup/asof/semi; r4: q_join_inner absorbed the
-# broadcast-dim join). q_pipeline_e2e's r3 number timed CACHED reads —
-# the stage caches leaked into the best-of-2 rerun (ADVICE r3); the
-# funnel now computes eagerly and unpersists, so ~6s is the honest
-# cold cost (BASELINE.md r3 notes measured ~5.3s cold).
+# Queries whose wall time legitimately changed vs the committed
+# BENCH_DETAIL.json baseline: the guard records the reason instead of
+# flagging. Entries are pruned once the change is >= 2 rounds old (the
+# refreshed baseline then already prices it in — VERDICT r7 #6); the
+# dated archive below records what was pruned so a returning flag can
+# be re-diagnosed quickly.
+#
+# ARCHIVE (pruned at r8; change is baked into the r7 baseline):
+#   r2 union merges: q_agg_distinct/q_agg_rollup/q_join_asof/
+#     q_join_semi ran both strategies per slot.
+#   r4: q_window_tumbling absorbed the sliding leg; q_pipeline_e2e
+#     cache-leak fix (r3 best-of-2 timed cached stage reads);
+#     q_dedup_incremental/q_dedup_near hot-bucket cap + checkpointed
+#     bands.
+#   r5: q_drift_psi absorbed value_bin leg; q_set_ops absorbed
+#     q_set_union; q_join_interval incident derivation departitioned
+#     (VERDICT r4 #4).
+#   r6: q_vector_topk bm25+rrf arms; q_mask_pii span-redact leg;
+#     q_fingerprint winnow-summary leg + single-pass rewrite;
+#     q_time_rollup PoP leg; q_split_leakage_safe per-doc assign leg.
+# Union slots that ALSO widened in r7 keep a live entry below.
 EXPECTED_CHANGES = {
-    "q_agg_distinct": "tagged-union merge runs both strategies",
-    "q_agg_rollup": "tagged-union merge runs both strategies",
-    "q_join_asof": "tagged-union merge runs both strategies",
-    "q_join_semi": "tagged-union merge runs both strategies",
-    "q_join_inner": "tagged-union merge runs both strategies (r4)",
     "q_window_lag": (
         "tagged-union merge runs lag + running legs (r4) + the"
         " integer-milli zscore outlier leg (r7 seventh wave)"
-    ),
-    "q_window_tumbling": (
-        "tagged-union merge runs tumbling + sliding legs (r4 wave 3)"
-    ),
-    "q_pipeline_e2e": "r4 cache-leak fix: r3 best-of-2 timed cached stage reads",
-    "q_drift_psi": "tagged-union merge runs category + value_bin legs (r5)",
-    "q_join_interval": (
-        "r5 scale fix: incident derivation departitioned (per-day window"
-        " + one bounded driver stitch round trip) — r4's cheaper number"
-        " funneled every error event through a single-partition global"
-        " window (VERDICT r4 #4)"
-    ),
-    "q_set_ops": "tagged-union merge absorbed the q_set_union legs (r5)",
-    "q_vector_topk": (
-        "tagged-union merge: single + batch legs (r5), + bm25 + rrf"
-        " retrieval arms (r6)"
     ),
     "q_dedup_exact": (
         "tagged-union merge runs raw + normalized legs (r6) + the"
         " line-dedup summary leg (r7 seventh wave: block postings +"
         " reassembly sha)"
-    ),
-    "q_mask_pii": (
-        "tagged-union merge runs column-hash + span-redact legs (r6)"
-    ),
-    "q_fingerprint": (
-        "tagged-union merge runs minmax + winnow-summary legs (r6);"
-        " late-r6 single-pass rewrite trades ~0.4s of local checkpoint"
-        " overhead for one corpus scan + one tokenize pass instead of"
-        " two of each"
     ),
     "q_text_quality": (
         "tagged-union merge runs cheap-score + gopher-battery legs"
@@ -308,15 +292,6 @@ EXPECTED_CHANGES = {
         "tagged-union merge runs stratified + weighted + group legs"
         " (r6); r7 ninth wave adds the quality leg — the shared"
         " map-side scan now reads text and scores it once per doc"
-    ),
-    "q_time_rollup": (
-        "tagged-union merge adds the period-over-period leg (r6 sixth"
-        " wave) — derived from the stage-pinned rollup aggregate's"
-        " day-level rows, zero extra scans"
-    ),
-    "q_split_leakage_safe": (
-        "tagged-union merge adds the per-doc q_split_assign leg (r6"
-        " sixth wave) — a pure projection over a 2-column pruned scan"
     ),
     "q_text_stats": (
         "tagged-union merge adds the lang-ID agreement leg (r6 sixth"
@@ -351,21 +326,11 @@ EXPECTED_CHANGES = {
         " aggregate beside the two orders legs"
     ),
     "q_join_inner": (
-        "tagged-union merge adds q_join_skew's salted_replicated leg"
-        " (r7 twelfth fold) — the slot now also pays the full"
+        "tagged-union merge runs both star + broadcast-dim strategies"
+        " (r4) and adds q_join_skew's salted_replicated leg (r7"
+        " twelfth fold) — the slot now also pays the full"
         " salt+replicate lineitem-orders join whose oracle is the"
         " plain join (strategy equivalence under the hash gate)"
-    ),
-    "q_dedup_incremental": (
-        "r4 hot-bucket cap: the bucket-size exception scan; inline band"
-        " rebuild now checkpointed to one minhash pass — zero-cost"
-        " against the persisted index (write_band_index)"
-    ),
-    "q_dedup_near": (
-        "r4 hot-bucket cap: same bucket-size exception scan as"
-        " q_dedup_incremental — the price of bounding in-bucket pair"
-        " generation to O(bucket); partially recovered by checkpointing"
-        " the bands (one minhash pass for all three consumers)"
     ),
 }
 REGRESSION_FACTOR = 1.5

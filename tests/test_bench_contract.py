@@ -71,3 +71,30 @@ def test_headline_names_resolve_in_registry():
     registry.load_all()
     missing = [n for n in bench.HEADLINE if n not in registry.QUERIES]
     assert not missing, missing
+
+
+def test_expected_changes_keys_unique():
+    """A Python dict literal silently keeps only the LAST duplicate
+    key: round 7 shipped two "q_join_inner" entries and the r4
+    annotation became dead text (ADVICE r7). Parse the source AST so
+    a duplicate can never silently mask a live annotation again."""
+    import ast
+
+    tree = ast.parse(open(bench.__file__).read())
+    decls = [
+        node.value
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Assign)
+        and any(getattr(t, "id", None) == "EXPECTED_CHANGES" for t in node.targets)
+    ]
+    assert len(decls) == 1
+    keys = [k.value for k in decls[0].keys if isinstance(k, ast.Constant)]
+    dupes = sorted({k for k in keys if keys.count(k) > 1})
+    assert not dupes, f"duplicate EXPECTED_CHANGES keys: {dupes}"
+    # and every annotated query must still exist — a stale key for a
+    # renamed query would silently annotate nothing
+    from ai_ready_data_framework_spark import registry
+
+    registry.load_all()
+    missing = [k for k in keys if k not in registry.QUERIES]
+    assert not missing, missing

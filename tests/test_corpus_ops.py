@@ -280,25 +280,35 @@ def test_bpe_train_matches_cross_engine_oracle(spark, sf_correctness):
 
 
 def test_skew_profile_matches_duckdb_oracle(spark, sf_correctness):
-    from ai_ready_data_framework_spark.operators.relational import SKEW_TOP_KEYS
+    from ai_ready_data_framework_spark.operators.relational import (
+        SKEW_TOP_KEYS,
+        group_size_rank_stats_sql,
+    )
 
     li = table_path(sf_correctness, "lineitem")
+    rank_sql = group_size_rank_stats_sql(
+        f"SELECT l_orderkey, COUNT(*) AS cnt FROM read_parquet('{li}') GROUP BY 1"
+    )
     sql = f"""
         WITH per_key AS (
             SELECT l_orderkey AS key, COUNT(*) AS cnt
             FROM read_parquet('{li}') GROUP BY 1
         ),
         summary AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
-                   CAST(MAX(cnt) AS BIGINT) AS max_cnt,
-                   ROUND(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
-                   ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
-                   ROUND(MAX(cnt) / AVG(cnt), 4) AS skew_factor
-            FROM per_key
+            SELECT r.nk AS n_keys,
+                   r.mg AS max_cnt,
+                   ROUND(quantile_cont(per_key.cnt, 0.5), 4) AS p50_cnt,
+                   ROUND(quantile_cont(per_key.cnt, 0.99), 4) AS p99_cnt,
+                   r.p50_i AS p50_rank,
+                   r.p99_i AS p99_rank,
+                   ROUND(CAST(r.mg * r.nk AS DOUBLE) / r.nr, 4) AS skew_factor
+            FROM per_key CROSS JOIN {rank_sql} r
+            GROUP BY r.nk, r.mg, r.p50_i, r.p99_i, r.nr
         )
         SELECT p.key, CAST(p.cnt AS BIGINT) AS cnt,
                ROUND(p.cnt / (SELECT SUM(cnt) FROM per_key), 6) AS share,
-               s.n_keys, s.max_cnt, s.p50_cnt, s.p99_cnt, s.skew_factor
+               s.n_keys, s.max_cnt, s.p50_cnt, s.p99_cnt,
+               s.p50_rank, s.p99_rank, s.skew_factor
         FROM per_key p CROSS JOIN summary s
         ORDER BY p.cnt DESC, p.key ASC
         LIMIT {SKEW_TOP_KEYS}
@@ -396,7 +406,7 @@ def test_sample_quality_matches_duckdb_oracle(spark, sf_correctness):
     m^2/10^8 so the compare is tolerance-free."""
     from ai_ready_data_framework_spark.operators.ai import (
         QSAMPLE_HASH_MOD,
-        QSAMPLE_HASH_MULT,
+        qsample_k_sql,
         quality_score_sql,
     )
 
@@ -404,7 +414,7 @@ def test_sample_quality_matches_duckdb_oracle(spark, sf_correctness):
         WITH scored AS (
             SELECT doc_id, source,
                    {quality_score_sql()} AS quality_score,
-                   (doc_id * {QSAMPLE_HASH_MULT}) % {QSAMPLE_HASH_MOD} AS k
+                   {qsample_k_sql()} AS k
             FROM read_parquet('{_docs(sf_correctness)}')
         ),
         gated AS (
@@ -631,6 +641,7 @@ def test_dsir_weights_matches_python_oracle(spark, sf_correctness):
         DSIR_BUCKETS,
         DSIR_HASH_MOD,
         DSIR_HASH_MULT,
+        DSIR_HASH_PREMASK,
         DSIR_SELECT_K,
     )
 
@@ -678,7 +689,9 @@ def test_dsir_weights_matches_python_oracle(spark, sf_correctness):
         if is_tgt[doc_id]:
             continue
         lw = sum(c * log_ratio(b) for b, c in counts.items())
-        u = ((doc_id * DSIR_HASH_MULT) % DSIR_HASH_MOD + 0.5) / DSIR_HASH_MOD
+        u = (
+            (doc_id % DSIR_HASH_PREMASK * DSIR_HASH_MULT) % DSIR_HASH_MOD + 0.5
+        ) / DSIR_HASH_MOD
         g = -math.log(-math.log(u))
         expected[doc_id] = (sum(counts.values()), lw, lw + g)
     exp_selected = {

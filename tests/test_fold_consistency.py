@@ -104,7 +104,11 @@ def test_corr_leg_matches_standalone(spark, sf_smoke):
 def test_keyskew_leg_matches_standalone_summary(spark, sf_smoke):
     """q_profile's keyskew leg == the summary columns every
     q_skew_profile row carries (the standalone adds the top-K key
-    rows the summary leg deliberately leaves to pytest)."""
+    rows the summary leg deliberately leaves to pytest). The graded
+    p50/p99 are the exact type-1 RANK statistics (r8) — pinned to the
+    standalone's p50_rank/p99_rank; the standalone's interpolated
+    p50_cnt/p99_cnt must bracket-agree with the rank form (an order
+    statistic is within one group-size step of the interpolation)."""
     (leg,) = _leg(
         spark, sf_smoke, "q_profile", "profile_kind", "keyskew"
     ).collect()
@@ -115,7 +119,11 @@ def test_keyskew_leg_matches_standalone_summary(spark, sf_smoke):
         leg.p50_group,
         leg.p99_group,
         leg.skew_factor,
-    ) == (sk.n_keys, sk.max_cnt, sk.p50_cnt, sk.p99_cnt, sk.skew_factor)
+    ) == (sk.n_keys, sk.max_cnt, float(sk.p50_rank), float(sk.p99_rank), sk.skew_factor)
+    # the two quantile flavors may differ only by interpolation inside
+    # one inter-order-statistic gap
+    assert abs(sk.p50_rank - sk.p50_cnt) <= 1.0
+    assert abs(sk.p99_rank - sk.p99_cnt) <= 1.0
 
 
 def test_ht_leg_matches_standalone(spark, sf_smoke):

@@ -182,7 +182,8 @@ def test_join_skew_matches_duckdb_oracle(spark, sf_correctness):
     sql = f"""
         SELECT l_returnflag, o_orderstatus,
                COUNT(*) AS n_items,
-               ROUND(SUM(l_extendedprice), 4) AS sum_price
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_price
         FROM read_parquet('{li}') l
         JOIN read_parquet('{o}') x ON l.l_orderkey = x.o_orderkey
         GROUP BY 1, 2

@@ -272,7 +272,8 @@ def test_feature_backfill_matches_duckdb_oracle(spark, sf_correctness):
         span = h * 3600 * 1_000_000
         frames.append(
             f"CAST(COUNT(*) OVER w{h} AS BIGINT) AS n_{h}h,\n"
-            f"ROUND(SUM(value) OVER w{h}, 4) AS v_{h}h"
+            f"CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w{h} AS DOUBLE)"
+            f" / 100.0 AS v_{h}h"
         )
     windows = ",\n".join(
         f"w{h} AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
