@@ -1049,22 +1049,38 @@ def quality_score_sql(text_expr: str = "text") -> str:
 
 
 def _sampling_union_oracle_sql() -> str:
+    from ai_ready_data_framework_spark.operators.corpus import (
+        mix_budget_oracle_sql,
+        mix_temperature_oracle_sql,
+    )
+
     mix_case = " ".join(
         f"WHEN source = '{src}' THEN '{mix_threshold_hex(w)}'"
         for src, w in MIX_WEIGHTS.items()
     )
+    # the 9 planner columns are NULL on every per-doc sampling leg
+    mix_nulls = (
+        "CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_tokens,"
+        " CAST(NULL AS DOUBLE) AS natural_share,"
+        " CAST(NULL AS DOUBLE) AS mix_weight,"
+        " CAST(NULL AS BIGINT) AS expected_docs,"
+        " CAST(NULL AS DOUBLE) AS oversample_factor,"
+        " CAST(NULL AS BIGINT) AS tokens_needed,"
+        " CAST(NULL AS DOUBLE) AS epochs,"
+        " CAST(NULL AS BIGINT) AS upsampled"
+    )
     return f"""
     SELECT 'stratified' AS sample_kind, doc_id, source, lang,
-           CAST(NULL AS BIGINT) AS sample_rank
+           CAST(NULL AS BIGINT) AS sample_rank, {mix_nulls}
     FROM documents
     WHERE md5(CAST(doc_id AS VARCHAR)) < '{SAMPLE_MD5_THRESHOLD}'
     UNION ALL
-    SELECT 'weighted', doc_id, source, lang, CAST(NULL AS BIGINT)
+    SELECT 'weighted', doc_id, source, lang, CAST(NULL AS BIGINT), {mix_nulls}
     FROM documents
     WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
           < (CASE {mix_case} ELSE '{mix_threshold_hex(MIX_DEFAULT_WEIGHT)}' END)
     UNION ALL
-    SELECT 'group', doc_id, source, lang, sample_rank
+    SELECT 'group', doc_id, source, lang, sample_rank, {mix_nulls}
     FROM (
         SELECT doc_id, source, lang,
                CAST(row_number() OVER (
@@ -1074,9 +1090,28 @@ def _sampling_union_oracle_sql() -> str:
         FROM documents
     ) WHERE sample_rank <= {GROUP_SAMPLE_K}
     UNION ALL
+    -- mixture-planner legs (r8, VERDICT r7 #2): per-SOURCE summary
+    -- rows riding the sampling slot (the keyskew/HT summary-leg
+    -- precedent); the fixed-point pow ladder makes every value,
+    -- including the floored integer budgets, bitwise cross-engine
+    SELECT 'mix_temperature', CAST(NULL AS BIGINT), source,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           n_docs, CAST(NULL AS BIGINT),
+           natural_share, mix_weight, expected_docs, oversample_factor,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM ({mix_temperature_oracle_sql()}) mt
+    UNION ALL
+    SELECT 'mix_budget', CAST(NULL AS BIGINT), source,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           n_docs, n_tokens, natural_share, mix_weight,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           tokens_needed, epochs, upsampled
+    FROM ({mix_budget_oracle_sql()}) mb
+    UNION ALL
     -- quality leg (r7 ninth wave): the soft quality sample's integer
     -- gate — k*10^8 < m^2*2^32, all BIGINT (see qsample_gate)
-    SELECT 'quality', doc_id, source, lang, CAST(NULL AS BIGINT)
+    SELECT 'quality', doc_id, source, lang, CAST(NULL AS BIGINT),
+           {mix_nulls}
     FROM (
         SELECT doc_id, source, lang,
                {qsample_k_sql()} AS k,
@@ -1105,8 +1140,14 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
       quality-weighted sample — a doc survives iff its Knuth-hash
       uniform draw falls under quality_score^2, hash-gradable since
       the gate is pure int64 (qsample_gate: k·10^8 < m²·2^32).
+    - ``mix_temperature`` / ``mix_budget`` (r8, VERDICT r7 #2): the
+      temperature-scaled mixture PLANNERS as per-source summary rows
+      (the keyskew/HT summary-leg precedent) — hash-gradable since
+      pow(p, 0.3) runs the engine-portable fixed-point ladder
+      (functions/fixedmath.py) and every integer output is exact
+      integral arithmetic over the quantized scores.
 
-    Unlike ``df.sample`` all four are reproducible across runs,
+    Unlike ``df.sample`` all six are reproducible across runs,
     engines, and partitionings (the oracle re-derives every leg in
     DuckDB) and stable under data re-layout — the properties a
     training-data pipeline needs to freeze its mixture. The rate and
@@ -1133,6 +1174,18 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     q_keep, _ = qsample_gate(F.col("doc_id"), T.quality_score(F.col("text")))
     kind = F.col("sample_kind")
+    # the 9 planner columns are NULL on every per-doc sampling leg
+    mix_nulls = [
+        nul.alias("n_docs"),
+        nul.alias("n_tokens"),
+        F.lit(None).cast("double").alias("natural_share"),
+        F.lit(None).cast("double").alias("mix_weight"),
+        nul.alias("expected_docs"),
+        F.lit(None).cast("double").alias("oversample_factor"),
+        nul.alias("tokens_needed"),
+        F.lit(None).cast("double").alias("epochs"),
+        nul.alias("upsampled"),
+    ]
     rate_legs = (
         docs.select(
             "doc_id",
@@ -1151,7 +1204,14 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((kind == "weighted") & (F.substring("__h", 1, 8) < thr))
             | ((kind == "quality") & F.col("__q_keep"))
         )
-        .select("sample_kind", "doc_id", "source", "lang", nul.alias("sample_rank"))
+        .select(
+            "sample_kind",
+            "doc_id",
+            "source",
+            "lang",
+            nul.alias("sample_rank"),
+            *mix_nulls,
+        )
     )
     grouped = q_group_sample(spark, sf_dir).select(
         F.lit("group").alias("sample_kind"),
@@ -1159,8 +1219,52 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         "sample_rank",
+        *mix_nulls,
     )
-    return rate_legs.unionByName(grouped)
+    from ai_ready_data_framework_spark.operators.corpus import (
+        q_mix_budget,
+        q_mix_temperature,
+    )
+
+    nul_d = F.lit(None).cast("double")
+    nul_s = F.lit(None).cast("string")
+    temp_leg = q_mix_temperature(spark, sf_dir).select(
+        F.lit("mix_temperature").alias("sample_kind"),
+        nul.alias("doc_id"),
+        "source",
+        nul_s.alias("lang"),
+        nul.alias("sample_rank"),
+        "n_docs",
+        nul.alias("n_tokens"),
+        "natural_share",
+        "mix_weight",
+        "expected_docs",
+        "oversample_factor",
+        nul.alias("tokens_needed"),
+        nul_d.alias("epochs"),
+        nul.alias("upsampled"),
+    )
+    budget_leg = q_mix_budget(spark, sf_dir).select(
+        F.lit("mix_budget").alias("sample_kind"),
+        nul.alias("doc_id"),
+        "source",
+        nul_s.alias("lang"),
+        nul.alias("sample_rank"),
+        "n_docs",
+        "n_tokens",
+        "natural_share",
+        "mix_weight",
+        nul.alias("expected_docs"),
+        nul_d.alias("oversample_factor"),
+        "tokens_needed",
+        "epochs",
+        "upsampled",
+    )
+    return (
+        rate_legs.unionByName(grouped)
+        .unionByName(temp_leg)
+        .unionByName(budget_leg)
+    )
 
 
 EVAL_FOLD_MOD = 10  # doc_id % 10 == 0 → held-out eval fold
@@ -2668,14 +2772,32 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the shuffle — the exchange carries a few hundred rows no
     matter the corpus size. Positions reassemble via
     array_sort(collect_list(struct(pos, mean))) over the tiny
-    aggregated set."""
+    aggregated set.
+
+    Exact-hash-safe restatement (r8, VERDICT r7 #3 — the one float-sum
+    operator the r7 waves left tolerance-compared): each float32
+    element FLOOR-quantizes to integer micro-units, the per-(label,
+    pos) sums run over decimal(38,0) exact integers (per-element
+    |q| ≲ 2e6, so int64 would saturate near 4e12 rows/position), and
+    the mean derives by a fixed cast/divide chain — the pytest oracle
+    now compares EXACT equality, not a 1.5e-4 band. Quantization bias
+    is ≤ 1e-6 per element, invisible at the round-4 output. Fold
+    ELIGIBLE: first in ROWS_ONLY_TAIL_ORDER for a driver window
+    widening."""
     emb = load_table(spark, sf_dir, "embeddings")
+    micro_q = F.floor(F.col("v").cast("double") * 1000000.0).cast("decimal(38,0)")
     per_pos = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(
-            F.avg(F.col("v").cast("double")).alias("m"),
+            F.sum(micro_q).alias("sq"),
             F.count("*").alias("cnt"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.col("sq").cast("double") / 1000000.0 / F.col("cnt")).alias("m"),
+            "cnt",
         )
     )
     centroid = F.transform(

@@ -44,6 +44,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # it silently gets no correctness row. Rows-only queries are ordered by
 # how much a graded "ran, N rows" record would matter if slots open up.
 ROWS_ONLY_TAIL_ORDER = [
+    # r8: exact-hash-safe since the micro-unit integer restatement
+    # (VERDICT r7 #3) — tolerance-free DuckDB oracle in pytest;
+    # FIRST in line for a driver graded-window widening
+    "q_embed_centroids",
     "q_assessment",  # the reference's primary surface roll-up
     "q_dedup_near",  # headline banded-MinHash dedup
     # r4 tagged-union demotions: each is hard-graded through its union
@@ -144,7 +148,6 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_token_entropy",
     "q_cooccur_pmi",
     "q_cluster_assign",
-    "q_embed_centroids",
     "q_fingerprint_winnow",
     "q_scd2_history",
     "q_dedup_simhash",

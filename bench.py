@@ -291,7 +291,10 @@ EXPECTED_CHANGES = {
     "q_sample_stratified": (
         "tagged-union merge runs stratified + weighted + group legs"
         " (r6); r7 ninth wave adds the quality leg — the shared"
-        " map-side scan now reads text and scores it once per doc"
+        " map-side scan now reads text and scores it once per doc;"
+        " r8 adds the mix_temperature + mix_budget planner legs"
+        " (VERDICT r7 #2 fold) — the budget leg tokenizes the corpus"
+        " once for its per-source token totals"
     ),
     "q_text_stats": (
         "tagged-union merge adds the lang-ID agreement leg (r6 sixth"

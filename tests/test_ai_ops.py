@@ -373,8 +373,12 @@ def test_fingerprint_winnow_matches_duckdb_oracle(spark, sf_correctness):
 
 def test_embed_centroids_match_duckdb_oracle(spark, sf_correctness):
     """Per-label centroid means must match a DuckDB recomputation
-    element-wise within rounding tolerance (sum order differs between
-    engines, so exact bit parity isn't guaranteed pre-round)."""
+    EXACTLY (r8, VERDICT r7 #3): the micro-unit integer restatement
+    makes the per-position sums partition-order-invariant, the mean a
+    fixed cast/divide chain on identical inputs, and the norm a
+    left-fold over the rounded centroid (Spark F.aggregate seeds 0.0;
+    DuckDB list_reduce seeds the first element — identical op
+    sequences because 0.0 + x is exact)."""
     import duckdb
 
     from ai_ready_data_framework_spark.io import table_path
@@ -385,30 +389,41 @@ def test_embed_centroids_match_duckdb_oracle(spark, sf_correctness):
             FROM read_parquet('{table_path(sf_correctness, "embeddings")}')
         ),
         px AS (
-            SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            SELECT label, i AS pos,
+                   CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS q
             FROM e, unnest(range(1, len(embedding) + 1)) AS t(i)
         ),
         m AS (
-            SELECT label, pos, AVG(v) AS m, COUNT(*) AS cnt
+            SELECT label, pos,
+                   CAST(SUM(q) AS DOUBLE) / 1000000.0 / COUNT(*) AS m,
+                   COUNT(*) AS cnt
             FROM px GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT label,
+                   array_agg(ROUND(m, 4) ORDER BY pos) AS centroid,
+                   CAST(MAX(cnt) AS BIGINT) AS n_vectors
+            FROM m GROUP BY label
         )
-        SELECT label,
-               array_agg(ROUND(m, 4) ORDER BY pos) AS centroid,
-               CAST(MAX(cnt) AS BIGINT) AS n_vectors
-        FROM m GROUP BY label
+        SELECT label, centroid, n_vectors,
+               ROUND(sqrt(list_reduce(
+                   list_transform(centroid, x -> x * x),
+                   (acc, x) -> acc + x)), 4) AS centroid_norm
+        FROM c
     """
     expected = {
-        r[0]: (r[1], r[2]) for r in duckdb.connect().execute(sql).fetchall()
+        r[0]: (r[1], r[2], r[3])
+        for r in duckdb.connect().execute(sql).fetchall()
     }
     got = QUERIES["q_embed_centroids"](spark, sf_correctness).collect()
     assert sorted(expected) == sorted(r.label for r in got)
     for r in got:
-        exp_centroid, exp_n = expected[r.label]
+        exp_centroid, exp_n, exp_norm = expected[r.label]
         assert r.n_vectors == exp_n
         assert len(r.centroid) == len(exp_centroid) == 64
-        for a, b in zip(r.centroid, exp_centroid):
-            assert abs(a - b) <= 1.5e-4, (r.label, a, b)
-        assert r.centroid_norm > 0
+        assert list(r.centroid) == list(exp_centroid), r.label
+        assert r.centroid_norm == exp_norm and r.centroid_norm > 0
 
 
 def test_vector_ann_recall(spark, sf_smoke):

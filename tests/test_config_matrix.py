@@ -71,6 +71,15 @@ MATRIX_QUERIES = [
     "q_histogram_bins",
     "q_join_inner",
     "q_ht_estimate",
+    # round-8: the mixture planners fold (fixed-point pow ladder —
+    # per-row deterministic, but the weight denominator is a window
+    # SUM of the integer scores, so prove partition invariance) and
+    # the integer-cents restatement of the relational price sums
+    "q_mix_temperature",
+    "q_mix_budget",
+    "q_agg_group",
+    "q_join_left",
+    "q_sessionize",
 ]
 
 

@@ -76,33 +76,33 @@ def test_source_divergence_matches_duckdb_oracle(spark, sf_correctness):
 
 
 def test_mix_temperature_matches_duckdb_oracle(spark, sf_correctness):
-    sql = f"""
-        WITH counts AS (
-            SELECT source, COUNT(*) AS n_docs
-            FROM read_parquet('{_docs(sf_correctness)}') GROUP BY 1
-        ),
-        shares0 AS (
-            SELECT source, n_docs,
-                   n_docs / SUM(n_docs) OVER () AS p
-            FROM counts
-        ),
-        shares AS (
-            SELECT source, n_docs, p,
-                   POW(p, {C.MIX_ALPHA})
-                       / SUM(POW(p, {C.MIX_ALPHA})) OVER () AS w
-            FROM shares0
-        )
-        SELECT source,
-               CAST(n_docs AS BIGINT) AS n_docs,
-               ROUND(p, 4) AS natural_share,
-               ROUND(w, 4) AS mix_weight,
-               CAST(FLOOR(w * {C.MIX_BUDGET_DOCS}) AS BIGINT) AS expected_docs,
-               ROUND(w / p, 4) AS oversample_factor
-        FROM shares ORDER BY source
-    """
-    expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    """EXACT set equality (r8): the fixed-point pow ladder runs on
+    both engines, so even the floored integer expected_docs is bitwise
+    cross-engine identical; additionally the ladder itself must sit
+    within 1e-10 of libm pow (accuracy, not equality, contract)."""
+    sql = C.mix_temperature_oracle_sql(
+        f"read_parquet('{_docs(sf_correctness)}')"
+    )
+    con = duckdb.connect()
+    expected = {tuple(r) for r in con.execute(sql).fetchall()}
     rows = QUERIES["q_mix_temperature"](spark, sf_correctness).collect()
     assert {tuple(r) for r in rows} == expected
+    # ladder-vs-libm accuracy: mix_weight within 1e-6 of the pow() form
+    libm = dict(
+        con.execute(
+            f"""WITH counts AS (
+                SELECT source, COUNT(*) AS n_docs
+                FROM read_parquet('{_docs(sf_correctness)}') GROUP BY 1
+            ), shares AS (
+                SELECT source, n_docs / SUM(n_docs) OVER () AS p FROM counts
+            )
+            SELECT source,
+                   POW(p, {C.MIX_ALPHA}) / SUM(POW(p, {C.MIX_ALPHA})) OVER ()
+            FROM shares"""
+        ).fetchall()
+    )
+    for r in rows:
+        assert abs(r.mix_weight - libm[r.source]) < 1e-6, r.source
     # alpha < 1 compresses shares: small sources oversample (factor > 1),
     # the largest source undersamples — both directions must appear
     factors = {r.source: r.oversample_factor for r in rows}
@@ -942,40 +942,11 @@ def test_mix_budget_matches_duckdb_oracle(spark, sf_correctness):
     smallest source (its epochs exceed the largest source's), and
     tokens_needed sums to ~the budget."""
     from ai_ready_data_framework_spark.operators.corpus import (
-        MIX_ALPHA,
         MIX_TOKEN_BUDGET_X,
+        mix_budget_oracle_sql,
     )
 
-    sql = f"""
-        WITH counts AS (
-            SELECT source,
-                   CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
-                       AS n_tokens
-            FROM read_parquet('{_docs(sf_correctness)}')
-            GROUP BY 1
-        ),
-        shares AS (
-            SELECT *,
-                   n_tokens / SUM(n_tokens) OVER () AS p,
-                   SUM(n_tokens) OVER () AS total
-            FROM counts
-        ),
-        scaled AS (
-            SELECT *, POW(p, {MIX_ALPHA}) AS s FROM shares
-        )
-        SELECT source, n_docs, n_tokens,
-               ROUND(p, 4) AS natural_share,
-               ROUND(s / SUM(s) OVER (), 4) AS mix_weight,
-               CAST(FLOOR(s / SUM(s) OVER () * total
-                          * {MIX_TOKEN_BUDGET_X}) AS BIGINT)
-                   AS tokens_needed,
-               ROUND(s / SUM(s) OVER () * total * {MIX_TOKEN_BUDGET_X}
-                     / n_tokens, 4) AS epochs,
-               CAST(s / SUM(s) OVER () * total * {MIX_TOKEN_BUDGET_X}
-                    / n_tokens > 1.0 AS BIGINT) AS upsampled
-        FROM scaled ORDER BY source
-    """
+    sql = mix_budget_oracle_sql(f"read_parquet('{_docs(sf_correctness)}')")
     expected = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
     rows = [
         tuple(r)

@@ -167,3 +167,152 @@ def test_skew_join_leg_matches_standalone(spark, sf_smoke):
         for r in QUERIES["q_join_skew"](spark, sf_smoke).collect()
     }
     assert leg == standalone and leg
+
+
+def test_mix_temperature_leg_matches_standalone(spark, sf_smoke):
+    """q_sample_stratified's mix_temperature leg == q_mix_temperature
+    (r8 fold — the fixed-point pow ladder unblocked it, VERDICT r7
+    #2)."""
+    leg = {
+        (r.source, r.n_docs, r.natural_share, r.mix_weight,
+         r.expected_docs, r.oversample_factor)
+        for r in _leg(
+            spark, sf_smoke, "q_sample_stratified", "sample_kind",
+            "mix_temperature",
+        ).collect()
+    }
+    standalone = {
+        tuple(r)
+        for r in QUERIES["q_mix_temperature"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
+
+
+def test_mix_budget_leg_matches_standalone(spark, sf_smoke):
+    """q_sample_stratified's mix_budget leg == q_mix_budget (r8
+    fold)."""
+    leg = {
+        (r.source, r.n_docs, r.n_tokens, r.natural_share, r.mix_weight,
+         r.tokens_needed, r.epochs, r.upsampled)
+        for r in _leg(
+            spark, sf_smoke, "q_sample_stratified", "sample_kind",
+            "mix_budget",
+        ).collect()
+    }
+    standalone = {
+        tuple(r) for r in QUERIES["q_mix_budget"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
+
+
+# ---------------------------------------------------------------------------
+# r8 (VERDICT r7 #5): direct pins for the seventh/eighth-wave folds,
+# previously tied to their standalones only transitively through two
+# exact oracles of the same math.
+# ---------------------------------------------------------------------------
+
+
+def test_zscore_leg_matches_standalone(spark, sf_smoke):
+    """q_window_lag's zscore leg == q_anomaly_zscore: same flagged
+    events, same rounded z."""
+    leg = {
+        (r.event_id, r.value)
+        for r in _leg(
+            spark, sf_smoke, "q_window_lag", "metric", "zscore"
+        ).collect()
+    }
+    standalone = {
+        (r.event_id, r.z)
+        for r in QUERIES["q_anomaly_zscore"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
+
+
+def test_entropy_leg_matches_standalone(spark, sf_smoke):
+    """q_token_bpe's doc_entropy leg == q_token_entropy per doc."""
+    leg = {
+        (int(r.key), r.n_tokens, r.n_unique, r.entropy, r.entropy_norm)
+        for r in _leg(
+            spark, sf_smoke, "q_token_bpe", "token_kind", "doc_entropy"
+        ).collect()
+    }
+    standalone = {
+        tuple(r) for r in QUERIES["q_token_entropy"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
+
+
+def test_datacard_leg_matches_standalone(spark, sf_smoke):
+    """q_text_stats' datacard leg == q_datacard on every column the
+    two schemas share (the leg adds max_tokens on top)."""
+    cols = (
+        "n_docs", "n_dup_docs", "dup_frac", "total_tokens", "avg_tokens",
+        "avg_chars", "n_langs", "top_lang", "top_lang_share",
+    )
+    leg = {
+        r.source: tuple(r[c] for c in cols)
+        for r in _leg(
+            spark, sf_smoke, "q_text_stats", "stat_kind", "datacard"
+        ).collect()
+    }
+    standalone = {
+        r.source: tuple(r[c] for c in cols)
+        for r in QUERIES["q_datacard"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
+
+
+def test_dedup_lines_leg_matches_standalone(spark, sf_smoke):
+    """q_dedup_exact's lines leg == q_dedup_lines: same per-doc block
+    accounting and the leg's cleaned_sha is sha2-256 of the
+    standalone's reassembled cleaned_text."""
+    import hashlib
+
+    leg = {
+        (r.keep_doc_id, r.n_blocks, r.n_kept, r.cleaned_sha)
+        for r in _leg(
+            spark, sf_smoke, "q_dedup_exact", "dedup_kind", "lines"
+        ).collect()
+    }
+    standalone = {
+        (
+            r.doc_id,
+            r.n_blocks,
+            r.n_kept,
+            hashlib.sha256(r.cleaned_text.encode()).hexdigest(),
+        )
+        for r in QUERIES["q_dedup_lines"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
+
+
+def test_src_divergence_leg_matches_standalone(spark, sf_smoke):
+    """q_token_bpe's src_divergence leg == q_source_divergence on the
+    shared per-source divergence columns."""
+    leg = {
+        r.key: (r.n_tokens, r.kl_vs_corpus, r.js_vs_corpus)
+        for r in _leg(
+            spark, sf_smoke, "q_token_bpe", "token_kind", "src_divergence"
+        ).collect()
+    }
+    standalone = {
+        r.source: (r.n_tokens, r.kl_vs_corpus, r.js_vs_corpus)
+        for r in QUERIES["q_source_divergence"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
+
+
+def test_pmi_leg_matches_standalone(spark, sf_smoke):
+    """q_token_bpe's pmi leg (key = "a b") == q_cooccur_pmi's ranked
+    pairs."""
+    leg = {
+        (r.key, r.n_tokens, r.pmi)
+        for r in _leg(
+            spark, sf_smoke, "q_token_bpe", "token_kind", "pmi"
+        ).collect()
+    }
+    standalone = {
+        (f"{r.a} {r.b}", r.c_ab, r.pmi)
+        for r in QUERIES["q_cooccur_pmi"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
