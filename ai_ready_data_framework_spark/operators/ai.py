@@ -2989,11 +2989,20 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
+    # nano-unit integer sum (r8 sweep): the per-(doc, term) score is a
+    # deterministic double on identical inputs, but its per-doc SUM is
+    # a float accumulation whose partial-merge order is engine- and
+    # partitioning-dependent; floored nano-scores make it exact
+    score_nano = F.floor(idf * tf_norm * F.lit(1000000000.0)).cast("long")
     return (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * tf_norm), 4).alias("bm25"))
+        .agg(
+            F.round(
+                F.sum(score_nano).cast("double") / 1000000000.0, 4
+            ).alias("bm25")
+        )
     )
 
 
@@ -3210,12 +3219,15 @@ _BM25_ORACLE_BODY = f"""
         ),
         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
         SELECT doc_id,
-               ROUND(SUM(
+               -- nano-unit integer sum (r8), association mirroring the
+               -- Spark tree exactly: idf * (tf-normalized quotient)
+               ROUND(CAST(SUM(CAST(FLOOR(
                    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-                   * tf.tf * ({{k1}} + 1.0)
-                     / (tf.tf + {{k1}}
-                        * (1.0 - {{b}} + {{b}} * tf.dl / s.avgdl))
-               ), 4) AS bm25
+                   * (tf.tf * ({{k1}} + 1.0)
+                      / (tf.tf + {{k1}}
+                         * (1.0 - {{b}} + {{b}} * tf.dl / s.avgdl)))
+                   * 1000000000.0) AS BIGINT)) AS DOUBLE)
+                   / 1000000000.0, 4) AS bm25
         FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
         GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id

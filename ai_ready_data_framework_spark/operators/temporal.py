@@ -1073,6 +1073,12 @@ def psi_category_drift(events: DataFrame) -> DataFrame:
         ((F.col("n_cur") + PSI_SMOOTH) / F.sum(F.col("n_cur") + PSI_SMOOTH).over(tot)).alias("p_cur"),
     )
     term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+    # psi_total sums integer NANO-units of each term (the ENTROPY_NANO
+    # recipe, r8 sweep): the per-row term is a deterministic double on
+    # identical inputs, but its cross-row SUM is order-sensitive —
+    # Spark's window scan and DuckDB's segment tree add in different
+    # orders. Floored nano-terms make the window sum exact-integer.
+    term_nano = F.floor(term * 1000000000.0).cast("long")
     return smoothed.select(
         "event_type",
         "n_ref",
@@ -1080,7 +1086,9 @@ def psi_category_drift(events: DataFrame) -> DataFrame:
         F.round("p_ref", 6).alias("share_ref"),
         F.round("p_cur", 6).alias("share_cur"),
         F.round(term, 6).alias("psi_term"),
-        F.round(F.sum(term).over(tot), 6).alias("psi_total"),
+        F.round(
+            F.sum(term_nano).over(tot).cast("double") / 1000000000.0, 6
+        ).alias("psi_total"),
     ).orderBy("event_type")
 
 
@@ -1150,6 +1158,12 @@ def psi_value_drift(events: DataFrame) -> DataFrame:
         ((F.col("n_cur") + PSI_SMOOTH) / F.sum(F.col("n_cur") + PSI_SMOOTH).over(tot)).alias("p_cur"),
     )
     term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+    # psi_total sums integer NANO-units of each term (the ENTROPY_NANO
+    # recipe, r8 sweep): the per-row term is a deterministic double on
+    # identical inputs, but its cross-row SUM is order-sensitive —
+    # Spark's window scan and DuckDB's segment tree add in different
+    # orders. Floored nano-terms make the window sum exact-integer.
+    term_nano = F.floor(term * 1000000000.0).cast("long")
     return smoothed.select(
         "bin",
         "n_ref",
@@ -1157,7 +1171,9 @@ def psi_value_drift(events: DataFrame) -> DataFrame:
         F.round("p_ref", 6).alias("share_ref"),
         F.round("p_cur", 6).alias("share_cur"),
         F.round(term, 6).alias("psi_term"),
-        F.round(F.sum(term).over(tot), 6).alias("psi_total"),
+        F.round(
+            F.sum(term_nano).over(tot).cast("double") / 1000000000.0, 6
+        ).alias("psi_total"),
     ).orderBy("bin")
 
 
@@ -1174,7 +1190,12 @@ _PSI_LEG_TAIL = """
                ROUND(p_ref, 6) AS share_ref,
                ROUND(p_cur, 6) AS share_cur,
                ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term,
-               ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (), 6)
+               -- nano-unit integer window sum (r8): DuckDB's
+               -- segment-tree windowed SUM orders double adds
+               -- differently from Spark's frame scan
+               ROUND(CAST(SUM(CAST(FLOOR((p_cur - p_ref)
+                          * ln(p_cur / p_ref) * 1000000000.0) AS BIGINT))
+                          OVER () AS DOUBLE) / 1000000000.0, 6)
                    AS psi_total
         FROM smoothed
 """

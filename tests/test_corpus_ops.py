@@ -379,7 +379,9 @@ def test_drift_psi_matches_duckdb_oracle(spark, sf_correctness):
                ROUND(p_ref, 6) AS share_ref,
                ROUND(p_cur, 6) AS share_cur,
                ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term,
-               ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (), 6)
+               ROUND(CAST(SUM(CAST(FLOOR((p_cur - p_ref)
+                          * ln(p_cur / p_ref) * 1000000000.0) AS BIGINT))
+                          OVER () AS DOUBLE) / 1000000000.0, 6)
                    AS psi_total
         FROM smoothed ORDER BY event_type
     """
@@ -545,7 +547,9 @@ def test_drift_psi_value_matches_duckdb_oracle(spark, sf_correctness):
                ROUND(p_ref, 6) AS share_ref,
                ROUND(p_cur, 6) AS share_cur,
                ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term,
-               ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (), 6)
+               ROUND(CAST(SUM(CAST(FLOOR((p_cur - p_ref)
+                          * ln(p_cur / p_ref) * 1000000000.0) AS BIGINT))
+                          OVER () AS DOUBLE) / 1000000000.0, 6)
                    AS psi_total
         FROM smoothed ORDER BY bin
     """
