@@ -1067,7 +1067,8 @@ def _sampling_union_oracle_sql() -> str:
         " CAST(NULL AS DOUBLE) AS oversample_factor,"
         " CAST(NULL AS BIGINT) AS tokens_needed,"
         " CAST(NULL AS DOUBLE) AS epochs,"
-        " CAST(NULL AS BIGINT) AS upsampled"
+        " CAST(NULL AS BIGINT) AS upsampled,"
+        " CAST(NULL AS DOUBLE) AS progress"
     )
     return f"""
     SELECT 'stratified' AS sample_kind, doc_id, source, lang,
@@ -1098,15 +1099,36 @@ def _sampling_union_oracle_sql() -> str:
            CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            n_docs, CAST(NULL AS BIGINT),
            natural_share, mix_weight, expected_docs, oversample_factor,
-           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
     FROM ({mix_temperature_oracle_sql()}) mt
     UNION ALL
     SELECT 'mix_budget', CAST(NULL AS BIGINT), source,
            CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            n_docs, n_tokens, natural_share, mix_weight,
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
-           tokens_needed, epochs, upsampled
+           tokens_needed, epochs, upsampled, CAST(NULL AS DOUBLE)
     FROM ({mix_budget_oracle_sql()}) mb
+    UNION ALL
+    -- schedule leg (r8): q_mix_schedule's deterministic interleave
+    -- order — per-source md5 shuffle rank + exact progress fraction
+    -- (rank - 0.5)/n; pure integer/per-row-IEEE derivations
+    SELECT 'schedule', doc_id, source, CAST(NULL AS VARCHAR),
+           rank_in_source,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           ROUND((rank_in_source - 0.5) / n_src, 6)
+    FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS rank_in_source,
+               COUNT(*) OVER (PARTITION BY source) AS n_src
+        FROM documents
+    ) sched
     UNION ALL
     -- quality leg (r7 ninth wave): the soft quality sample's integer
     -- gate — k*10^8 < m^2*2^32, all BIGINT (see qsample_gate)
@@ -1146,8 +1168,12 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
       pow(p, 0.3) runs the engine-portable fixed-point ladder
       (functions/fixedmath.py) and every integer output is exact
       integral arithmetic over the quantized scores.
+    - ``schedule`` (r8): q_mix_schedule's deterministic epoch
+      interleave — per-source md5 shuffle rank (sample_rank) and the
+      exact progress fraction (rank - 0.5)/n; it never needed pow and
+      was rows-only purely for slot mechanics.
 
-    Unlike ``df.sample`` all six are reproducible across runs,
+    Unlike ``df.sample`` all seven are reproducible across runs,
     engines, and partitionings (the oracle re-derives every leg in
     DuckDB) and stable under data re-layout — the properties a
     training-data pipeline needs to freeze its mixture. The rate and
@@ -1185,6 +1211,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul.alias("tokens_needed"),
         F.lit(None).cast("double").alias("epochs"),
         nul.alias("upsampled"),
+        F.lit(None).cast("double").alias("progress"),
     ]
     rate_legs = (
         docs.select(
@@ -1243,6 +1270,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul.alias("tokens_needed"),
         nul_d.alias("epochs"),
         nul.alias("upsampled"),
+        nul_d.alias("progress"),
     )
     budget_leg = q_mix_budget(spark, sf_dir).select(
         F.lit("mix_budget").alias("sample_kind"),
@@ -1259,11 +1287,22 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_needed",
         "epochs",
         "upsampled",
+        nul_d.alias("progress"),
+    )
+    schedule_leg = q_mix_schedule(spark, sf_dir).select(
+        F.lit("schedule").alias("sample_kind"),
+        "doc_id",
+        "source",
+        nul_s.alias("lang"),
+        F.col("rank_in_source").alias("sample_rank"),
+        *mix_nulls[:-1],
+        F.col("progress"),
     )
     return (
         rate_legs.unionByName(grouped)
         .unionByName(temp_leg)
         .unionByName(budget_leg)
+        .unionByName(schedule_leg)
     )
 
 
@@ -4267,8 +4306,9 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_mix_schedule")  # rows-only: graded window full; DuckDB oracle
-# runs in tests/test_retrieval.py
+@query("q_mix_schedule")  # rows-only registration; HARD-GRADED since
+# round 8 through q_sample_stratified's `schedule` union leg; the
+# standalone DuckDB oracle also runs in tests/test_retrieval.py
 def q_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (epoch scheduling): deterministic interleaved
     training order. Feeding a model one source at a time (scan order)

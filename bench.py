@@ -294,7 +294,8 @@ EXPECTED_CHANGES = {
         " map-side scan now reads text and scores it once per doc;"
         " r8 adds the mix_temperature + mix_budget planner legs"
         " (VERDICT r7 #2 fold) — the budget leg tokenizes the corpus"
-        " once for its per-source token totals"
+        " once for its per-source token totals — and the schedule leg"
+        " (per-source md5 rank window over the documents scan)"
     ),
     "q_text_stats": (
         "tagged-union merge adds the lang-ID agreement leg (r6 sixth"

@@ -316,3 +316,19 @@ def test_pmi_leg_matches_standalone(spark, sf_smoke):
         for r in QUERIES["q_cooccur_pmi"](spark, sf_smoke).collect()
     }
     assert leg == standalone and leg
+
+
+def test_mix_schedule_leg_matches_standalone(spark, sf_smoke):
+    """q_sample_stratified's schedule leg == q_mix_schedule (r8 fold —
+    it never used pow and was rows-only purely for slot mechanics)."""
+    leg = {
+        (r.doc_id, r.source, r.sample_rank, r.progress)
+        for r in _leg(
+            spark, sf_smoke, "q_sample_stratified", "sample_kind", "schedule"
+        ).collect()
+    }
+    standalone = {
+        (r.doc_id, r.source, r.rank_in_source, r.progress)
+        for r in QUERIES["q_mix_schedule"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
