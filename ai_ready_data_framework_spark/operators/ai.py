@@ -1144,12 +1144,13 @@ def _sampling_union_oracle_sql() -> str:
 
 
 @query("q_sample_stratified", oracle=_sampling_union_oracle_sql())
-# hard-graded union (round-6 wave + r7 ninth wave): all four
-# deterministic sampling shapes in one slot
+# hard-graded union (round-6 wave + r7 ninth wave + r8 planner folds):
+# the four deterministic sampling shapes plus the three mixture-design
+# planners in one slot
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (dataset mixing): deterministic hash sampling, tagged
-    union of the four frozen-sample shapes (round-6 union wave; quality
-    leg r7 ninth wave):
+    union of the frozen-sample shapes (round-6 union wave; quality
+    leg r7 ninth wave; planner + schedule legs round 8):
 
     - ``stratified``: fixed-RATE sample — in iff md5(doc_id) falls
       under one hex threshold (the original graded leg).
@@ -1249,13 +1250,23 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         *mix_nulls,
     )
     from ai_ready_data_framework_spark.operators.corpus import (
+        mix_src_stats,
         q_mix_budget,
         q_mix_temperature,
     )
 
+    # ONE per-source (n_docs, n_tokens) aggregate feeds BOTH planner
+    # legs. stage_pin (not plain lineage sharing): Catalyst prunes
+    # n_tokens out of the temperature leg's copy of the aggregate, so
+    # the two subtrees no longer canonicalize identically and
+    # ReuseExchange can't collapse them — the pin materializes the
+    # source-cardinality frame once, cutting two corpus scans (one of
+    # them a full tokenize) to one. Plan-pinned in
+    # test_plans.py::test_sampling_planner_legs_share_scan.
+    src_stats = stage_pin(mix_src_stats(docs))
     nul_d = F.lit(None).cast("double")
     nul_s = F.lit(None).cast("string")
-    temp_leg = q_mix_temperature(spark, sf_dir).select(
+    temp_leg = q_mix_temperature(spark, sf_dir, src_stats=src_stats).select(
         F.lit("mix_temperature").alias("sample_kind"),
         nul.alias("doc_id"),
         "source",
@@ -1272,7 +1283,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul.alias("upsampled"),
         nul_d.alias("progress"),
     )
-    budget_leg = q_mix_budget(spark, sf_dir).select(
+    budget_leg = q_mix_budget(spark, sf_dir, src_stats=src_stats).select(
         F.lit("mix_budget").alias("sample_kind"),
         nul.alias("doc_id"),
         "source",

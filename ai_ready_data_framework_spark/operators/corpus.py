@@ -175,12 +175,26 @@ def mix_temperature_oracle_sql(docs_rel: str = "documents") -> str:
     """
 
 
+def mix_src_stats(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_tokens): the ONE per-source aggregate both
+    mixture planners consume. q_sample_stratified's union stage_pins
+    it and passes it to both legs, collapsing the planners' two corpus
+    scans (one of them a full tokenize) into one — plan-pinned in
+    test_plans.py::test_sampling_planner_legs_share_scan."""
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+
+
 @query("q_mix_temperature")  # rows-only registration; HARD-GRADED
 # since round 8 through q_sample_stratified's `mix_temperature` union
 # leg (the fixed-point pow ladder removed the last hash-unsafe
 # primitive — VERDICT r7 #2); the standalone DuckDB oracle also runs
 # in tests/test_corpus_ops.py
-def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_mix_temperature(
+    spark: SparkSession, sf_dir: str, src_stats: DataFrame | None = None
+) -> DataFrame:
     """North star (mixture design): temperature-scaled source weights —
     w_i ∝ p_i^alpha with alpha=0.3 (upsamples small sources, the
     multilingual-LM sampling rule), plus the expected document count
@@ -203,10 +217,11 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r7 'What's missing' #1) is gone by construction."""
     from ai_ready_data_framework_spark.functions.fixedmath import with_pow_alpha
 
-    docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    if src_stats is None:
+        docs = load_table(spark, sf_dir, "documents")
+        src_stats = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     everything = Window.partitionBy()
-    base = counts.select(
+    base = src_stats.select(
         "source",
         F.col("n_docs").cast("long").alias("n_docs"),
         F.sum("n_docs").over(everything).cast("long").alias("t_docs"),
@@ -273,7 +288,9 @@ def mix_budget_oracle_sql(docs_rel: str = "documents") -> str:
 # round 8 through q_sample_stratified's `mix_budget` union leg
 # (fixed-point pow — VERDICT r7 #2); the standalone DuckDB oracle also
 # runs in tests/test_corpus_ops.py
-def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_mix_budget(
+    spark: SparkSession, sf_dir: str, src_stats: DataFrame | None = None
+) -> DataFrame:
     """North star (mixture design, token accounting): the per-source
     TOKEN budget plan — given temperature-scaled target shares
     (q_mix_temperature's rule, at token granularity) and a training
@@ -296,11 +313,10 @@ def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_ready_data_framework_spark.functions.fixedmath import with_pow_alpha
 
     x = int(MIX_TOKEN_BUDGET_X)
-    docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
-    )
+    if src_stats is None:
+        docs = load_table(spark, sf_dir, "documents")
+        src_stats = mix_src_stats(docs)
+    counts = src_stats
     everything = Window.partitionBy()
     base = counts.select(
         "source",

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import pytest
 
+from ai_ready_data_framework_spark import registry
 from ai_ready_data_framework_spark.registry import QUERIES
 
 # One per risk class: window sessionization, grouped floats, sketch
@@ -19,7 +20,7 @@ from ai_ready_data_framework_spark.registry import QUERIES
 # codebooks, DSIR histogram, seeded kmeans) and the two-level
 # incident stitch, each of which touches per-partition state that
 # MUST not leak into results.
-MATRIX_QUERIES = [
+_RISK_CLASS_QUERIES = [
     "q_sessionize",
     "q_agg_group",
     "q_dedup_near",
@@ -77,10 +78,16 @@ MATRIX_QUERIES = [
     # the integer-cents restatement of the relational price sums
     "q_mix_temperature",
     "q_mix_budget",
-    "q_agg_group",
     "q_join_left",
-    "q_sessionize",
 ]
+
+# r8: beyond the hand-picked risk classes above, EVERY hash-graded
+# slot joins the matrix automatically — the driver grades under its
+# own 200-partition default while tests run at 8, so partition
+# invariance is a precondition of the hash gate itself; a new fold is
+# covered the moment it gains an oracle, with no list to forget.
+registry.load_all()
+MATRIX_QUERIES = sorted(set(_RISK_CLASS_QUERIES) | set(registry.ORACLES))
 
 
 def _null_safe_key(row: tuple) -> tuple:

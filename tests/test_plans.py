@@ -583,6 +583,11 @@ def test_stage_pin_durable_branch_selection(spark):
 #                                                 r7: 3 tf-sized
 #                                                 recomputes -> 1)
 #   operators/ai.py first-level text stats    -> q_text_stats (r7)
+#   operators/ai.py planner src stats         -> q_sample_stratified
+#                                                 (r8: one (source,
+#                                                 n_docs, n_tokens)
+#                                                 frame for both
+#                                                 mixture-planner legs)
 #   checks/engine.py lineage fixpoint (x3)    -> (own test below)
 DURABLE_SITE_QUERIES = [
     "q_dedup_near",
@@ -597,6 +602,7 @@ DURABLE_SITE_QUERIES = [
     "q_pipeline_e2e",
     "q_perplexity",
     "q_text_stats",
+    "q_sample_stratified",
 ]
 
 
@@ -814,3 +820,21 @@ def test_sixth_wave_union_plans(spark, sf_smoke):
     plan = final_plan(run("q_dedup_ngram", spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sampling_planner_legs_share_scan(spark, sf_smoke):
+    """q_sample_stratified (r8): the mixture-planner legs ride ONE
+    stage-pinned (source, n_docs, n_tokens) aggregate — without the
+    pin, Catalyst prunes n_tokens from the temperature leg's copy and
+    the subtrees stop canonicalizing identically, so each planner leg
+    would scan (and tokenize) the corpus separately. The whole 7-leg
+    slot must read documents exactly 3 times (rate-leg text scan,
+    group-leg reservoir, schedule-leg rank window) with exactly ONE
+    scan reading the text column."""
+    df = run("q_sample_stratified", spark, sf_smoke)
+    df.count()  # materialize the pin so the executed plan is final
+    plan = final_plan(df)
+    scans = [l for l in plan.split("\n") if "FileScan" in l]
+    text_scans = [l for l in scans if "text" in l]
+    assert len(scans) == 3, plan
+    assert len(text_scans) == 1, plan
