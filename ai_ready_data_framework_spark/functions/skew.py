@@ -84,3 +84,59 @@ def replicated_skew_join(
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")),
     )
     return salted_probe.join(replicated_build, [on, "__salt"], how).drop("__salt")
+
+
+# Keys whose probe-side row count exceeds this are treated as hot by
+# the two-path rewrite. At 100 TB "hot" means a group big enough to
+# stall one reducer — thousands of times the average — so a coarse
+# absolute default is fine; callers tune it from q_skew_profile's
+# group-size distribution (max/p99 vs mean is exactly what that
+# profile reports).
+DEFAULT_HOT_THRESHOLD = 1000
+
+
+def hot_split_skew_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    n_salts: int = DEFAULT_SALTS,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    salt_by: Column | str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """The production form of :func:`replicated_skew_join`: replicate
+    the build side ONLY for the hot keys (two-path join), instead of
+    n_salts x the whole build table.
+
+    1. One map-side-combinable count over the probe keys finds the hot
+       tail (count > hot_threshold) — by definition a TINY set (a key
+       is only hot because it concentrates rows), so it broadcasts.
+    2. COLD path: probe rows anti-joined against the hot tail join
+       build plain — no replication, AQE free to pick the strategy
+       (the anti-join-vs-hot-tail doctrine: filter against the small
+       hot set, never semi-join against the near-full cold set).
+    3. HOT path: probe rows semi-joined to the hot tail get salted;
+       build rows for hot keys (semi-join, also tiny) replicate
+       n_salts ways; join on (key, salt).
+    4. Union — exactly the plain join's rows (tested against it).
+
+    Cost vs the brute form: build-side replication shrinks from
+    n_salts x |build| to n_salts x |build ∩ hot|, and the cold
+    majority pays one plain hash join. The brute form stays available
+    (and hash-graded through q_join_inner's salted_replicated leg) as
+    the worst-case-shape equivalence proof; this form is what a 100 TB
+    job should run."""
+    hot_keys = (
+        probe.groupBy(on)
+        .agg(F.count("*").alias("__cnt"))
+        .filter(F.col("__cnt") > hot_threshold)
+        .select(on)
+    )
+    probe_cold = probe.join(F.broadcast(hot_keys), on, "left_anti")
+    probe_hot = probe.join(F.broadcast(hot_keys), on, "left_semi")
+    build_hot = build.join(F.broadcast(hot_keys), on, "left_semi")
+    cold = probe_cold.join(build, on, how)
+    hot = replicated_skew_join(
+        probe_hot, build_hot, on, n_salts=n_salts, salt_by=salt_by, how=how
+    )
+    return cold.unionByName(hot)
