@@ -144,14 +144,18 @@ def q_check_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     and floats appear only in the final division — the cross-group
     float accumulation order can no longer move the 4th decimal."""
     emb = load_table(spark, sf_dir, "embeddings")
-    total = emb.count()
-    counts = emb.groupBy("label").agg(F.count("*").alias("n"))
-    dev = F.sum(F.abs(F.col("n") * N_LABELS - F.lit(total)))
-    denom = 2.0 * N_LABELS * total
+    # total as a broadcast 1-row aggregate, not an eager count at
+    # plan-build time (r8 sweep, the pmi_topk totals pattern)
+    tot = emb.agg(F.count("*").cast("long").alias("total"))
+    counts = emb.groupBy("label").agg(F.count("*").alias("n")).crossJoin(
+        F.broadcast(tot)
+    )
+    dev = F.sum(F.abs(F.col("n") * N_LABELS - F.col("total")))
+    denom = F.lit(2.0 * N_LABELS) * F.max("total")
     return counts.agg(
         F.lit("demographic_representation").alias("requirement"),
-        F.round(dev.cast("double") / F.lit(denom), 4).alias("tv_distance"),
-        F.round(1 - dev.cast("double") / F.lit(denom), 4).alias("value"),
+        F.round(dev.cast("double") / denom, 4).alias("tv_distance"),
+        F.round(1 - dev.cast("double") / denom, 4).alias("value"),
         F.count("*").alias("n_groups"),
     ).select("requirement", "tv_distance", "value", "n_groups")
 

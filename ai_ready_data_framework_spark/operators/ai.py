@@ -380,16 +380,27 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation; this path is the recall oracle for q_dedup_near
     (banded MinHash), which is the headline scale path."""
     sh = _doc_shingles(spark, sf_dir)
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    # corpus size as a broadcast 1-row aggregate, not an eager count
+    # at plan-build time (the pmi_topk totals pattern — r8 sweep of
+    # the ADVICE r7 tfidf finding)
+    nd = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("long").alias("__nd")
+    )
     n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # anti-join against the HOT tail (df > cap) rather than semi-join
     # against the near-full rare set: the hot set is bounded by
     # postings/cap, so AQE broadcast-converts the filter at runtime
     # (same shape as the funnel cap and the fuzzy blocking purge)
-    hot = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
-        F.col("df")
-        > F.least(
-            F.lit(MAX_SHINGLE_DF_FRACTION * n_docs), F.lit(float(MAX_SHINGLE_DF_ABS))
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("df")
+            > F.least(
+                F.lit(MAX_SHINGLE_DF_FRACTION) * F.col("__nd"),
+                F.lit(float(MAX_SHINGLE_DF_ABS)),
+            )
         )
     )
     shf = sh.join(hot.select("s"), "s", "left_anti")
@@ -2581,7 +2592,10 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking uses the ROUNDED score with a term tie-break so both
     engines order identically."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # N via broadcast 1-row aggregate, not an eager count at
+    # plan-build time — the same fix ADVICE r7 prescribed for the
+    # q_token_bpe tfidf leg, applied to this standalone
+    ndocs = docs.agg(F.count("*").cast("long").alias("__n_docs"))
     tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # df derives FROM tf (one row per (doc, term) → row count = distinct
@@ -2595,8 +2609,10 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("df"),
         F.sum("tf").alias("corpus_tf"),
     )
-    idf = F.log((n_docs + 1.0) / (F.col("df") + 1.0))
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    idf = F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(ndocs)
+    ).select(
         "doc_id",
         "term",
         F.round(F.col("tf") * idf, 4).alias("score"),
@@ -3179,15 +3195,20 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts."""
     postings = q_fingerprint_winnow(spark, sf_dir)
     n = postings.groupBy("doc_id").agg(F.count("*").alias("n"))
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    # corpus size via broadcast aggregate, not an eager plan-build
+    # count (r8 sweep, the pmi_topk totals pattern)
+    nd = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("long").alias("__nd")
+    )
     # hot-tail anti-join, same rationale as q_dedup_ngram's cap
     hot = (
         postings.groupBy("fp_hash")
         .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(nd))
         .filter(
             F.col("df")
             > F.least(
-                F.lit(MAX_SHINGLE_DF_FRACTION * n_docs),
+                F.lit(MAX_SHINGLE_DF_FRACTION) * F.col("__nd"),
                 F.lit(float(MAX_SHINGLE_DF_ABS)),
             )
         )

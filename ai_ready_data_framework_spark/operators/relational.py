@@ -1789,7 +1789,6 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the leg directly."""
     li = load_table(spark, sf_dir, "lineitem")
     per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
-    total = li.count()
     interp = per_key.agg(
         F.round(F.expr("CAST(percentile(cnt, 0.5) AS DOUBLE)"), 4).alias("p50_cnt"),
         F.round(F.expr("CAST(percentile(cnt, 0.99) AS DOUBLE)"), 4).alias("p99_cnt"),
@@ -1807,6 +1806,10 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (F.col("mg") * F.col("nk")).cast("double") / F.col("nr"), 4
             ).alias("skew_factor"),
+            # total fact rows ride the summary so the top rows' share
+            # derives lazily — no eager li.count() at plan-build time
+            # (r8 sweep, the pmi_topk totals pattern)
+            F.col("nr").alias("__nr"),
         )
     )
     top = (
@@ -1815,11 +1818,23 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_orderkey").alias("key"),
             F.col("cnt").cast("long").alias("cnt"),
-            F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
         )
     )
-    return top.crossJoin(F.broadcast(summary)).orderBy(
-        F.desc("cnt"), F.asc("key")
+    return (
+        top.crossJoin(F.broadcast(summary))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__nr"), 6).alias("share"),
+            "n_keys",
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            "p50_rank",
+            "p99_rank",
+            "skew_factor",
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
     )
 
 
