@@ -2910,6 +2910,20 @@ def q_vector_ann_ivf(
     cell so probes touch only matching buckets. Tests measure
     recall@10 against q_vector_topk (retrieval_recall_compliance,
     requirements.yaml:82-84)."""
+    assigned, centroids = ivf_fit_assign(spark, sf_dir, cfg)
+    queries = assigned.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_probe(assigned, centroids, queries, cfg)
+
+
+def ivf_fit_assign(
+    spark: SparkSession, sf_dir: str, cfg: ANNConfig = DEFAULT_ANN
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF BUILD half, split out (r8) so the persisted-index path
+    (sources/maintenance.py::write_ivf_index) shares it with the
+    inline query: returns (assigned, centroids) where assigned is
+    (vec_id, embedding, cell) and centroids the cells x dim table."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -2939,15 +2953,26 @@ def q_vector_ann_ivf(
         km, vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(m)) == 0).select("v")
     )
     assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
-
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )
-    queries = assigned.filter(F.col("vec_id") < IVF_N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    # rank cells per query over the tiny broadcast centroid table
+    return assigned, centroids
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    cfg: ANNConfig = DEFAULT_ANN,
+) -> DataFrame:
+    """The IVF PROBE half: rank cells per query over the broadcast
+    centroid table, prune candidates via the cell equi-join, exact
+    cosine on candidates, per-query top-k via WindowGroupLimit. When
+    ``assigned`` is the PERSISTED cell-bucketed index
+    (read_ivf_index), the corpus-sized side joins on its bucket
+    partitioning with no exchange — only the probes-sized side
+    shuffles to align (pinned in tests/test_ivf_index.py)."""
     probe_w = Window.partitionBy("q_id").orderBy(
         F.desc("c_cos"), F.asc("cell")
     )

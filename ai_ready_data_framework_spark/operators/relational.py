@@ -1465,10 +1465,12 @@ def group_size_rank_stats(per_key: DataFrame, cnt: str = "cnt") -> DataFrame:
     percentile()/quantile_cont pair relies on bit-identical (n-1)·p
     linear interpolation across engines; rank statistics are exact
     integers). Scale shape: the only corpus-sized work is the caller's
-    per-key count; this helper aggregates the group-size HISTOGRAM
-    (≤ max-group-size distinct rows — a calendar-sized frame), so the
-    single-partition cumulative window over it is deliberate, not a
-    scale bug."""
+    per-key count; this helper aggregates the group-size HISTOGRAM,
+    whose row count is bounded by the number of DISTINCT group sizes —
+    and k distinct sizes need at least 1+2+…+k = k(k+1)/2 input rows,
+    so the histogram is O(√n) rows at n fact rows (≈1.4M at 10^12 —
+    megabytes). The single-partition cumulative window over it is
+    therefore deliberate, not a scale bug."""
     hist = per_key.groupBy(cnt).agg(F.count("*").alias("freq"))
     wc = Window.orderBy(cnt).rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(

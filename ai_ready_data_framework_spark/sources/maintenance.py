@@ -178,3 +178,53 @@ def append_band_index(bands: DataFrame, table_name: str) -> None:
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF vector index (r8): the band-index recipe applied to
+# ANN — fit once, write the cell assignments bucketed by cell, probe
+# forever without refitting the quantizer.
+# ---------------------------------------------------------------------------
+
+IVF_INDEX_BUCKETS = 16
+
+
+def write_ivf_index(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int = IVF_INDEX_BUCKETS,
+) -> None:
+    """Materialize an IVF index (operators/ai.py::ivf_fit_assign
+    output) as a parquet table BUCKETED and SORTED by cell plus a tiny
+    centroid side table under ``path``/centroids.
+
+    Why bucketed: the probe's candidate-pruning equi-join clusters on
+    cell — a bucketed scan reports HashPartitioning(cell), so the
+    CORPUS-sized vector side joins with NO exchange; only the
+    probes-sized query side shuffles to align. The sort keeps parquet
+    min/max stats tight so an nprobe-cell lookup prunes files. The
+    KMeans fit (the expensive, driver-coordinated step) runs exactly
+    once, at WRITE time — probes never refit, which is the difference
+    between an index and a cache."""
+    (
+        assigned.write.mode("overwrite")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+        .option("path", f"{path}/vectors")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf_index(
+    spark: SparkSession, table_name: str, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """(assigned, centroids) for operators/ai.py::ivf_probe. The
+    vector table comes back through the catalog WITH its bucketing
+    metadata (a plain read.parquet would lose the bucket spec and
+    reintroduce the index-side shuffle); the centroid table is tiny
+    and broadcast by the probe anyway."""
+    return spark.table(table_name), spark.read.parquet(f"{path}/centroids")
