@@ -167,16 +167,25 @@ def purchase_click_join(df: DataFrame) -> DataFrame:
     )
 
 
-def run_batch(spark: SparkSession, sf_dir: str, transform: Transform) -> DataFrame:
-    return transform(load_table(spark, sf_dir, "events"))
+def run_batch(
+    spark: SparkSession, sf_dir: str, transform: Transform, table: str = "events"
+) -> DataFrame:
+    return transform(load_table(spark, sf_dir, table))
 
 
-def _stage_stream_dir(spark: SparkSession, sf_dir: str, n_files: int, stage_dir: str) -> str:
-    """Materialize events as n_files parquet files so availableNow
-    processes multiple micro-batches (maxFilesPerTrigger=1)."""
-    events = load_table(spark, sf_dir, "events")
-    path = os.path.join(stage_dir, "events_stream")
-    events.repartition(n_files).write.mode("overwrite").parquet(path)
+def _stage_stream_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int,
+    stage_dir: str,
+    table: str = "events",
+) -> str:
+    """Materialize the source table as n_files parquet files so
+    availableNow processes multiple micro-batches
+    (maxFilesPerTrigger=1)."""
+    src_df = load_table(spark, sf_dir, table)
+    path = os.path.join(stage_dir, f"{table}_stream")
+    src_df.repartition(n_files).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -185,6 +194,7 @@ def run_stream(
     sf_dir: str,
     transform: Transform,
     n_files: int = 4,
+    table: str = "events",
 ) -> DataFrame:
     """Run the same transform as an availableNow stream over the events
     table staged as ``n_files`` files (=> n micro-batches), collecting
@@ -201,7 +211,7 @@ def run_stream(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "4")
-        src = _stage_stream_dir(spark, sf_dir, n_files, stage_dir)
+        src = _stage_stream_dir(spark, sf_dir, n_files, stage_dir, table)
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
@@ -237,11 +247,13 @@ def _is_agg(df: DataFrame) -> bool:
     return "Aggregate" in plan
 
 
-def parity_fraction(spark: SparkSession, sf_dir: str, transform: Transform) -> float:
+def parity_fraction(
+    spark: SparkSession, sf_dir: str, transform: Transform, table: str = "events"
+) -> float:
     """The actual check-25 measurement: fraction of batch rows whose
     row-hash also appears in the streaming result (1.0 == identical)."""
-    batch = run_batch(spark, sf_dir, transform)
-    stream = run_stream(spark, sf_dir, transform)
+    batch = run_batch(spark, sf_dir, transform, table)
+    stream = run_stream(spark, sf_dir, transform, table=table)
     cols = sorted(batch.columns)
     bh = batch.select(F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256).alias("h"))
     sh = stream.select(F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256).alias("h"))
@@ -274,3 +286,38 @@ def make_enriched_events(spark: SparkSession, sf_dir: str) -> Transform:
         )
 
     return enriched
+
+
+def weighted_sample_stream(df: DataFrame) -> DataFrame:
+    """Streaming twin of q_mix_weighted's mixture freeze: the
+    per-source md5-threshold gate is a stateless per-row filter, so
+    the SAME expression runs on a document STREAM with no watermark or
+    state — a corpus can be mixture-sampled while it ingests, and
+    batch==stream identity is exact by construction (parity-tested)."""
+    from ai_ready_data_framework_spark.operators.ai import (
+        MIX_DEFAULT_WEIGHT,
+        MIX_WEIGHTS,
+        mix_threshold_hex,
+    )
+
+    thr = F.lit(mix_threshold_hex(MIX_DEFAULT_WEIGHT))
+    for src, w in MIX_WEIGHTS.items():
+        thr = F.when(F.col("source") == src, F.lit(mix_threshold_hex(w))).otherwise(
+            thr
+        )
+    h8 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
+    return df.filter(h8 < thr).select("doc_id", "source", "lang")
+
+
+def quality_sample_stream(df: DataFrame) -> DataFrame:
+    """Streaming twin of q_sample_quality's soft quality gate
+    (qsample_gate: k·10^8 < m²·2^32, exact int64): per-row text
+    scoring + integer compare, stateless — the quality-weighted corpus
+    freeze works on a live ingest stream byte-for-byte like batch."""
+    from ai_ready_data_framework_spark.functions import text as T
+    from ai_ready_data_framework_spark.operators.ai import qsample_gate
+
+    keep, keep_prob = qsample_gate(F.col("doc_id"), T.quality_score(F.col("text")))
+    return df.filter(keep).select(
+        "doc_id", "source", keep_prob.alias("keep_prob")
+    )

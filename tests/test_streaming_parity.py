@@ -175,3 +175,61 @@ def test_watermark_drops_late_rows_stream_vs_batch(spark, tmp_path):
         for r in hourly_counts(spark.read.parquet(str(src))).collect()
     }
     assert batch_rows == {"10:00": 3, "11:00": 1, "12:00": 1, "13:00": 1}
+
+
+def test_weighted_sample_parity(spark, sf_smoke):
+    """The mixture-freeze gate is stateless, so the streamed sample is
+    IDENTICAL to batch (fraction 1.0), and matches the registered
+    q_mix_weighted row set."""
+    from ai_ready_data_framework_spark.registry import QUERIES
+    from ai_ready_data_framework_spark.streaming.parity import (
+        parity_fraction,
+        run_stream,
+        weighted_sample_stream,
+    )
+
+    assert (
+        parity_fraction(
+            spark, sf_smoke, weighted_sample_stream, table="documents"
+        )
+        == 1.0
+    )
+    streamed = {
+        (r.doc_id, r.source)
+        for r in run_stream(
+            spark, sf_smoke, weighted_sample_stream, table="documents"
+        ).collect()
+    }
+    batch = {
+        (r.doc_id, r.source)
+        for r in QUERIES["q_mix_weighted"](spark, sf_smoke).collect()
+    }
+    assert streamed == batch and streamed
+
+
+def test_quality_sample_parity(spark, sf_smoke):
+    """The int64 quality gate freezes the same docs on a stream as in
+    batch — and the same set q_sample_quality registers."""
+    from ai_ready_data_framework_spark.registry import QUERIES
+    from ai_ready_data_framework_spark.streaming.parity import (
+        parity_fraction,
+        quality_sample_stream,
+        run_stream,
+    )
+
+    assert (
+        parity_fraction(
+            spark, sf_smoke, quality_sample_stream, table="documents"
+        )
+        == 1.0
+    )
+    streamed = {
+        r.doc_id
+        for r in run_stream(
+            spark, sf_smoke, quality_sample_stream, table="documents"
+        ).collect()
+    }
+    batch = {
+        r.doc_id for r in QUERIES["q_sample_quality"](spark, sf_smoke).collect()
+    }
+    assert streamed == batch and streamed
