@@ -457,7 +457,12 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_items").alias("n"),
         F.col("revenue").alias("amount"),
     )
-    skew = q_join_skew(spark, sf_dir).select(
+    # the graded leg runs the BRUTE replicate-everything rewrite on
+    # purpose — the adversarial partition-perturbation shape whose
+    # exactness the hash gate proves; the standalone q_join_skew
+    # defaults to the cheaper production hot_split form (both are
+    # exact, pinned against each other in test_fold_consistency)
+    skew = q_join_skew(spark, sf_dir, strategy="replicated").select(
         F.lit("salted_replicated").alias("strategy"),
         F.concat_ws("/", "l_returnflag", "o_orderstatus").alias("grp"),
         F.col("n_items").alias("n"),
@@ -2146,12 +2151,22 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-key threshold for q_join_skew's two-path default: the fixture's
+# per-order row counts top out at ~17 (mean ~4; q_skew_profile's
+# numbers), so 8 marks the top ~2% of keys — small enough that the hot
+# tail broadcasts, large enough that both paths carry real rows at
+# every graded SF. Production corpora set this hundreds-to-thousands.
+Q_JOIN_SKEW_HOT_THRESHOLD = 8
+
+
 @query("q_join_skew")  # rows-only registration; HARD-GRADED since
 # round 7 (twelfth fold) through q_join_inner's salted_replicated
 # union leg, whose oracle is the PLAIN join (strategy equivalence
 # under the hash gate); the standalone DuckDB oracle also runs in
 # tests/test_retrieval.py
-def q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_join_skew(
+    spark: SparkSession, sf_dir: str, strategy: str = "hot_split"
+) -> DataFrame:
     """J-family, skew-resilient form: lineitem-to-orders equi-join via
     ``replicated_skew_join`` — the rewrite for the case AQE cannot
     save: hot probe keys AND a build side too large to broadcast. The
@@ -2161,15 +2176,26 @@ def q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions. Result aggregated by return flag; equality with the
     plain unsalted join is the oracle.
 
-    This graded leg deliberately runs the BRUTE form (whole build side
-    replicated) — the worst-case shape whose exactness the hash gate
-    proves. The production form for a real 100 TB job is
-    ``hot_split_skew_join`` (functions/skew.py, r8): one probe-key
-    count finds the tiny hot tail, only hot-key build rows replicate,
-    and the cold majority pays a single plain hash join — exactness
-    and replication accounting tested on a genuinely skewed synthetic
-    in tests/test_skew.py."""
+    Two strategies (r8):
+
+    - ``hot_split`` (THIS standalone's default — the production form,
+      functions/skew.py::hot_split_skew_join): one probe-key count
+      finds the hot tail, only hot-key build rows replicate, the cold
+      majority pays a single plain hash join. The threshold here is
+      tuned from q_skew_profile exactly as that profile's docstring
+      prescribes: this corpus's group sizes top out at ~17 with mean
+      ~4, so Q_JOIN_SKEW_HOT_THRESHOLD = 8 marks the top ~2% of keys
+      hot (a production corpus would use hundreds-to-thousands) —
+      BOTH paths execute and their union must equal the plain join.
+    - ``replicated`` (the brute form q_join_inner's graded
+      salted_replicated leg runs): the WHOLE build side replicates —
+      the worst-case shape whose exactness the hash gate proves.
+
+    Exactness and replication accounting for the two-path form are
+    additionally tested on a genuinely skewed synthetic in
+    tests/test_skew.py."""
     from ai_ready_data_framework_spark.functions.skew import (
+        hot_split_skew_join,
         replicated_skew_join,
     )
 
@@ -2184,7 +2210,13 @@ def q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
     )
-    joined = replicated_skew_join(li, orders, on="l_orderkey")
+    if strategy == "hot_split":
+        joined = hot_split_skew_join(
+            li, orders, on="l_orderkey",
+            hot_threshold=Q_JOIN_SKEW_HOT_THRESHOLD,
+        )
+    else:
+        joined = replicated_skew_join(li, orders, on="l_orderkey")
     return joined.groupBy("l_returnflag", "o_orderstatus").agg(
         F.count("*").alias("n_items"),
         (F.sum(F.col("ep_c").cast("decimal(38,0)")).cast("double") / 100.0).alias(

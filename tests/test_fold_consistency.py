@@ -156,6 +156,11 @@ def test_ht_leg_matches_standalone(spark, sf_smoke):
 
 
 def test_skew_join_leg_matches_standalone(spark, sf_smoke):
+    """Since r8 this pin is CROSS-STRATEGY: the graded leg runs the
+    brute replicate-everything rewrite while the standalone defaults
+    to the production hot_split two-path form — equality here proves
+    both rewrites produce the identical aggregate (each is separately
+    proven equal to the plain join by its oracle)."""
     leg = {
         (r.grp, r.n, r.amount)
         for r in _leg(
