@@ -25,6 +25,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def write_training_shards(
@@ -228,3 +229,56 @@ def read_ivf_index(
     reintroduce the index-side shuffle); the centroid table is tiny
     and broadcast by the probe anyway."""
     return spark.table(table_name), spark.read.parquet(f"{path}/centroids")
+
+
+def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid cell assignment as a pure DataFrame op —
+    squared-Euclidean argmin over the broadcast centroid table, cell
+    id as the deterministic tie-break — exactly KMeans.transform's
+    rule, WITHOUT the fitted model object: incremental ingestion must
+    not depend on keeping an in-memory model alive between batches
+    (the saved centroid table IS the quantizer). Input: (vec_id,
+    embedding); output: (vec_id, embedding, cell). One broadcast
+    nested-loop over cells x batch — linear in the batch, never the
+    index."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("centroid"),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("__d2"), F.asc("cell"))
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "embedding", "cell", d2.alias("__d2"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
+def append_ivf_index(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    table_name: str,
+    n_buckets: int = IVF_INDEX_BUCKETS,
+) -> None:
+    """Fold an ingested batch into the persisted IVF index — the
+    incremental-maintenance half, mirroring append_band_index: assign
+    cells from the SAVED centroid table (no refit — the quantizer is
+    frozen at build time, the standard IVF ingestion contract; re-fit
+    when the drift profile says the distribution moved), append with
+    the SAME bucket spec so every appended file set stays aligned to
+    the cell buckets and the probe join's exchange-free property
+    survives ingestion after ingestion."""
+    (
+        assign_cells(new_vectors, centroids)
+        .write.mode("append")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

@@ -78,3 +78,66 @@ def test_point_cell_probe_prunes(spark, persisted_ivf):
     assert "PushedFilters: [" in plan, plan
     assert "EqualTo(cell" in plan, plan
     assert probe.count() >= 1
+
+
+def test_assign_cells_matches_kmeans_transform(spark, sf_correctness):
+    """The DataFrame nearest-centroid assignment (squared-Euclidean
+    argmin, cell tie-break) must reproduce KMeans.transform exactly on
+    the fixture — the property that lets ingestion run from the SAVED
+    centroid table with no model object."""
+    from ai_ready_data_framework_spark.sources.maintenance import assign_cells
+
+    assigned, centroids = ai.ivf_fit_assign(spark, sf_correctness)
+    model_cells = {r.vec_id: r.cell for r in assigned.collect()}
+    df_cells = {
+        r.vec_id: r.cell
+        for r in assign_cells(
+            assigned.select("vec_id", "embedding"), centroids
+        ).collect()
+    }
+    assert df_cells == model_cells and df_cells
+
+
+def test_append_then_probe_covers_both_generations(
+    spark, sf_correctness, persisted_ivf, tmp_path
+):
+    """Ingesting a batch through append_ivf_index must leave the table
+    probe-able over BOTH generations: appended vectors land in their
+    nearest cells (no refit) and a probe whose nprobe covers a new
+    vector's cell can return it as a neighbor."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        append_ivf_index,
+        assign_cells,
+    )
+
+    index, centroids = persisted_ivf
+    n_before = index.count()
+    # synthetic batch: clones of three existing vectors under fresh ids
+    batch = (
+        index.filter(F.col("vec_id") < 3)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    append_ivf_index(batch, centroids, "ivf_index_test")
+    spark.catalog.refreshTable("ivf_index_test")
+    after = spark.table("ivf_index_test")
+    assert after.count() == n_before + 3
+    # a clone must sit in the SAME cell as its original (identical
+    # embedding -> identical argmin)
+    orig = {r.vec_id: r.cell for r in index.filter(F.col("vec_id") < 3).collect()}
+    appended = {
+        r.vec_id - 1_000_000: r.cell
+        for r in after.filter(F.col("vec_id") >= 1_000_000).collect()
+    }
+    assert appended == orig
+    # probing the grown index with the original queries now surfaces
+    # the clones as top neighbors (cosine 1.0 with their originals)
+    queries = after.filter(F.col("vec_id") < ai.IVF_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    res = ai.ivf_probe(after, centroids, queries)
+    top = {
+        (r.q_id, r.vec_id)
+        for r in res.filter(F.col("rk") == 1).collect()
+    }
+    for q in range(3):
+        assert (q, q + 1_000_000) in top, top
