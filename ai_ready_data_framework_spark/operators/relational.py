@@ -283,7 +283,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation still applies. Cost scales with the number of grouping
     sets, so keep k small at 100 TB (k=2 → rollup 3 sets, cube 4).
 
-    Integer-cents sufficient statistics (VERDICT r8 sweep): sums run
+    Integer-cents sufficient statistics (VERDICT r7 #1, executed r8): sums run
     over exact decimal(38,0) cents / integer quantities, doubles
     derived only in the final projection — partition-order-invariant.
     """
@@ -411,7 +411,7 @@ def q_join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle left is the final tiny group-by on n_name.
 
     total_price sums exact integer cents (decimal(38,0)) and derives
-    the double only in the final projection (VERDICT r8 #1) — the
+    the double only in the final projection (VERDICT r7 #1, executed r8) — the
     cross-partition accumulation is order-invariant by construction."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -475,7 +475,7 @@ query(
     "q_join_inner",
     oracle="""
     -- every leg's amount is derived from exact integer-cent sums
-    -- (VERDICT r8 #1): cents = round(price*100) is exact because the
+    -- (VERDICT r7 #1, executed r8): cents = round(price*100) is exact because the
     -- fixture prices are 2-decimal doubles; the only float op is the
     -- final CAST/divide, mirrored verbatim on the Spark side
     SELECT 'star_nation' AS strategy,
@@ -501,7 +501,7 @@ query(
     -- salted_replicated leg (r7 twelfth fold): the oracle is the
     -- PLAIN join — the hash gate proves the salt/replicate rewrite
     -- exactly equivalent. Integer cents make the gate immune to the
-    -- rewrite's deliberate partition-order perturbation (r8 #1).
+    -- rewrite's deliberate partition-order perturbation (VERDICT r7 #1, r8).
     SELECT 'salted_replicated',
            l.l_returnflag || '/' || o.o_orderstatus,
            COUNT(*),
@@ -523,7 +523,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     # revenue in exact 10^-4-currency integer units: cents(ep) * (100 -
-    # cents(disc)); decimal(38,0) sum, double derived at the end (r8 #1)
+    # cents(disc)); decimal(38,0) sum, double derived at the end (VERDICT r7 #1, r8)
     rev_e4 = (
         F.round(F.col("l_extendedprice") * 100).cast("long")
         * (100 - F.round(F.col("l_discount") * 100).cast("long"))
@@ -554,7 +554,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: left outer join preserving order-less customers (the
     '1 - missing/total' coverage-check shape, e.g. requirements.yaml:54-56).
-    total_price sums exact integer cents (order-invariant, r8 #1)."""
+    total_price sums exact integer cents (order-invariant — VERDICT r7 #1, r8)."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     tp_c = F.round(F.col("o_totalprice") * 100).cast("long").cast("decimal(38,0)")
@@ -706,7 +706,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             # exact integer-cents sum (events.value is 2-decimal-exact;
-            # order-invariant cross-partition accumulation, r8 #1)
+            # order-invariant cross-partition accumulation — VERDICT r7 #1, r8)
             (
                 F.sum(
                     F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)")
@@ -1294,7 +1294,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
-        # exact integer cents (order-invariant pivot-cell sums, r8 #1)
+        # exact integer cents (order-invariant pivot-cell sums — VERDICT r7 #1, r8)
         F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)").alias("cents"),
     )
     wide = (
@@ -2204,7 +2204,7 @@ def q_join_skew(
         "l_returnflag",
         # exact integer cents BEFORE the salted join: the rewrite
         # deliberately perturbs partition composition, so the graded
-        # aggregate must be order-invariant (VERDICT r8 #1)
+        # aggregate must be order-invariant (VERDICT r7 #1, executed r8)
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("ep_c"),
     )
     orders = load_table(spark, sf_dir, "orders").select(
