@@ -71,9 +71,17 @@ def replicated_skew_join(
     ``n_salts`` partitions.
 
     Cost: build side shuffles n_salts x its size — worth it when
-    probe-side skew stalls the job, wasteful otherwise. Keep ``how`` to
-    inner/left (semantics preserved per probe row).
+    probe-side skew stalls the job, wasteful otherwise. ``how`` is
+    restricted to inner/left (semantics preserved per probe row; a
+    right/full outer would emit every unmatched build row once per
+    salt replica — n_salts spurious copies).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "replicated_skew_join supports how in {'inner','left'}: "
+            "build-side replication is probe-row-preserving only; "
+            f"got {how!r}"
+        )
     if salt_by is None:
         salt_src = F.xxhash64(*[F.col(c) for c in probe.columns])
     else:
@@ -125,7 +133,19 @@ def hot_split_skew_join(
     majority pays one plain hash join. The brute form stays available
     (and hash-graded through q_join_inner's salted_replicated leg) as
     the worst-case-shape equivalence proof; this form is what a 100 TB
-    job should run."""
+    job should run.
+
+    ``how`` is restricted to inner/left (ADVICE r8): the two-path
+    decomposition preserves semantics per PROBE row only. Under
+    right/full outer, a build row on a hot key would emit an unmatched
+    null-probe row from the cold path (probe_cold lacks hot keys)
+    while also matching in the hot path — spurious duplicates."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "hot_split_skew_join supports how in {'inner','left'}: the "
+            "hot/cold two-path split is probe-row-preserving only; "
+            f"got {how!r}"
+        )
     hot_keys = (
         probe.groupBy(on)
         .agg(F.count("*").alias("__cnt"))

@@ -1584,7 +1584,7 @@ def _profile_union_oracle_sql() -> str:
            mg,
            CAST(p50_i AS DOUBLE),
            CAST(p99_i AS DOUBLE),
-           ROUND(CAST(mg * nk AS DOUBLE) / nr, 4)
+           ROUND(CAST(mg AS DOUBLE) * nk / nr, 4)
     FROM {group_size_rank_stats_sql(
         "SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1"
     )} rank_stats
@@ -1713,9 +1713,12 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # q_skew_profile's pytest oracle
         F.col("p50_i").cast("double").alias("p50_group"),
         F.col("p99_i").cast("double").alias("p99_group"),
-        # max/mean as a single division of exact integers:
-        # max/avg = mg·nk/nr
-        F.round((F.col("mg") * F.col("nk")).cast("double") / F.col("nr"), 4).alias(
+        # max/mean = mg·nk/nr, multiplied in DOUBLE: at fleet scale
+        # (nk ~1e12 keys with large max groups) the int64 product
+        # mg·nk can exceed 2^63 — Spark (non-ANSI) would wrap silently
+        # while the DuckDB oracle raises (ADVICE r8). IEEE multiply on
+        # identical exact-integer inputs stays bitwise cross-engine.
+        F.round(F.col("mg").cast("double") * F.col("nk") / F.col("nr"), 4).alias(
             "skew_factor"
         ),
     ).select(
@@ -1811,7 +1814,9 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p50_i").alias("p50_rank"),
             F.col("p99_i").alias("p99_rank"),
             F.round(
-                (F.col("mg") * F.col("nk")).cast("double") / F.col("nr"), 4
+                # double-first multiply: mg·nk in int64 wraps past 2^63
+                # at fleet-scale nk (ADVICE r8); see q_profile's leg
+                F.col("mg").cast("double") * F.col("nk") / F.col("nr"), 4
             ).alias("skew_factor"),
             # total fact rows ride the summary so the top rows' share
             # derives lazily — no eager li.count() at plan-build time

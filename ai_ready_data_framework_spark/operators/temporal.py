@@ -1074,10 +1074,16 @@ def psi_category_drift(events: DataFrame) -> DataFrame:
     )
     term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
     # psi_total sums integer NANO-units of each term (the ENTROPY_NANO
-    # recipe, r8 sweep): the per-row term is a deterministic double on
-    # identical inputs, but its cross-row SUM is order-sensitive —
+    # recipe, r8 sweep): the cross-row float SUM is order-sensitive —
     # Spark's window scan and DuckDB's segment tree add in different
-    # orders. Floored nano-terms make the window sum exact-integer.
+    # orders — so floored nano-terms make the window sum exact-integer.
+    # Residual cross-engine exposure (ADVICE r8, honest note): the
+    # per-term ln() is libm, not guaranteed bit-identical across
+    # engines; a 1-ulp ln difference can flip one floored nano-unit
+    # when a term sits within ~1e-9 of an integer boundary. With
+    # PSI_SMOOTH = 1 the ratio is integer-expressible
+    # (ln((n_cur+1)·T_ref) − ln((n_ref+1)·T_cur)), so a fixedmath
+    # integer-ln ladder would close this fully — future-round work.
     term_nano = F.floor(term * 1000000000.0).cast("long")
     return smoothed.select(
         "event_type",
@@ -1159,10 +1165,16 @@ def psi_value_drift(events: DataFrame) -> DataFrame:
     )
     term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
     # psi_total sums integer NANO-units of each term (the ENTROPY_NANO
-    # recipe, r8 sweep): the per-row term is a deterministic double on
-    # identical inputs, but its cross-row SUM is order-sensitive —
+    # recipe, r8 sweep): the cross-row float SUM is order-sensitive —
     # Spark's window scan and DuckDB's segment tree add in different
-    # orders. Floored nano-terms make the window sum exact-integer.
+    # orders — so floored nano-terms make the window sum exact-integer.
+    # Residual cross-engine exposure (ADVICE r8, honest note): the
+    # per-term ln() is libm, not guaranteed bit-identical across
+    # engines; a 1-ulp ln difference can flip one floored nano-unit
+    # when a term sits within ~1e-9 of an integer boundary. With
+    # PSI_SMOOTH = 1 the ratio is integer-expressible
+    # (ln((n_cur+1)·T_ref) − ln((n_ref+1)·T_cur)), so a fixedmath
+    # integer-ln ladder would close this fully — future-round work.
     term_nano = F.floor(term * 1000000000.0).cast("long")
     return smoothed.select(
         "bin",

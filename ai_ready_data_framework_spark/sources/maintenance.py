@@ -25,7 +25,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def write_training_shards(
@@ -234,13 +233,30 @@ def read_ivf_index(
 def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid cell assignment as a pure DataFrame op —
     squared-Euclidean argmin over the broadcast centroid table, cell
-    id as the deterministic tie-break — exactly KMeans.transform's
-    rule, WITHOUT the fitted model object: incremental ingestion must
-    not depend on keeping an in-memory model alive between batches
-    (the saved centroid table IS the quantizer). Input: (vec_id,
-    embedding); output: (vec_id, embedding, cell). One broadcast
-    nested-loop over cells x batch — linear in the batch, never the
-    index."""
+    id as the deterministic tie-break — the same argmin RULE as
+    KMeans.transform, WITHOUT the fitted model object: incremental
+    ingestion must not depend on keeping an in-memory model alive
+    between batches (the saved centroid table IS the quantizer).
+    (Not a bitwise-equality contract: MLlib's transform computes
+    distances via the ||x||²+||c||²−2x·c norm trick with a
+    precision-dependent fast path, so on floating-point NEAR-TIES it
+    may pick a different centroid than this exact squared-Euclidean
+    argmin — ADVICE r8. Benign for IVF recall, and this function is
+    the canonical assignment for the INGEST path; the fixture test
+    checks agreement on real data, not equality in general.)
+    Input: (vec_id, embedding); output: (vec_id, embedding, cell).
+
+    Shape (VERDICT r8 #4): one broadcast nested-loop over
+    cells x batch, then the argmin as a ``min_by`` AGGREGATE. The
+    struct-typed buffer plans as SortAggregate, but the half that
+    matters is map-side: ``partial_min_by`` runs BELOW the exchange
+    (one partition-local key sort of batch rows), so the shuffle
+    carries ONE pre-combined row per (vec_id, partition) — versus the
+    previous row_number() window form, which shuffled every one of the
+    #cells candidate rows per vector and then sorted them per key on
+    the reduce side of the ingestion hot path (plan-pinned in
+    tests/test_ivf_index.py). The ordering struct (__d2, cell) has no
+    ties (cell is unique per candidate), so min_by is deterministic."""
     d2 = F.aggregate(
         F.zip_with(
             F.col("embedding").cast("array<double>"),
@@ -250,13 +266,21 @@ def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("__d2"), F.asc("cell"))
     return (
         vectors.crossJoin(F.broadcast(centroids))
         .select("vec_id", "embedding", "cell", d2.alias("__d2"))
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select("vec_id", "embedding", "cell")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cell", "embedding"),
+                F.struct(F.col("__d2"), F.col("cell")),
+            ).alias("__best")
+        )
+        .select(
+            "vec_id",
+            F.col("__best.embedding").alias("embedding"),
+            F.col("__best.cell").alias("cell"),
+        )
     )
 
 
@@ -269,11 +293,13 @@ def append_ivf_index(
     """Fold an ingested batch into the persisted IVF index — the
     incremental-maintenance half, mirroring append_band_index: assign
     cells from the SAVED centroid table (no refit — the quantizer is
-    frozen at build time, the standard IVF ingestion contract; re-fit
-    when the drift profile says the distribution moved), append with
-    the SAME bucket spec so every appended file set stays aligned to
-    the cell buckets and the probe join's exchange-free property
-    survives ingestion after ingestion."""
+    frozen at build time, the standard IVF ingestion contract;
+    ``ivf_refit_needed`` is the drift gate that says when to re-fit),
+    append with the SAME bucket spec so every appended file set stays
+    aligned to the cell buckets and the probe join's exchange-free
+    property survives ingestion after ingestion. Each append adds one
+    file set per bucket; ``compact_ivf_index`` periodically folds them
+    back to one."""
     (
         assign_cells(new_vectors, centroids)
         .write.mode("append")
@@ -282,3 +308,102 @@ def append_ivf_index(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    table_name: str,
+    path: str,
+    n_buckets: int = IVF_INDEX_BUCKETS,
+) -> None:
+    """Fold all appended generations back into single-file-set cell
+    buckets (VERDICT r8 #2 — the maintenance half of the persisted IVF
+    index, mirroring ``compact_band_index``): after N ingestion cycles
+    ``append_ivf_index`` has left N file sets per bucket, so every
+    probe reads N files per cell; one rewrite restores one sorted file
+    per bucket and keeps probe latency flat under steady-state
+    ingestion. The bucket spec is re-declared identically, so the
+    probe join's exchange-free property survives compaction.
+
+    Materialize BEFORE overwriting the table the plan reads from —
+    same lineage-truncating barrier rationale as compact_band_index
+    (streaming/dedup.py): the durable alternative on a real cluster is
+    a reliable checkpoint() or staging to a temp path first. The
+    centroid side table is untouched (compaction never refits)."""
+    vecs = spark.table(table_name).localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    (
+        # repartition(n_buckets, cell): Spark's bucket id and
+        # repartition's hashpartitioning use the same murmur3-pmod, so
+        # partition id == bucket id and each task writes EXACTLY its
+        # one bucket file — without this, a bucketed write emits one
+        # file per (task, bucket) and compaction wouldn't compact
+        vecs.repartition(n_buckets, "cell")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+        .option("path", f"{path}/vectors")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+# PSI >= 0.2 is the conventional "significant population shift" bar
+# (the same threshold doctrine as q_drift_psi); below it the frozen
+# quantizer still matches the data it indexes.
+IVF_REFIT_PSI_THRESHOLD = 0.2
+_REFIT_SMOOTH = 0.5  # Laplace smoothing so empty cells don't blow up ln
+
+
+def ivf_cell_psi(
+    index_cells: DataFrame, batch_cells: DataFrame, centroids: DataFrame
+) -> float:
+    """Population-stability index of the CELL-OCCUPANCY distribution
+    between the persisted index and an incoming batch (VERDICT r8 #3 —
+    the drift half of the append path's "re-fit when the distribution
+    moved" promise, the q_drift_psi machinery applied to cell ids):
+    PSI = Σ_c (p_batch_c − p_index_c) · ln(p_batch_c / p_index_c)
+    over the centroid table's full cell universe, shares Laplace-
+    smoothed so cells empty on one side stay finite. Inputs are any
+    frames with a ``cell`` column (``spark.table(index)`` and
+    ``assign_cells(batch)`` — the assignment the append path computes
+    anyway). Work shape: two map-side-combinable counts + a
+    #cells-row join; the only driver materialization is one row."""
+    idx_occ = index_cells.groupBy("cell").agg(F.count("*").alias("n_idx"))
+    new_occ = batch_cells.groupBy("cell").agg(F.count("*").alias("n_new"))
+    occ = (
+        centroids.select("cell")
+        .join(idx_occ, "cell", "left")
+        .join(new_occ, "cell", "left")
+        .fillna(0, ["n_idx", "n_new"])
+    )
+    tot = occ.agg(
+        F.sum(F.col("n_idx") + _REFIT_SMOOTH).alias("t_idx"),
+        F.sum(F.col("n_new") + _REFIT_SMOOTH).alias("t_new"),
+    )
+    p_idx = (F.col("n_idx") + _REFIT_SMOOTH) / F.col("t_idx")
+    p_new = (F.col("n_new") + _REFIT_SMOOTH) / F.col("t_new")
+    row = (
+        occ.crossJoin(F.broadcast(tot))
+        .select(((p_new - p_idx) * F.log(p_new / p_idx)).alias("term"))
+        .agg(F.sum("term").alias("psi"))
+        .collect()[0]
+    )
+    return float(row["psi"])
+
+
+def ivf_refit_needed(
+    index_cells: DataFrame,
+    batch_cells: DataFrame,
+    centroids: DataFrame,
+    threshold: float = IVF_REFIT_PSI_THRESHOLD,
+) -> tuple[bool, float]:
+    """(refit?, psi): True when the batch's cell-occupancy
+    distribution has drifted past ``threshold`` from the index's —
+    the executable form of append_ivf_index's docstring promise
+    (freshness/change detection applied to the index itself,
+    requirements.yaml:91-93). Callers that get True should re-fit the
+    quantizer (ivf_fit_assign) and rebuild via write_ivf_index; False
+    means keep appending against the frozen centroids."""
+    psi = ivf_cell_psi(index_cells, batch_cells, centroids)
+    return psi >= threshold, psi

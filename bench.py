@@ -9,6 +9,11 @@ as the sf-matched regression baseline for the next run.
 
 Each query is forced end-to-end with a noop sink (full execution, no
 driver-side collect bottleneck), timed after a warmup of the session.
+
+Each query records BOTH wall time and process-tree CPU time (VERDICT
+r8 #1): the regression guard flags on CPU ratio when the baseline has
+it, wall otherwise — CPU is load-immune, so a contended host can no
+longer flag untouched queries (the round-8 host-drift failure mode).
 """
 
 from __future__ import annotations
@@ -155,6 +160,75 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# ---------------------------------------------------------------------------
+# Per-query CPU time (VERDICT r8 #1): wall-clock regression flags are
+# load-dependent — the round-8 host-drift saga (a monotonic
+# 103.5->115.5s afternoon climb flagging a DIFFERENT untouched query
+# each run) showed the wall guard breaking down exactly when the
+# signal matters. CPU time is load-immune: a contended host stretches
+# wall while CPU stays put. In local[*] mode the ENTIRE engine — the
+# driver JVM (which is also every executor) and the Python UDF worker
+# daemons — runs as descendants of this benchmark process, so summing
+# utime+stime over the process tree from /proc between t0 and t1 IS
+# the query's executor CPU time, with no SparkListener plumbing and no
+# metrics race (stage completion events can land after the job
+# returns; /proc reads are synchronous truth).
+# ---------------------------------------------------------------------------
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+
+
+def _stat_ppid_ticks(pid: str) -> tuple[int, int]:
+    """(ppid, utime+stime+cutime+cstime ticks) from /proc/<pid>/stat.
+    The comm field may contain spaces/parens; everything after the
+    LAST ')' is well-formed space-separated fields. cutime/cstime
+    (reaped children's time, RECURSIVE per the kernel's definition)
+    must be included: Spark's python workers come and go between
+    samples, and a worker that exits mid-delta would otherwise take
+    its accumulated ticks out of the live sum — the first r9 bench
+    run measured two NEGATIVE per-query CPU deltas exactly this way.
+    With cutime in, a worker's time moves into its parent at exit and
+    the tree total stays monotone."""
+    with open(f"/proc/{pid}/stat", "rb") as f:
+        raw = f.read().decode("ascii", "replace")
+    parts = raw[raw.rindex(")") + 2 :].split()
+    # post-comm fields: [0]=state, [1]=ppid, [11]=utime, [12]=stime,
+    #                   [13]=cutime, [14]=cstime
+    return int(parts[1]), (
+        int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])
+    )
+
+
+def process_tree_cpu_seconds(root_pid: int | None = None) -> float:
+    """Total CPU seconds (user+sys) consumed so far by ``root_pid``
+    and every live descendant. Deltas of this around a query run give
+    its CPU cost. Exited descendants' time is lost to the delta only
+    if they die mid-query — Spark's python daemons and the JVM live
+    for the whole bench, so the deltas are complete in practice."""
+    root = root_pid if root_pid is not None else os.getpid()
+    children: dict[int, list[int]] = {}
+    ticks: dict[int, int] = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            ppid, t = _stat_ppid_ticks(entry)
+        except (OSError, ValueError, IndexError):
+            continue  # process exited between listdir and read
+        pid = int(entry)
+        children.setdefault(ppid, []).append(pid)
+        ticks[pid] = t
+    total, stack, seen = 0, [root], set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen or pid not in ticks:
+            continue
+        seen.add(pid)
+        total += ticks[pid]
+        stack.extend(children.get(pid, []))
+    return total / _CLK_TCK
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -171,24 +245,31 @@ def main() -> None:
     # steady state). Min over runs is the standard steady-state metric
     # and is what a long-running cluster actually experiences.
     per_query: dict[str, float] = {}
+    per_query_cpu: dict[str, float] = {}
     for name in names:
         best = float("inf")
+        best_cpu = float("inf")
         for _ in range(BENCH_RUNS):
+            c0 = process_tree_cpu_seconds()
             t0 = time.perf_counter()
             force(registry.QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            best_cpu = min(best_cpu, process_tree_cpu_seconds() - c0)
         per_query[name] = round(best, 3)
+        per_query_cpu[name] = round(best_cpu, 3)
 
     total = round(sum(per_query.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "value_cpu": round(sum(per_query_cpu.values()), 3),
         "queries": per_query,
+        "queries_cpu": per_query_cpu,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Baseline must be read BEFORE overwriting BENCH_DETAIL.json below.
-    regressions = compare_to_previous(per_query, out["sf"])
+    regressions = compare_to_previous(per_query, out["sf"], per_query_cpu)
     if regressions is not None:
         out["regressions_vs_prev"] = regressions
 
@@ -226,6 +307,8 @@ def build_compact(out: dict, regressions: dict | None) -> dict:
         "n_queries": len(out["queries"]),
         "detail": "BENCH_DETAIL.json",
     }
+    if "value_cpu" in out:
+        compact["value_cpu"] = out["value_cpu"]
     if regressions is not None:
         flagged = sorted(regressions.get("flagged", {}))
         # flagged participates in the SAME length budget (ADVICE r5):
@@ -347,13 +430,74 @@ MIN_REGRESSION_SECONDS = 0.8
 # a 0.6s query drifting to 0.95s under host load is not a regression,
 # a 2s query hitting 4s is.
 MIN_REGRESSION_DELTA_SECONDS = 0.8
+# CPU-side noise floor: on local[32] CPU totals run ~5-15x wall, so
+# the absolute bands scale up accordingly. Run-to-run CPU scatter on
+# identical code is dominated by JIT/GC placement (~1-2s observed);
+# require both the level and the delta to clear it.
+MIN_REGRESSION_CPU_SECONDS = 2.0
+MIN_REGRESSION_CPU_DELTA_SECONDS = 2.0
 
 
-def compare_to_previous(per_query: dict[str, float], sf) -> dict | None:
+def flag_regressions(
+    per_query: dict[str, float],
+    prev_wall: dict[str, float],
+    per_query_cpu: dict[str, float] | None = None,
+    prev_cpu: dict[str, float] | None = None,
+) -> dict[str, dict]:
+    """Pure flagging core (unit-tested against a synthetic noisy
+    host). CPU-ratio first, wall second (VERDICT r8 #1): when BOTH the
+    current run and the baseline carry CPU time for a query, the CPU
+    ratio decides — host load stretches wall but not CPU, so a loaded
+    box stops flagging untouched queries. Wall decides only when CPU
+    data is missing on either side (pre-r9 baselines)."""
+    flagged: dict[str, dict] = {}
+    for name, secs in per_query.items():
+        p = prev_wall.get(name)
+        if p is None:
+            continue
+        cpu_now = (per_query_cpu or {}).get(name)
+        cpu_prev = (prev_cpu or {}).get(name)
+        if cpu_now is not None and cpu_prev is not None:
+            if cpu_now < MIN_REGRESSION_CPU_SECONDS:
+                continue
+            if cpu_now - cpu_prev < MIN_REGRESSION_CPU_DELTA_SECONDS:
+                continue
+            ratio = cpu_now / cpu_prev if cpu_prev > 0 else float("inf")
+            if ratio > REGRESSION_FACTOR:
+                flagged[name] = {
+                    "prev": p,
+                    "now": secs,
+                    "prev_cpu": cpu_prev,
+                    "now_cpu": cpu_now,
+                    "ratio": round(ratio, 2),
+                    "signal": "cpu",
+                }
+        else:
+            if secs < MIN_REGRESSION_SECONDS:
+                continue
+            if secs - p < MIN_REGRESSION_DELTA_SECONDS:
+                continue
+            ratio = secs / p if p > 0 else float("inf")
+            if ratio > REGRESSION_FACTOR:
+                flagged[name] = {
+                    "prev": p,
+                    "now": secs,
+                    "ratio": round(ratio, 2),
+                    "signal": "wall",
+                }
+    return flagged
+
+
+def compare_to_previous(
+    per_query: dict[str, float],
+    sf,
+    per_query_cpu: dict[str, float] | None = None,
+) -> dict | None:
     """Per-query regression guard vs the newest BENCH_r{N}.json: flag
-    anything slower than REGRESSION_FACTOR x its previous wall time
-    (ignoring sub-overhead timings and known semantic merges). Loud on
-    stderr; structured in the JSON tail for the round record."""
+    anything slower than REGRESSION_FACTOR x its previous CPU time
+    (wall time for pre-CPU baselines; ignoring sub-overhead timings
+    and known semantic merges). Loud on stderr; structured in the JSON
+    tail for the round record."""
     import glob
     import re
 
@@ -370,13 +514,16 @@ def compare_to_previous(per_query: dict[str, float], sf) -> dict | None:
     # newest bench that actually recorded per-query data (a crashed
     # round writes rc!=0 with parsed:null — compare against the last
     # good one instead of silently comparing against nothing)
-    prev_path, prev = None, {}
+    prev_path, prev, prev_cpu = None, {}, None
     for cand in reversed(benches):
         try:
             with open(cand) as f:
                 data = json.load(f)
             # the driver wraps bench stdout under "parsed"
             got = data.get("queries") or (data.get("parsed") or {}).get("queries")
+            got_cpu = data.get("queries_cpu") or (data.get("parsed") or {}).get(
+                "queries_cpu"
+            )
             # never compare across scale factors (a local sf0.01
             # iteration must not become the baseline for an sf0.1 run)
             prev_sf = data.get("sf")
@@ -387,29 +534,21 @@ def compare_to_previous(per_query: dict[str, float], sf) -> dict | None:
         except (OSError, json.JSONDecodeError):
             continue
         if got:
-            prev_path, prev = cand, got
+            prev_path, prev, prev_cpu = cand, got, got_cpu
             break
     if prev_path is None:
         return None
-    flagged = {}
-    for name, secs in per_query.items():
-        p = prev.get(name)
-        if p is None or secs < MIN_REGRESSION_SECONDS:
-            continue
-        if secs - p < MIN_REGRESSION_DELTA_SECONDS:
-            continue
-        ratio = secs / p if p > 0 else float("inf")
-        if ratio > REGRESSION_FACTOR:
-            entry = {"prev": p, "now": secs, "ratio": round(ratio, 2)}
-            if name in EXPECTED_CHANGES:
-                entry["expected"] = EXPECTED_CHANGES[name]
-            else:
-                print(
-                    f"bench REGRESSION: {name} {p:.2f}s -> {secs:.2f}s "
-                    f"({ratio:.1f}x, vs {os.path.basename(prev_path)})",
-                    file=sys.stderr,
-                )
-            flagged[name] = entry
+    flagged = flag_regressions(per_query, prev, per_query_cpu, prev_cpu)
+    for name, entry in flagged.items():
+        if name in EXPECTED_CHANGES:
+            entry["expected"] = EXPECTED_CHANGES[name]
+        else:
+            print(
+                f"bench REGRESSION[{entry['signal']}]: {name} "
+                f"{entry['prev']:.2f}s -> {entry['now']:.2f}s "
+                f"({entry['ratio']:.1f}x, vs {os.path.basename(prev_path)})",
+                file=sys.stderr,
+            )
     return {"baseline": os.path.basename(prev_path), "flagged": flagged}
 
 

@@ -1578,3 +1578,18 @@ def test_ngram_pair_union_tiny_corpus(spark, tmp_path):
     assert ("jaccard", 0, 1) in kinds  # the near-identical pair
     assert ("containment", 2, 3) in kinds  # asymmetric-only pair
     assert ("jaccard", 2, 3) not in kinds  # jaccard threshold misses it
+
+
+def test_embeddings_count_one_scan_feeds_all_three_fits(spark, sf_correctness):
+    """VERDICT r8 #6: the three model-fit paths that size a hash
+    sample from the embeddings-table row count (IVF quantizer,
+    SemDeDup clustering, PQ codebooks) must share ONE memoized lookup
+    — building all three back-to-back scans the table exactly once."""
+    key = (spark.sparkContext.applicationId, sf_correctness)
+    ai._EMB_COUNT_MEMO.pop(key, None)
+    ai._EMB_COUNT_SCANS.pop(key, None)
+    ai.ivf_fit_assign(spark, sf_correctness)
+    ai.semantic_cluster_assign(spark, sf_correctness)
+    QUERIES["q_vector_ann_pq"](spark, sf_correctness)
+    assert ai._EMB_COUNT_SCANS.get(key) == 1
+    assert ai._EMB_COUNT_MEMO[key] > 0

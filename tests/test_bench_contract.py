@@ -73,6 +73,51 @@ def test_headline_names_resolve_in_registry():
     assert not missing, missing
 
 
+def test_cpu_guard_quiet_on_noisy_host_where_wall_flags():
+    """VERDICT r8 #1: the synthetic noisy host — every wall time
+    doubles (host contention) while CPU stays put. The CPU-primary
+    guard must stay quiet; the wall-only fallback (pre-r9 baseline
+    without queries_cpu) flags the same data."""
+    prev_wall = {f"q{i}": 2.0 for i in range(20)}
+    prev_cpu = {f"q{i}": 20.0 for i in range(20)}
+    noisy_wall = {k: v * 2.2 for k, v in prev_wall.items()}  # load-stretched
+    stable_cpu = {k: v * 1.02 for k, v in prev_cpu.items()}  # CPU unchanged
+    assert bench.flag_regressions(noisy_wall, prev_wall, stable_cpu, prev_cpu) == {}
+    wall_only = bench.flag_regressions(noisy_wall, prev_wall, None, None)
+    assert len(wall_only) == 20
+    assert all(e["signal"] == "wall" for e in wall_only.values())
+
+
+def test_cpu_guard_flags_real_cpu_regression():
+    """...and a genuine regression (CPU and wall both up 3x) flags on
+    the CPU signal, carrying both measurements in the entry."""
+    prev_wall, prev_cpu = {"q": 2.0}, {"q": 20.0}
+    flagged = bench.flag_regressions(
+        {"q": 6.0}, prev_wall, {"q": 60.0}, prev_cpu
+    )
+    assert flagged["q"]["signal"] == "cpu"
+    assert flagged["q"]["ratio"] == 3.0
+    assert flagged["q"]["now_cpu"] == 60.0
+    # sub-noise-floor CPU work never flags regardless of ratio
+    assert bench.flag_regressions(
+        {"q": 0.3}, {"q": 0.1}, {"q": 1.5}, {"q": 0.4}
+    ) == {}
+
+
+def test_process_tree_cpu_seconds_measures_own_burn():
+    """The /proc walker must see CPU burned by this very process (and
+    monotonically increase)."""
+    import time as _t
+
+    c0 = bench.process_tree_cpu_seconds()
+    t_end = _t.process_time() + 0.3
+    x = 0
+    while _t.process_time() < t_end:
+        x += sum(range(1000))
+    c1 = bench.process_tree_cpu_seconds()
+    assert c1 - c0 >= 0.2, (c0, c1)
+
+
 def test_expected_changes_keys_unique():
     """A Python dict literal silently keeps only the LAST duplicate
     key: round 7 shipped two "q_join_inner" entries and the r4

@@ -301,7 +301,7 @@ def test_skew_profile_matches_duckdb_oracle(spark, sf_correctness):
                    ROUND(quantile_cont(per_key.cnt, 0.99), 4) AS p99_cnt,
                    r.p50_i AS p50_rank,
                    r.p99_i AS p99_rank,
-                   ROUND(CAST(r.mg * r.nk AS DOUBLE) / r.nr, 4) AS skew_factor
+                   ROUND(CAST(r.mg AS DOUBLE) * r.nk / r.nr, 4) AS skew_factor
             FROM per_key CROSS JOIN {rank_sql} r
             GROUP BY r.nk, r.mg, r.p50_i, r.p99_i, r.nr
         )

@@ -98,6 +98,126 @@ def test_assign_cells_matches_kmeans_transform(spark, sf_correctness):
     assert df_cells == model_cells and df_cells
 
 
+def test_assign_cells_plan_is_aggregate_not_window(spark, sf_correctness):
+    """VERDICT r8 #4: the ingestion-path argmin must run as a
+    map-side-combinable min_by AGGREGATE — no WindowExec (keyed
+    exchange + per-vector sort of #cells rows) may appear in the
+    assignment plan that runs per batch forever."""
+    from ai_ready_data_framework_spark.sources.maintenance import assign_cells
+
+    assigned, centroids = ai.ivf_fit_assign(spark, sf_correctness)
+    df = assign_cells(assigned.select("vec_id", "embedding"), centroids)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "Window" not in plan, plan
+    # map-side combine proof: the partial min_by must sit BELOW the
+    # exchange, so the shuffle carries one row per (vec_id, partition)
+    # instead of #cells candidate rows per vector
+    pre, _, post = plan.partition("Exchange hashpartitioning(vec_id")
+    assert post, plan  # the one keyed exchange
+    assert "partial_min_by" in post, plan
+
+
+def test_write_append_compact_probe_identity(
+    spark, sf_correctness, persisted_ivf, tmp_path
+):
+    """VERDICT r8 #2 — the maintenance half: write -> append x3 ->
+    compact must conserve every row, leave probe results IDENTICAL,
+    collapse the per-bucket file sets back to one generation, and keep
+    the exchange-free probe plan pin alive (the band-index compaction
+    contract applied to the IVF index)."""
+    import glob as _glob
+
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        IVF_INDEX_BUCKETS,
+        append_ivf_index,
+        compact_ivf_index,
+    )
+
+    index, centroids = persisted_ivf
+    name, vec_dir = "ivf_index_test", str(tmp_path / "ivf" / "vectors")
+    n0 = index.count()
+    for gen in range(3):
+        batch = (
+            index.filter(F.col("vec_id") % 7 == gen)
+            .select(
+                (F.col("vec_id") + 1_000_000 * (gen + 1)).alias("vec_id"),
+                "embedding",
+            )
+        )
+        append_ivf_index(batch, centroids, name)
+    spark.catalog.refreshTable(name)
+    grown = spark.table(name)
+    n_grown = grown.count()
+    assert n_grown > n0
+    files_before = len(_glob.glob(f"{vec_dir}/*.parquet"))
+    assert files_before > IVF_INDEX_BUCKETS, files_before  # N generations
+
+    queries = grown.filter(F.col("vec_id") < ai.IVF_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    before = {
+        tuple(r) for r in ai.ivf_probe(grown, centroids, queries).collect()
+    }
+
+    compact_ivf_index(spark, name, str(tmp_path / "ivf"))
+    spark.catalog.refreshTable(name)
+    compacted = spark.table(name)
+    # row conservation
+    assert compacted.count() == n_grown
+    # single file set per bucket restored
+    files_after = len(_glob.glob(f"{vec_dir}/*.parquet"))
+    assert files_after <= IVF_INDEX_BUCKETS, (files_before, files_after)
+    # probe identity (queries re-derived from the compacted table —
+    # the pre-compaction frame's file listing is gone by design)
+    queries = compacted.filter(F.col("vec_id") < ai.IVF_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    after = {
+        tuple(r)
+        for r in ai.ivf_probe(compacted, centroids, queries).collect()
+    }
+    assert after == before and after
+    # the exchange-free plan pin survives compaction
+    df = ai.ivf_probe(compacted, centroids, queries)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Bucketed: true" in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "vec_id" not in ln, ln
+
+
+def test_ivf_refit_gate_fires_on_shift_only(spark, sf_correctness, persisted_ivf):
+    """VERDICT r8 #3: a batch drawn from the index's own distribution
+    must NOT trigger a refit; a displaced batch (every embedding
+    shifted far off the fitted clusters, collapsing cell occupancy)
+    must."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        assign_cells,
+        ivf_refit_needed,
+    )
+
+    index, centroids = persisted_ivf
+    same = index.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    refit_same, psi_same = ivf_refit_needed(
+        index, assign_cells(same, centroids), centroids
+    )
+    assert not refit_same, psi_same
+
+    shifted = same.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + F.lit(25.0)
+        ).alias("embedding"),
+    )
+    refit_shift, psi_shift = ivf_refit_needed(
+        index, assign_cells(shifted, centroids), centroids
+    )
+    assert refit_shift, psi_shift
+    assert psi_shift > psi_same >= 0.0
+
+
 def test_append_then_probe_covers_both_generations(
     spark, sf_correctness, persisted_ivf, tmp_path
 ):
