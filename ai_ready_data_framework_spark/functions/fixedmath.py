@@ -153,6 +153,200 @@ def pow_alpha_py(n: int, t: int, alpha: float) -> int:
     return _m.floor(acc * p2k * float(POW_SCALE))
 
 
+# ---------------------------------------------------------------------------
+# r9 (ADVICE r8): the integer-argument ln ladder as a first-class API.
+# BM25's idf and PSI's log-ratio are differences of ln over BIGINT
+# expressions — idf = ln(2N+2) − ln(2df+1); ln(p_cur/p_ref) =
+# (ln(n_cur+1) + ln(T_ref)) − (ln(n_ref+1) + ln(T_cur)) — so the same
+# share-the-SQL-text trick that made pow hash-safe removes the last
+# libm transcendental from under the hash gate: a 1-ulp Java-vs-DuckDB
+# ln difference can no longer flip a floored nano-unit, because both
+# engines run the IDENTICAL +,−,×,÷/shift ladder.
+# ---------------------------------------------------------------------------
+
+
+def ln_int_stages(prefix: str, n: str) -> list[tuple[str, str]]:
+    """(name, sql_expr) stages computing ``{prefix}_ln = ln(n)`` for a
+    BIGINT sql expression ``n`` >= 1 (the expression may reference
+    columns of the frame; it is re-evaluated in two stages — integer
+    arithmetic, deterministic). All stage names carry ``prefix``."""
+    return _ln_stages(prefix, n)
+
+
+def with_ln_ints(df: DataFrame, specs: list[tuple[str, str]]) -> DataFrame:
+    """Spark side: for each (prefix, n_expr) bind the ladder stages via
+    F.expr of the SAME text the oracle runs, leaving one ``{prefix}_ln``
+    double column per spec and dropping the intermediates."""
+    keep = {f"{p}_ln" for p, _ in specs}
+    temps = []
+    for prefix, n in specs:
+        for name, expr in _ln_stages(prefix, n):
+            df = df.withColumn(name, F.expr(expr))
+            if name not in keep:
+                temps.append(name)
+    return df.drop(*temps)
+
+
+def ln_ints_sql(inner: str, specs: list[tuple[str, str]]) -> str:
+    """DuckDB side: wrap subquery ``inner`` in one SELECT per stage
+    (the same stage exprs Spark binds), returning a subquery exposing
+    inner's columns plus one ``{prefix}_ln`` per spec, intermediates
+    dropped. Nesting keeps each intermediate evaluated once, matching
+    the Spark op sequence."""
+    keep = {f"{p}_ln" for p, _ in specs}
+    sql = f"({inner})"
+    drops = []
+    for prefix, n in specs:
+        for name, expr in _ln_stages(prefix, n):
+            sql = f"(SELECT *, {expr} AS {name} FROM {sql} __lnq_{name.strip('_')})"
+            if name not in keep:
+                drops.append(name)
+    return f"(SELECT * EXCLUDE ({', '.join(drops)}) FROM {sql} __lnq_final)"
+
+
+# Fixed-point ln for a POSITIVE DOUBLE expression (r9): quantize
+# x ∈ (2^-61, 4) to q = floor(x · 2^61) (fits BIGINT), run the integer
+# ladder on q, subtract 61·ln2. The quantization redefines the value
+# by ≤ 2^-61/x relative (≤ ~5e-10 for x ≥ 1e-9) — like the pow
+# ladder, the quantized form IS the operator's definition, and both
+# engines compute it bitwise-identically. Used where a log argument is
+# an irreducible double (the JS divergence mixture ratio p/m — its
+# denominator p_s+p_c has no common-denominator integer form that
+# stays inside int64 at fleet-scale token counts).
+LN_POS_SHIFT = 61
+_LN_POS_SCALE = repr(float(1 << LN_POS_SHIFT))
+# 61·ln2 as CAST(61 AS DOUBLE) * LN2 — the same guaranteed-safe shape
+# _ln_stages uses for e·ln2. Two traps this dodges: a `61.0 * LN2`
+# decimal×decimal multiply is not IEEE (and overflows DuckDB's
+# DECIMAL(18)); and a single 17-significant-digit literal is NOT safe
+# either — DuckDB converts DECIMAL→DOUBLE as scaled-int/10^k double
+# division, which is off by 1 ulp once the scaled int exceeds 2^53
+# (measured on 30.550984759064562). LN2's 16 digits keep its scaled
+# int under 2^53, so decimal→double stays exact and the double
+# multiply is correctly rounded on every engine.
+_LN_POS_OFFSET = f"CAST({LN_POS_SHIFT} AS DOUBLE) * {LN2}"
+
+
+def ln_pos_stages(prefix: str, x: str) -> list[tuple[str, str]]:
+    """(name, sql_expr) stages computing ``{prefix}_ln ≈ ln(x)`` for a
+    positive DOUBLE sql expression ``x`` (must be bitwise-identical on
+    both engines — e.g. a ratio of exact-integer-derived doubles)."""
+    q = f"CAST(FLOOR(({x}) * {_LN_POS_SCALE}) AS BIGINT)"
+    st = _ln_stages(f"{prefix}_q", q)
+    st.append((f"{prefix}_ln", f"{prefix}_q_ln - ({_LN_POS_OFFSET})"))
+    return st
+
+
+def with_ln_pos(df: DataFrame, specs: list[tuple[str, str]]) -> DataFrame:
+    """Spark side of :func:`ln_pos_stages` (mirrors with_ln_ints)."""
+    keep = {f"{p}_ln" for p, _ in specs}
+    temps = []
+    for prefix, x in specs:
+        for name, expr in ln_pos_stages(prefix, x):
+            df = df.withColumn(name, F.expr(expr))
+            if name not in keep:
+                temps.append(name)
+    return df.drop(*temps)
+
+
+def ln_pos_sql(inner: str, specs: list[tuple[str, str]]) -> str:
+    """DuckDB side of :func:`ln_pos_stages` (mirrors ln_ints_sql)."""
+    keep = {f"{p}_ln" for p, _ in specs}
+    sql = f"({inner})"
+    drops = []
+    for prefix, x in specs:
+        for name, expr in ln_pos_stages(prefix, x):
+            sql = f"(SELECT *, {expr} AS {name} FROM {sql} __lpq_{name.strip('_')})"
+            if name not in keep:
+                drops.append(name)
+    return f"(SELECT * EXCLUDE ({', '.join(drops)}) FROM {sql} __lpq_final)"
+
+
+def ln_pos_py(x: float) -> float:
+    """Pure-Python reference of the positive-double ln ladder."""
+    import math as _m
+
+    return ln_int_py(
+        _m.floor(x * float(1 << LN_POS_SHIFT))
+    ) - float(LN_POS_SHIFT) * float(LN2)
+
+
+# exp for a NON-NEGATIVE DOUBLE expression (r9): the pow ladder's own
+# exp tail extracted — k = floor(x/ln2), Taylor-Horner on the reduced
+# r ∈ [0, ln2), scale by the exact power of two. Used for
+# perplexity = exp(-avg_logp) (avg_logp ≤ 0 by construction).
+
+
+def exp_pos_stages(prefix: str, x: str) -> list[tuple[str, str]]:
+    """(name, sql_expr) stages computing ``{prefix}_exp = exp(x)`` for
+    a NON-NEGATIVE double sql expression ``x`` (bitwise-identical on
+    both engines)."""
+    k = f"{prefix}_k"
+    r = f"{prefix}_r"
+    er = f"{prefix}_er"
+    return [
+        (k, f"CAST(FLOOR(({x}) / {LN2}) AS BIGINT)"),
+        (r, f"({x}) - CAST({k} AS DOUBLE) * {LN2}"),
+        (er, _horner_exp(r)),
+        (
+            f"{prefix}_exp",
+            f"{er} * CAST(CAST(1 AS BIGINT) << CAST({k} AS INT) AS DOUBLE)",
+        ),
+    ]
+
+
+def with_exp_pos(df: DataFrame, specs: list[tuple[str, str]]) -> DataFrame:
+    """Spark side of :func:`exp_pos_stages`."""
+    keep = {f"{p}_exp" for p, _ in specs}
+    temps = []
+    for prefix, x in specs:
+        for name, expr in exp_pos_stages(prefix, x):
+            df = df.withColumn(name, F.expr(expr))
+            if name not in keep:
+                temps.append(name)
+    return df.drop(*temps)
+
+
+def exp_pos_sql(inner: str, specs: list[tuple[str, str]]) -> str:
+    """DuckDB side of :func:`exp_pos_stages`."""
+    keep = {f"{p}_exp" for p, _ in specs}
+    sql = f"({inner})"
+    drops = []
+    for prefix, x in specs:
+        for name, expr in exp_pos_stages(prefix, x):
+            sql = f"(SELECT *, {expr} AS {name} FROM {sql} __epq_{name.strip('_')})"
+            if name not in keep:
+                drops.append(name)
+    return f"(SELECT * EXCLUDE ({', '.join(drops)}) FROM {sql} __epq_final)"
+
+
+def exp_pos_py(x: float) -> float:
+    """Pure-Python reference of the non-negative exp ladder."""
+    import math as _m
+
+    ln2 = float(LN2)
+    k = _m.floor(x / ln2)
+    r = x - float(k) * ln2
+    acc = 1.0
+    for i in range(_EXP_TERMS, 0, -1):
+        acc = 1.0 + r * acc / float(i)
+    return acc * float(1 << k)
+
+
+def ln_int_py(n: int) -> float:
+    """Pure-Python reference of the ln ladder (IEEE doubles with
+    correctly-rounded ops — mirrors the SQL stages bit-for-bit; the
+    hypothesis property test sweeps it against DuckDB)."""
+    e = n.bit_length() - 1
+    m = n / (1 << e)
+    z = (m - 1.0) / (m + 1.0)
+    z2 = z * z
+    acc = float(_ATANH_COEFFS[-1])
+    for c in reversed(_ATANH_COEFFS[:-1]):
+        acc = float(c) + z2 * acc
+    return float(e) * float(LN2) + 2.0 * z * acc
+
+
 def pow_alpha_sql(inner: str, n: str, t: str, alpha: float, out: str = "s_fix") -> str:
     """DuckDB side: wrap subquery ``inner`` in one SELECT per stage
     (the same stage exprs Spark binds), returning a subquery exposing

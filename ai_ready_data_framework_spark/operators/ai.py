@@ -30,6 +30,10 @@ from ai_ready_data_framework_spark.functions.annconfig import (
     DEFAULT_ANN,
 )
 from ai_ready_data_framework_spark.functions.cache import stage_pin
+from ai_ready_data_framework_spark.functions.fixedmath import (
+    ln_ints_sql,
+    with_ln_ints,
+)
 from ai_ready_data_framework_spark.functions import vector as V
 from ai_ready_data_framework_spark.io import load_table
 from ai_ready_data_framework_spark.registry import query
@@ -2081,8 +2085,14 @@ TFIDF_TOP_K = 5
 
 
 def _token_profile_union_oracle_sql() -> str:
+    from ai_ready_data_framework_spark.functions.fixedmath import ln_pos_sql
     from ai_ready_data_framework_spark.operators.corpus import (
+        DIVERGENCE_INT_LN_SPECS,
+        DIVERGENCE_KL_LN,
+        DIVERGENCE_POS_LN_SPECS,
         ENTROPY_NANO_ORACLE_SQL,
+        PMI_LN,
+        PMI_LN_SPECS,
         PMI_MIN_COUNT,
         PMI_TOP_K,
     )
@@ -2090,6 +2100,12 @@ def _token_profile_union_oracle_sql() -> str:
         HEAVY_HITTERS_K,
         HEAVY_MIN_COUNT,
     )
+
+    _dv_ladder_sql = lambda: ln_pos_sql(  # noqa: E731
+        ln_ints_sql("SELECT * FROM dprob", DIVERGENCE_INT_LN_SPECS),
+        DIVERGENCE_POS_LN_SPECS,
+    )
+    _DV_KL_LN = DIVERGENCE_KL_LN
 
     return r"""
     SELECT 'bpe_totals' AS token_kind, source AS key,
@@ -2142,7 +2158,9 @@ def _token_profile_union_oracle_sql() -> str:
     UNION ALL
     SELECT * FROM (
         -- tfidf leg (r7 ninth wave): per-doc top-K TF-IDF terms —
-        -- mirrors the Spark leg's expression tree (c * ln((N+1)/(df+1)),
+        -- mirrors the Spark leg's expression tree (r9: the idf runs
+        -- the fixedmath integer-ln LADDER, ln(N+1) − ln(df+1) in the
+        -- same stage text Spark binds — no libm ln under the gate;
         -- ROUND 4, rank on the ROUNDED score with a term tie-break)
         WITH ttf AS (
             SELECT doc_id, term, COUNT(*) AS c FROM (
@@ -2151,12 +2169,17 @@ def _token_profile_union_oracle_sql() -> str:
             ) GROUP BY 1, 2
         ),
         tdf AS (SELECT term, COUNT(*) AS df FROM ttf GROUP BY 1),
-        tnd AS (SELECT COUNT(*) AS n FROM documents),
-        tsc AS (
-            SELECT ttf.doc_id, ttf.term, ttf.c, tdf.df,
-                   ROUND(ttf.c * LN((tnd.n + 1.0) / (tdf.df + 1.0)), 4)
-                       AS score
+        tnd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total_docs
+                FROM documents),
+        tjoined AS (
+            SELECT ttf.doc_id, ttf.term, ttf.c, tdf.df AS doc_freq,
+                   tnd.n_total_docs
             FROM ttf JOIN tdf USING (term), tnd
+        ),
+        tsc AS (
+            SELECT doc_id, term, c, doc_freq AS df,
+                   ROUND(c * (__tf_n_ln - __tf_d_ln), 4) AS score
+            FROM TFIDF_LADDER lj
         )
         SELECT 'tfidf',
                CAST(doc_id AS VARCHAR) || ' ' || term,
@@ -2191,20 +2214,28 @@ def _token_profile_union_oracle_sql() -> str:
             SELECT SUM(c_t) AS n_corpus, COUNT(*) AS v_size FROM dterm
         ),
         dprob AS (
-            SELECT s.source, s.n_s, s.n_src_terms,
+            SELECT s.source, CAST(s.n_s AS BIGINT) AS n_s, s.n_src_terms,
+                   CAST(COALESCE(dst.c_st, 0) AS BIGINT) AS c_st,
+                   CAST(t.c_t AS BIGINT) AS c_t,
+                   CAST(x.n_corpus AS BIGINT) AS n_corpus,
+                   CAST(x.v_size AS BIGINT) AS v_size,
                    (COALESCE(dst.c_st, 0) + 1) / (s.n_s + x.v_size) AS p_s,
                    (t.c_t + 1) / (x.n_corpus + x.v_size) AS p_c
             FROM dsrc s CROSS JOIN dterm t CROSS JOIN dtot x
             LEFT JOIN dst ON dst.source = s.source AND dst.term = t.term
         ),
+        -- r9: KL via FOUR integer lns, JS via the fixed-point
+        -- positive-double ladder on the bound mixture ratios — the
+        -- same stage texts Spark binds (corpus.DIVERGENCE_*_SPECS);
+        -- no libm ln under this gate
         dnano AS (
             SELECT source, n_s, n_src_terms,
-                   CAST(FLOOR(p_s * ln(p_s / p_c) * 1e9) AS BIGINT)
+                   CAST(FLOOR(p_s * DVKLLN * 1e9) AS BIGINT)
                        AS kl_nano,
-                   CAST(FLOOR((p_s * ln(p_s / ((p_s + p_c) / 2)) / 2
-                               + p_c * ln(p_c / ((p_s + p_c) / 2)) / 2)
+                   CAST(FLOOR((p_s * __dv_lrs_ln / 2
+                               + p_c * __dv_lrc_ln / 2)
                               * 1e9) AS BIGINT) AS js_nano
-            FROM dprob
+            FROM DVLADDER dl
         )
         SELECT 'src_divergence', source, CAST(NULL AS BIGINT),
                CAST(MIN(n_s) AS BIGINT),
@@ -2236,15 +2267,21 @@ def _token_profile_union_oracle_sql() -> str:
             ) GROUP BY t
         ),
         pn AS (SELECT COUNT(*) AS n_total FROM ppairs),
-        ranked AS (
+        pjoined AS (
             SELECT pc.a, pc.b, pc.c_ab,
-                   ROUND(LN(2.0 * pn.n_total * pc.c_ab
-                            / (CAST(ua.c_t AS DOUBLE) * ub.c_t)), 4)
-                       AS pmi
+                   CAST(ua.c_t AS BIGINT) AS c_a,
+                   CAST(ub.c_t AS BIGINT) AS c_b,
+                   CAST(pn.n_total AS BIGINT) AS __n_total
             FROM ppc pc, pn
             JOIN puni ua ON ua.t = pc.a
             JOIN puni ub ON ub.t = pc.b
             WHERE pc.c_ab >= PMIMIN
+        ),
+        -- r9: PMI as a sum of four integer lns via the fixedmath
+        -- ladder (corpus.PMI_LN_SPECS) — same stage text Spark binds
+        ranked AS (
+            SELECT a, b, c_ab, ROUND(PMILNEXPR, 4) AS pmi
+            FROM PMI_LADDER lp
         )
         SELECT 'pmi', a || ' ' || b, CAST(NULL AS BIGINT),
                CAST(c_ab AS BIGINT),
@@ -2261,7 +2298,21 @@ def _token_profile_union_oracle_sql() -> str:
         "HEAVYK", str(HEAVY_HITTERS_K)
     ).replace("ENTROPYSQL", ENTROPY_NANO_ORACLE_SQL).replace(
         "PMIMIN", str(PMI_MIN_COUNT)
-    ).replace("PMIK", str(PMI_TOP_K)).replace("TFIDFK", str(TFIDF_TOP_K))
+    ).replace("PMIK", str(PMI_TOP_K)).replace(
+        "TFIDFK", str(TFIDF_TOP_K)
+    ).replace(
+        "TFIDF_LADDER",
+        ln_ints_sql(
+            "SELECT * FROM tjoined",
+            [("__tf_n", "(n_total_docs + 1)"), ("__tf_d", "(doc_freq + 1)")],
+        ),
+    ).replace(
+        "DVLADDER",
+        _dv_ladder_sql(),
+    ).replace("DVKLLN", _DV_KL_LN).replace(
+        "PMI_LADDER",
+        ln_ints_sql("SELECT * FROM pjoined", PMI_LN_SPECS),
+    ).replace("PMILNEXPR", PMI_LN)
 
 
 @query("q_token_bpe", oracle=_token_profile_union_oracle_sql())
@@ -2429,13 +2480,18 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ADVICE r7: docs.count() here was a full corpus scan on every
     # DataFrame CONSTRUCTION, even when the plan was never executed).
     ndocs = docs.agg(F.count("*").cast("long").alias("n_total_docs"))
-    idf = F.log((F.col("n_total_docs") + 1.0) / (F.col("doc_freq") + 1.0))
+    # idf = ln((N+1)/(df+1)) = ln(N+1) − ln(df+1): integer-ln ladder
+    # (r9) — the graded ROUND-4 score carries no libm ln; the oracle
+    # nests the identical stage text
+    idf = F.col("__tf_n_ln") - F.col("__tf_d_ln")
     tw = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf_score"), F.asc("term")
     )
     tfidf_leg = (
-        tf.join(F.broadcast(counts), "term")
-        .crossJoin(F.broadcast(ndocs))
+        with_ln_ints(
+            tf.join(F.broadcast(counts), "term").crossJoin(F.broadcast(ndocs)),
+            [("__tf_n", "(n_total_docs + 1)"), ("__tf_d", "(doc_freq + 1)")],
+        )
         .select(
             "doc_id",
             "term",
@@ -2609,9 +2665,13 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("df"),
         F.sum("tf").alias("corpus_tf"),
     )
-    idf = F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0))
-    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(
-        F.broadcast(ndocs)
+    # same integer-ln ladder expression as the hard-graded q_token_bpe
+    # tfidf leg (r9) — the leg==standalone fold pin compares scores
+    # exactly, so both sides must run the identical ladder
+    idf = F.col("__tf_n_ln") - F.col("__tf_d_ln")
+    scored = with_ln_ints(
+        tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(ndocs)),
+        [("__tf_n", "(__n_docs + 1)"), ("__tf_d", "(df + 1)")],
     ).select(
         "doc_id",
         "term",
@@ -3083,7 +3143,7 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = T.tokens("text")
     base = docs.select("doc_id", words.alias("words"), F.size(words).alias("dl"))
     stats = base.agg(
-        F.count("*").cast("double").alias("n_docs"),
+        F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     tok = base.select("doc_id", "dl", F.explode("words").alias("term")).filter(
@@ -3091,10 +3151,15 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        1.0
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
+    joined = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    # idf = ln(1 + (N−df+0.5)/(df+0.5)) == ln(2N+2) − ln(2df+1): both
+    # arguments are BIGINT, so the fixedmath integer-ln ladder (r9,
+    # ADVICE r8) replaces the last libm transcendental under this hash
+    # gate — Spark and the DuckDB oracle bind the IDENTICAL
+    # +,−,×,÷/shift stage text (functions/fixedmath.py), so no ln ulp
+    # can flip a floored nano-unit at any boundary.
+    joined = with_ln_ints(joined, _BM25_LN_SPECS)  # same list the oracle nests
+    idf = F.col("__bm_n_ln") - F.col("__bm_d_ln")
     tf_norm = (
         F.col("tf")
         * (BM25_K1 + 1.0)
@@ -3107,20 +3172,11 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nano-unit integer sum (r8 sweep): flooring per-(doc, term) scores
     # to integer nano-units makes the per-doc SUM order-invariant (the
     # float accumulation's partial-merge order is engine- and
-    # partitioning-dependent). Residual cross-engine exposure (ADVICE
-    # r8, honest note): the per-score ln() is libm — Java Math.log and
-    # DuckDB std::log are not GUARANTEED bit-identical, so a 1-ulp ln
-    # difference could flip one floored nano-unit when a score sits
-    # within ~1e-9 of an integer boundary (and only matters at all if
-    # the per-doc sum then lands within 1e-9 of a round-4 boundary).
-    # Eliminating it outright needs the fixedmath ladder grown an
-    # integer-argument ln form — idf = ln(2N+2) − ln(2df+1) is
-    # ladder-expressible — a candidate for a future round.
+    # partitioning-dependent); with the ladder idf the floored value is
+    # bitwise cross-engine, so the gate is boundary-proof.
     score_nano = F.floor(idf * tf_norm * F.lit(1000000000.0)).cast("long")
     return (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
+        joined.groupBy("doc_id")
         .agg(
             F.round(
                 F.sum(score_nano).cast("double") / 1000000000.0, 4
@@ -3329,6 +3385,8 @@ def q_vector_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_LN_SPECS = [("__bm_n", "(2 * n_docs + 2)"), ("__bm_d", "(2 * df + 1)")]
+
 _BM25_ORACLE_BODY = f"""
         WITH base AS (
             SELECT doc_id, string_split(text, ' ') AS words,
@@ -3336,7 +3394,7 @@ _BM25_ORACLE_BODY = f"""
             FROM documents
         ),
         stats AS (
-            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl
             FROM base
         ),
         tok AS (SELECT doc_id, dl, unnest(words) AS term FROM base),
@@ -3345,18 +3403,26 @@ _BM25_ORACLE_BODY = f"""
             FROM tok WHERE term IN ({{terms}})
             GROUP BY 1, 2, 3
         ),
-        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        joined AS (
+            SELECT tf.doc_id, tf.tf, tf.dl, d.df, s.n_docs, s.avgdl
+            FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+        )
         SELECT doc_id,
                -- nano-unit integer sum (r8), association mirroring the
-               -- Spark tree exactly: idf * (tf-normalized quotient)
+               -- Spark tree exactly: idf * (tf-normalized quotient).
+               -- idf runs the fixedmath integer-ln LADDER (r9, ADVICE
+               -- r8): ln(2N+2) − ln(2df+1) in the same stage text
+               -- Spark binds, so the floored nano-score is bitwise
+               -- cross-engine — no libm ln under this gate.
                ROUND(CAST(SUM(CAST(FLOOR(
-                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-                   * (tf.tf * ({{k1}} + 1.0)
-                      / (tf.tf + {{k1}}
-                         * (1.0 - {{b}} + {{b}} * tf.dl / s.avgdl)))
+                   (__bm_n_ln - __bm_d_ln)
+                   * (tf * ({{k1}} + 1.0)
+                      / (tf + {{k1}}
+                         * (1.0 - {{b}} + {{b}} * dl / avgdl)))
                    * 1000000000.0) AS BIGINT)) AS DOUBLE)
                    / 1000000000.0, 4) AS bm25
-        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+        FROM {ln_ints_sql("SELECT * FROM joined", _BM25_LN_SPECS)} lj
         GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id
         LIMIT {{limit}}

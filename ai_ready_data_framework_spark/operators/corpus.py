@@ -31,6 +31,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ai_ready_data_framework_spark.functions.cache import stage_pin
+from ai_ready_data_framework_spark.functions.fixedmath import (
+    ln_ints_sql,
+    ln_pos_sql,
+    with_ln_ints,
+    with_ln_pos,
+)
 from ai_ready_data_framework_spark.functions import text as T
 from ai_ready_data_framework_spark.io import load_table
 from ai_ready_data_framework_spark.registry import query
@@ -89,6 +95,31 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared ladder specs for the divergence tail — the Spark body binds
+# these via F.expr and q_token_bpe's oracle nests the SAME texts
+# (operators/ai.py), so the floored nano terms are bitwise cross-engine.
+DIVERGENCE_INT_LN_SPECS = [
+    ("__dv_cs", "(c_st + 1)"),
+    ("__dv_ct", "(c_t + 1)"),
+    ("__dv_ns", "(n_s + v_size)"),
+    ("__dv_nc", "(n_corpus + v_size)"),
+]
+DIVERGENCE_POS_LN_SPECS = [
+    ("__dv_lrs", "(p_s / ((p_s + p_c) / 2))"),
+    ("__dv_lrc", "(p_c / ((p_s + p_c) / 2))"),
+]
+DIVERGENCE_KL_LN = "((__dv_cs_ln + __dv_nc_ln) - (__dv_ct_ln + __dv_ns_ln))"
+
+# PMI ladder (r9): shared between pmi_topk and q_token_bpe's oracle.
+PMI_LN_SPECS = [
+    ("__pm_n", "(2 * __n_total)"),
+    ("__pm_ab", "c_ab"),
+    ("__pm_a", "c_a"),
+    ("__pm_b", "c_b"),
+]
+PMI_LN = "((__pm_n_ln + __pm_ab_ln) - (__pm_a_ln + __pm_b_ln))"
+
+
 def source_divergence_from_st(st: DataFrame) -> DataFrame:
     """The divergence tail over a (source, term, c_st) aggregate —
     split out (round 7 eighth wave) so q_token_bpe's src_divergence
@@ -123,15 +154,42 @@ def source_divergence_from_st(st: DataFrame) -> DataFrame:
     )
     p_s = (F.col("c_st") + 1) / (F.col("n_s") + F.col("v_size"))
     p_c = (F.col("c_t") + 1) / (F.col("n_corpus") + F.col("v_size"))
-    m = (p_s + p_c) / 2
     nano = F.lit(ENTROPY_NANO)
-    contrib = grid.select(
+    # r9 ladder restatement (no libm ln under the hash gate):
+    # - KL's ln(p_s/p_c) decomposes into FOUR integer lns —
+    #   (ln(c_st+1) + ln(n_corpus+V)) − (ln(c_t+1) + ln(n_s+V)) — all
+    #   BIGINT, exact at any scale;
+    # - JS's mixture ratios p/m have no int64 integer form (the
+    #   common-denominator products overflow at fleet-scale counts),
+    #   so they run the fixed-point POSITIVE-DOUBLE ladder on the
+    #   bound p_s/p_c columns (bitwise-identical ratio inputs).
+    probs = grid.select(
         "source",
         "n_s",
         "v_size",
         "n_src_terms",
-        F.floor(p_s * F.log(p_s / p_c) * nano).cast("long").alias("kl_nano"),
-        F.floor((p_s * F.log(p_s / m) / 2 + p_c * F.log(p_c / m) / 2) * nano)
+        "c_st",
+        "c_t",
+        "n_corpus",
+        p_s.alias("p_s"),
+        p_c.alias("p_c"),
+    )
+    probs = with_ln_ints(probs, DIVERGENCE_INT_LN_SPECS)
+    probs = with_ln_pos(probs, DIVERGENCE_POS_LN_SPECS)
+    kl_ln = F.expr(DIVERGENCE_KL_LN)
+    contrib = probs.select(
+        "source",
+        "n_s",
+        "v_size",
+        "n_src_terms",
+        F.floor(F.col("p_s") * kl_ln * nano).cast("long").alias("kl_nano"),
+        F.floor(
+            (
+                F.col("p_s") * F.col("__dv_lrs_ln") / 2
+                + F.col("p_c") * F.col("__dv_lrc_ln") / 2
+            )
+            * nano
+        )
         .cast("long")
         .alias("js_nano"),
     )
@@ -384,26 +442,36 @@ def token_tf_frame(docs: DataFrame) -> DataFrame:
 def doc_entropy_from_tf(tf: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_unique, entropy, entropy_norm) from the tf
     frame: ONE doc-keyed aggregate of three exact integers, floats
-    derived per row (module note on nano-nat quantization)."""
-    contrib = F.floor(F.col("c") * F.log("c") * F.lit(ENTROPY_NANO)).cast("long")
-    per_doc = tf.groupBy("doc_id").agg(
+    derived per row (module note on nano-nat quantization). Every ln
+    here takes a BIGINT argument (term count, token total, unique
+    count), so all three run the fixedmath integer-ln ladder (r9):
+    the floored nano contribution and the per-row derivations are
+    bitwise cross-engine — no libm ln under the hash gate."""
+    tfl = with_ln_ints(tf, [("__en_c", "c")])
+    contrib = F.floor(
+        F.col("c") * F.col("__en_c_ln") * F.lit(ENTROPY_NANO)
+    ).cast("long")
+    per_doc = tfl.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_tokens"),
         F.count("*").cast("long").alias("n_unique"),
         F.sum(contrib).cast("long").alias("s_nano"),
     )
-    # H = ln(n) - (1/n) * sum c*ln(c), the sum read back from nano-nats
-    h = F.log("n_tokens") - (F.col("s_nano") / F.lit(ENTROPY_NANO)) / F.col(
-        "n_tokens"
+    per_doc = with_ln_ints(
+        per_doc, [("__en_n", "n_tokens"), ("__en_u", "n_unique")]
     )
+    # H = ln(n) - (1/n) * sum c*ln(c), the sum read back from nano-nats
+    h = F.col("__en_n_ln") - (
+        F.col("s_nano") / F.lit(ENTROPY_NANO)
+    ) / F.col("n_tokens")
     return per_doc.select(
         "doc_id",
         "n_tokens",
         "n_unique",
         F.round(h, 4).alias("entropy"),
         F.round(
-            F.when(F.col("n_unique") > 1, h / F.log("n_unique")).otherwise(
-                F.lit(0.0)
-            ),
+            F.when(
+                F.col("n_unique") > 1, h / F.col("__en_u_ln")
+            ).otherwise(F.lit(0.0)),
             4,
         ).alias("entropy_norm"),
     )
@@ -412,30 +480,43 @@ def doc_entropy_from_tf(tf: DataFrame) -> DataFrame:
 # The identical nano-nat restatement in DuckDB SQL (a complete SELECT
 # over the pre-registered `documents` view), interpolated into BOTH
 # q_token_bpe's graded union oracle and the standalone pytest oracle.
-ENTROPY_NANO_ORACLE_SQL = """
+def _entropy_nano_oracle_sql() -> str:
+    from ai_ready_data_framework_spark.functions.fixedmath import ln_ints_sql
+
+    tf_ladder = ln_ints_sql(
+        "SELECT doc_id, term, COUNT(*) AS c FROM etok GROUP BY 1, 2",
+        [("__en_c", "c")],
+    )
+    doc_ladder = ln_ints_sql(
+        "SELECT * FROM eper_doc",
+        [("__en_n", "n_tokens"), ("__en_u", "n_unique")],
+    )
+    # every ln runs the fixedmath integer-ln LADDER (r9) — the same
+    # stage text Spark binds in doc_entropy_from_tf
+    return f"""
     WITH etok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term
         FROM documents
-    ),
-    etf AS (
-        SELECT doc_id, term, COUNT(*) AS c FROM etok GROUP BY 1, 2
     ),
     eper_doc AS (
         SELECT doc_id,
                CAST(SUM(c) AS BIGINT) AS n_tokens,
                CAST(COUNT(*) AS BIGINT) AS n_unique,
-               CAST(SUM(CAST(FLOOR(c * ln(c) * 1e9) AS BIGINT)) AS BIGINT)
-                   AS s_nano
-        FROM etf GROUP BY 1
+               CAST(SUM(CAST(FLOOR(c * __en_c_ln * 1e9) AS BIGINT))
+                    AS BIGINT) AS s_nano
+        FROM {tf_ladder} etfl GROUP BY 1
     )
     SELECT doc_id, n_tokens, n_unique,
-           ROUND(ln(n_tokens) - (s_nano / 1e9) / n_tokens, 4) AS entropy,
+           ROUND(__en_n_ln - (s_nano / 1e9) / n_tokens, 4) AS entropy,
            ROUND(CASE WHEN n_unique > 1
-                      THEN (ln(n_tokens) - (s_nano / 1e9) / n_tokens)
-                           / ln(n_unique)
+                      THEN (__en_n_ln - (s_nano / 1e9) / n_tokens)
+                           / __en_u_ln
                       ELSE 0.0 END, 4) AS entropy_norm
-    FROM eper_doc
+    FROM {doc_ladder} edl
 """
+
+
+ENTROPY_NANO_ORACLE_SQL = _entropy_nano_oracle_sql()
 
 
 @query("q_token_entropy")  # rows-only registration; HARD-GRADED since
@@ -928,10 +1009,11 @@ def pmi_topk(docs: DataFrame) -> DataFrame:
     N arrives as a broadcast 1-row aggregate over the bigram counts
     (NOT a driver-side pairs.count() — r7 change: no eager action at
     plan-build time, and the scalar derives from the vocabulary-sized
-    aggregate instead of re-exploding the corpus). 2.0 * N * c_ab is
-    computed in DOUBLE so the product cannot overflow long at corpus
-    scale; the parenthesization ((2N)·c_ab)/(c_a·c_b) is mirrored in
-    both oracles. Rank is the same broadcast-triangle over the K-row
+    aggregate instead of re-exploding the corpus). The PMI log runs
+    the fixedmath integer-ln ladder as a SUM of four integer lns
+    (PMI_LN_SPECS — r9): no product of counts ever forms, so nothing
+    can overflow at corpus scale, and both oracles nest the identical
+    stage text. Rank is the same broadcast-triangle over the K-row
     result heavy_hitters_ranked uses (no WindowExec)."""
     toks = docs.select(F.split("text", " ").alias("w"))
     pairs = toks.select(
@@ -952,25 +1034,23 @@ def pmi_topk(docs: DataFrame) -> DataFrame:
         .groupBy("t")
         .agg(F.sum("c_ab").alias("c_t"))
     )
-    totals = pair_counts.agg(F.sum("c_ab").cast("double").alias("__n_total"))
+    totals = pair_counts.agg(F.sum("c_ab").cast("long").alias("__n_total"))
     pruned = pair_counts.filter(F.col("c_ab") >= PMI_MIN_COUNT)
     ua = uni.select(F.col("t").alias("a"), F.col("c_t").alias("c_a"))
     ub = uni.select(F.col("t").alias("b"), F.col("c_t").alias("c_b"))
-    # marginal product in DOUBLE (long x long overflows once marginals
-    # pass ~3e9 at fleet scale); the oracles cast identically so both
-    # engines run the same IEEE multiply
-    pmi = F.round(
-        F.log(
-            (F.lit(2.0) * F.col("__n_total"))
-            * F.col("c_ab")
-            / (F.col("c_a").cast("double") * F.col("c_b"))
-        ),
-        4,
-    )
+    # r9 ladder restatement: ln(2N·c_ab/(c_a·c_b)) decomposes into
+    # FOUR integer lns — (ln(2N) + ln(c_ab)) − (ln(c_a) + ln(c_b)) —
+    # every argument BIGINT (2N ≤ 2·corpus tokens; no product ever
+    # forms, so nothing can overflow where the old double multiply
+    # merely lost precision). Bitwise cross-engine; no libm ln.
+    pmi = F.round(F.expr(PMI_LN), 4)
     top = (
-        pruned.join(F.broadcast(ua), "a")
-        .join(F.broadcast(ub), "b")
-        .crossJoin(F.broadcast(totals))
+        with_ln_ints(
+            pruned.join(F.broadcast(ua), "a")
+            .join(F.broadcast(ub), "b")
+            .crossJoin(F.broadcast(totals)),
+            PMI_LN_SPECS,
+        )
         .select("a", "b", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
         .limit(PMI_TOP_K)

@@ -28,6 +28,12 @@ from pyspark.sql.window import Window
 
 from ai_ready_data_framework_spark.functions import text as T
 from ai_ready_data_framework_spark.functions.cache import stage_pin
+from ai_ready_data_framework_spark.functions.fixedmath import (
+    exp_pos_sql,
+    ln_ints_sql,
+    with_exp_pos,
+    with_ln_ints,
+)
 from ai_ready_data_framework_spark.io import load_table
 from ai_ready_data_framework_spark.registry import query
 
@@ -314,6 +320,13 @@ LM_SMOOTH_K = 1.0  # add-k (Laplace) smoothing
 # sufficient statistics.
 PPL_NANO = 1e9
 
+# Ladder specs shared verbatim by the Spark body and both oracles
+# (r9): logp's integer-ln pair (valid because LM_SMOOTH_K == 1) and
+# the perplexity exp over the exact −avg_logp (≥ 0: log-probs are
+# never positive).
+PPL_LN_SPECS = [("__pp_n", "(c_bg + 1)"), ("__pp_d", "(c_prefix + v)")]
+PPL_EXP_SPECS = [("__px", "(-((s_nano / 1e9) / n_bigrams))")]
+
 
 def perplexity_per_doc(docs: DataFrame) -> DataFrame:
     """(doc_id, n_bigrams, avg_logp, perplexity) under the corpus-fit
@@ -348,28 +361,32 @@ def perplexity_per_doc(docs: DataFrame) -> DataFrame:
         .agg(F.sum("c_bg").alias("c_prefix"))
     )
     vocab = prefix_counts.agg(F.count("*").alias("v"))
-    logp = F.log(
-        (F.col("c_bg") + LM_SMOOTH_K)
-        / (F.col("c_prefix") + LM_SMOOTH_K * F.col("v"))
-    )
-    contrib = F.floor(F.col("tf") * logp * F.lit(PPL_NANO)).cast("long")
-    scored = (
+    # r9 ladder restatement: with add-1 smoothing the bigram logp is a
+    # difference of two INTEGER lns — ln(c_bg+1) − ln(c_prefix+v) —
+    # and the final perplexity runs the exp ladder on the exact
+    # integer-derived −avg_logp; Spark and the DuckDB oracle bind the
+    # identical stage texts, so no libm ln/exp sits under the gate.
+    joined = with_ln_ints(
         tf.join(F.broadcast(bg_counts), "bg")
         .withColumn("w1", F.split("bg", " ")[0])
         .join(F.broadcast(prefix_counts), "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select("doc_id", "tf", contrib.alias("nano"))
+        .crossJoin(F.broadcast(vocab)),
+        PPL_LN_SPECS,
     )
+    logp = F.col("__pp_n_ln") - F.col("__pp_d_ln")
+    contrib = F.floor(F.col("tf") * logp * F.lit(PPL_NANO)).cast("long")
+    scored = joined.select("doc_id", "tf", contrib.alias("nano"))
     per_doc = scored.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("n_bigrams"),
         F.sum("nano").cast("long").alias("s_nano"),
     )
+    per_doc = with_exp_pos(per_doc, PPL_EXP_SPECS)
     avg_logp = (F.col("s_nano") / F.lit(PPL_NANO)) / F.col("n_bigrams")
     return per_doc.select(
         "doc_id",
         "n_bigrams",
         F.round(avg_logp, 4).alias("avg_logp"),
-        F.round(F.exp(-avg_logp), 4).alias("perplexity"),
+        F.round(F.col("__px_exp"), 4).alias("perplexity"),
     )
 
 
@@ -398,16 +415,20 @@ PERPLEXITY_NANO_ORACLE_SQL = f"""
         FROM pbgc GROUP BY 1
     ),
     pv AS (SELECT COUNT(*) AS v FROM ppfx),
-    pnano AS (
-        SELECT ptf.doc_id, ptf.tf,
-               CAST(FLOOR(ptf.tf
-                          * ln((c_bg + {LM_SMOOTH_K})
-                               / (c_prefix + {LM_SMOOTH_K} * v))
-                          * 1e9) AS BIGINT) AS nano
+    pjoin AS (
+        SELECT ptf.doc_id, ptf.tf, c_bg, c_prefix, v
         FROM ptf
         JOIN pbgc USING (bg)
         JOIN ppfx ON string_split(ptf.bg, ' ')[1] = ppfx.w1
         CROSS JOIN pv
+    ),
+    -- r9: logp via the fixedmath integer-ln LADDER, perplexity via
+    -- the exp ladder — the same stage texts Spark binds
+    pnano AS (
+        SELECT doc_id, tf,
+               CAST(FLOOR(tf * (__pp_n_ln - __pp_d_ln)
+                          * 1e9) AS BIGINT) AS nano
+        FROM PPL_LN_LADDER pll
     ),
     pdoc AS (
         SELECT doc_id,
@@ -417,9 +438,13 @@ PERPLEXITY_NANO_ORACLE_SQL = f"""
     )
     SELECT doc_id, n_bigrams,
            ROUND((s_nano / 1e9) / n_bigrams, 4) AS avg_logp,
-           ROUND(EXP(-((s_nano / 1e9) / n_bigrams)), 4) AS perplexity
-    FROM pdoc
-"""
+           ROUND(__px_exp, 4) AS perplexity
+    FROM PPL_EXP_LADDER pel
+""".replace(
+    "PPL_LN_LADDER", ln_ints_sql("SELECT * FROM pjoin", PPL_LN_SPECS)
+).replace(
+    "PPL_EXP_LADDER", exp_pos_sql("SELECT * FROM pdoc", PPL_EXP_SPECS)
+)
 
 
 @query("q_perplexity")  # rows-only registration; HARD-GRADED since

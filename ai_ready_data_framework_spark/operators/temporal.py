@@ -20,6 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_ready_data_framework_spark.functions.cache import stage_pin
+from ai_ready_data_framework_spark.functions.fixedmath import (
+    ln_ints_sql,
+    with_ln_ints,
+)
 from ai_ready_data_framework_spark.io import load_table
 from ai_ready_data_framework_spark.registry import query
 
@@ -1030,7 +1034,65 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PSI_SMOOTH = 1  # add-1 count smoothing so a category absent from one
-# half cannot produce log(0); documented in the oracle too
+# half cannot produce log(0); documented in the oracle too. MUST stay
+# a positive INTEGER: the ladder specs below feed (n + PSI_SMOOTH)
+# into the integer-ln ladder.
+
+# ln(p_cur/p_ref) with add-s smoothing is a pure integer-log identity:
+# p = (n + s)/T with T = SUM(n + s), so ln(p_cur/p_ref) =
+# (ln(n_cur+s) + ln(T_ref)) − (ln(n_ref+s) + ln(T_cur)) — four BIGINT
+# arguments for the fixedmath integer-ln ladder (r9, ADVICE r8). Spark
+# binds these stage texts via F.expr and the oracle nests the SAME
+# texts, so the floored nano-term is bitwise cross-engine — no libm ln
+# remains under the q_drift_psi hash gate.
+PSI_LN_SPECS = [
+    ("__ps_nc", f"(n_cur + {PSI_SMOOTH})"),
+    ("__ps_nr", f"(n_ref + {PSI_SMOOTH})"),
+    ("__ps_tr", "t_ref"),
+    ("__ps_tc", "t_cur"),
+]
+PSI_LN_RATIO = "((__ps_nc_ln + __ps_tr_ln) - (__ps_nr_ln + __ps_tc_ln))"
+
+
+def _psi_tail(counted: DataFrame, key_col: str) -> DataFrame:
+    """Shared PSI tail over a per-key (n_ref, n_cur) count frame:
+    smoothed shares, per-key PSI term, and the nano-quantized total.
+    psi_total sums integer NANO-units of each term (the ENTROPY_NANO
+    recipe, r8 sweep): the cross-row float SUM is order-sensitive —
+    Spark's window scan and DuckDB's segment tree add in different
+    orders — so floored nano-terms make the window sum exact-integer,
+    and the ladder ln (PSI_LN_SPECS above) makes each floored term
+    itself bitwise cross-engine."""
+    tot = Window.partitionBy()
+    smoothed = counted.select(
+        key_col,
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        (
+            (F.col("n_ref") + PSI_SMOOTH)
+            / F.sum(F.col("n_ref") + PSI_SMOOTH).over(tot)
+        ).alias("p_ref"),
+        (
+            (F.col("n_cur") + PSI_SMOOTH)
+            / F.sum(F.col("n_cur") + PSI_SMOOTH).over(tot)
+        ).alias("p_cur"),
+        F.sum(F.col("n_ref") + PSI_SMOOTH).over(tot).cast("long").alias("t_ref"),
+        F.sum(F.col("n_cur") + PSI_SMOOTH).over(tot).cast("long").alias("t_cur"),
+    )
+    sm = with_ln_ints(smoothed, PSI_LN_SPECS)
+    term = (F.col("p_cur") - F.col("p_ref")) * F.expr(PSI_LN_RATIO)
+    term_nano = F.floor(term * 1000000000.0).cast("long")
+    return sm.select(
+        key_col,
+        "n_ref",
+        "n_cur",
+        F.round("p_ref", 6).alias("share_ref"),
+        F.round("p_cur", 6).alias("share_cur"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(
+            F.sum(term_nano).over(tot).cast("double") / 1000000000.0, 6
+        ).alias("psi_total"),
+    ).orderBy(key_col)
 
 
 def psi_category_drift(events: DataFrame) -> DataFrame:
@@ -1064,38 +1126,7 @@ def psi_category_drift(events: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("__cur"), 1).otherwise(0)).alias("n_cur"),
         )
     )
-    tot = Window.partitionBy()
-    smoothed = halves.select(
-        "event_type",
-        F.col("n_ref").cast("long").alias("n_ref"),
-        F.col("n_cur").cast("long").alias("n_cur"),
-        ((F.col("n_ref") + PSI_SMOOTH) / F.sum(F.col("n_ref") + PSI_SMOOTH).over(tot)).alias("p_ref"),
-        ((F.col("n_cur") + PSI_SMOOTH) / F.sum(F.col("n_cur") + PSI_SMOOTH).over(tot)).alias("p_cur"),
-    )
-    term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
-    # psi_total sums integer NANO-units of each term (the ENTROPY_NANO
-    # recipe, r8 sweep): the cross-row float SUM is order-sensitive —
-    # Spark's window scan and DuckDB's segment tree add in different
-    # orders — so floored nano-terms make the window sum exact-integer.
-    # Residual cross-engine exposure (ADVICE r8, honest note): the
-    # per-term ln() is libm, not guaranteed bit-identical across
-    # engines; a 1-ulp ln difference can flip one floored nano-unit
-    # when a term sits within ~1e-9 of an integer boundary. With
-    # PSI_SMOOTH = 1 the ratio is integer-expressible
-    # (ln((n_cur+1)·T_ref) − ln((n_ref+1)·T_cur)), so a fixedmath
-    # integer-ln ladder would close this fully — future-round work.
-    term_nano = F.floor(term * 1000000000.0).cast("long")
-    return smoothed.select(
-        "event_type",
-        "n_ref",
-        "n_cur",
-        F.round("p_ref", 6).alias("share_ref"),
-        F.round("p_cur", 6).alias("share_cur"),
-        F.round(term, 6).alias("psi_term"),
-        F.round(
-            F.sum(term_nano).over(tot).cast("double") / 1000000000.0, 6
-        ).alias("psi_total"),
-    ).orderBy("event_type")
+    return _psi_tail(halves, "event_type")
 
 
 PSI_VALUE_BINS = 10
@@ -1155,61 +1186,35 @@ def psi_value_drift(events: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("__cur"), 1).otherwise(0)).alias("n_cur"),
         )
     )
-    tot = Window.partitionBy()
-    smoothed = binned.select(
-        "bin",
-        F.col("n_ref").cast("long").alias("n_ref"),
-        F.col("n_cur").cast("long").alias("n_cur"),
-        ((F.col("n_ref") + PSI_SMOOTH) / F.sum(F.col("n_ref") + PSI_SMOOTH).over(tot)).alias("p_ref"),
-        ((F.col("n_cur") + PSI_SMOOTH) / F.sum(F.col("n_cur") + PSI_SMOOTH).over(tot)).alias("p_cur"),
-    )
-    term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
-    # psi_total sums integer NANO-units of each term (the ENTROPY_NANO
-    # recipe, r8 sweep): the cross-row float SUM is order-sensitive —
-    # Spark's window scan and DuckDB's segment tree add in different
-    # orders — so floored nano-terms make the window sum exact-integer.
-    # Residual cross-engine exposure (ADVICE r8, honest note): the
-    # per-term ln() is libm, not guaranteed bit-identical across
-    # engines; a 1-ulp ln difference can flip one floored nano-unit
-    # when a term sits within ~1e-9 of an integer boundary. With
-    # PSI_SMOOTH = 1 the ratio is integer-expressible
-    # (ln((n_cur+1)·T_ref) − ln((n_ref+1)·T_cur)), so a fixedmath
-    # integer-ln ladder would close this fully — future-round work.
-    term_nano = F.floor(term * 1000000000.0).cast("long")
-    return smoothed.select(
-        "bin",
-        "n_ref",
-        "n_cur",
-        F.round("p_ref", 6).alias("share_ref"),
-        F.round("p_cur", 6).alias("share_cur"),
-        F.round(term, 6).alias("psi_term"),
-        F.round(
-            F.sum(term_nano).over(tot).cast("double") / 1000000000.0, 6
-        ).alias("psi_total"),
-    ).orderBy("bin")
+    return _psi_tail(binned, "bin")
 
 
-_PSI_LEG_TAIL = """
+_PSI_LEG_TAIL = f"""
         smoothed AS (
             SELECT k,
                    CAST(n_ref AS BIGINT) AS n_ref,
                    CAST(n_cur AS BIGINT) AS n_cur,
-                   (n_ref + {s}) / SUM(n_ref + {s}) OVER () AS p_ref,
-                   (n_cur + {s}) / SUM(n_cur + {s}) OVER () AS p_cur
+                   (n_ref + {{s}}) / SUM(n_ref + {{s}}) OVER () AS p_ref,
+                   (n_cur + {{s}}) / SUM(n_cur + {{s}}) OVER () AS p_cur,
+                   CAST(SUM(n_ref + {{s}}) OVER () AS BIGINT) AS t_ref,
+                   CAST(SUM(n_cur + {{s}}) OVER () AS BIGINT) AS t_cur
             FROM counted
         )
-        SELECT '{kind}' AS kind, k AS bucket, n_ref, n_cur,
+        SELECT '{{kind}}' AS kind, k AS bucket, n_ref, n_cur,
                ROUND(p_ref, 6) AS share_ref,
                ROUND(p_cur, 6) AS share_cur,
-               ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term,
+               -- ln(p_cur/p_ref) via the fixedmath integer-ln LADDER
+               -- (r9, ADVICE r8): the same stage text Spark binds, so
+               -- each floored nano-term is bitwise cross-engine
+               ROUND((p_cur - p_ref) * {PSI_LN_RATIO}, 6) AS psi_term,
                -- nano-unit integer window sum (r8): DuckDB's
                -- segment-tree windowed SUM orders double adds
                -- differently from Spark's frame scan
                ROUND(CAST(SUM(CAST(FLOOR((p_cur - p_ref)
-                          * ln(p_cur / p_ref) * 1000000000.0) AS BIGINT))
+                          * {PSI_LN_RATIO} * 1000000000.0) AS BIGINT))
                           OVER () AS DOUBLE) / 1000000000.0, 6)
                    AS psi_total
-        FROM smoothed
+        FROM {ln_ints_sql("SELECT * FROM smoothed", PSI_LN_SPECS)} lq
 """
 
 PSI_UNION_ORACLE_SQL = (

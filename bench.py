@@ -168,65 +168,85 @@ def force(df) -> None:
 # signal matters. CPU time is load-immune: a contended host stretches
 # wall while CPU stays put. In local[*] mode the ENTIRE engine — the
 # driver JVM (which is also every executor) and the Python UDF worker
-# daemons — runs as descendants of this benchmark process, so summing
-# utime+stime over the process tree from /proc between t0 and t1 IS
-# the query's executor CPU time, with no SparkListener plumbing and no
+# daemons — runs as descendants of this benchmark process, so /proc
+# utime+stime deltas over the process tree between t0 and t1 ARE the
+# query's executor CPU time, with no SparkListener plumbing and no
 # metrics race (stage completion events can land after the job
 # returns; /proc reads are synchronous truth).
+#
+# The delta is computed PER PID, not from tree totals: pyspark's
+# worker daemon ignores SIGCHLD, so exited python workers are
+# kernel-auto-reaped and their CPU time is DISCARDED — it never lands
+# in any parent's cutime. A tree-total delta therefore goes NEGATIVE
+# whenever idle workers from an earlier query time out mid-measurement
+# (observed: two queries at -8..-10s in the first r9 runs, a ~15s
+# worker cohort vanishing during an innocent query). Summing
+# (now - then) over pids PRESENT at the end keeps the delta exact for
+# survivors and new processes and loses only a dead worker's
+# in-interval burn — which is ~0, since a worker only exits because it
+# sat idle past its timeout.
 # ---------------------------------------------------------------------------
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK")
 
 
-def _stat_ppid_ticks(pid: str) -> tuple[int, int]:
-    """(ppid, utime+stime+cutime+cstime ticks) from /proc/<pid>/stat.
-    The comm field may contain spaces/parens; everything after the
-    LAST ')' is well-formed space-separated fields. cutime/cstime
-    (reaped children's time, RECURSIVE per the kernel's definition)
-    must be included: Spark's python workers come and go between
-    samples, and a worker that exits mid-delta would otherwise take
-    its accumulated ticks out of the live sum — the first r9 bench
-    run measured two NEGATIVE per-query CPU deltas exactly this way.
-    With cutime in, a worker's time moves into its parent at exit and
-    the tree total stays monotone."""
+def _stat_fields(pid: str) -> tuple[int, int, int]:
+    """(ppid, ticks, starttime) from /proc/<pid>/stat; ticks =
+    utime+stime+cutime+cstime (cutime covers normally-reaped
+    short-lived children like Hadoop's shell calls). The comm field
+    may contain spaces/parens; everything after the LAST ')' is
+    well-formed space-separated fields."""
     with open(f"/proc/{pid}/stat", "rb") as f:
         raw = f.read().decode("ascii", "replace")
     parts = raw[raw.rindex(")") + 2 :].split()
     # post-comm fields: [0]=state, [1]=ppid, [11]=utime, [12]=stime,
-    #                   [13]=cutime, [14]=cstime
-    return int(parts[1]), (
-        int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])
-    )
+    #                   [13]=cutime, [14]=cstime, [19]=starttime
+    ticks = int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])
+    return int(parts[1]), ticks, int(parts[19])
 
 
-def process_tree_cpu_seconds(root_pid: int | None = None) -> float:
-    """Total CPU seconds (user+sys) consumed so far by ``root_pid``
-    and every live descendant. Deltas of this around a query run give
-    its CPU cost. Exited descendants' time is lost to the delta only
-    if they die mid-query — Spark's python daemons and the JVM live
-    for the whole bench, so the deltas are complete in practice."""
+def process_tree_cpu_snapshot(
+    root_pid: int | None = None,
+) -> dict[tuple[int, int], int]:
+    """{(pid, starttime): cumulative ticks} for ``root_pid`` and every
+    live descendant. starttime in the key guards against pid reuse —
+    a recycled pid reads as a NEW process, never as a continuation."""
     root = root_pid if root_pid is not None else os.getpid()
     children: dict[int, list[int]] = {}
-    ticks: dict[int, int] = {}
+    info: dict[int, tuple[int, int]] = {}
     for entry in os.listdir("/proc"):
         if not entry.isdigit():
             continue
         try:
-            ppid, t = _stat_ppid_ticks(entry)
+            ppid, t, st = _stat_fields(entry)
         except (OSError, ValueError, IndexError):
             continue  # process exited between listdir and read
         pid = int(entry)
         children.setdefault(ppid, []).append(pid)
-        ticks[pid] = t
-    total, stack, seen = 0, [root], set()
+        info[pid] = (t, st)
+    snap: dict[tuple[int, int], int] = {}
+    stack, seen = [root], set()
     while stack:
         pid = stack.pop()
-        if pid in seen or pid not in ticks:
+        if pid in seen or pid not in info:
             continue
         seen.add(pid)
-        total += ticks[pid]
+        t, st = info[pid]
+        snap[(pid, st)] = t
         stack.extend(children.get(pid, []))
-    return total / _CLK_TCK
+    return snap
+
+
+def process_tree_cpu_delta(
+    before: dict[tuple[int, int], int], after: dict[tuple[int, int], int]
+) -> float:
+    """CPU seconds burned between two snapshots: per-(pid, starttime)
+    tick growth summed over processes present at the end. Monotone
+    non-negative by construction (a given process's cumulative ticks
+    never decrease); processes that died in the interval contribute
+    nothing (their in-interval burn is unrecoverable and ~0 — see the
+    module comment above)."""
+    return sum(t - before.get(k, 0) for k, t in after.items()) / _CLK_TCK
 
 
 def main() -> None:
@@ -250,11 +270,13 @@ def main() -> None:
         best = float("inf")
         best_cpu = float("inf")
         for _ in range(BENCH_RUNS):
-            c0 = process_tree_cpu_seconds()
+            c0 = process_tree_cpu_snapshot()
             t0 = time.perf_counter()
             force(registry.QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
-            best_cpu = min(best_cpu, process_tree_cpu_seconds() - c0)
+            best_cpu = min(
+                best_cpu, process_tree_cpu_delta(c0, process_tree_cpu_snapshot())
+            )
         per_query[name] = round(best, 3)
         per_query_cpu[name] = round(best_cpu, 3)
 
@@ -325,6 +347,14 @@ def build_compact(out: dict, regressions: dict | None) -> dict:
         ):
             compact["flagged"].pop()
     slowest = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+    # top CPU burners ride the summary too (VERDICT r8 #1: the round
+    # record should carry both columns); capped small so the wall dict
+    # below keeps most of the budget
+    cpu = out.get("queries_cpu") or {}
+    if cpu:
+        compact["queries_cpu"] = dict(
+            sorted(cpu.items(), key=lambda kv: -kv[1])[:8]
+        )
     compact["queries"] = {}
     for name, secs in slowest:
         compact["queries"][name] = secs
@@ -457,6 +487,11 @@ def flag_regressions(
             continue
         cpu_now = (per_query_cpu or {}).get(name)
         cpu_prev = (prev_cpu or {}).get(name)
+        if cpu_prev is not None and cpu_prev <= 0:
+            # corrupted baseline sample (the pre-fix /proc tree delta
+            # could go negative when a worker cohort died mid-query);
+            # a garbage denominator must not flag — fall back to wall
+            cpu_prev = None
         if cpu_now is not None and cpu_prev is not None:
             if cpu_now < MIN_REGRESSION_CPU_SECONDS:
                 continue

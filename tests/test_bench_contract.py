@@ -55,6 +55,23 @@ def test_compact_line_survives_mass_regression_round():
         assert parsed["queries"]
 
 
+def test_compact_line_budget_holds_with_cpu_column():
+    """r9: the queries_cpu top-burner dict rides the same budget — the
+    final line must stay inside the driver's tail window with it."""
+    out = _fake_out(300)
+    out["value_cpu"] = 999.999
+    out["queries_cpu"] = {
+        k: round(v * 11.1, 3) for k, v in out["queries"].items()
+    }
+    regs = {"flagged": {k: {} for k in list(out["queries"])[:30]}}
+    line = json.dumps(bench.build_compact(out, regs))
+    assert len(line) <= bench.COMPACT_BUDGET_CHARS + 200, len(line)
+    parsed = json.loads(line)
+    assert parsed["value_cpu"] == 999.999
+    assert len(parsed["queries_cpu"]) == 8
+    assert parsed["queries"], "wall dict must keep at least one entry"
+
+
 def test_compact_keeps_slowest_queries_first():
     out = _fake_out(300)
     compact = bench.build_compact(out, None)
@@ -102,20 +119,41 @@ def test_cpu_guard_flags_real_cpu_regression():
     assert bench.flag_regressions(
         {"q": 0.3}, {"q": 0.1}, {"q": 1.5}, {"q": 0.4}
     ) == {}
+    # a corrupted (non-positive) CPU baseline falls back to the wall
+    # signal instead of flagging with a garbage Infinity ratio
+    got = bench.flag_regressions(
+        {"q": 6.0}, {"q": 2.0}, {"q": 60.0}, {"q": -10.3}
+    )
+    assert got["q"]["signal"] == "wall"
 
 
-def test_process_tree_cpu_seconds_measures_own_burn():
-    """The /proc walker must see CPU burned by this very process (and
-    monotonically increase)."""
+def test_process_tree_cpu_delta_measures_own_burn():
+    """The /proc snapshot delta must see CPU burned by this very
+    process."""
     import time as _t
 
-    c0 = bench.process_tree_cpu_seconds()
+    s0 = bench.process_tree_cpu_snapshot()
     t_end = _t.process_time() + 0.3
     x = 0
     while _t.process_time() < t_end:
         x += sum(range(1000))
-    c1 = bench.process_tree_cpu_seconds()
-    assert c1 - c0 >= 0.2, (c0, c1)
+    d = bench.process_tree_cpu_delta(s0, bench.process_tree_cpu_snapshot())
+    assert d >= 0.2, d
+
+
+def test_process_tree_cpu_delta_ignores_vanished_pids():
+    """The pyspark worker daemon SIG_IGNs SIGCHLD, so dead workers'
+    ticks are discarded by the kernel — a tree-total delta would go
+    negative when a big worker cohort times out mid-query (the first
+    r9 bench measured -8..-10s on innocent queries). The per-pid delta
+    must stay non-negative when processes vanish between snapshots."""
+    tck = bench._CLK_TCK
+    s0 = {(111, 5): 4_000, (222, 9): 1_500}  # 222 dies in the interval
+    s1 = {(111, 5): 4_100}
+    assert bench.process_tree_cpu_delta(s0, s1) == 100 / tck
+    # pid reuse: same pid, new starttime => new process, counted from 0
+    s2 = {(111, 5): 4_100, (222, 77): 300}
+    assert bench.process_tree_cpu_delta(s0, s2) == 400 / tck
 
 
 def test_expected_changes_keys_unique():
