@@ -422,6 +422,14 @@ EXPECTED_CHANGES = {
         " leg: per-doc quality scoring + a fourth tag row with integer"
         " micro-unit sums riding the same aggregate — still one scan"
     ),
+    "q_drift_psi": (
+        "r9 ladder restatement: ln(p_cur/p_ref) runs the fixedmath"
+        " integer-ln ladder (four ~30-op stage chains per PSI row,"
+        " both legs) instead of one libm ln — the price of a bitwise"
+        " cross-engine hash gate on a fixed-overhead-dominated slot"
+        " (0.8->1.5s; frames are category/bin sized, so the cost is"
+        " plan/codegen overhead, not data)"
+    ),
     "q_token_bpe": (
         "tagged-union merge adds the heavy-hitters vocabulary leg (r6"
         " sixth wave), the nano-nat doc-entropy leg (r7 seventh wave),"
@@ -429,7 +437,15 @@ EXPECTED_CHANGES = {
         " the per-doc tfidf top-K leg (r7 ninth wave); the hh +"
         " entropy + divergence + tfidf legs share one stage-pinned"
         " (doc, source, term) tf frame and the pmi leg pins its bigram"
-        " aggregate, so 6 legs cost 3 corpus scans"
+        " aggregate, so 6 legs cost 3 corpus scans; r9 adds the"
+        " integer-ln ladder to the entropy (per tf row), divergence,"
+        " pmi, and tfidf legs (~+0.9s at sf0.1 — no libm ln under the"
+        " gate)"
+    ),
+    "q_vector_topk": (
+        "r9 ladder restatement: the bm25 + rrf legs' idf runs the"
+        " integer-ln ladder (two stage chains per (doc, term) posting)"
+        " instead of libm ln"
     ),
     "q_profile": (
         "tagged-union merge adds q_corr_matrix's pairwise-Pearson leg"
