@@ -2482,16 +2482,18 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndocs = docs.agg(F.count("*").cast("long").alias("n_total_docs"))
     # idf = ln((N+1)/(df+1)) = ln(N+1) − ln(df+1): integer-ln ladder
     # (r9) — the graded ROUND-4 score carries no libm ln; the oracle
-    # nests the identical stage text
+    # nests the identical stage text. Ladders run on the vocab-sized
+    # df table and the 1-row N aggregate (identical doubles, zero
+    # per-posting cost — the broadcasts carry them).
     idf = F.col("__tf_n_ln") - F.col("__tf_d_ln")
     tw = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf_score"), F.asc("term")
     )
+    counts_l = with_ln_ints(counts, [("__tf_d", "(doc_freq + 1)")])
+    ndocs_l = with_ln_ints(ndocs, [("__tf_n", "(n_total_docs + 1)")])
     tfidf_leg = (
-        with_ln_ints(
-            tf.join(F.broadcast(counts), "term").crossJoin(F.broadcast(ndocs)),
-            [("__tf_n", "(n_total_docs + 1)"), ("__tf_d", "(doc_freq + 1)")],
-        )
+        tf.join(F.broadcast(counts_l), "term")
+        .crossJoin(F.broadcast(ndocs_l))
         .select(
             "doc_id",
             "term",
@@ -2667,11 +2669,16 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same integer-ln ladder expression as the hard-graded q_token_bpe
     # tfidf leg (r9) — the leg==standalone fold pin compares scores
-    # exactly, so both sides must run the identical ladder
+    # exactly, so both sides must run the identical ladder (on the
+    # vocab-sized df table and the 1-row N aggregate, like the leg)
     idf = F.col("__tf_n_ln") - F.col("__tf_d_ln")
-    scored = with_ln_ints(
-        tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(ndocs)),
-        [("__tf_n", "(__n_docs + 1)"), ("__tf_d", "(df + 1)")],
+    scored = (
+        tf.join(
+            F.broadcast(with_ln_ints(dfreq, [("__tf_d", "(df + 1)")])), "term"
+        )
+        .crossJoin(
+            F.broadcast(with_ln_ints(ndocs, [("__tf_n", "(__n_docs + 1)")]))
+        )
     ).select(
         "doc_id",
         "term",
@@ -3151,14 +3158,20 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    joined = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     # idf = ln(1 + (N−df+0.5)/(df+0.5)) == ln(2N+2) − ln(2df+1): both
     # arguments are BIGINT, so the fixedmath integer-ln ladder (r9,
     # ADVICE r8) replaces the last libm transcendental under this hash
     # gate — Spark and the DuckDB oracle bind the IDENTICAL
     # +,−,×,÷/shift stage text (functions/fixedmath.py), so no ln ulp
-    # can flip a floored nano-unit at any boundary.
-    joined = with_ln_ints(joined, _BM25_LN_SPECS)  # same list the oracle nests
+    # can flip a floored nano-unit at any boundary. The ladders run on
+    # the SMALLEST frames that carry their arguments (the terms-sized
+    # df table and the 1-row stats aggregate — a pure function of the
+    # same integers lands the identical doubles wherever computed) and
+    # the existing broadcast joins carry the results, so the
+    # postings-sized scorer pays nothing per row.
+    dfreq = with_ln_ints(dfreq, [_BM25_LN_SPECS[1]])
+    stats = with_ln_ints(stats, [_BM25_LN_SPECS[0]])
+    joined = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     idf = F.col("__bm_n_ln") - F.col("__bm_d_ln")
     tf_norm = (
         F.col("tf")

@@ -146,9 +146,19 @@ def source_divergence_from_st(st: DataFrame) -> DataFrame:
     # far below the one corpus-sized token aggregate above); Catalyst
     # may auto-broadcast it at small scale, which is fine — forcing it
     # would ship 10^8-term tables through the driver (ADVICE r3).
+    # ladder placement (r9 perf pass): (c_t+1)'s ln runs on the
+    # vocab-sized term marginal and (n_s+V)/(n_corpus+V)'s on the
+    # sources×1 cross of the tiny totals — the grid (vocab×sources)
+    # only pays the per-row ladder for (c_st+1), whose value varies
+    # per cell. Identical doubles (pure function of the same ints);
+    # the oracle keeps its nested form.
+    src_tot_l = with_ln_ints(
+        src_tot.crossJoin(F.broadcast(totals)),
+        [DIVERGENCE_INT_LN_SPECS[2], DIVERGENCE_INT_LN_SPECS[3]],
+    )
+    term_tot_l = with_ln_ints(term_tot, [DIVERGENCE_INT_LN_SPECS[1]])
     grid = (
-        term_tot.crossJoin(F.broadcast(src_tot))
-        .crossJoin(F.broadcast(totals))
+        term_tot_l.crossJoin(F.broadcast(src_tot_l))
         .join(st, ["source", "term"], "left")
         .withColumn("c_st", F.coalesce(F.col("c_st"), F.lit(0)))
     )
@@ -169,12 +179,13 @@ def source_divergence_from_st(st: DataFrame) -> DataFrame:
         "v_size",
         "n_src_terms",
         "c_st",
-        "c_t",
-        "n_corpus",
+        "__dv_ct_ln",
+        "__dv_ns_ln",
+        "__dv_nc_ln",
         p_s.alias("p_s"),
         p_c.alias("p_c"),
     )
-    probs = with_ln_ints(probs, DIVERGENCE_INT_LN_SPECS)
+    probs = with_ln_ints(probs, [DIVERGENCE_INT_LN_SPECS[0]])
     probs = with_ln_pos(probs, DIVERGENCE_POS_LN_SPECS)
     kl_ln = F.expr(DIVERGENCE_KL_LN)
     contrib = probs.select(
@@ -447,6 +458,12 @@ def doc_entropy_from_tf(tf: DataFrame) -> DataFrame:
     count), so all three run the fixedmath integer-ln ladder (r9):
     the floored nano contribution and the per-row derivations are
     bitwise cross-engine — no libm ln under the hash gate."""
+    # ladder placement (r9 perf pass, MEASURED both ways): ln(c) stays
+    # per-row. The distinct-c + broadcast-join alternative (ladder on
+    # dozens of distinct counts) measured SLOWER at sf0.1 — 3.19s vs
+    # 3.04s for q_token_bpe, 0.63s vs 0.47s for q_token_entropy — the
+    # join's build/probe overhead exceeds ~30 codegen'd flops per row
+    # (the round-protocol 9b lesson: measure before keeping a pin).
     tfl = with_ln_ints(tf, [("__en_c", "c")])
     contrib = F.floor(
         F.col("c") * F.col("__en_c_ln") * F.lit(ENTROPY_NANO)

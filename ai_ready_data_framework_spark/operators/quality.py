@@ -366,12 +366,18 @@ def perplexity_per_doc(docs: DataFrame) -> DataFrame:
     # and the final perplexity runs the exp ladder on the exact
     # integer-derived −avg_logp; Spark and the DuckDB oracle bind the
     # identical stage texts, so no libm ln/exp sits under the gate.
-    joined = with_ln_ints(
-        tf.join(F.broadcast(bg_counts), "bg")
+    # Both lns run on the MODEL tables (bigram-vocab and prefix-sized
+    # — a pure function of the same integers lands identical doubles
+    # wherever computed), so the corpus-sized scoring join pays
+    # nothing per row; the broadcasts carry the ladder columns.
+    bg_counts_l = with_ln_ints(bg_counts, [PPL_LN_SPECS[0]])
+    pfx_l = with_ln_ints(
+        prefix_counts.crossJoin(F.broadcast(vocab)), [PPL_LN_SPECS[1]]
+    )
+    joined = (
+        tf.join(F.broadcast(bg_counts_l), "bg")
         .withColumn("w1", F.split("bg", " ")[0])
-        .join(F.broadcast(prefix_counts), "w1")
-        .crossJoin(F.broadcast(vocab)),
-        PPL_LN_SPECS,
+        .join(F.broadcast(pfx_l), "w1")
     )
     logp = F.col("__pp_n_ln") - F.col("__pp_d_ln")
     contrib = F.floor(F.col("tf") * logp * F.lit(PPL_NANO)).cast("long")
