@@ -299,7 +299,10 @@ def append_ivf_index(
     aligned to the cell buckets and the probe join's exchange-free
     property survives ingestion after ingestion. Each append adds one
     file set per bucket; ``compact_ivf_index`` periodically folds them
-    back to one."""
+    back to one. NOT replay-safe (an append retried after a crash
+    doubles the batch) — an always-on ingestion loop should use
+    streaming/ivf.py instead, which lands epoch-keyed OVERWRITE deltas
+    and compacts them into this bucketed base."""
     (
         assign_cells(new_vectors, centroids)
         .write.mode("append")
@@ -332,12 +335,19 @@ def compact_ivf_index(
     centroid side table is untouched (compaction never refits)."""
     vecs = spark.table(table_name).localCheckpoint(eager=True)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    rewrite_ivf_bucketed(vecs, table_name, path, n_buckets)
+
+
+def rewrite_ivf_bucketed(
+    vecs: DataFrame, table_name: str, path: str, n_buckets: int
+) -> None:
+    """One-file-set-per-bucket rewrite shared by the batch and
+    streaming compactors: repartition(n_buckets, cell) — Spark's
+    bucket id and repartition's hashpartitioning use the same
+    murmur3-pmod, so partition id == bucket id and each task writes
+    EXACTLY its one bucket file; without it a bucketed write emits one
+    file per (task, bucket) and compaction wouldn't compact."""
     (
-        # repartition(n_buckets, cell): Spark's bucket id and
-        # repartition's hashpartitioning use the same murmur3-pmod, so
-        # partition id == bucket id and each task writes EXACTLY its
-        # one bucket file — without this, a bucketed write emits one
-        # file per (task, bucket) and compaction wouldn't compact
         vecs.repartition(n_buckets, "cell")
         .write.mode("overwrite")
         .bucketBy(n_buckets, "cell")
@@ -404,6 +414,13 @@ def ivf_refit_needed(
     (freshness/change detection applied to the index itself,
     requirements.yaml:91-93). Callers that get True should re-fit the
     quantizer (ivf_fit_assign) and rebuild via write_ivf_index; False
-    means keep appending against the frozen centroids."""
+    means keep appending against the frozen centroids.
+
+    Small-sample caveat: PSI's sampling noise scales like
+    (n_cells − 1)/n_batch, so tiny batches trip the 0.2 bar on noise
+    alone (measured on a 500-vector/16-cell fixture: psi ≈ 0.05 at
+    n=167 but ≈ 0.22 at n=46). Evaluate the gate on batches of at
+    least ~10x the cell count, or accumulate several epochs before
+    asking."""
     psi = ivf_cell_psi(index_cells, batch_cells, centroids)
     return psi >= threshold, psi

@@ -1,0 +1,171 @@
+"""Streaming IVF-index ingestion: micro-batches of new embeddings are
+assigned to cells from the SAVED centroid table, landed as epoch-keyed
+deltas, drift-checked against the index's cell-occupancy distribution,
+and periodically compacted back into the bucketed base — the always-on
+ingestion twin of sources/maintenance.py's batch IVF path, mirroring
+streaming/dedup.py's band-index loop shape exactly.
+
+Grounding: the reference's vector-index assets demand a MAINTAINED
+index under continuous ingestion (vector_index_coverage /
+retrieval_recall_compliance, /root/reference/factors/requirements.yaml:66-68,
+82-84) and Factor 3 mandates stream-incremental propagation
+(3-current.md:13). Per micro-batch the work is assign_cells(batch) —
+one broadcast nested-loop over cells x batch rows — so steady-state
+cost scales with ingest rate, never index size.
+
+Replay safety: ``append_ivf_index`` (the batch helper) appends to the
+bucketed table, so a crashed-and-replayed epoch would DOUBLE its rows.
+This loop therefore lands each epoch as an idempotent OVERWRITE of
+``delta_dir/epoch=N`` (the lakehouse base+delta shape the band index
+uses): a replay rewrites the same files. Probes read base ∪ deltas —
+delta rows are not bucketed, so probes against them shuffle; that is
+the documented cost of recency, bounded by compaction cadence.
+``compact_ivf_index_deltas`` folds the deltas into the bucketed base
+(one file set per cell bucket restored — the probe's exchange-free
+property covers ALL data again) and drops the delta log.
+
+Refit signal: every epoch can evaluate ``ivf_refit_needed`` (PSI of
+cell occupancy, batch vs index) and append a one-row drift record to
+``drift_log_dir`` — the executable form of "re-fit when the drift
+profile says the distribution moved". The loop only SIGNALS; refitting
+(ivf_fit_assign + write_ivf_index) is a planned maintenance action the
+operator schedules, because it rewrites the whole index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_ready_data_framework_spark.sources.maintenance import (
+    IVF_INDEX_BUCKETS,
+    assign_cells,
+    ivf_refit_needed,
+    rewrite_ivf_bucketed,
+)
+from ai_ready_data_framework_spark.streaming.dedup import (
+    _delete_recursive,
+    _has_epoch_deltas,
+)
+
+# Mirrors the embeddings table's declared schema (FIXTURES.md) minus
+# the label column — a production ingest stream carries id + vector.
+EMB_SCHEMA = "vec_id bigint, embedding array<float>"
+
+
+def _delta_cells(
+    spark: SparkSession, delta_dir: str, before_epoch: int | None = None
+) -> DataFrame | None:
+    """(vec_id, embedding, cell) rows landed by earlier epochs —
+    strictly before ``before_epoch`` when given (a failed attempt of
+    the current epoch must not see its own half delta), else all."""
+    if not _has_epoch_deltas(spark, delta_dir):
+        return None
+    deltas = spark.read.parquet(delta_dir)
+    if before_epoch is not None:
+        deltas = deltas.filter(F.col("epoch") < before_epoch)
+    return deltas.drop("epoch")
+
+
+def indexed_vectors(
+    spark: SparkSession, table_name: str, delta_dir: str
+) -> DataFrame:
+    """The probe view: bucketed base ∪ un-compacted deltas. Base rows
+    keep their exchange-free bucket partitioning; delta rows (bounded
+    by compaction cadence) shuffle like any fresh frame."""
+    base = spark.table(table_name)
+    deltas = _delta_cells(spark, delta_dir)
+    return base if deltas is None else base.unionByName(deltas)
+
+
+def ingest_epoch(
+    spark: SparkSession,
+    batch_vectors: DataFrame,
+    centroids: DataFrame,
+    table_name: str,
+    delta_dir: str,
+    epoch_id: int,
+    drift_log_dir: str | None = None,
+) -> None:
+    """One micro-batch step: assign cells from the frozen quantizer,
+    overwrite this epoch's delta partition (replays are no-ops in
+    effect), and optionally append a drift record — PSI of the batch's
+    cell occupancy vs (base ∪ earlier deltas). The drift write is also
+    epoch-keyed, so it replays idempotently too."""
+    assigned = assign_cells(batch_vectors, centroids)
+    if drift_log_dir is not None:
+        idx = spark.table(table_name)
+        earlier = _delta_cells(spark, delta_dir, epoch_id)
+        if earlier is not None:
+            idx = idx.unionByName(earlier)
+        refit, psi = ivf_refit_needed(idx, assigned, centroids)
+        spark.createDataFrame(
+            [(epoch_id, float(psi), bool(refit))],
+            "epoch bigint, cell_psi double, refit_needed boolean",
+        ).write.mode("overwrite").parquet(f"{drift_log_dir}/epoch={epoch_id}")
+    assigned.write.mode("overwrite").parquet(f"{delta_dir}/epoch={epoch_id}")
+
+
+def compact_ivf_index_deltas(
+    spark: SparkSession,
+    table_name: str,
+    path: str,
+    delta_dir: str,
+    n_buckets: int = IVF_INDEX_BUCKETS,
+) -> None:
+    """Fold all accumulated epoch deltas into the bucketed base (one
+    rewrite, one file set per cell bucket — repartition-by-cell makes
+    partition id == bucket id) and drop the delta log; after
+    compaction every probe is exchange-free again. Same
+    lineage-truncating barrier rationale as compact_band_index: the
+    merged frame must be materialized BEFORE the table it reads from
+    is dropped and rewritten."""
+    base = spark.table(table_name)
+    deltas = _delta_cells(spark, delta_dir)
+    merged = base if deltas is None else base.unionByName(deltas)
+    merged = merged.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    rewrite_ivf_bucketed(merged, table_name, path, n_buckets)
+    _delete_recursive(spark, delta_dir)
+
+
+def run_ivf_ingest_stream(
+    spark: SparkSession,
+    stream_vectors_dir: str,
+    centroids: DataFrame,
+    table_name: str,
+    delta_dir: str,
+    checkpoint_dir: str,
+    drift_log_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drive IVF ingestion over a file stream of embedding parquet
+    drops. availableNow + maxFilesPerTrigger=1 gives one micro-batch
+    per dropped file — deterministic for tests, and the exact shape of
+    a production landing-zone listener. Compaction is NOT in the loop:
+    it is table maintenance, run on whatever cadence keeps the delta
+    union small (call compact_ivf_index_deltas between/after runs)."""
+    stream = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stream_vectors_dir)
+    )
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_epoch(
+            spark,
+            batch_df,
+            centroids,
+            table_name,
+            delta_dir,
+            epoch_id,
+            drift_log_dir=drift_log_dir,
+        )
+
+    (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
