@@ -2101,11 +2101,10 @@ def _token_profile_union_oracle_sql() -> str:
         HEAVY_MIN_COUNT,
     )
 
-    _dv_ladder_sql = lambda: ln_pos_sql(  # noqa: E731
+    dv_ladder = ln_pos_sql(
         ln_ints_sql("SELECT * FROM dprob", DIVERGENCE_INT_LN_SPECS),
         DIVERGENCE_POS_LN_SPECS,
     )
-    _DV_KL_LN = DIVERGENCE_KL_LN
 
     return r"""
     SELECT 'bpe_totals' AS token_kind, source AS key,
@@ -2308,8 +2307,8 @@ def _token_profile_union_oracle_sql() -> str:
         ),
     ).replace(
         "DVLADDER",
-        _dv_ladder_sql(),
-    ).replace("DVKLLN", _DV_KL_LN).replace(
+        dv_ladder,
+    ).replace("DVKLLN", DIVERGENCE_KL_LN).replace(
         "PMI_LADDER",
         ln_ints_sql("SELECT * FROM pjoined", PMI_LN_SPECS),
     ).replace("PMILNEXPR", PMI_LN)

@@ -33,6 +33,7 @@ from ai_ready_data_framework_spark.functions.fixedmath import (
     ln_ints_sql,
     with_exp_pos,
     with_ln_ints,
+    with_ln_pos,
 )
 from ai_ready_data_framework_spark.io import load_table
 from ai_ready_data_framework_spark.registry import query
@@ -578,6 +579,9 @@ DP_EPSILON = 1.0  # per-release privacy budget for the count query
 # privacy one — production swaps the hash uniform for a secure RNG and
 # everything else stays identical.
 DP_HASH_MOD = 4294967296  # 16^8: md5's first 8 hex chars
+# ladder spec shared verbatim with the pytest oracle (r9): the Laplace
+# inverse-CDF ln argument is a positive double in (0, 1]
+DP_LN_SPECS = [("__dp", "(1 - 2 * abs(u - 0.5))")]
 
 
 @query("q_dp_counts")  # rows-only: graded window full; DuckDB oracle
@@ -616,10 +620,20 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uniform in (0,1), kept away from the exact endpoints so the
     # inverse CDF stays finite on both engines
     u = (h + 0.5) / DP_HASH_MOD
-    # Laplace(b=1/eps) inverse CDF around 0.5
+    # Laplace(b=1/eps) inverse CDF around 0.5; the ln runs the
+    # fixed-point positive-double ladder (r9 — its argument
+    # 1 − 2|u−0.5| lives in (0, 1]), so the released values are
+    # bitwise cross-engine like the rest of the repo's math, not just
+    # ulp-close (the pytest oracle nests the same stage text)
     b = 1.0 / DP_EPSILON
-    noise = -b * F.signum(u - 0.5) * F.log(1 - 2 * F.abs(u - 0.5))
-    return counts.select(
+    noised = with_ln_pos(
+        counts.select(
+            "c_nationkey", "c_mktsegment", "true_n", u.alias("u")
+        ),
+        DP_LN_SPECS,
+    )
+    noise = -b * F.signum(F.col("u") - 0.5) * F.col("__dp_ln")
+    return noised.select(
         "c_nationkey",
         "c_mktsegment",
         "true_n",

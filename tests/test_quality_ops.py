@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import duckdb
 
+from ai_ready_data_framework_spark.functions.fixedmath import ln_pos_sql
 from ai_ready_data_framework_spark.io import table_path
 from ai_ready_data_framework_spark.operators import quality as Q
 from ai_ready_data_framework_spark.registry import QUERIES
@@ -278,12 +279,12 @@ def test_dp_counts_matches_duckdb_oracle(spark, sf_correctness):
             FROM counts
         )
         SELECT c_nationkey, c_mktsegment, true_n,
-               ROUND(-(1.0/{eps}) * sign(u - 0.5) * ln(1 - 2*abs(u - 0.5)), 4)
+               ROUND(-(1.0/{eps}) * sign(u - 0.5) * __dp_ln, 4)
                    AS noise,
                GREATEST(CAST(ROUND(true_n
-                   - (1.0/{eps}) * sign(u - 0.5) * ln(1 - 2*abs(u - 0.5)))
+                   - (1.0/{eps}) * sign(u - 0.5) * __dp_ln)
                    AS BIGINT), 0) AS released_n
-        FROM noised
+        FROM {ln_pos_sql("SELECT * FROM noised", Q.DP_LN_SPECS)} dl
     """
     expected = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
     rows = QUERIES["q_dp_counts"](spark, sf_correctness).collect()
