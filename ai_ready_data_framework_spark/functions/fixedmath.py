@@ -1,13 +1,25 @@
-"""Engine-portable fixed-point transcendentals (VERDICT r7 #2).
+"""Engine-portable fixed-point transcendentals.
 
-``pow(p, alpha)`` via libm is the one primitive that blocked
-hash-grading the mixture planners: Java's ``Math.pow`` and DuckDB's
-``std::pow`` may differ by an ulp, and the planners FLOOR the result
-into whole-integer outputs (expected docs, token budgets), so a single
-ulp at a share boundary flips an integer.
+libm transcendentals are the one primitive class that blocks
+hash-grading: Java's ``Math.pow``/``Math.log`` and DuckDB's
+``std::pow``/``std::log`` may differ by an ulp, and the graded
+operators FLOOR/ROUND results into integers (expected docs, token
+budgets, nano-unit score sums), so a single ulp at a boundary flips a
+graded value. This module replaces every such call with explicit
+ladders built ONLY from operations that are bit-identical in every
+IEEE-754 engine. The family (grown r7 → r9):
 
-This module replaces the libm call with an explicit ladder built ONLY
-from operations that are bit-identical in every IEEE-754 engine:
+- ``pow_alpha_*`` — floor(SCALE · (n/t)^alpha) for BIGINT n ≤ t
+  (VERDICT r7 #2: the mixture planners).
+- ``ln_ints`` / ``with_ln_ints`` — ln of BIGINT expressions (r9:
+  BM25/TF-IDF idf, PSI log-ratios, entropy, KL, PMI, bigram logp).
+- ``ln_pos`` / ``with_ln_pos`` — ln of a positive double in
+  (2^-61, 4) via 2^61 fixed-point quantization (r9: the JS mixture
+  ratio, the DP Laplace inverse-CDF).
+- ``exp_pos`` / ``with_exp_pos`` — exp of a non-negative double (r9:
+  perplexity).
+
+The building blocks, shared by all of them:
 
 - integer ``floor(log2(n))`` as ``length(bin(n)) - 1`` (exact — both
   engines print minimal binary strings),
@@ -214,61 +226,77 @@ def ln_ints_sql(inner: str, specs: list[tuple[str, str]]) -> str:
 # denominator p_s+p_c has no common-denominator integer form that
 # stays inside int64 at fleet-scale token counts).
 LN_POS_SHIFT = 61
-_LN_POS_SCALE = repr(float(1 << LN_POS_SHIFT))
-# 61·ln2 as CAST(61 AS DOUBLE) * LN2 — the same guaranteed-safe shape
-# _ln_stages uses for e·ln2. Two traps this dodges: a `61.0 * LN2`
-# decimal×decimal multiply is not IEEE (and overflows DuckDB's
-# DECIMAL(18)); and a single 17-significant-digit literal is NOT safe
-# either — DuckDB converts DECIMAL→DOUBLE as scaled-int/10^k double
-# division, which is off by 1 ulp once the scaled int exceeds 2^53
-# (measured on 30.550984759064562). LN2's 16 digits keep its scaled
-# int under 2^53, so decimal→double stays exact and the double
-# multiply is correctly rounded on every engine.
-_LN_POS_OFFSET = f"CAST({LN_POS_SHIFT} AS DOUBLE) * {LN2}"
+# The shift·ln2 offset is emitted as CAST(shift AS DOUBLE) * LN2 — the
+# same guaranteed-safe shape _ln_stages uses for e·ln2. Two traps this
+# dodges: a `61.0 * LN2` decimal×decimal multiply is not IEEE (and
+# overflows DuckDB's DECIMAL(18)); and a single 17-significant-digit
+# literal is NOT safe either — DuckDB converts DECIMAL→DOUBLE as
+# scaled-int/10^k double division, which is off by 1 ulp once the
+# scaled int exceeds 2^53 (measured on 30.550984759064562). LN2's 16
+# digits keep its scaled int under 2^53, so decimal→double stays exact
+# and the double multiply is correctly rounded on every engine.
 
 
-def ln_pos_stages(prefix: str, x: str) -> list[tuple[str, str]]:
+def ln_pos_stages(
+    prefix: str, x: str, shift: int = LN_POS_SHIFT
+) -> list[tuple[str, str]]:
     """(name, sql_expr) stages computing ``{prefix}_ln ≈ ln(x)`` for a
     positive DOUBLE sql expression ``x`` (must be bitwise-identical on
-    both engines — e.g. a ratio of exact-integer-derived doubles)."""
-    q = f"CAST(FLOOR(({x}) * {_LN_POS_SCALE}) AS BIGINT)"
+    both engines — e.g. a ratio of exact-integer-derived doubles).
+    ``shift`` sets the fixed-point domain: x must lie in
+    (2^-shift, 2^(63-shift)) — the default 61 covers (0, 4) ratios;
+    57 covers (0, 64) for log-of-log shapes like the Gumbel draw."""
+    q = f"CAST(FLOOR(({x}) * {float(1 << shift)!r}) AS BIGINT)"
     st = _ln_stages(f"{prefix}_q", q)
-    st.append((f"{prefix}_ln", f"{prefix}_q_ln - ({_LN_POS_OFFSET})"))
+    st.append(
+        (
+            f"{prefix}_ln",
+            f"{prefix}_q_ln - (CAST({shift} AS DOUBLE) * {LN2})",
+        )
+    )
     return st
 
 
-def with_ln_pos(df: DataFrame, specs: list[tuple[str, str]]) -> DataFrame:
-    """Spark side of :func:`ln_pos_stages` (mirrors with_ln_ints)."""
-    keep = {f"{p}_ln" for p, _ in specs}
+def _pos_spec(spec) -> tuple[str, str, int]:
+    """(prefix, x) or (prefix, x, shift) -> normalized 3-tuple."""
+    return spec if len(spec) == 3 else (spec[0], spec[1], LN_POS_SHIFT)
+
+
+def with_ln_pos(df: DataFrame, specs: list) -> DataFrame:
+    """Spark side of :func:`ln_pos_stages` (mirrors with_ln_ints).
+    Specs are (prefix, x_expr) or (prefix, x_expr, shift)."""
+    keep = {f"{_pos_spec(s)[0]}_ln" for s in specs}
     temps = []
-    for prefix, x in specs:
-        for name, expr in ln_pos_stages(prefix, x):
+    for spec in specs:
+        prefix, x, shift = _pos_spec(spec)
+        for name, expr in ln_pos_stages(prefix, x, shift):
             df = df.withColumn(name, F.expr(expr))
             if name not in keep:
                 temps.append(name)
     return df.drop(*temps)
 
 
-def ln_pos_sql(inner: str, specs: list[tuple[str, str]]) -> str:
+def ln_pos_sql(inner: str, specs: list) -> str:
     """DuckDB side of :func:`ln_pos_stages` (mirrors ln_ints_sql)."""
-    keep = {f"{p}_ln" for p, _ in specs}
+    keep = {f"{_pos_spec(s)[0]}_ln" for s in specs}
     sql = f"({inner})"
     drops = []
-    for prefix, x in specs:
-        for name, expr in ln_pos_stages(prefix, x):
+    for spec in specs:
+        prefix, x, shift = _pos_spec(spec)
+        for name, expr in ln_pos_stages(prefix, x, shift):
             sql = f"(SELECT *, {expr} AS {name} FROM {sql} __lpq_{name.strip('_')})"
             if name not in keep:
                 drops.append(name)
     return f"(SELECT * EXCLUDE ({', '.join(drops)}) FROM {sql} __lpq_final)"
 
 
-def ln_pos_py(x: float) -> float:
+def ln_pos_py(x: float, shift: int = LN_POS_SHIFT) -> float:
     """Pure-Python reference of the positive-double ln ladder."""
     import math as _m
 
-    return ln_int_py(
-        _m.floor(x * float(1 << LN_POS_SHIFT))
-    ) - float(LN_POS_SHIFT) * float(LN2)
+    return ln_int_py(_m.floor(x * float(1 << shift))) - float(shift) * float(
+        LN2
+    )
 
 
 # exp for a NON-NEGATIVE DOUBLE expression (r9): the pow ladder's own

@@ -762,6 +762,15 @@ DSIR_SELECT_K = 100  # docs drawn by Gumbel top-k on the weights
 DSIR_HASH_MULT = 2654435761
 DSIR_HASH_MOD = 1 << 32
 DSIR_HASH_PREMASK = 1 << 31
+# Ladder specs shared verbatim with the pytest oracle (r9).
+DSIR_LN_SPECS = [
+    ("__ds_ct", "(c_t + 1)"),
+    ("__ds_cr", "(c_r + 1)"),
+    ("__ds_nt", f"(n_t + {DSIR_BUCKETS})"),
+    ("__ds_nr", f"(n_r + {DSIR_BUCKETS})"),
+]
+DSIR_LOG_RATIO = "((__ds_ct_ln + __ds_nr_ln) - (__ds_cr_ln + __ds_nt_ln))"
+DSIR_GUMBEL_SHIFT = 57  # −ln u ∈ (1.1e-10, 23) on the 2^32 hash grid
 
 
 def _dsir_bucket(term) -> "F.Column":
@@ -819,14 +828,26 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("__tgt"), F.col("c")).otherwise(0)).alias("c_r"),
     )
     totals = model.agg(
-        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.sum("c_r").cast("long").alias("n_r"),
     )
-    log_ratio = F.log(
-        (F.col("c_t") + 1) / (F.col("n_t") + DSIR_BUCKETS)
-    ) - F.log((F.col("c_r") + 1) / (F.col("n_r") + DSIR_BUCKETS))
+    # r9 ladder restatement: the per-bucket log-ratio decomposes into
+    # four integer lns — (ln(c_t+1) + ln(n_r+B)) − (ln(c_r+1) +
+    # ln(n_t+B)) — computed ONCE per bucket on the 2^14-row model
+    # table (the smallest frame carrying the arguments); the Gumbel
+    # draw is −ln(−ln u) over the hash uniform, both levels on the
+    # positive-double ladder (outer shift 57: −ln u reaches ~23 at the
+    # smallest u the 2^32 hash grid can produce). The operator's
+    # determinism contract is now bitwise cross-engine like the graded
+    # family, not merely ulp-close; the pytest oracle mirrors the
+    # ladders via ln_int_py/ln_pos_py.
+    model_l = with_ln_ints(
+        model.crossJoin(F.broadcast(totals)), DSIR_LN_SPECS
+    )
+    log_ratio = F.expr(DSIR_LOG_RATIO)
     scored = (
         doc_buckets.filter(~F.col("__tgt"))
-        .join(F.broadcast(model.crossJoin(F.broadcast(totals))), "bucket")
+        .join(F.broadcast(model_l), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_feats"),
@@ -837,10 +858,16 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % DSIR_HASH_PREMASK * DSIR_HASH_MULT) % DSIR_HASH_MOD
         + 0.5
     ) / DSIR_HASH_MOD
-    gumbel = -F.log(-F.log(u))
-    with_score = scored.withColumn(
-        "gumbel_score", F.round(F.col("log_importance") + gumbel, 4)
+    with_u = with_ln_pos(
+        scored.withColumn("__u", u), [("__gu_in", "__u")]
     )
+    with_u = with_ln_pos(
+        with_u, [("__gu_out", "(-__gu_in_ln)", DSIR_GUMBEL_SHIFT)]
+    )
+    gumbel = -F.col("__gu_out_ln")
+    with_score = with_u.withColumn(
+        "gumbel_score", F.round(F.col("log_importance") + gumbel, 4)
+    ).drop("__u", "__gu_in_ln", "__gu_out_ln")
     topk = (
         with_score.orderBy(F.desc("gumbel_score"), F.asc("doc_id"))
         .limit(DSIR_SELECT_K)

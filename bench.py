@@ -289,6 +289,11 @@ def main() -> None:
         "queries": per_query,
         "queries_cpu": per_query_cpu,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host load at completion (1/5/15-min): context for reading
+        # flags — CPU time is load-resistant but SMT/cache contention
+        # can still inflate it ~1.5x (measured r9); a record taken at
+        # load >> 1 should be re-measured, not trusted
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     # Baseline must be read BEFORE overwriting BENCH_DETAIL.json below.
     regressions = compare_to_previous(per_query, out["sf"], per_query_cpu)
@@ -421,6 +426,13 @@ EXPECTED_CHANGES = {
         " still one corpus scan. r7 eleventh fold adds the HT-audit"
         " leg: per-doc quality scoring + a fourth tag row with integer"
         " micro-unit sums riding the same aggregate — still one scan"
+    ),
+    "q_dsir_weights": (
+        "r9 ladder restatement: the per-bucket log-ratio runs four"
+        " integer-ln stage chains on the 2^14-row model table and the"
+        " Gumbel draw runs the positive-double ladder twice per doc"
+        " (2.9->3.4s at sf0.1 — bitwise cross-engine determinism for"
+        " the selection set)"
     ),
     "q_drift_psi": (
         "r9 ladder restatement: ln(p_cur/p_ref) runs the fixedmath"

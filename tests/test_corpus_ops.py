@@ -683,10 +683,20 @@ def test_dsir_weights_matches_python_oracle(spark, sf_correctness):
             acc[b] = acc.get(b, 0) + c
     n_t, n_r = sum(c_t.values()), sum(c_r.values())
 
+    from ai_ready_data_framework_spark.functions.fixedmath import (
+        ln_int_py,
+        ln_pos_py,
+    )
+    from ai_ready_data_framework_spark.operators.corpus import (
+        DSIR_GUMBEL_SHIFT,
+    )
+
     def log_ratio(b: int) -> float:
-        return math.log((c_t.get(b, 0) + 1) / (n_t + DSIR_BUCKETS)) - math.log(
-            (c_r.get(b, 0) + 1) / (n_r + DSIR_BUCKETS)
-        )
+        # r9: the operator runs the integer-ln ladder per bucket —
+        # the oracle mirrors it exactly (bitwise, not ulp-close)
+        return (
+            ln_int_py(c_t.get(b, 0) + 1) + ln_int_py(n_r + DSIR_BUCKETS)
+        ) - (ln_int_py(c_r.get(b, 0) + 1) + ln_int_py(n_t + DSIR_BUCKETS))
 
     expected = {}
     for doc_id, counts in per_doc.items():
@@ -696,7 +706,7 @@ def test_dsir_weights_matches_python_oracle(spark, sf_correctness):
         u = (
             (doc_id % DSIR_HASH_PREMASK * DSIR_HASH_MULT) % DSIR_HASH_MOD + 0.5
         ) / DSIR_HASH_MOD
-        g = -math.log(-math.log(u))
+        g = -ln_pos_py(-ln_pos_py(u), DSIR_GUMBEL_SHIFT)
         expected[doc_id] = (sum(counts.values()), lw, lw + g)
     exp_selected = {
         d
