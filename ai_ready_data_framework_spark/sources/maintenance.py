@@ -379,6 +379,10 @@ def ivf_cell_psi(
     ``assign_cells(batch)`` — the assignment the append path computes
     anyway). Work shape: two map-side-combinable counts + a
     #cells-row join; the only driver materialization is one row."""
+    from ai_ready_data_framework_spark.functions.fixedmath import (
+        with_ln_ints,
+    )
+
     idx_occ = index_cells.groupBy("cell").agg(F.count("*").alias("n_idx"))
     new_occ = batch_cells.groupBy("cell").agg(F.count("*").alias("n_new"))
     occ = (
@@ -387,15 +391,32 @@ def ivf_cell_psi(
         .join(new_occ, "cell", "left")
         .fillna(0, ["n_idx", "n_new"])
     )
+    # with s = 0.5 smoothing, doubled counts make every log argument
+    # an exact BIGINT: p = (n + 0.5)/T = (2n + 1)/(2T), so
+    # ln(p_new/p_idx) = (ln(2n_new+1) + ln(t2_idx)) −
+    # (ln(2n_idx+1) + ln(t2_new)) with t2 = Σ(2n + 1) — the fixedmath
+    # integer-ln ladder covers it (r9: same determinism story as the
+    # graded PSI legs, applied to this maintenance metric)
     tot = occ.agg(
-        F.sum(F.col("n_idx") + _REFIT_SMOOTH).alias("t_idx"),
-        F.sum(F.col("n_new") + _REFIT_SMOOTH).alias("t_new"),
+        F.sum(2 * F.col("n_idx") + 1).cast("long").alias("t2_idx"),
+        F.sum(2 * F.col("n_new") + 1).cast("long").alias("t2_new"),
     )
-    p_idx = (F.col("n_idx") + _REFIT_SMOOTH) / F.col("t_idx")
-    p_new = (F.col("n_new") + _REFIT_SMOOTH) / F.col("t_new")
+    p_idx = (F.col("n_idx") + _REFIT_SMOOTH) / (F.col("t2_idx") / 2.0)
+    p_new = (F.col("n_new") + _REFIT_SMOOTH) / (F.col("t2_new") / 2.0)
+    laddered = with_ln_ints(
+        occ.crossJoin(F.broadcast(tot)),
+        [
+            ("__rf_nn", "(2 * n_new + 1)"),
+            ("__rf_ni", "(2 * n_idx + 1)"),
+            ("__rf_ti", "t2_idx"),
+            ("__rf_tn", "t2_new"),
+        ],
+    )
+    ln_ratio = F.expr(
+        "((__rf_nn_ln + __rf_ti_ln) - (__rf_ni_ln + __rf_tn_ln))"
+    )
     row = (
-        occ.crossJoin(F.broadcast(tot))
-        .select(((p_new - p_idx) * F.log(p_new / p_idx)).alias("term"))
+        laddered.select(((p_new - p_idx) * ln_ratio).alias("term"))
         .agg(F.sum("term").alias("psi"))
         .collect()[0]
     )
