@@ -146,9 +146,20 @@ def write_band_index(
     partitioning for free. Incremental maintenance appends each
     ingested batch's bands to the same table (bucket spec keeps
     appended files aligned); the sort keeps parquet min/max stats
-    tight so point probes prune files."""
+    tight so point probes prune files.
+
+    r9: the build repartitions onto the bucket columns first —
+    Spark's bucket id and repartition's hashpartitioning share the
+    same murmur3-pmod, so partition id == bucket id and each task
+    writes EXACTLY one bucket file. Without it a bucketed write emits
+    one file per (task, bucket) — up to tasks × buckets files — and
+    compaction (streaming/dedup.py::compact_band_index, which rewrites
+    through this function) wouldn't actually consolidate. One extra
+    exchange at build time buys the read-optimized layout every probe
+    reads forever (the rewrite_ivf_bucketed rationale)."""
     (
-        bands.write.mode("overwrite")
+        bands.repartition(n_buckets, "band", "bk")
+        .write.mode("overwrite")
         .bucketBy(n_buckets, "band", "bk")
         .sortBy("band", "bk")
         .option("path", path)

@@ -261,6 +261,7 @@ def main() -> None:
     spark = get_spark(app_name="ai-ready-bench")
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
+    load_start = [round(x, 2) for x in os.getloadavg()]
     # warmup: JVM + codegen + parquet footer caches
     force(registry.QUERIES["q_agg_group"](spark, sf_dir))
 
@@ -294,10 +295,12 @@ def main() -> None:
         "queries": per_query,
         "queries_cpu": per_query_cpu,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # host load at completion (1/5/15-min): context for reading
-        # flags — CPU time is load-resistant but SMT/cache contention
-        # can still inflate it ~1.5x (measured r9); a record taken at
-        # load >> 1 should be re-measured, not trusted
+        # host load at start and completion (1/5/15-min): context for
+        # reading flags — CPU time is load-resistant but SMT/cache
+        # contention can still inflate it ~1.5x (measured r9); a
+        # record whose START load is >> 0 should be re-measured, not
+        # trusted (the end load includes the bench's own execution)
+        "loadavg_start": load_start,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     # Baseline must be read BEFORE overwriting BENCH_DETAIL.json below.
@@ -412,6 +415,12 @@ EXPECTED_CHANGES = {
         " (VERDICT r7 #2 fold) — the budget leg tokenizes the corpus"
         " once for its per-source token totals — and the schedule leg"
         " (per-source md5 rank window over the documents scan)"
+    ),
+    "q_dedup_incremental": (
+        "r9: write_band_index repartitions onto the bucket columns so"
+        " every build lands ONE file per bucket (2.7->3.1s at sf0.1 —"
+        " one extra exchange at build time buys the layout every probe"
+        " reads; this query rebuilds the index per run by design)"
     ),
     "q_dsir_weights": (
         "r9 ladder restatement: the per-bucket log-ratio runs four"

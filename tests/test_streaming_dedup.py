@@ -78,12 +78,23 @@ def test_stream_probe_equals_one_shot_batch_probe(
     n_delta = spark.read.parquet(str(tmp_path / "deltas")).count()
     assert n_delta == SD.doc_bands(stream_docs).count()
 
-    # compaction folds base + deltas into one bucketed index
+    # compaction folds base + deltas into one bucketed index — and
+    # consolidates to ONE file per bucket (r9: write_band_index
+    # repartitions onto the bucket columns, so compaction actually
+    # compacts instead of leaving one file per task x bucket)
+    import glob as _glob
+
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        BAND_INDEX_BUCKETS,
+    )
+
     n_base = read_band_index(spark, table).count()
     SD.compact_band_index(
         spark, table, str(tmp_path / "index"), str(tmp_path / "deltas")
     )
     assert read_band_index(spark, table).count() == n_base + n_delta
+    n_files = len(_glob.glob(str(tmp_path / "index" / "*.parquet")))
+    assert 0 < n_files <= BAND_INDEX_BUCKETS, n_files
 
 
 def test_epoch_replay_is_idempotent(spark, split_corpus, tmp_path):
