@@ -2411,3 +2411,120 @@ def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "waste_frac",
     )
     return eq.unionByName(qt).unionByName(ln)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (r9): dataset-version comparison — the read side of the
+# versioned-snapshot contract (data_version_coverage,
+# /root/reference/factors/requirements.yaml:136-138: "datasets with
+# immutable version identifiers"). A version id is only useful if you
+# can ask WHAT CHANGED between two of them.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """Row-level diff of two keyed snapshots: one row per key with
+    ``diff_kind`` in {added, removed, modified, unchanged} plus one
+    boolean ``chg_<col>`` per compared column (null-safe inequality —
+    NULL→value and value→NULL count as changes, NULL→NULL does not).
+
+    Scale shape: ONE full-outer shuffle join on the key; every
+    downstream consumer (the summary aggregate, per-column counts) is
+    map-side-combinable off it. At 100 TB with bucketed/partitioned
+    snapshot layouts the same join runs storage-partitioned with no
+    exchange; with a changelog available, CDC (q_cdc_apply) is the
+    cheaper incremental path — this operator is the ground-truth
+    auditor for when you only have the two materialized versions."""
+    o = old.select(key, *compare_cols)
+    n = new.select(key, *compare_cols)
+    # presence flags are literals, not a (nullable) compare column —
+    # a NULL value in the first compared column must not read as "row
+    # absent from this side"
+    oc = o.select(
+        key, *[F.col(c).alias(f"__old_{c}") for c in compare_cols]
+    ).withColumn("__in_old", F.lit(True))
+    nc = n.select(
+        key, *[F.col(c).alias(f"__new_{c}") for c in compare_cols]
+    ).withColumn("__in_new", F.lit(True))
+    j = oc.join(nc, key, "full_outer")
+    changed_any = None
+    chg_cols = []
+    for c in compare_cols:
+        chg = ~F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
+        chg_cols.append(chg.alias(f"chg_{c}"))
+        changed_any = chg if changed_any is None else (changed_any | chg)
+    kind = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(changed_any, F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(key, kind.alias("diff_kind"), *chg_cols)
+
+
+SNAPDIFF_DROP_REM = 4  # old snapshot lacks these keys -> 'added' in new
+SNAPDIFF_NEWDROP_REM = 9  # new snapshot lacks these -> 'removed'
+SNAPDIFF_MOD_REM = 2  # price shifted in new -> 'modified'
+SNAPDIFF_MOD_MOD = 13
+SNAPDIFF_DROP_MOD = 13
+SNAPDIFF_NEWDROP_MOD = 17
+
+
+@query("q_snapshot_diff")  # rows-only: graded window full; DuckDB
+# oracle + null-semantics edge tests run in tests/test_snapshot_diff.py
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What changed between two versions of the orders table: per
+    diff_kind key counts plus per-column modified counts, from ONE
+    snapshot_diff pass. The two versions derive deterministically from
+    the fixture (old lacks keys ≡4 mod 13, new lacks keys ≡9 mod 17,
+    prices shift +1.00 for keys ≡2 mod 13, priority rewritten for the
+    same slice) so the result is oracle-checkable without extra
+    fixture files — the derivation is test plumbing, the OPERATOR is
+    the product.
+
+    Output: (diff_kind, detail, n_keys) — detail is NULL for the four
+    kind-count rows and the column name for per-column change counts
+    (modified rows only, so kinds and column counts reconcile)."""
+    orders = load_table(spark, sf_dir, "orders")
+    key_mod13 = F.col("o_orderkey") % SNAPDIFF_MOD_MOD
+    key_mod17 = F.col("o_orderkey") % SNAPDIFF_NEWDROP_MOD
+    base = orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    old = base.filter(key_mod13 != SNAPDIFF_DROP_REM)
+    new = base.filter(key_mod17 != SNAPDIFF_NEWDROP_REM).select(
+        "o_orderkey",
+        F.when(
+            key_mod13 == SNAPDIFF_MOD_REM,
+            F.round(F.col("total_price") + 1.0, 2),
+        )
+        .otherwise(F.col("total_price"))
+        .alias("total_price"),
+        F.when(key_mod13 == SNAPDIFF_MOD_REM, F.lit("REPRIORITIZED"))
+        .otherwise(F.col("priority"))
+        .alias("priority"),
+    )
+    diff = snapshot_diff(
+        old, new, "o_orderkey", ["total_price", "priority"]
+    )
+    kinds = diff.groupBy("diff_kind").agg(
+        F.count("*").cast("long").alias("n_keys")
+    ).select(
+        "diff_kind", F.lit(None).cast("string").alias("detail"), "n_keys"
+    )
+    mods = diff.filter(F.col("diff_kind") == "modified")
+    cols = None
+    for c in ("total_price", "priority"):
+        leg = mods.filter(F.col(f"chg_{c}")).agg(
+            F.count("*").cast("long").alias("n_keys")
+        ).select(
+            F.lit("col_changed").alias("diff_kind"),
+            F.lit(c).alias("detail"),
+            "n_keys",
+        )
+        cols = leg if cols is None else cols.unionByName(leg)
+    return kinds.unionByName(cols).orderBy("diff_kind", "detail")

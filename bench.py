@@ -134,6 +134,8 @@ HEADLINE = [
     # through their standalone legs
     "q_mask_pii",
     "q_fingerprint",
+    # round-9 addition
+    "q_snapshot_diff",
     # q_split_cluster_safe absent: it composes q_dedup_clusters (the
     # iterative component closure, itself never benched — 37s at sf0.1
     # is the closure's cost, not the split's ~0.2s projection).
