@@ -308,23 +308,36 @@ def ln_pos_py(x: float, shift: int = LN_POS_SHIFT) -> float:
 def exp_pos_stages(prefix: str, x: str) -> list[tuple[str, str]]:
     """(name, sql_expr) stages computing ``{prefix}_exp = exp(x)`` for
     a NON-NEGATIVE double sql expression ``x`` (bitwise-identical on
-    both engines)."""
+    both engines).
+
+    Domain: ``0 <= x < 125*LN2`` (~86.6; exp(x) < 2^125). The
+    power-of-two scale is two int64 shifts of at most 62 each —
+    multiplying two exact powers of two only adds exponents, so the
+    split costs zero ulps (ADVICE r9: a single ``1 << k`` wrapped for
+    k >= 63, i.e. x >= ~43.67, silently going negative). Beyond the
+    domain the first shift still wraps; callers needing exp of
+    anything near 2^125 are outside every ladder use case (perplexity
+    exponents are bounded by ln(vocab+corpus) < 30)."""
     k = f"{prefix}_k"
     r = f"{prefix}_r"
     er = f"{prefix}_er"
+    half = f"LEAST(CAST({k} AS INT), 62)"
+    rest = f"(CAST({k} AS INT) - {half})"
     return [
         (k, f"CAST(FLOOR(({x}) / {LN2}) AS BIGINT)"),
         (r, f"({x}) - CAST({k} AS DOUBLE) * {LN2}"),
         (er, _horner_exp(r)),
         (
             f"{prefix}_exp",
-            f"{er} * CAST(CAST(1 AS BIGINT) << CAST({k} AS INT) AS DOUBLE)",
+            f"{er} * CAST(CAST(1 AS BIGINT) << {half} AS DOUBLE)"
+            f" * CAST(CAST(1 AS BIGINT) << {rest} AS DOUBLE)",
         ),
     ]
 
 
 def with_exp_pos(df: DataFrame, specs: list[tuple[str, str]]) -> DataFrame:
-    """Spark side of :func:`exp_pos_stages`."""
+    """Spark side of :func:`exp_pos_stages` (domain 0 <= x < 125*LN2,
+    see there)."""
     keep = {f"{p}_exp" for p, _ in specs}
     temps = []
     for prefix, x in specs:

@@ -3007,18 +3007,24 @@ def embeddings_count(spark: SparkSession, sf_dir: str) -> int:
     return _EMB_COUNT_MEMO[key]
 
 
-def ivf_fit_assign(
-    spark: SparkSession, sf_dir: str, cfg: ANNConfig = DEFAULT_ANN
+def fit_assign_vectors(
+    spark: SparkSession,
+    vectors: DataFrame,
+    n_rows: int,
+    cfg: ANNConfig = DEFAULT_ANN,
 ) -> tuple[DataFrame, DataFrame]:
-    """The IVF BUILD half, split out (r8) so the persisted-index path
-    (sources/maintenance.py::write_ivf_index) shares it with the
-    inline query: returns (assigned, centroids) where assigned is
-    (vec_id, embedding, cell) and centroids the cells x dim table."""
+    """Fit a fresh IVF coarse quantizer over ANY (vec_id, embedding)
+    frame and assign every row — the DataFrame-level core shared by
+    the fixture-table build (``ivf_fit_assign``) and the index REFIT
+    path (sources/maintenance.py::refit_ivf_index, which hands in the
+    live index contents after a drift signal). ``n_rows`` sizes the
+    deterministic fit sample, so callers pass a count they already
+    hold (memoized for the fixture tables) instead of forcing a
+    second scan here."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
+    vecs = vectors.select(
         "vec_id",
         "embedding",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
@@ -3027,8 +3033,7 @@ def ivf_fit_assign(
     # (pmod(xxhash64(vec_id), m) — id-distribution-robust, the ADVICE
     # r5 recipe): centroid quality needs a sample, not the corpus —
     # at 100 TB fitting on everything would dominate the build.
-    n = embeddings_count(spark, sf_dir)
-    m = max(1, n // 4096)
+    m = max(1, n_rows // 4096)
     # maxIter=5: coarse-quantizer quality converges fast and recall is
     # governed by nprobe, not centroid polish — fit time is the real cost
     km = KMeans(
@@ -3048,6 +3053,20 @@ def ivf_fit_assign(
         "cell int, centroid array<double>",
     )
     return assigned, centroids
+
+
+def ivf_fit_assign(
+    spark: SparkSession, sf_dir: str, cfg: ANNConfig = DEFAULT_ANN
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF BUILD half, split out (r8) so the persisted-index path
+    (sources/maintenance.py::write_ivf_index) shares it with the
+    inline query: returns (assigned, centroids) where assigned is
+    (vec_id, embedding, cell) and centroids the cells x dim table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return fit_assign_vectors(
+        spark, emb.select("vec_id", "embedding"),
+        embeddings_count(spark, sf_dir), cfg,
+    )
 
 
 def ivf_probe(

@@ -27,9 +27,11 @@ property covers ALL data again) and drops the delta log.
 Refit signal: every epoch can evaluate ``ivf_refit_needed`` (PSI of
 cell occupancy, batch vs index) and append a one-row drift record to
 ``drift_log_dir`` — the executable form of "re-fit when the drift
-profile says the distribution moved". The loop only SIGNALS; refitting
-(ivf_fit_assign + write_ivf_index) is a planned maintenance action the
-operator schedules, because it rewrites the whole index.
+profile says the distribution moved". The loop only SIGNALS; acting on
+it is ``sources/maintenance.py::refit_ivf_index`` (r10 — fit a fresh
+quantizer over base ∪ deltas, stage, verify row conservation + probe
+recall, atomically swap assignments and centroids), run as planned
+maintenance because it rewrites the whole index.
 """
 
 from __future__ import annotations
@@ -39,14 +41,14 @@ from pyspark.sql import functions as F
 
 from ai_ready_data_framework_spark.sources.maintenance import (
     IVF_INDEX_BUCKETS,
+    _delta_epochs_present,
+    _fs_delete,
     assign_cells,
+    folded_epochs_of,
     ivf_refit_needed,
-    rewrite_ivf_bucketed,
+    publish_ivf_generation,
 )
-from ai_ready_data_framework_spark.streaming.dedup import (
-    _delete_recursive,
-    _has_epoch_deltas,
-)
+from ai_ready_data_framework_spark.streaming.dedup import _has_epoch_deltas
 
 # Mirrors the embeddings table's declared schema (FIXTURES.md) minus
 # the label column — a production ingest stream carries id + vector.
@@ -54,16 +56,27 @@ EMB_SCHEMA = "vec_id bigint, embedding array<float>"
 
 
 def _delta_cells(
-    spark: SparkSession, delta_dir: str, before_epoch: int | None = None
+    spark: SparkSession,
+    delta_dir: str,
+    before_epoch: int | None = None,
+    exclude_epochs: "frozenset[int] | set[int]" = frozenset(),
 ) -> DataFrame | None:
     """(vec_id, embedding, cell) rows landed by earlier epochs —
     strictly before ``before_epoch`` when given (a failed attempt of
-    the current epoch must not see its own half delta), else all."""
+    the current epoch must not see its own half delta), else all.
+    ``exclude_epochs`` drops partitions the index manifest already
+    records as FOLDED into the base (ADVICE r9: a crash between the
+    compaction publish and the delta-log delete must not double those
+    rows on the next read)."""
     if not _has_epoch_deltas(spark, delta_dir):
         return None
     deltas = spark.read.parquet(delta_dir)
     if before_epoch is not None:
         deltas = deltas.filter(F.col("epoch") < before_epoch)
+    if exclude_epochs:
+        deltas = deltas.filter(
+            ~F.col("epoch").isin([int(e) for e in exclude_epochs])
+        )
     return deltas.drop("epoch")
 
 
@@ -72,9 +85,14 @@ def indexed_vectors(
 ) -> DataFrame:
     """The probe view: bucketed base ∪ un-compacted deltas. Base rows
     keep their exchange-free bucket partitioning; delta rows (bounded
-    by compaction cadence) shuffle like any fresh frame."""
+    by compaction cadence) shuffle like any fresh frame. Delta
+    partitions listed in the base's folded-epoch manifest are skipped
+    — they are already IN the base, and their files merely outlived a
+    compaction that crashed before its cleanup step."""
     base = spark.table(table_name)
-    deltas = _delta_cells(spark, delta_dir)
+    deltas = _delta_cells(
+        spark, delta_dir, exclude_epochs=folded_epochs_of(spark, table_name)
+    )
     return base if deltas is None else base.unionByName(deltas)
 
 
@@ -95,7 +113,12 @@ def ingest_epoch(
     assigned = assign_cells(batch_vectors, centroids)
     if drift_log_dir is not None:
         idx = spark.table(table_name)
-        earlier = _delta_cells(spark, delta_dir, epoch_id)
+        earlier = _delta_cells(
+            spark,
+            delta_dir,
+            epoch_id,
+            exclude_epochs=folded_epochs_of(spark, table_name),
+        )
         if earlier is not None:
             idx = idx.unionByName(earlier)
         refit, psi = ivf_refit_needed(idx, assigned, centroids)
@@ -113,20 +136,44 @@ def compact_ivf_index_deltas(
     delta_dir: str,
     n_buckets: int = IVF_INDEX_BUCKETS,
 ) -> None:
-    """Fold all accumulated epoch deltas into the bucketed base (one
+    """Fold all un-folded epoch deltas into the bucketed base (one
     rewrite, one file set per cell bucket — repartition-by-cell makes
-    partition id == bucket id) and drop the delta log; after
-    compaction every probe is exchange-free again. Same
-    lineage-truncating barrier rationale as compact_band_index: the
-    merged frame must be materialized BEFORE the table it reads from
-    is dropped and rewritten."""
-    base = spark.table(table_name)
-    deltas = _delta_cells(spark, delta_dir)
-    merged = base if deltas is None else base.unionByName(deltas)
-    merged = merged.localCheckpoint(eager=True)
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    rewrite_ivf_bucketed(merged, table_name, path, n_buckets)
-    _delete_recursive(spark, delta_dir)
+    partition id == bucket id); after compaction every probe is
+    exchange-free again.
+
+    Crash-idempotent (ADVICE r9): the fold goes through the staged
+    GENERATION publish (sources/maintenance.py::publish_ivf_generation)
+    whose catalog swap records the folded epoch ids in the table
+    manifest atomically with the folded data — so a crash after the
+    publish but before the delta deletion below cannot double rows
+    (readers skip manifest-listed epochs), and re-running this
+    function converges: already-folded leftovers are excluded from the
+    merge and only deleted. A crash BEFORE the publish leaves the live
+    generation and the delta log untouched. No checkpoint barrier is
+    needed any more — the staging write lands in a fresh directory, so
+    the read and the write never touch the same files. Manifest
+    hygiene: the recorded list is (previous folds still on disk) ∪
+    (this fold), so entries self-clean once their partitions are
+    actually deleted."""
+    folded_prev = folded_epochs_of(spark, table_name)
+    present = _delta_epochs_present(spark, delta_dir)
+    to_fold = sorted(present - folded_prev)
+    if to_fold:
+        base = spark.table(table_name)
+        deltas = _delta_cells(spark, delta_dir, exclude_epochs=folded_prev)
+        merged = base if deltas is None else base.unionByName(deltas)
+        publish_ivf_generation(
+            spark,
+            merged,
+            table_name,
+            path,
+            n_buckets,
+            folded_epochs=sorted((folded_prev & present) | set(to_fold)),
+        )
+    # cleanup half — every failure mode before this point is covered
+    # by the manifest; every partition deleted here is already folded
+    for e in sorted(folded_prev | set(to_fold)):
+        _fs_delete(spark, f"{delta_dir}/epoch={e}")
 
 
 def run_ivf_ingest_stream(

@@ -499,6 +499,11 @@ def flag_regressions(
             # could go negative when a worker cohort died mid-query);
             # a garbage denominator must not flag — fall back to wall
             cpu_prev = None
+        if cpu_now is not None and cpu_now <= 0:
+            # absent/zero CURRENT CPU (non-procfs host degrades every
+            # delta to 0.0) must not silently pass the noise floor and
+            # disable the guard — fall back to the wall signal
+            cpu_now = None
         if cpu_now is not None and cpu_prev is not None:
             if cpu_now < MIN_REGRESSION_CPU_SECONDS:
                 continue

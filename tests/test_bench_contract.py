@@ -125,6 +125,13 @@ def test_cpu_guard_flags_real_cpu_regression():
         {"q": 6.0}, {"q": 2.0}, {"q": 60.0}, {"q": -10.3}
     )
     assert got["q"]["signal"] == "wall"
+    # ...and zero CURRENT CPU (non-procfs host: every delta degrades
+    # to 0.0) must not pass the CPU noise floor and disable the guard
+    # — the wall fallback engages (ADVICE r9)
+    got = bench.flag_regressions(
+        {"q": 6.0}, {"q": 2.0}, {"q": 0.0}, {"q": 20.0}
+    )
+    assert got["q"]["signal"] == "wall"
 
 
 def test_process_tree_cpu_delta_measures_own_burn():

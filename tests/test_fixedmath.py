@@ -230,14 +230,17 @@ def test_ln_pos_duckdb_matches_python_reference(x):
     assert _duck_ln_pos_batch([x]) == [ln_pos_py(x)]
 
 
+# domain: 0 <= x < 125*ln2 (~86.6) — the two-shift power-of-two scale
+# (ADVICE r9: the old single `1 << k` wrapped from x >= 63*ln2)
 @settings(max_examples=150, deadline=None)
-@given(st.floats(min_value=0.0, max_value=40.0, allow_nan=False))
+@given(st.floats(min_value=0.0, max_value=86.6, allow_nan=False))
 def test_exp_pos_duckdb_matches_python_reference(x):
     assert _duck_exp_pos_batch([x]) == [exp_pos_py(x)]
 
 
 LN_POS_STRUCTURED = [1e-12, 1e-9, 0.001, 0.5, 1.0, 1.5, 2.0, 3.9999]
-EXP_POS_STRUCTURED = [0.0, 1e-9, 0.5, 1.0, 2.0, 10.0, 15.5, 39.9]
+# 44.0 and 80.0 sit past the old 63*ln2 wrap point on purpose
+EXP_POS_STRUCTURED = [0.0, 1e-9, 0.5, 1.0, 2.0, 10.0, 15.5, 39.9, 44.0, 80.0]
 
 
 def test_pos_ladders_spark_matches_duckdb(spark):

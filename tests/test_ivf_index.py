@@ -164,9 +164,18 @@ def test_write_append_compact_probe_identity(
     compacted = spark.table(name)
     # row conservation
     assert compacted.count() == n_grown
-    # single file set per bucket restored
-    files_after = len(_glob.glob(f"{vec_dir}/*.parquet"))
-    assert files_after <= IVF_INDEX_BUCKETS, (files_before, files_after)
+    # single file set per bucket restored — counted at the table's NEW
+    # location (r10: compaction publishes a fresh generation directory
+    # and deletes the old one instead of rewriting in place)
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        _table_location,
+    )
+
+    new_dir = _table_location(spark, name).removeprefix("file:")
+    assert new_dir != vec_dir  # a fresh generation, not an in-place rewrite
+    assert not _glob.glob(f"{vec_dir}/*.parquet")  # old generation cleaned
+    files_after = len(_glob.glob(f"{new_dir}/*.parquet"))
+    assert 0 < files_after <= IVF_INDEX_BUCKETS, (files_before, files_after)
     # probe identity (queries re-derived from the compacted table —
     # the pre-compaction frame's file listing is gone by design)
     queries = compacted.filter(F.col("vec_id") < ai.IVF_N_QUERIES).select(
