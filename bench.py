@@ -136,6 +136,8 @@ HEADLINE = [
     "q_fingerprint",
     # round-9 addition
     "q_snapshot_diff",
+    # round-10 addition: the column-level twin (schema-version diff)
+    "q_schema_diff",
     # q_split_cluster_safe absent: it composes q_dedup_clusters (the
     # iterative component closure, itself never benched — 37s at sf0.1
     # is the closure's cost, not the split's ~0.2s projection).
@@ -430,6 +432,14 @@ EXPECTED_CHANGES = {
         " Gumbel draw runs the positive-double ladder twice per doc"
         " (2.9->3.4s at sf0.1 — bitwise cross-engine determinism for"
         " the selection set)"
+    ),
+    "q_source_divergence": (
+        "r9 ladder restatement (annotated r10 — VERDICT r9 wrong #2):"
+        " the KL/JS legs run four integer-ln stage chains per"
+        " (source, term) row; the marginal lns are already placed on"
+        " the small model tables (corpus.py), so the per-row chains"
+        " are the irreducible cost of the bitwise cross-engine gate"
+        " (0.58->0.86s quiet-to-quiet)"
     ),
     "q_drift_psi": (
         "r9 ladder restatement: ln(p_cur/p_ref) runs the fixedmath"
