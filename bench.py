@@ -261,11 +261,15 @@ def process_tree_cpu_delta(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # read BEFORE the session exists: JVM startup spins 32 threads for
+    # several seconds and alone pushes the 1-min loadavg to ~2.7 (r10,
+    # measured 0.26 at launch vs 2.74 after get_spark) — recording it
+    # after would brand every quiet run as loaded
+    load_start = [round(x, 2) for x in os.getloadavg()]
     registry.load_all()
     spark = get_spark(app_name="ai-ready-bench")
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
-    load_start = [round(x, 2) for x in os.getloadavg()]
     # warmup: JVM + codegen + parquet footer caches
     force(registry.QUERIES["q_agg_group"](spark, sf_dir))
 
