@@ -497,10 +497,10 @@ def ivf_refit_needed(
 # catalog available here.
 # ---------------------------------------------------------------------------
 
-IVF_MANIFEST = "_ivf_manifest.json"
-_PROP_GEN = "ivf.generation"
-_PROP_FOLDED = "ivf.folded_epochs"
-_PROP_CENTROIDS = "ivf.centroids_path"
+IVF_MANIFEST = "_idx_manifest.json"
+_PROP_GEN = "idx.generation"
+_PROP_FOLDED = "idx.folded_epochs"
+_PROP_CENTROIDS = "idx.centroids_path"
 
 
 def _hdfs(spark: SparkSession, path_str: str):
@@ -553,35 +553,38 @@ def _generation_of(spark: SparkSession, table_name: str) -> int:
     return int(table_properties(spark, table_name).get(_PROP_GEN, 0))
 
 
-def publish_ivf_generation(
+def publish_bucketed_generation(
     spark: SparkSession,
-    vecs: DataFrame,
+    df: DataFrame,
     table_name: str,
-    path: str,
-    n_buckets: int = IVF_INDEX_BUCKETS,
+    gen_dir_base: str,
+    bucket_cols: "tuple[str, ...]",
+    n_buckets: int,
     folded_epochs: "list[int] | None" = None,
-    centroids_path: str | None = None,
+    extra_props: "dict[str, str] | None" = None,
     audits: "dict[str, callable] | None" = None,
 ) -> str:
-    """Stage → audit → publish a new generation of the bucketed IVF
-    vector table (protocol comment above). Returns the new generation
-    directory. ``folded_epochs`` is recorded in the table manifest;
-    ``centroids_path`` repoints the quantizer table atomically with
-    the assignments (the refit path — a probe must never pair new
-    cells with old centroids); ``audits`` run against the staged
-    files, AuditFailure keeps them for inspection."""
+    """Stage → audit → publish a new generation of ANY bucketed index
+    table (protocol comment above) — the shared core under the IVF
+    vector index and the LSH band index. Generation directories are
+    siblings of ``gen_dir_base`` (``{base}_gen{G}``); returns the new
+    one. ``folded_epochs`` lands in the table manifest atomically with
+    the folded data; ``extra_props`` lets a caller swap side-artifact
+    pointers (the refit path's centroids) in the same catalog commit;
+    ``audits`` run against the staged files, AuditFailure keeps them
+    for inspection."""
     import json as _json
 
     gen = _generation_of(spark, table_name) + 1
-    gen_dir = f"{path}/vectors_gen{gen}"
+    gen_dir = f"{gen_dir_base}_gen{gen}"
     staging_table = f"{table_name}__staging"
     spark.sql(f"DROP TABLE IF EXISTS {staging_table}")
     _fs_delete(spark, gen_dir)  # a failed earlier attempt's leftovers
     (
-        vecs.repartition(n_buckets, "cell")
+        df.repartition(n_buckets, *bucket_cols)
         .write.mode("overwrite")
-        .bucketBy(n_buckets, "cell")
-        .sortBy("cell")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
         .option("path", gen_dir)
         .format("parquet")
         .saveAsTable(staging_table)
@@ -590,7 +593,7 @@ def publish_ivf_generation(
     failed = [n for n, check in (audits or {}).items() if not check(staged)]
     if failed:
         raise AuditFailure(
-            f"IVF generation audits failed: {failed}; staged at {gen_dir}"
+            f"index generation audits failed: {failed}; staged at {gen_dir}"
         )
     cols = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in staged.schema.fields
@@ -598,13 +601,14 @@ def publish_ivf_generation(
     props = {
         _PROP_GEN: str(gen),
         _PROP_FOLDED: _json.dumps(sorted(folded_epochs or [])),
+        **(extra_props or {}),
     }
-    if centroids_path is not None:
-        props[_PROP_CENTROIDS] = centroids_path
     prop_sql = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    bcols = ", ".join(bucket_cols)
     create_sql = (
         f"CREATE TABLE {table_name} ({cols}) USING PARQUET "
-        f"CLUSTERED BY (cell) SORTED BY (cell) INTO {n_buckets} BUCKETS "
+        f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
+        f"INTO {n_buckets} BUCKETS "
         f"LOCATION '{gen_dir}' TBLPROPERTIES ({prop_sql})"
     )
     # manifest json inside the generation dir (underscore-prefixed =
@@ -622,22 +626,57 @@ def publish_ivf_generation(
     return gen_dir
 
 
-def recover_ivf_table(spark: SparkSession, path: str) -> None:
+def publish_ivf_generation(
+    spark: SparkSession,
+    vecs: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int = IVF_INDEX_BUCKETS,
+    folded_epochs: "list[int] | None" = None,
+    centroids_path: str | None = None,
+    audits: "dict[str, callable] | None" = None,
+) -> str:
+    """The IVF instantiation of :func:`publish_bucketed_generation`
+    (cell buckets under ``{path}/vectors_gen{G}``). ``centroids_path``
+    repoints the quantizer table atomically with the assignments —
+    the refit path: a probe must never pair new cells with old
+    centroids."""
+    extra = {_PROP_CENTROIDS: centroids_path} if centroids_path else None
+    return publish_bucketed_generation(
+        spark,
+        vecs,
+        table_name,
+        f"{path}/vectors",
+        ("cell",),
+        n_buckets,
+        folded_epochs=folded_epochs,
+        extra_props=extra,
+        audits=audits,
+    )
+
+
+def recover_index_table(spark: SparkSession, gen_dir_base: str) -> None:
     """Re-issue the CREATE recorded in the newest generation's
     manifest — the documented recovery for a crash inside the
-    DROP→CREATE swap window (table name undefined, data intact)."""
+    DROP→CREATE swap window (table name undefined, data intact).
+    ``gen_dir_base`` is the same base passed to the publish (IVF:
+    ``{path}/vectors``; band index: the index path)."""
     import json as _json
 
-    fs, jdir = _hdfs(spark, path)
+    import os as _os
+
+    parent = _os.path.dirname(gen_dir_base.rstrip("/"))
+    base = _os.path.basename(gen_dir_base.rstrip("/"))
+    fs, jdir = _hdfs(spark, parent)
     gens = [
         st.getPath().getName()
         for st in fs.listStatus(jdir)
-        if st.getPath().getName().startswith("vectors_gen")
+        if st.getPath().getName().startswith(f"{base}_gen")
     ]
     if not gens:
-        raise FileNotFoundError(f"no generation dirs under {path}")
+        raise FileNotFoundError(f"no generation dirs under {parent}")
     newest = max(gens, key=lambda n: int(n.rsplit("gen", 1)[1]))
-    _, jman = _hdfs(spark, f"{path}/{newest}/{IVF_MANIFEST}")
+    _, jman = _hdfs(spark, f"{parent}/{newest}/{IVF_MANIFEST}")
     stream = fs.open(jman)
     try:
         raw = bytes(
@@ -646,6 +685,11 @@ def recover_ivf_table(spark: SparkSession, path: str) -> None:
     finally:
         stream.close()
     spark.sql(_json.loads(raw.decode())["create_sql"])
+
+
+def recover_ivf_table(spark: SparkSession, path: str) -> None:
+    """IVF wrapper of :func:`recover_index_table`."""
+    recover_index_table(spark, f"{path}/vectors")
 
 
 def refit_ivf_index(

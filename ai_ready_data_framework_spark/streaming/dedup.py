@@ -38,6 +38,12 @@ from ai_ready_data_framework_spark.operators.ai import (
     incremental_band_probe,
 )
 from ai_ready_data_framework_spark.sources.maintenance import (
+    BAND_INDEX_BUCKETS,
+    _delta_epochs_present,
+    _fs_delete,
+    _table_location,
+    folded_epochs_of,
+    publish_bucketed_generation,
     read_band_index,
     write_band_index,
 )
@@ -89,14 +95,29 @@ def _delete_recursive(spark: SparkSession, path_str: str) -> None:
         fs.delete(jpath, True)
 
 
-def _delta_bands(spark: SparkSession, delta_dir: str, before_epoch: int) -> DataFrame | None:
-    """Bands folded by epochs strictly before ``before_epoch`` (a
-    failed attempt of the current epoch must not see its own half
-    delta), or None when no deltas exist yet."""
+def _delta_bands(
+    spark: SparkSession,
+    delta_dir: str,
+    before_epoch: int | None = None,
+    exclude_epochs: "frozenset[int] | set[int]" = frozenset(),
+) -> DataFrame | None:
+    """Bands landed by epochs strictly before ``before_epoch`` when
+    given (a failed attempt of the current epoch must not see its own
+    half delta). ``exclude_epochs`` drops partitions the index
+    manifest already records as FOLDED into the base (the r10
+    crash-idempotence contract shared with streaming/ivf.py: a crash
+    between the compaction publish and the delta-log delete must not
+    double those rows on the next read)."""
     if not _has_epoch_deltas(spark, delta_dir):
         return None
     deltas = spark.read.parquet(delta_dir)
-    return deltas.filter(F.col("epoch") < before_epoch).drop("epoch")
+    if before_epoch is not None:
+        deltas = deltas.filter(F.col("epoch") < before_epoch)
+    if exclude_epochs:
+        deltas = deltas.filter(
+            ~F.col("epoch").isin([int(e) for e in exclude_epochs])
+        )
+    return deltas.drop("epoch")
 
 
 def probe_and_fold(
@@ -115,7 +136,12 @@ def probe_and_fold(
     are no-ops in effect."""
     batch_bands = doc_bands(batch_docs)
     idx = read_band_index(spark, index_table)
-    earlier = _delta_bands(spark, delta_dir, epoch_id)
+    earlier = _delta_bands(
+        spark,
+        delta_dir,
+        epoch_id,
+        exclude_epochs=folded_epochs_of(spark, index_table),
+    )
     if earlier is not None:
         idx = idx.unionByName(earlier)
     allb = idx.withColumn("__new", F.lit(False)).unionByName(
@@ -131,29 +157,40 @@ def probe_and_fold(
 def compact_band_index(
     spark: SparkSession, index_table: str, index_path: str, delta_dir: str
 ) -> None:
-    """Fold all accumulated deltas into the bucketed base index (one
-    rewrite, same write_band_index layout) and drop the delta log —
-    after compaction, probes of the folded data are exchange-free
-    again. Run on whatever cadence keeps the delta union small."""
-    deltas = (
-        spark.read.parquet(delta_dir).drop("epoch")
-        if _has_epoch_deltas(spark, delta_dir)
-        else None
-    )
-    base = read_band_index(spark, index_table)
-    merged = base.unionByName(deltas) if deltas is not None else base
-    # Materialize BEFORE overwriting the table the plan reads from.
-    # Deliberately NOT stage_pin (round-6 review): the durable toggle's
-    # persist branch keeps LINEAGE, and this frame's lineage reads the
-    # very table the next lines drop and rewrite — an executor loss
-    # mid-write would recompute from the dropped table and lose the
-    # index. Compaction requires a true lineage-truncating barrier;
-    # on a real cluster the equivalent durable form is a reliable
-    # checkpoint() or staging the merged frame to a temp path first.
-    merged = merged.localCheckpoint(eager=True)
-    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
-    write_band_index(merged, index_table, index_path)
-    _delete_recursive(spark, delta_dir)
+    """Fold all un-folded epoch deltas into the bucketed base index
+    and drop their delta partitions — after compaction, probes of the
+    folded data are exchange-free again. Run on whatever cadence keeps
+    the delta union small.
+
+    r10: crash-idempotent via the staged generation publish, exactly
+    like streaming/ivf.py::compact_ivf_index_deltas — the catalog swap
+    records the folded epoch ids atomically with the folded data
+    (readers skip manifest-listed partitions, re-runs converge), the
+    live generation stays readable until the new one is complete, and
+    the old lineage-truncating localCheckpoint barrier is gone because
+    the staging write lands in a fresh sibling directory. The base is
+    read from its FILES, not the catalog table: the bucketed scan
+    claims matching HashPartitioning and Catalyst elides the
+    repartition while executing file-per-file, leaving one output file
+    per input file (the compact_ivf_index lesson)."""
+    folded_prev = folded_epochs_of(spark, index_table)
+    present = _delta_epochs_present(spark, delta_dir)
+    to_fold = sorted(present - folded_prev)
+    if to_fold:
+        base = spark.read.parquet(_table_location(spark, index_table))
+        deltas = _delta_bands(spark, delta_dir, exclude_epochs=folded_prev)
+        merged = base if deltas is None else base.unionByName(deltas)
+        publish_bucketed_generation(
+            spark,
+            merged,
+            index_table,
+            index_path,
+            ("band", "bk"),
+            BAND_INDEX_BUCKETS,
+            folded_epochs=sorted((folded_prev & present) | set(to_fold)),
+        )
+    for e in sorted(folded_prev | set(to_fold)):
+        _fs_delete(spark, f"{delta_dir}/epoch={e}")
 
 
 def run_incremental_dedup_stream(

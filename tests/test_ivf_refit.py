@@ -116,7 +116,7 @@ def test_refit_closes_the_drift_loop(spark, sf_correctness, refit_env, tmp_path)
     # manifest points at the generation-stamped quantizer and probing
     # the refit index keeps the exchange-free bucketed plan
     assert M.table_properties(spark, name)[
-        "ivf.centroids_path"
+        "idx.centroids_path"
     ].endswith("centroids_gen1")
     df = ai.ivf_probe(new_index, new_centroids, queries)
     df.collect()

@@ -92,9 +92,27 @@ def test_stream_probe_equals_one_shot_batch_probe(
     SD.compact_band_index(
         spark, table, str(tmp_path / "index"), str(tmp_path / "deltas")
     )
+    spark.catalog.refreshTable(table)
     assert read_band_index(spark, table).count() == n_base + n_delta
-    n_files = len(_glob.glob(str(tmp_path / "index" / "*.parquet")))
+    # r10: compaction publishes a fresh generation directory and
+    # deletes the old one (crash-safe staged publish) — count files at
+    # the table's NEW location
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        _table_location,
+    )
+
+    new_dir = _table_location(spark, table).removeprefix("file:")
+    assert new_dir != str(tmp_path / "index")
+    assert not _glob.glob(str(tmp_path / "index" / "*.parquet"))
+    n_files = len(_glob.glob(f"{new_dir}/*.parquet"))
     assert 0 < n_files <= BAND_INDEX_BUCKETS, n_files
+    # and the folded epochs are recorded + their partitions deleted
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        folded_epochs_of,
+    )
+
+    assert folded_epochs_of(spark, table)
+    assert not _glob.glob(str(tmp_path / "deltas" / "epoch=*"))
 
 
 def test_epoch_replay_is_idempotent(spark, split_corpus, tmp_path):
@@ -122,3 +140,46 @@ def test_epoch_replay_is_idempotent(spark, split_corpus, tmp_path):
         .collect()
     )
     assert len(raw) == len({frozenset((r.new_doc, r.other_doc)) for r in raw})
+
+
+def test_band_compaction_is_crash_idempotent(
+    spark, split_corpus, tmp_path, monkeypatch
+):
+    """The r10 contract shared with the IVF index
+    (tests/test_ivf_refit.py::test_compaction_is_crash_idempotent):
+    kill the process between the compaction publish and the delta-log
+    delete — the folded epochs' files outlive the crash, but the
+    manifest (swapped atomically with the folded base) makes every
+    reader skip them: probe_and_fold sees no doubled corpus rows, and
+    re-running compaction converges instead of re-folding."""
+    import glob as _glob
+
+    from ai_ready_data_framework_spark.sources import maintenance as M
+
+    _, stream_docs, _, _, table = split_corpus
+    delta_dir = str(tmp_path / "deltas")
+    pairs_out = str(tmp_path / "pairs")
+    SD.probe_and_fold(spark, stream_docs, table, delta_dir, pairs_out, 0)
+    n_delta = spark.read.parquet(delta_dir).count()
+    n_all = read_band_index(spark, table).count() + n_delta
+
+    # simulated crash: the cleanup half never runs
+    monkeypatch.setattr(SD, "_fs_delete", lambda *_: None)
+    SD.compact_band_index(spark, table, str(tmp_path / "index"), delta_dir)
+    monkeypatch.undo()
+    assert _glob.glob(f"{delta_dir}/epoch=*")  # leftovers ARE on disk
+    assert M.folded_epochs_of(spark, table) == {0}
+    spark.catalog.refreshTable(table)
+    assert read_band_index(spark, table).count() == n_all
+    # the next epoch's probe must see the corpus exactly once: the
+    # folded epoch-0 delta is skipped even though its files exist
+    earlier = SD._delta_bands(
+        spark, delta_dir, 1, exclude_epochs=M.folded_epochs_of(spark, table)
+    )
+    assert earlier is None or earlier.count() == 0
+
+    # recovery run: deletes the leftovers without re-folding them
+    SD.compact_band_index(spark, table, str(tmp_path / "index"), delta_dir)
+    assert not _glob.glob(f"{delta_dir}/epoch=*")
+    spark.catalog.refreshTable(table)
+    assert read_band_index(spark, table).count() == n_all
