@@ -219,9 +219,14 @@ def write_ivf_index(
     min/max stats tight so an nprobe-cell lookup prunes files. The
     KMeans fit (the expensive, driver-coordinated step) runs exactly
     once, at WRITE time — probes never refit, which is the difference
-    between an index and a cache."""
+    between an index and a cache. r10: the build repartitions onto the
+    bucket column first (write_band_index symmetry — partition id ==
+    bucket id, one file per bucket from day one instead of one per
+    task × bucket; the input is a fresh KMeans.transform output, so
+    the exchange is never planner-elided)."""
     (
-        assigned.write.mode("overwrite")
+        assigned.repartition(n_buckets, "cell")
+        .write.mode("overwrite")
         .bucketBy(n_buckets, "cell")
         .sortBy("cell")
         .option("path", f"{path}/vectors")
