@@ -832,3 +832,45 @@ def _probe_recall(probe_result: DataFrame, exact: dict) -> float:
     return sum(
         len(got.get(q, set()) & e) / len(e) for q, e in exact.items()
     ) / len(exact)
+
+
+def schema_compatibility_audit(
+    spark: SparkSession,
+    reference_schema,
+    allow: "tuple[str, ...]" = ("added",),
+):
+    """Audit factory for :func:`write_audit_publish` — the WRITE-side
+    enforcement of requirements.yaml:119-121 ("automated schema change
+    detection"), composing the read-side operator
+    (operators/relational.py::schema_diff): the STAGED data's schema
+    is diffed against the reference version (e.g. the snapshot
+    schema_evolution_tracking archived for the asset), and any change
+    kind outside ``allow`` rejects the publish before a reader can
+    observe it.
+
+    The default allows only 'added' — the mergeSchema-compatible
+    additive class (old readers see new columns as absent, old files
+    read back with NULLs). 'removed' and 'type_changed' break
+    consumers and must be explicit migrations; pass them in ``allow``
+    only alongside one.
+
+    Pass the archived schema of PUBLISHED data as the reference (what
+    schema_evolution_tracking snapshots), never an in-memory plan's
+    schema: parquet read-back normalizes every column to nullable, so
+    a non-nullable in-memory reference would flag nullability_changed
+    on every publish."""
+
+    def check(staged: DataFrame) -> bool:
+        from ai_ready_data_framework_spark.operators.relational import (
+            schema_diff,
+        )
+
+        kinds = {
+            r.change_kind
+            for r in schema_diff(
+                spark, reference_schema, staged.schema
+            ).collect()
+        }
+        return kinds - {"unchanged"} <= set(allow)
+
+    return check

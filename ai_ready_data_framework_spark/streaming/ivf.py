@@ -216,3 +216,58 @@ def run_ivf_ingest_stream(
         .start()
         .awaitTermination()
     )
+
+
+def maintain_ivf_index(
+    spark: SparkSession,
+    table_name: str,
+    path: str,
+    delta_dir: str,
+    drift_log_dir: str | None = None,
+    queries: DataFrame | None = None,
+    compact_after: int = 4,
+) -> dict:
+    """One scheduled maintenance pass — the action the drift log
+    promises, as a single idempotent callable (run it from cron/your
+    orchestrator between ingest windows):
+
+    1. If any UN-FOLDED epoch's drift record says ``refit_needed``,
+       run ``refit_ivf_index`` (fits a fresh quantizer over base ∪
+       deltas, verifies, atomically swaps, folds the deltas).
+    2. Else if the un-folded delta count has reached
+       ``compact_after``, fold them back into the bucketed base
+       (``compact_ivf_index_deltas``) so probes return to the
+       exchange-free path.
+    3. Else do nothing.
+
+    Already-folded epochs never re-trigger either action (the
+    manifest read), so a crashed pass re-runs safely — the same
+    convergence contract as the compactor it wraps. Returns
+    ``{"action": "refit"|"compact"|"none", ...detail}``."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        refit_ivf_index,
+    )
+
+    folded = folded_epochs_of(spark, table_name)
+    pending = sorted(_delta_epochs_present(spark, delta_dir) - folded)
+    drifted = False
+    if drift_log_dir is not None and pending:
+        fs_has = _has_epoch_deltas(spark, drift_log_dir)
+        if fs_has:
+            log = spark.read.parquet(drift_log_dir)
+            drifted = (
+                log.filter(
+                    F.col("epoch").isin([int(e) for e in pending])
+                    & F.col("refit_needed")
+                ).limit(1).count()
+                > 0
+            )
+    if drifted:
+        report = refit_ivf_index(
+            spark, table_name, path, delta_dir=delta_dir, queries=queries
+        )
+        return {"action": "refit", **report}
+    if len(pending) >= compact_after:
+        compact_ivf_index_deltas(spark, table_name, path, delta_dir)
+        return {"action": "compact", "folded_epochs": pending}
+    return {"action": "none", "pending_epochs": pending}

@@ -132,3 +132,59 @@ def test_schema_diff_identical_schemas_all_unchanged(spark, sf_correctness):
     s = load_table(spark, sf_correctness, "documents").schema
     out = schema_diff(spark, s, StructType.fromJson(s.jsonValue()))
     assert {r.change_kind for r in out.collect()} == {"unchanged"}
+
+
+def test_schema_compatibility_audit_gates_publish(spark, tmp_path):
+    """The write-side half (r10): write_audit_publish with the
+    schema_compatibility_audit must let additive evolution through and
+    REJECT a dropped column before any reader can observe it."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        AuditFailure,
+        schema_compatibility_audit,
+        write_audit_publish,
+    )
+
+    base = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    # the reference version is the archived schema of PUBLISHED data
+    # (parquet-normalized nullability), not an in-memory plan's schema
+    # — an in-memory range() is non-nullable while every parquet
+    # read-back is nullable, which would read as nullability_changed
+    base.write.parquet(str(tmp_path / "v1"))
+    base = spark.read.parquet(str(tmp_path / "v1"))
+    reference = base.schema
+    # additive evolution publishes
+    added = base.withColumn("w", F.lit("x"))
+    out = str(tmp_path / "asset")
+    write_audit_publish(
+        spark,
+        added,
+        out,
+        {"schema": schema_compatibility_audit(spark, reference)},
+    )
+    assert spark.read.parquet(out).count() == 20
+    # a dropped column is rejected and the live data stays intact
+    with _pytest.raises(AuditFailure):
+        write_audit_publish(
+            spark,
+            base.drop("v"),
+            out,
+            {"schema": schema_compatibility_audit(spark, reference)},
+        )
+    assert set(spark.read.parquet(out).columns) == {"k", "v", "w"}
+    # ...unless the migration is explicit
+    write_audit_publish(
+        spark,
+        base.drop("v"),
+        out,
+        {
+            "schema": schema_compatibility_audit(
+                spark, reference, allow=("added", "removed")
+            )
+        },
+    )
+    assert set(spark.read.parquet(out).columns) == {"k"}

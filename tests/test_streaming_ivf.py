@@ -161,3 +161,74 @@ def test_drift_signal_fires_on_shifted_stream(
     )
     rec = spark.read.parquet(drift_dir).collect()[0]
     assert rec.refit_needed and rec.cell_psi > 0.2, rec
+
+
+def test_maintain_ivf_index_plans_refit_compact_none(
+    spark, sf_correctness, ivf_stream_env, tmp_path
+):
+    """The one-call maintenance planner (r10): a drift-flagged pending
+    epoch triggers the full refit (which folds the deltas); pending
+    epochs below the compaction threshold do nothing; reaching it
+    compacts. Folded epochs never re-trigger (idempotent re-runs)."""
+    import glob as _glob
+
+    name, centroids, assigned, _ = ivf_stream_env
+    delta_dir = str(tmp_path / "deltas")
+    drift_dir = str(tmp_path / "drift")
+
+    # 1) same-distribution epoch -> below threshold -> none
+    SI.ingest_epoch(
+        spark, _batch(assigned, 0), centroids, name, delta_dir, 0,
+        drift_log_dir=drift_dir,
+    )
+    rep = SI.maintain_ivf_index(
+        spark, name, str(tmp_path / "ivf"), delta_dir,
+        drift_log_dir=drift_dir, compact_after=4,
+    )
+    assert rep["action"] == "none" and rep["pending_epochs"] == [0]
+
+    # 2) same-distribution epochs reach the threshold -> compact
+    for e in range(1, 4):
+        SI.ingest_epoch(
+            spark, _batch(assigned, e % 3), centroids, name, delta_dir, e,
+            drift_log_dir=drift_dir,
+        )
+    rep = SI.maintain_ivf_index(
+        spark, name, str(tmp_path / "ivf"), delta_dir,
+        drift_log_dir=drift_dir, compact_after=4,
+    )
+    assert rep["action"] == "compact" and rep["folded_epochs"] == [0, 1, 2, 3]
+    assert not _glob.glob(f"{delta_dir}/epoch=*")
+    spark.catalog.refreshTable(name)
+
+    # 3) displaced epoch -> drift record fires -> the planner refits
+    from pyspark.sql import functions as F
+
+    shifted = assigned.select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + F.lit(25.0)
+        ).cast("array<float>").alias("embedding"),
+    ).filter(F.col("vec_id") % 3 == 0)
+    SI.ingest_epoch(
+        spark, shifted, centroids, name, delta_dir, 4,
+        drift_log_dir=drift_dir,
+    )
+    drift = spark.read.parquet(drift_dir)
+    assert drift.filter((F.col("epoch") == 4) & F.col("refit_needed")).count() == 1
+    n_all = SI.indexed_vectors(spark, name, delta_dir).count()
+    rep = SI.maintain_ivf_index(
+        spark, name, str(tmp_path / "ivf"), delta_dir,
+        drift_log_dir=drift_dir, compact_after=4,
+    )
+    assert rep["action"] == "refit"
+    assert rep["rows"] == n_all
+    spark.catalog.refreshTable(name)
+    assert spark.table(name).count() == n_all
+    assert not _glob.glob(f"{delta_dir}/epoch=*")
+    # 4) re-run converges: nothing pending, nothing re-triggered
+    rep = SI.maintain_ivf_index(
+        spark, name, str(tmp_path / "ivf"), delta_dir,
+        drift_log_dir=drift_dir, compact_after=4,
+    )
+    assert rep["action"] == "none" and rep["pending_epochs"] == []
