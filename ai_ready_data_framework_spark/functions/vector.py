@@ -84,3 +84,85 @@ def srp_bands(
             lambda acc, x: acc * 2 + x,
         ),
     )
+
+
+def hashed_doc_vectors(
+    docs, doc_col: str = "doc_id", text_col: str = "text", dim: int = 64
+):
+    """Signed feature-hashing vectorizer (the 'hashing trick',
+    Weinberger 2009 — the stateless text→vector encoder MLlib's
+    HashingTF implements, here as pure DataFrame expressions so the
+    output feeds this repo's ANN family directly): every token lands
+    in bucket ``pmod(xxhash64(token), dim)`` with sign drawn from an
+    independent hash bit, per-doc bucket sums are L2-normalized, and
+    the result is (doc_id, embedding array<double>, n_tokens).
+
+    Determinism: bucket sums are exact integers, and normalization is
+    one IEEE-exact ÷√ per element — bitwise reproducible across runs,
+    partitionings, and engines that share xxhash64 (Spark-only in
+    practice; the tests therefore pin INVARIANTS — unit norm,
+    token-duplication invariance, run-to-run equality — not a DuckDB
+    value oracle, the q_dedup_simhash precedent).
+
+    Scale shape: explode → (doc, bucket) map-side-combinable sum →
+    per-doc dim-bounded array assembly; two keyed exchanges, both
+    linear in postings, nothing driver-side. Empty docs yield the
+    zero vector (norm 0) with NULL-free output."""
+    from pyspark.sql import functions as F
+
+    from ai_ready_data_framework_spark.functions import text as T
+
+    # spread the tokenize+hash work across the cluster FIRST: the
+    # fixture tables (and many real landing zones) arrive as one file,
+    # so without this the 7M-token explode runs in ONE task (measured
+    # 5.1s wall / ~1.7 cores busy at sf0.1; at 100 TB the scan is
+    # already parallel and this one small-row exchange is noise)
+    spread = docs.select(
+        F.col(doc_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).repartition(F.col("doc_id"))
+    toks = spread.select(
+        "doc_id",
+        F.explode(T.tokens("__text")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    bucket = F.pmod(h, F.lit(dim)).cast("int")
+    # sign from a high hash bit, INDEPENDENT of the low bits the
+    # bucket pmod consumes (dim <= 2^32 keeps them disjoint)
+    sign = F.when(
+        F.pmod(F.shiftrightunsigned(h, 33), F.lit(2)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    sums = (
+        toks.select("doc_id", bucket.alias("b"), sign.alias("s"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("s").cast("long").alias("v"), F.count("*").alias("n"))
+    )
+    per_doc = sums.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("b", "v")))
+        ).alias("m"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.col("m").getItem(i.cast("int")), F.lit(0)
+        ).cast("double"),
+    )
+    # bind dense + norm in projections BELOW the consumer (memory
+    # lesson: an outer-scope expression referenced inside a HOF lambda
+    # re-evaluates per element, and a CASE referencing the transform
+    # three times embeds three copies — CollapseProject keeps bound
+    # non-cheap columns as real attributes)
+    bound = per_doc.withColumn("__dense", dense).withColumn(
+        "__nrm",
+        F.sqrt(
+            F.aggregate(F.col("__dense"), F.lit(0.0), lambda a, x: a + x * x)
+        ),
+    )
+    unit = F.when(
+        F.col("__nrm") > 0,
+        F.transform(F.col("__dense"), lambda x: x / F.col("__nrm")),
+    ).otherwise(F.col("__dense"))
+    return bound.select(
+        F.col("doc_id").alias(doc_col), unit.alias("embedding"), "n_tokens"
+    )

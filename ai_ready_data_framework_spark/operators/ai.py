@@ -4801,3 +4801,116 @@ def q_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars_invp_micro").cast("double") / F.lit(HT_MICRO), 4
         ).alias("chars_hat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing vectorizer + end-to-end retrieval prep (r10): the
+# stateless text→vector encoder that connects the text family to the
+# ANN family, and the serving-path pipeline composing them.
+# ---------------------------------------------------------------------------
+
+HASH_DIM = 64  # matches the embeddings fixture's dimensionality
+RETRIEVAL_CHUNK_KEY = 1 << 20  # vec_id = doc_id * KEY + chunk_id
+
+
+@query("q_vectorize_hash")  # rows-only: xxhash64-derived (engine-
+# specific, the q_dedup_simhash precedent); invariants in pytest
+def q_vectorize_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization of the documents table
+    (functions/vector.py::hashed_doc_vectors): stateless text→vector
+    encoding — no vocabulary fit, no model artifact, the standard
+    cheap featurizer for dedup/clustering/retrieval when no learned
+    embedder is in the loop (2-consumable.md:15's 'AI-consumable
+    representation' without a model dependency). Output: (doc_id,
+    embedding array<double> unit-norm, n_tokens), bitwise
+    deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return V.hashed_doc_vectors(docs, dim=HASH_DIM).orderBy("doc_id")
+
+
+@query("q_retrieval_prep")  # rows-only: composes a fitted quantizer
+# (no ANSI oracle can exist); per-stage counts + recall vs the exact
+# brute-force top-k computed INSIDE the query
+def q_retrieval_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END retrieval preparation — the SERVING-path twin of the
+    training funnel (q_pipeline_e2e), composing the engine's own
+    stages: documents → context chunks (q_chunk's operator) →
+    hashing-trick vectors (q_vectorize_hash's operator) → IVF coarse
+    quantizer fit on the DERIVED corpus → probe of a deterministic
+    query sample → recall@k scored against the exact brute-force
+    top-k over the same vectors. Output: one row per stage (stage,
+    rows, metric) with recall on the probe row — the
+    requirements.yaml:82-84 recall-compliance measurement applied to
+    an index the pipeline itself just built.
+
+    Scale shape: every stage is the already-audited operator it
+    composes (chunk explode is shuffle-free; vectorizer is two keyed
+    linear exchanges; the fit samples ~4k rows whatever the corpus;
+    probe prunes through cells); the only corpus-sized extra is ONE
+    exact-top-k pass over the bounded query sample — the recall
+    audit's irreducible cost."""
+    from ai_ready_data_framework_spark.functions.cache import stage_pin
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    chunks = q_chunk(spark, sf_dir).select(
+        (F.col("doc_id") * RETRIEVAL_CHUNK_KEY + F.col("chunk_id")).alias(
+            "vec_id"
+        ),
+        F.col("chunk").alias("text"),
+    )
+    # ONE materialization of the derived corpus: the fit, the sample,
+    # the probe, the exact pass, and every count reuse it — without
+    # the pin each of those actions re-tokenizes and re-hashes the
+    # whole chunk set (measured 24s -> the pinned form at sf0.01)
+    vecs = stage_pin(
+        V.hashed_doc_vectors(
+            chunks, doc_col="vec_id", text_col="text", dim=HASH_DIM
+        ),
+        eager=True,
+    )
+    stats = vecs.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_toks"),
+    ).collect()[0]
+    n_vecs, avg_tokens = int(stats["n"]), float(stats["avg_toks"])
+    corpus = vecs.select("vec_id", "embedding")
+    assigned, centroids = fit_assign_vectors(spark, corpus, n_vecs)
+    # deterministic ~12-query sample (hash gate, id-distribution-robust)
+    m = max(1, n_vecs // 12)
+    queries = corpus.filter(
+        F.pmod(F.xxhash64(F.col("vec_id") + 7), F.lit(m)) == 0
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    n_q = queries.count()
+    cfg = DEFAULT_ANN
+    ivf_hits = ivf_probe(assigned, centroids, queries, cfg).select(
+        "q_id", "vec_id"
+    )
+    exact_w = Window.partitionBy("q_id").orderBy(
+        F.desc("__cos"), F.asc("vec_id")
+    )
+    exact_hits = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            V.cosine(F.col("q_emb"), F.col("embedding")).alias("__cos"),
+        )
+        .withColumn("rk", F.row_number().over(exact_w))
+        .filter(F.col("rk") <= cfg.ivf_topk)
+        .select("q_id", "vec_id")
+    )
+    matched = ivf_hits.join(exact_hits, ["q_id", "vec_id"]).count()
+    recall = round(matched / float(n_q * cfg.ivf_topk), 4) if n_q else 1.0
+    report = [
+        ("documents", int(n_docs), None),
+        ("chunks", int(n_vecs), float(avg_tokens)),
+        ("vectors", int(n_vecs), float(HASH_DIM)),
+        ("index_cells", int(cfg.ivf_cells), None),
+        ("probe", int(n_q), float(recall)),
+    ]
+    return spark.createDataFrame(
+        report, "stage string, rows bigint, metric double"
+    ).coalesce(1).orderBy("stage")

@@ -136,8 +136,18 @@ HEADLINE = [
     "q_fingerprint",
     # round-9 addition
     "q_snapshot_diff",
-    # round-10 addition: the column-level twin (schema-version diff)
+    # round-10 additions: the column-level twin (schema-version diff)
+    # and the hashing-trick featurizer
     "q_schema_diff",
+    "q_vectorize_hash",
+    # q_retrieval_prep intentionally absent: the end-to-end serving
+    # audit pipeline (chunk -> vectorize -> IVF fit -> probe -> recall
+    # vs exact). Its component stages are each benched standalone
+    # (q_chunk via unions, q_vectorize_hash, q_vector_ann_ivf); the
+    # composition adds a KMeans fit + an exact-top-k audit pass over
+    # the 140k-chunk derived corpus (~10s at sf0.1) whose cost is the
+    # AUDIT's, not a representative operator's — the q_embed_dup
+    # exclusion rationale applied to the serving path.
     # q_split_cluster_safe absent: it composes q_dedup_clusters (the
     # iterative component closure, itself never benched — 37s at sf0.1
     # is the closure's cost, not the split's ~0.2s projection).
