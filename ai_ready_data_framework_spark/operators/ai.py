@@ -2726,6 +2726,291 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Duplicated-span (repeated-substring) dedup — the ExactSubstr pass
+# ---------------------------------------------------------------------------
+
+# Minimum duplicated run length, in tokens. The published setting is 50
+# BPE tokens over web-scale corpora (Lee et al. 2022, public paper —
+# "Deduplicating Training Data Makes Language Models Better", the
+# ExactSubstr variant); the fixture corpus' documents are a few hundred
+# word-soup tokens, so the repo default is proportionally smaller. The
+# dataflow is length-independent.
+SPAN_MIN_RUN = 8
+
+
+def gram_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_run: int = SPAN_MIN_RUN,
+) -> DataFrame:
+    """(id, pos, h) — md5 of the ``min_run``-token gram starting at
+    each 0-based token position. The shared posting layout under batch
+    span dedup, cross-corpus decontamination, and the streaming gram
+    index (streaming/spans.py), so the three can never drift. Only
+    full-length grams: the shingle helper emits one truncated shingle
+    for docs shorter than min_run, so those docs are gated out."""
+    return (
+        docs.filter(F.size(T.tokens(text_col)) >= min_run)
+        .select(
+            id_col,
+            F.posexplode(T.shingles(T.tokens(text_col), min_run)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select(id_col, "pos", F.md5("gram").alias("h"))
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_run: int = SPAN_MIN_RUN,
+    keep: str = "first",
+) -> DataFrame:
+    """Maximal duplicated token spans per document — repeated-substring
+    dedup (the ExactSubstr pass of Lee et al. 2022) re-expressed
+    Spark-first: the suffix array is replaced by length-``min_run``
+    rolling grams + an interval merge, which finds exactly the runs a
+    suffix array would flag at threshold ``min_run`` (every duplicated
+    run of length >= min_run is a union of overlapping duplicated
+    grams; the island merge reassembles it maximally).
+
+    Dataflow, O(postings) end to end — there is NO pairwise join
+    anywhere, unlike candidate-pair dedup (boilerplate shared by a
+    million documents costs a million posting rows, never a trillion
+    pair rows):
+
+    1. gram table: one row per (doc, pos) with md5 of the
+       ``min_run``-token gram starting there (position-ordered, the
+       winnowing layout one block up);
+    2. per-hash stats: one hash-keyed groupBy -> occurrence count and
+       the canonical (first) occurrence as ``min(struct(doc, pos))``;
+    3. duplicated occurrences join back on the hash (equi-join, the
+       same shuffle key);
+    4. per-doc interval merge: overlapping/adjacent gram intervals
+       [pos, pos+min_run-1] fold into maximal spans via a running-max
+       window partitioned BY DOCUMENT (bounded by document length,
+       never corpus size — no global window anywhere).
+
+    ``keep='first'`` (the dedup setting) exempts each gram's canonical
+    occurrence, so exactly one copy of every duplicated passage
+    survives corpus-wide and the earliest (doc, pos) owner keeps it;
+    ``keep='none'`` flags every occurrence (the audit setting).
+    Deterministic: ties cannot arise — one gram per (doc, pos).
+
+    Returns (id_col, span_start, span_end, span_tokens), token
+    positions 0-based inclusive. Documents shorter than ``min_run``
+    tokens emit no grams and therefore no spans, the ExactSubstr
+    convention.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(
+            f"keep must be 'first' or 'none', got {keep!r}"
+        )
+    h = gram_postings(docs, id_col, text_col, min_run)
+    stats = (
+        h.groupBy("h")
+        .agg(
+            F.count("*").alias("occ"),
+            F.min(F.struct(id_col, "pos")).alias("canon"),
+        )
+        .filter(F.col("occ") >= 2)
+    )
+    dup = h.join(stats, "h")
+    if keep == "first":
+        dup = dup.filter(
+            ~(
+                (F.col(id_col) == F.col(f"canon.{id_col}"))
+                & (F.col("pos") == F.col("canon.pos"))
+            )
+        )
+    ints = dup.select(
+        id_col,
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(min_run - 1)).alias("e"),
+    )
+    return _merge_gram_intervals(ints, id_col)
+
+
+def _merge_gram_intervals(ints: DataFrame, id_col: str) -> DataFrame:
+    """(id, s, e) interval rows -> maximal merged spans per id. The
+    running-max window partitions BY DOCUMENT (bounded by document
+    length, never corpus size). Overlapping AND adjacent intervals
+    merge — the removed region is contiguous either way."""
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ints.withColumn(
+        "brk",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-2)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("brk").over(w_run))
+    return (
+        marked.groupBy(id_col, "island")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def cross_duplicated_spans(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_run: int = SPAN_MIN_RUN,
+) -> DataFrame:
+    """Spans of ``corpus`` documents that appear verbatim (>= min_run
+    consecutive tokens) anywhere in ``probe`` — exact-substring
+    DECONTAMINATION, the cross-corpus form of ``duplicated_spans``
+    (the published pipelines remove training text overlapping an
+    evaluation benchmark by >= N tokens; GPT-3 appendix C / PaLM used
+    13-gram overlap — public papers). Dataflow: gram both sides, LEFT
+    SEMI join corpus grams on the distinct probe gram hashes (the
+    probe side — a benchmark — is tiny relative to the corpus, so the
+    optimizer broadcasts it; no corpus data moves), then the per-doc
+    interval merge. O(corpus postings) with a probe-sized build side.
+
+    Returns (id_col, span_start, span_end, span_tokens) over corpus
+    documents; feed straight to ``strip_duplicated_spans`` to scrub
+    (or drop flagged docs entirely, the stricter published setting).
+    """
+
+    probe_hashes = (
+        gram_postings(probe, id_col, text_col, min_run).select("h").distinct()
+    )
+    hits = gram_postings(corpus, id_col, text_col, min_run).join(
+        probe_hashes, "h", "left_semi"
+    )
+    ints = hits.select(
+        id_col,
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(min_run - 1)).alias("e"),
+    )
+    return _merge_gram_intervals(ints, id_col)
+
+
+@query("q_decontam_spans")  # 50-slot window full — DuckDB oracle in
+# tests/test_dedup_spans.py replicates the cross-corpus pipeline
+def q_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval hygiene (exact-substring form): per-TRAIN-doc report of
+    verbatim >= min_run-token overlaps with the held-out fold — the
+    span-level sibling of q_contamination (which scores shingle-SET
+    containment; this one localizes the leaked text so it can be
+    stripped rather than the whole document dropped). Same eval fold
+    as q_contamination (doc_id % EVAL_FOLD_MOD == 0). All-integer
+    output."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % EVAL_FOLD_MOD == 0
+    spans = cross_duplicated_spans(
+        docs.filter(~is_eval), docs.filter(is_eval), min_run=SPAN_MIN_RUN
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("span_tokens").alias("leaked_tokens"),
+            F.max("span_tokens").alias("max_span_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite each document with its duplicated spans removed —
+    the write side of ``duplicated_spans`` (keep='first' upstream
+    leaves exactly one surviving copy of every duplicated passage
+    corpus-wide). Span positions explode to a per-(doc, pos) removal
+    set — bounded by document length times span coverage, the same
+    order as the token table itself — then a left-anti join keeps the
+    surviving positions and ``array_sort`` + ``array_join`` reassemble
+    the text in order. Documents with no spans pass through unchanged;
+    a fully-duplicated document survives as an empty string (its row
+    is kept — downstream length filters decide its fate, not this
+    operator)."""
+    removed = spans.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    )
+    toks = docs.select(
+        id_col, F.posexplode(T.tokens(text_col)).alias("pos", "tok")
+    )
+    kept = toks.join(removed, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text_clean")
+    )
+    return docs.join(rebuilt, id_col, "left").select(
+        *[c for c in docs.columns if c != text_col],
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
+@query("q_dedup_spans")  # 50-slot window full — DuckDB oracle lives in
+# tests/test_dedup_spans.py (full pipeline replicated in SQL)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (repeated-substring form): per-document duplicated-span
+    report over the documents table — ExactSubstr dedup (Lee et al.
+    2022) with keep='first', so the numbers answer "how many tokens
+    would span-level dedup strip from THIS doc while leaving one copy
+    corpus-wide". All-integer output (token counts, never fractions)
+    so the cross-engine comparison is hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, min_run=SPAN_MIN_RUN, keep="first")
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.max("span_tokens").alias("max_span_tokens"),
+    )
+    totals = docs.select(
+        "doc_id", F.size(T.tokens("text")).alias("n_tokens")
+    )
+    return (
+        per_doc.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_tokens",
+            "max_span_tokens",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("q_lang_id")  # heuristic classifier — no SQL oracle, rows-only
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star: n-gram-marker language ID over text, compared with

@@ -193,6 +193,40 @@ def compact_band_index(
         _fs_delete(spark, f"{delta_dir}/epoch={e}")
 
 
+def maintain_band_index(
+    spark: SparkSession,
+    index_table: str,
+    index_path: str,
+    delta_dir: str,
+    compact_after: int = 4,
+) -> dict:
+    """One scheduled maintenance pass for the band index — the
+    compaction cadence as a single idempotent callable, the band
+    twin of ``streaming.ivf.maintain_ivf_index`` (run it from cron /
+    your orchestrator between ingest windows):
+
+    1. If the UN-FOLDED delta count has reached ``compact_after``,
+       fold the deltas into the bucketed base
+       (``compact_band_index``) so probes of that data return to the
+       exchange-free path.
+    2. Else do nothing.
+
+    There is deliberately NO refit branch: unlike the IVF quantizer,
+    MinHash banding has no fitted parameters — the band of a document
+    is a pure function of its text — so the structure cannot drift
+    and folding deltas is the only maintenance it ever needs.
+    Already-folded epochs never re-trigger (the generation manifest
+    read), so a crashed pass re-runs safely — the compactor's own
+    convergence contract. Returns ``{"action": "compact"|"none",
+    ...detail}``."""
+    folded = folded_epochs_of(spark, index_table)
+    pending = sorted(_delta_epochs_present(spark, delta_dir) - folded)
+    if len(pending) >= compact_after:
+        compact_band_index(spark, index_table, index_path, delta_dir)
+        return {"action": "compact", "folded_epochs": pending}
+    return {"action": "none", "pending_epochs": pending}
+
+
 def run_incremental_dedup_stream(
     spark: SparkSession,
     stream_docs_dir: str,

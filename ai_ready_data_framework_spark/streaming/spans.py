@@ -1,0 +1,201 @@
+"""Streaming exact-substring (ExactSubstr) scrubbing: micro-batches of
+new documents probe a PERSISTED gram-postings index — "does any run of
+>= min_run consecutive tokens in this incoming doc already exist in the
+corpus?" — emit the matching spans, then fold their own grams into the
+index. The always-on ingestion twin of q_dedup_spans /
+q_decontam_spans (operators/ai.py), completing the third persisted
+index's lifecycle alongside the band index (streaming/dedup.py) and
+the IVF index (streaming/ivf.py).
+
+Grounding: the reference's Factor 3 mandates stream-incremental
+propagation (/root/reference/factors/3-current.md:13); the north star
+makes dedup a first-class pipeline stage. Published pipelines run this
+pass offline over suffix arrays (Lee et al. 2022, public paper); the
+Spark-native index is the gram-hash posting set bucketed by hash, so
+the corpus-sized probe side joins with NO exchange once compacted.
+Per micro-batch the work is (batch grams) semi-join (index) — steady-
+state cost follows ingest RATE, never corpus size.
+
+Contract per epoch: spans are CROSS-corpus only — tokens of a new doc
+covered by grams present in the index or in earlier epochs' deltas.
+Two copies arriving in the SAME micro-batch do not flag each other
+(compose ``duplicated_spans(batch, keep='first')`` on the batch for
+that); they are corpus from the next epoch on.
+
+Replay safety: the epoch-keyed OVERWRITE protocol shared with the
+band/IVF twins — spans land in ``spans_out/epoch=N``, the batch's
+grams in ``delta_dir/epoch=N``; the probe set for epoch N is the
+bucketed base plus deltas from epochs < N only, so a failed attempt's
+half delta never leaks into its own retry. Compaction folds deltas
+into the base through the staged generation publish
+(sources/maintenance.py::publish_bucketed_generation): the folded
+epoch ids land in the table manifest atomically with the folded data,
+so a crash between publish and delta cleanup cannot double rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_ready_data_framework_spark.operators.ai import (
+    SPAN_MIN_RUN,
+    _merge_gram_intervals,
+    gram_postings,
+)
+from ai_ready_data_framework_spark.sources.maintenance import (
+    _delta_epochs_present,
+    _fs_delete,
+    _table_location,
+    folded_epochs_of,
+    publish_bucketed_generation,
+)
+from ai_ready_data_framework_spark.streaming.dedup import _has_epoch_deltas
+
+GRAM_INDEX_BUCKETS = 32
+
+
+def write_gram_index(
+    grams: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int = GRAM_INDEX_BUCKETS,
+) -> None:
+    """Materialize gram postings (operators/ai.py::gram_postings
+    output: doc_id, pos, h) bucketed and sorted by hash — the probe
+    semi-join's corpus side then reports HashPartitioning(h) and joins
+    with no exchange and no sort. Repartition-before-bucketBy so each
+    task writes exactly one bucket file (the band/IVF writer rule)."""
+    (
+        grams.repartition(n_buckets, "h")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "h")
+        .sortBy("h")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def _delta_grams(
+    spark: SparkSession,
+    delta_dir: str,
+    before_epoch: int | None = None,
+    exclude_epochs: "frozenset[int] | set[int]" = frozenset(),
+) -> DataFrame | None:
+    """Gram deltas landed by epochs strictly before ``before_epoch``,
+    skipping manifest-listed FOLDED epochs (the crash-idempotence
+    contract shared with streaming/dedup.py::_delta_bands)."""
+    if not _has_epoch_deltas(spark, delta_dir):
+        return None
+    deltas = spark.read.parquet(delta_dir)
+    if before_epoch is not None:
+        deltas = deltas.filter(F.col("epoch") < before_epoch)
+    if exclude_epochs:
+        deltas = deltas.filter(
+            ~F.col("epoch").isin([int(e) for e in exclude_epochs])
+        )
+    return deltas.drop("epoch")
+
+
+def probe_and_fold_spans(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    index_table: str,
+    delta_dir: str,
+    spans_out: str,
+    epoch_id: int,
+    min_run: int = SPAN_MIN_RUN,
+) -> None:
+    """One micro-batch step: semi-join the batch's grams against
+    (base index ∪ earlier deltas), merge the hits into maximal spans
+    per new doc, overwrite this epoch's spans partition, then
+    overwrite this epoch's gram delta so the NEXT epoch sees these
+    docs as corpus. Both writes are epoch-keyed overwrites — replays
+    are no-ops in effect."""
+    batch_grams = gram_postings(batch_docs, min_run=min_run)
+    earlier = _delta_grams(
+        spark,
+        delta_dir,
+        epoch_id,
+        exclude_epochs=folded_epochs_of(spark, index_table),
+    )
+    spans = probe_spans(
+        spark, batch_grams, index_table, earlier=earlier, min_run=min_run
+    )
+    spans.write.mode("overwrite").parquet(f"{spans_out}/epoch={epoch_id}")
+    batch_grams.write.mode("overwrite").parquet(
+        f"{delta_dir}/epoch={epoch_id}"
+    )
+
+
+def probe_spans(
+    spark: SparkSession,
+    batch_grams: DataFrame,
+    index_table: str,
+    earlier: DataFrame | None = None,
+    min_run: int = SPAN_MIN_RUN,
+) -> DataFrame:
+    """The probe plan itself (pure, so tests can pin its physical
+    shape): batch grams LEFT SEMI join the hash-bucketed index (the
+    corpus-sized side claims HashPartitioning(h) from its buckets and
+    never reshuffles; only the rate-sized batch side moves), then the
+    per-doc interval merge."""
+    probe = spark.table(index_table).select("h")
+    if earlier is not None:
+        probe = probe.unionByName(earlier.select("h"))
+    hits = batch_grams.join(probe, "h", "left_semi")
+    ints = hits.select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(min_run - 1)).alias("e"),
+    )
+    return _merge_gram_intervals(ints, "doc_id")
+
+
+def compact_gram_index(
+    spark: SparkSession, index_table: str, index_path: str, delta_dir: str
+) -> None:
+    """Fold all un-folded epoch deltas into the bucketed base and drop
+    their delta partitions — probes of the folded data return to the
+    exchange-free path. Crash-idempotent via the staged generation
+    publish (folded epoch ids swap atomically with the folded data;
+    readers skip manifest-listed partitions; re-runs converge)."""
+    folded_prev = folded_epochs_of(spark, index_table)
+    present = _delta_epochs_present(spark, delta_dir)
+    to_fold = sorted(present - folded_prev)
+    if to_fold:
+        base = spark.read.parquet(_table_location(spark, index_table))
+        deltas = _delta_grams(spark, delta_dir, exclude_epochs=folded_prev)
+        merged = base if deltas is None else base.unionByName(deltas)
+        publish_bucketed_generation(
+            spark,
+            merged,
+            index_table,
+            index_path,
+            ("h",),
+            GRAM_INDEX_BUCKETS,
+            folded_epochs=sorted((folded_prev & present) | set(to_fold)),
+        )
+    for e in sorted(folded_prev | set(to_fold)):
+        _fs_delete(spark, f"{delta_dir}/epoch={e}")
+
+
+def maintain_gram_index(
+    spark: SparkSession,
+    index_table: str,
+    index_path: str,
+    delta_dir: str,
+    compact_after: int = 4,
+) -> dict:
+    """One scheduled maintenance pass — the compact-after-N planner as
+    a single idempotent callable, completing the three-index symmetry
+    (streaming/ivf.py::maintain_ivf_index,
+    streaming/dedup.py::maintain_band_index). No refit branch: gram
+    postings are a pure function of text, nothing fitted can drift."""
+    folded = folded_epochs_of(spark, index_table)
+    pending = sorted(_delta_epochs_present(spark, delta_dir) - folded)
+    if len(pending) >= compact_after:
+        compact_gram_index(spark, index_table, index_path, delta_dir)
+        return {"action": "compact", "folded_epochs": pending}
+    return {"action": "none", "pending_epochs": pending}

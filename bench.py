@@ -136,10 +136,12 @@ HEADLINE = [
     "q_fingerprint",
     # round-9 addition
     "q_snapshot_diff",
-    # round-10 additions: the column-level twin (schema-version diff)
-    # and the hashing-trick featurizer
+    # round-10 additions: the column-level twin (schema-version diff),
+    # the hashing-trick featurizer, and ExactSubstr span dedup
     "q_schema_diff",
     "q_vectorize_hash",
+    "q_dedup_spans",
+    "q_decontam_spans",
     # q_retrieval_prep intentionally absent: the end-to-end serving
     # audit pipeline (chunk -> vectorize -> IVF fit -> probe -> recall
     # vs exact). Its component stages are each benched standalone

@@ -183,3 +183,44 @@ def test_band_compaction_is_crash_idempotent(
     assert not _glob.glob(f"{delta_dir}/epoch=*")
     spark.catalog.refreshTable(table)
     assert read_band_index(spark, table).count() == n_all
+
+
+def test_maintain_band_index_plans_compact_none(
+    spark, split_corpus, tmp_path
+):
+    """The band twin of maintain_ivf_index (r10): pending deltas below
+    the threshold do nothing; reaching it compacts; re-runs converge
+    (folded epochs never re-trigger). No refit branch exists — banding
+    has no fitted parameters to drift."""
+    import glob as _glob
+
+    _, stream_docs, _, _, table = split_corpus
+    delta_dir = str(tmp_path / "deltas")
+    pairs_out = str(tmp_path / "pairs")
+    index_path = str(tmp_path / "index")
+
+    b1 = stream_docs.filter(F.col("doc_id") % (2 * STREAM_MOD) == 0)
+    b2 = stream_docs.filter(F.col("doc_id") % (2 * STREAM_MOD) != 0)
+    SD.probe_and_fold(spark, b1, table, delta_dir, pairs_out, 0)
+    rep = SD.maintain_band_index(
+        spark, table, index_path, delta_dir, compact_after=2
+    )
+    assert rep == {"action": "none", "pending_epochs": [0]}
+
+    SD.probe_and_fold(spark, b2, table, delta_dir, pairs_out, 1)
+    n_all = (
+        read_band_index(spark, table).count()
+        + spark.read.parquet(delta_dir).count()
+    )
+    rep = SD.maintain_band_index(
+        spark, table, index_path, delta_dir, compact_after=2
+    )
+    assert rep == {"action": "compact", "folded_epochs": [0, 1]}
+    assert not _glob.glob(f"{delta_dir}/epoch=*")
+    spark.catalog.refreshTable(table)
+    assert read_band_index(spark, table).count() == n_all
+
+    rep = SD.maintain_band_index(
+        spark, table, index_path, delta_dir, compact_after=2
+    )
+    assert rep == {"action": "none", "pending_epochs": []}

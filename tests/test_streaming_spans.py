@@ -1,0 +1,185 @@
+"""Streaming exact-substring scrubbing (streaming/spans.py): each
+micro-batch's spans must equal the batch operator run against the
+corpus-so-far, epoch replays must be no-ops in effect, and compaction
+must fold the gram deltas back into the bucketed base (planner
+converges, rows conserved). Planted corpus: every overlap is by
+construction, including one that is visible ONLY through the epoch-0
+delta (text that exists in batch 1 but not in the base index)."""
+
+from __future__ import annotations
+
+import glob as _glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_ready_data_framework_spark.operators.ai import (
+    cross_duplicated_spans,
+    gram_postings,
+)
+from ai_ready_data_framework_spark.streaming import spans as SS
+
+MIN_RUN = 4
+
+
+def _text(prefix: str, n: int = 10) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+@pytest.fixture()
+def span_env(spark, tmp_path):
+    index_docs = spark.createDataFrame(
+        [(d, _text(f"base{d}_")) for d in range(1, 21)],
+        "doc_id long, text string",
+    )
+    # b1: one copy of base doc 1 (flags vs the base index), two texts
+    # new to the corpus (U1, U2 — no flags in epoch 0)
+    b1 = spark.createDataFrame(
+        [
+            (101, _text("base1_")),
+            (102, _text("u1_")),
+            (103, _text("u2_")),
+        ],
+        "doc_id long, text string",
+    )
+    # b2: a copy of U1 (visible ONLY through epoch 0's delta), a copy
+    # of base doc 2 (visible through the base), and a fresh text
+    b2 = spark.createDataFrame(
+        [
+            (201, _text("u1_")),
+            (202, _text("base2_")),
+            (203, _text("u3_")),
+        ],
+        "doc_id long, text string",
+    )
+    table = "gram_index_stream_test"
+    SS.write_gram_index(
+        gram_postings(index_docs, min_run=MIN_RUN),
+        table,
+        str(tmp_path / "index"),
+    )
+    yield index_docs, b1, b2, table
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def _span_set(spark, spans_out, epoch):
+    return {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in spark.read.parquet(f"{spans_out}/epoch={epoch}").collect()
+    }
+
+
+def _batch_oracle(batch, corpus):
+    return {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in cross_duplicated_spans(batch, corpus, min_run=MIN_RUN)
+        .collect()
+    }
+
+
+def test_stream_spans_equal_batch_operator_per_epoch(
+    spark, span_env, tmp_path
+):
+    index_docs, b1, b2, table = span_env
+    delta_dir = str(tmp_path / "deltas")
+    spans_out = str(tmp_path / "spans")
+    SS.probe_and_fold_spans(
+        spark, b1, table, delta_dir, spans_out, 0, min_run=MIN_RUN
+    )
+    SS.probe_and_fold_spans(
+        spark, b2, table, delta_dir, spans_out, 1, min_run=MIN_RUN
+    )
+    got0 = _span_set(spark, spans_out, 0)
+    got1 = _span_set(spark, spans_out, 1)
+    # epoch 0: only the base-doc-1 copy flags, full-doc span
+    assert got0 == {(101, 0, 9, 10)}
+    assert got0 == _batch_oracle(b1, index_docs)
+    # epoch 1: the U1 copy flags THROUGH THE DELTA (u1 text is not in
+    # the base index), the base-doc-2 copy flags through the base
+    assert got1 == {(201, 0, 9, 10), (202, 0, 9, 10)}
+    assert got1 == _batch_oracle(b2, index_docs.union(b1))
+
+
+def test_epoch_replay_is_idempotent(spark, span_env, tmp_path):
+    _, b1, b2, table = span_env
+    delta_dir = str(tmp_path / "deltas")
+    spans_out = str(tmp_path / "spans")
+    for epoch, b in ((0, b1), (1, b2)):
+        SS.probe_and_fold_spans(
+            spark, b, table, delta_dir, spans_out, epoch, min_run=MIN_RUN
+        )
+    once = (_span_set(spark, spans_out, 0), _span_set(spark, spans_out, 1))
+    n_delta = spark.read.parquet(delta_dir).count()
+    # replay BOTH epochs (checkpoint loss / retry storm)
+    for epoch, b in ((0, b1), (1, b2)):
+        SS.probe_and_fold_spans(
+            spark, b, table, delta_dir, spans_out, epoch, min_run=MIN_RUN
+        )
+    assert (
+        _span_set(spark, spans_out, 0),
+        _span_set(spark, spans_out, 1),
+    ) == once
+    assert spark.read.parquet(delta_dir).count() == n_delta
+
+
+def test_compaction_and_planner_converge(spark, span_env, tmp_path):
+    index_docs, b1, b2, table = span_env
+    delta_dir = str(tmp_path / "deltas")
+    spans_out = str(tmp_path / "spans")
+    index_path = str(tmp_path / "index")
+    SS.probe_and_fold_spans(
+        spark, b1, table, delta_dir, spans_out, 0, min_run=MIN_RUN
+    )
+    rep = SS.maintain_gram_index(
+        spark, table, index_path, delta_dir, compact_after=2
+    )
+    assert rep == {"action": "none", "pending_epochs": [0]}
+
+    SS.probe_and_fold_spans(
+        spark, b2, table, delta_dir, spans_out, 1, min_run=MIN_RUN
+    )
+    n_all = (
+        spark.table(table).count() + spark.read.parquet(delta_dir).count()
+    )
+    rep = SS.maintain_gram_index(
+        spark, table, index_path, delta_dir, compact_after=2
+    )
+    assert rep == {"action": "compact", "folded_epochs": [0, 1]}
+    assert not _glob.glob(f"{delta_dir}/epoch=*")
+    spark.catalog.refreshTable(table)
+    assert spark.table(table).count() == n_all
+    rep = SS.maintain_gram_index(
+        spark, table, index_path, delta_dir, compact_after=2
+    )
+    assert rep == {"action": "none", "pending_epochs": []}
+
+    # post-compaction probe parity: a third batch copying a b2-only
+    # text (u3) and a base text sees the same corpus through the
+    # folded base as the batch oracle does through the raw frames
+    b3 = spark.createDataFrame(
+        [(301, _text("u3_")), (302, _text("base3_")), (303, _text("u9_"))],
+        "doc_id long, text string",
+    )
+    SS.probe_and_fold_spans(
+        spark, b3, table, delta_dir, spans_out, 2, min_run=MIN_RUN
+    )
+    got = _span_set(spark, spans_out, 2)
+    assert got == {(301, 0, 9, 10), (302, 0, 9, 10)}
+    assert got == _batch_oracle(b3, index_docs.union(b1).union(b2))
+
+
+def test_probe_index_side_needs_no_exchange(spark, span_env, tmp_path):
+    """The point of the hash-bucketed layout: the corpus-sized gram
+    index claims HashPartitioning(h) from its buckets — the probe plan
+    reshuffles only the rate-sized batch side (to h) and the hit set
+    (to doc_id for the interval merge), NEVER the index."""
+    index_docs, b1, _, table = span_env
+    df = SS.probe_spans(
+        spark, gram_postings(b1, min_run=MIN_RUN), table, min_run=MIN_RUN
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Bucketed: true" in plan, plan
+    # batch->h + hits->doc_id are the only permissible hash exchanges
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
