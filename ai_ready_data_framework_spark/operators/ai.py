@@ -2810,7 +2810,13 @@ def duplicated_spans(
         raise ValueError(
             f"keep must be 'first' or 'none', got {keep!r}"
         )
-    h = gram_postings(docs, id_col, text_col, min_run)
+    # stage-pin the postings: they feed BOTH the per-hash stats agg
+    # and the join-back probe side, and Catalyst does not reuse the
+    # subtree once AQE broadcasts the stats (measured: the HOF shingle
+    # build — the dominant cost — executed twice, Generate x2 in the
+    # executed plan; pinned, once). Same pattern as the funnel's
+    # shingle frame (pipeline.py).
+    h = stage_pin(gram_postings(docs, id_col, text_col, min_run))
     stats = (
         h.groupBy("h")
         .agg(

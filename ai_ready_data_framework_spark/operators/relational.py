@@ -2682,3 +2682,37 @@ def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_diff(spark, old_schema, StructType(evolved)).orderBy(
         "col_name"
     )
+
+
+def schema_history_log(spark: SparkSession, versions) -> DataFrame:
+    """The VERSION HISTORY reading of requirements.yaml:119-121
+    ("automated schema change detection … version history"): fold
+    ``schema_diff`` over consecutive archived versions and emit one
+    CHANGE LOG — a row per (transition, column) whose change_kind is
+    not 'unchanged', tagged from_version/to_version. ``versions`` is
+    the ordered list of (version_id, StructType) pairs exactly as
+    schema_evolution_tracking archives them (parse stored snapshots
+    with StructType.fromJson first). Schemas are KB metadata: N-1
+    literal-relation diffs unioned, no scan of any table."""
+    if len(versions) < 2:
+        raise ValueError("schema_history_log needs >= 2 versions")
+    legs = []
+    for (old_id, old_s), (new_id, new_s) in zip(versions, versions[1:]):
+        legs.append(
+            schema_diff(spark, old_s, new_s)
+            .filter(F.col("change_kind") != "unchanged")
+            .select(
+                F.lit(old_id).alias("from_version"),
+                F.lit(new_id).alias("to_version"),
+                "col_name",
+                "change_kind",
+                "old_type",
+                "new_type",
+                "old_nullable",
+                "new_nullable",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -670,3 +670,67 @@ def test_cents_quantization_cross_engine_batch(spark):
     ]
     assert got_spark == ds
     assert got_duck == ds
+
+
+# ---------------------------------------------------------------------------
+# duplicated_spans vs a brute-force reference (r10)
+# ---------------------------------------------------------------------------
+
+# tiny vocab forces duplicated runs; short docs keep the brute force fast
+span_docs = st.lists(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=14),
+    min_size=1,
+    max_size=6,
+)
+SPAN_RUN = 3
+
+
+def _brute_spans(docs: list[list[str]], keep: str) -> set:
+    """Reference: enumerate every min_run-gram occurrence, count
+    duplicates (by gram STRING, corpus-wide), optionally exempt the
+    lexicographically-first (doc, pos) occurrence per gram, then merge
+    overlapping/adjacent covered intervals per doc."""
+    occ: dict[str, list] = {}
+    for d, toks in enumerate(docs):
+        for p in range(len(toks) - SPAN_RUN + 1):
+            occ.setdefault(" ".join(toks[p : p + SPAN_RUN]), []).append(
+                (d, p)
+            )
+    ints: dict[int, list] = {}
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        canon = min(places)
+        for d, p in places:
+            if keep == "first" and (d, p) == canon:
+                continue
+            ints.setdefault(d, []).append((p, p + SPAN_RUN - 1))
+    out = set()
+    for d, iv in ints.items():
+        iv.sort()
+        cur_s, cur_e = iv[0]
+        for s, e in iv[1:]:
+            if s > cur_e + 1:
+                out.add((d, cur_s, cur_e, cur_e - cur_s + 1))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        out.add((d, cur_s, cur_e, cur_e - cur_s + 1))
+    return out
+
+
+@pytest.mark.parametrize("keep", ["first", "none"])
+@given(docs=span_docs)
+@SETTINGS
+def test_duplicated_spans_matches_brute_force(spark, keep, docs):
+    from ai_ready_data_framework_spark.operators.ai import duplicated_spans
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(df, min_run=SPAN_RUN, keep=keep).collect()
+    }
+    assert got == _brute_spans(docs, keep)

@@ -188,3 +188,55 @@ def test_schema_compatibility_audit_gates_publish(spark, tmp_path):
         },
     )
     assert set(spark.read.parquet(out).columns) == {"k"}
+
+
+def test_schema_history_log_folds_consecutive_versions(spark):
+    """Three archived versions -> two transitions, each change tagged
+    with its transition ids; unchanged columns never appear."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ai_ready_data_framework_spark.operators.relational import (
+        schema_history_log,
+    )
+
+    v1 = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("v", DoubleType(), True),
+        ]
+    )
+    v2 = StructType(  # adds s
+        [*v1.fields, StructField("s", StringType(), True)]
+    )
+    v3 = StructType(  # re-types v, flips s nullability
+        [
+            StructField("k", LongType(), False),
+            StructField("v", StringType(), True),
+            StructField("s", StringType(), False),
+        ]
+    )
+    # round-trip through the stored artifact form
+    versions = [
+        (vid, StructType.fromJson(s.jsonValue()))
+        for vid, s in (("g1", v1), ("g2", v2), ("g3", v3))
+    ]
+    rows = {
+        (r.from_version, r.to_version, r.col_name, r.change_kind)
+        for r in schema_history_log(spark, versions).collect()
+    }
+    assert rows == {
+        ("g1", "g2", "s", "added"),
+        ("g2", "g3", "v", "type_changed"),
+        ("g2", "g3", "s", "nullability_changed"),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="2 versions"):
+        schema_history_log(spark, versions[:1])

@@ -183,3 +183,39 @@ def test_probe_index_side_needs_no_exchange(spark, span_env, tmp_path):
     assert "Bucketed: true" in plan, plan
     # batch->h + hits->doc_id are the only permissible hash exchanges
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_gram_index_recovers_after_swap_crash(spark, span_env, tmp_path):
+    """The generic generation-manifest recovery covers the third index
+    too: a crash inside the compaction's DROP->CREATE swap window
+    (table name undefined, generation files intact) is repaired by
+    re-issuing the manifest's CREATE."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        recover_index_table,
+    )
+
+    _, b1, b2, table = span_env
+    delta_dir = str(tmp_path / "deltas")
+    spans_out = str(tmp_path / "spans")
+    index_path = str(tmp_path / "index")
+    for epoch, b in ((0, b1), (1, b2)):
+        SS.probe_and_fold_spans(
+            spark, b, table, delta_dir, spans_out, epoch, min_run=MIN_RUN
+        )
+    SS.compact_gram_index(spark, table, index_path, delta_dir)
+    spark.catalog.refreshTable(table)
+    n_all = spark.table(table).count()
+    spark.sql(f"DROP TABLE {table}")  # the crash window
+    recover_index_table(spark, index_path)
+    assert spark.table(table).count() == n_all
+    # the recovered table still probes (bucket spec restored by CREATE)
+    got = {
+        r.doc_id
+        for r in SS.probe_spans(
+            spark,
+            gram_postings(b1, min_run=MIN_RUN),
+            table,
+            min_run=MIN_RUN,
+        ).collect()
+    }
+    assert 101 in got  # the base-doc-1 copy still flags
