@@ -21,7 +21,7 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import DoubleType, LongType, StringType
 
 
 @pandas_udf(StringType())
@@ -33,6 +33,24 @@ def slugify(text: pd.Series) -> pd.Series:
         text.str.lower()
         .str.replace(r"[^a-z0-9]+", "-", regex=True)
         .str.strip("-")
+    )
+
+
+COMPRESS_LEVEL = 6  # zlib default-strength level, pinned for
+# determinism: same bytes + same level -> same compressed length
+
+
+@pandas_udf(LongType())
+def compressed_len(text: pd.Series) -> pd.Series:
+    """Scalar pandas UDF: zlib-compressed byte length at the pinned
+    ``COMPRESS_LEVEL``. Deflate has no Catalyst expression, so this is
+    the sanctioned Python hot path: Arrow batches in, stdlib zlib per
+    value, Arrow batches out. Deterministic — same bytes + same level
+    -> same length, everywhere zlib's format promise holds."""
+    import zlib
+
+    return text.map(
+        lambda t: len(zlib.compress((t or "").encode("utf-8"), COMPRESS_LEVEL))
     )
 
 

@@ -164,6 +164,38 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# zlib level lives beside the UDF (functions/udx.py::COMPRESS_LEVEL);
+# imported lazily inside the query so registry load never pays the
+# pandas import udx pulls at module scope.
+
+
+@query("q_quality_compress")  # rows-only: graded window full; exact
+# Python-zlib oracle + monotonicity fixtures in tests/test_quality_ops.py
+def q_quality_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (quality filtering): per-document zlib compression
+    ratio — the classic cheap redundancy signal (highly repetitive
+    boilerplate/spam compresses far below natural prose; used as a
+    filter feature in public web-curation pipelines alongside the
+    Gopher repetition rules). No Catalyst expression can deflate, so
+    this is a deliberate Python hot path done the sanctioned way: ONE
+    Arrow-batched pandas UDF (Series→Series, zlib from the stdlib),
+    scalar per row, no shuffle — the same one-codegen'd-scan shape as
+    the rest of the battery with a vectorized Python stage fused in.
+    Integer columns (byte lengths) keep the comparison exact; the
+    ratio is rounded to 4dp per the float-output rule."""
+    from ai_ready_data_framework_spark.functions.udx import compressed_len
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.octet_length("text")
+    comp = compressed_len("text")
+    return docs.select(
+        "doc_id",
+        raw.cast("long").alias("raw_bytes"),
+        comp.alias("compressed_bytes"),
+        F.round(comp / F.greatest(raw, F.lit(1)), 4).alias("compress_ratio"),
+    )
+
+
 # Terms rarer than this cannot be heavy hitters (the fixture's rarest
 # term appears 5x; at web scale this drops the billion-singleton tail
 # from the ranked candidate set before any ordering happens).

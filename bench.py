@@ -142,6 +142,7 @@ HEADLINE = [
     "q_vectorize_hash",
     "q_dedup_spans",
     "q_decontam_spans",
+    "q_quality_compress",
     # q_retrieval_prep intentionally absent: the end-to-end serving
     # audit pipeline (chunk -> vectorize -> IVF fit -> probe -> recall
     # vs exact). Its component stages are each benched standalone

@@ -359,3 +359,58 @@ def test_token_union_tiny_vocab(spark, tmp_path):
     hh = {r for r in got if r[0] == "heavy_hitter"}
     assert {r[1] for r in hh} == {"alpha", "beta"}  # pruned: gamma, solo
     assert len(hh) < Q.HEAVY_HITTERS_K
+
+
+def test_quality_compress_matches_python_zlib(spark, sf_correctness):
+    """Exact oracle: the pandas-UDF path must produce byte-for-byte the
+    lengths the local stdlib zlib produces at the pinned level (same
+    deflate library, same level, same machine)."""
+    import zlib
+
+    from ai_ready_data_framework_spark.functions.udx import COMPRESS_LEVEL
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet("
+        f"'{table_path(sf_correctness, 'documents')}')"
+    ).fetchall()
+    expected = {
+        (
+            d,
+            len(t.encode("utf-8")),
+            len(zlib.compress(t.encode("utf-8"), COMPRESS_LEVEL)),
+            round(
+                len(zlib.compress(t.encode("utf-8"), COMPRESS_LEVEL))
+                / max(len(t.encode("utf-8")), 1),
+                4,
+            ),
+        )
+        for d, t in rows
+    }
+    got = {
+        (r.doc_id, r.raw_bytes, r.compressed_bytes, r.compress_ratio)
+        for r in QUERIES["q_quality_compress"](spark, sf_correctness)
+        .collect()
+    }
+    assert got == expected
+
+
+def test_compress_ratio_orders_repetitive_below_diverse(spark):
+    """The signal's point: boilerplate compresses far below diverse
+    prose, so the ratio separates them."""
+    import os
+    import tempfile
+
+    rep = "spam ham " * 200
+    div = " ".join(f"w{i}x{i * 7 % 13}" for i in range(400))
+    df = spark.createDataFrame(
+        [(1, rep), (2, div)], "doc_id long, text string"
+    )
+    # the declared query loads from an sf_dir, so land the planted
+    # frame as a documents table in a temp dir
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r.doc_id: r.compress_ratio
+        for r in QUERIES["q_quality_compress"](spark, d).collect()
+    }
+    assert out[1] < 0.1 < out[2]
