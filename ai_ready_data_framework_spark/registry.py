@@ -48,6 +48,10 @@ ROWS_ONLY_TAIL_ORDER = [
     # (VERDICT r7 #3) — tolerance-free DuckDB oracle in pytest;
     # FIRST in line for a driver graded-window widening
     "q_embed_centroids",
+    # r10: all-integer outputs with full-pipeline DuckDB oracles in
+    # pytest (tests/test_dedup_spans.py) — hash-safe, promotable as-is
+    "q_dedup_spans",
+    "q_decontam_spans",
     "q_assessment",  # the reference's primary surface roll-up
     "q_dedup_near",  # headline banded-MinHash dedup
     # r4 tagged-union demotions: each is hard-graded through its union

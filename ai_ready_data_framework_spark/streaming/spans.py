@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ai_ready_data_framework_spark.functions.cache import stage_pin
 from ai_ready_data_framework_spark.operators.ai import (
     SPAN_MIN_RUN,
     _merge_gram_intervals,
@@ -113,7 +114,10 @@ def probe_and_fold_spans(
     overwrite this epoch's gram delta so the NEXT epoch sees these
     docs as corpus. Both writes are epoch-keyed overwrites — replays
     are no-ops in effect."""
-    batch_grams = gram_postings(batch_docs, min_run=min_run)
+    # two actions consume the batch's grams (the spans write probes
+    # with them, the delta write lands them) — pin so the HOF shingle
+    # build runs once per epoch, not once per action
+    batch_grams = stage_pin(gram_postings(batch_docs, min_run=min_run))
     earlier = _delta_grams(
         spark,
         delta_dir,

@@ -920,3 +920,27 @@ def test_snapshot_diff_bucketed_full_outer_is_exchange_free(
     finally:
         spark.sql("DROP TABLE IF EXISTS snapdiff_old_t")
         spark.sql("DROP TABLE IF EXISTS snapdiff_new_t")
+
+
+def test_dedup_spans_windows_stay_per_document(spark, sf_smoke):
+    """q_dedup_spans' scale claim (r10): the interval-merge windows
+    partition BY DOCUMENT and the per-hash stats go through a partial
+    (map-side-combinable) aggregate — nothing in the plan funnels a
+    postings-sized frame through one partition, and no nested-loop
+    shape appears. The final orderBy is a range partition, which is
+    not a SinglePartition collapse."""
+    plan = final_plan(run("q_dedup_spans", spark, sf_smoke))
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_decontam_spans_semi_join_no_corpus_shuffle_shapes(spark, sf_smoke):
+    """q_decontam_spans: the probe side reduces to a distinct hash set
+    joined LEFT SEMI — no cartesian/nested-loop, no single-partition
+    funnel of the corpus postings."""
+    plan = final_plan(run("q_decontam_spans", spark, sf_smoke))
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
