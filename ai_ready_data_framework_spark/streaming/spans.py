@@ -51,7 +51,10 @@ from ai_ready_data_framework_spark.sources.maintenance import (
     folded_epochs_of,
     publish_bucketed_generation,
 )
-from ai_ready_data_framework_spark.streaming.dedup import _has_epoch_deltas
+from ai_ready_data_framework_spark.streaming.dedup import (
+    DOCS_SCHEMA,
+    _has_epoch_deltas,
+)
 
 GRAM_INDEX_BUCKETS = 32
 
@@ -183,6 +186,49 @@ def compact_gram_index(
         )
     for e in sorted(folded_prev | set(to_fold)):
         _fs_delete(spark, f"{delta_dir}/epoch={e}")
+
+
+def run_span_scrub_stream(
+    spark: SparkSession,
+    stream_docs_dir: str,
+    index_table: str,
+    delta_dir: str,
+    spans_out: str,
+    checkpoint_dir: str,
+    min_run: int = SPAN_MIN_RUN,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drive the ExactSubstr scrub over a file stream of document
+    parquet drops — the gram-index twin of
+    streaming/dedup.py::run_incremental_dedup_stream. availableNow +
+    maxFilesPerTrigger=1 gives one micro-batch per dropped file:
+    deterministic for tests, and the exact shape of a production
+    landing-zone listener. Compaction is NOT in the loop — call
+    ``maintain_gram_index`` on its own cadence."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stream_docs_dir)
+    )
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        probe_and_fold_spans(
+            spark,
+            batch_df,
+            index_table,
+            delta_dir,
+            spans_out,
+            epoch_id,
+            min_run=min_run,
+        )
+
+    (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
 
 
 def maintain_gram_index(

@@ -219,3 +219,41 @@ def test_gram_index_recovers_after_swap_crash(spark, span_env, tmp_path):
         ).collect()
     }
     assert 101 in got  # the base-doc-1 copy still flags
+
+
+def test_stream_driver_equals_manual_epochs(spark, span_env, tmp_path):
+    """run_span_scrub_stream over two landing-zone drops must land
+    exactly the spans the manual per-epoch calls produce (same probe,
+    same fold, driven by availableNow foreachBatch)."""
+    index_docs, b1, b2, table = span_env
+
+    def full(df):
+        return df.select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("src0").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+
+    drops = tmp_path / "drops"
+    full(b1).coalesce(1).write.parquet(str(drops / "d1"))
+    full(b2).coalesce(1).write.parquet(str(drops / "d2"))
+    SS.run_span_scrub_stream(
+        spark,
+        str(drops / "*"),
+        table,
+        str(tmp_path / "deltas"),
+        str(tmp_path / "spans"),
+        str(tmp_path / "ckpt"),
+        min_run=MIN_RUN,
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in spark.read.parquet(str(tmp_path / "spans")).drop("epoch").collect()
+    }
+    # file order is lexicographic (d1 then d2) -> epoch 0 = b1, 1 = b2
+    expected = _batch_oracle(b1, index_docs) | _batch_oracle(
+        b2, index_docs.union(b1)
+    )
+    assert got == expected and got
