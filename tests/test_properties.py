@@ -734,3 +734,51 @@ def test_duplicated_spans_matches_brute_force(spark, keep, docs):
         for r in duplicated_spans(df, min_run=SPAN_RUN, keep=keep).collect()
     }
     assert got == _brute_spans(docs, keep)
+
+
+def _brute_cross_spans(corpus: list[list[str]], probe: list[list[str]]) -> set:
+    """Reference for cross_duplicated_spans: positions of corpus docs
+    covered by any SPAN_RUN-gram that appears anywhere in probe."""
+    probe_grams = {
+        " ".join(toks[p : p + SPAN_RUN])
+        for toks in probe
+        for p in range(len(toks) - SPAN_RUN + 1)
+    }
+    ints: dict[int, list] = {}
+    for d, toks in enumerate(corpus):
+        for p in range(len(toks) - SPAN_RUN + 1):
+            if " ".join(toks[p : p + SPAN_RUN]) in probe_grams:
+                ints.setdefault(d, []).append((p, p + SPAN_RUN - 1))
+    out = set()
+    for d, iv in ints.items():
+        cur_s, cur_e = iv[0]
+        for s, e in iv[1:]:
+            if s > cur_e + 1:
+                out.add((d, cur_s, cur_e, cur_e - cur_s + 1))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        out.add((d, cur_s, cur_e, cur_e - cur_s + 1))
+    return out
+
+
+@given(corpus=span_docs, probe=span_docs)
+@SETTINGS
+def test_cross_duplicated_spans_matches_brute_force(spark, corpus, probe):
+    from ai_ready_data_framework_spark.operators.ai import (
+        cross_duplicated_spans,
+    )
+
+    c = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    p = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(probe)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in cross_duplicated_spans(c, p, min_run=SPAN_RUN).collect()
+    }
+    assert got == _brute_cross_spans(corpus, probe)
