@@ -2716,3 +2716,47 @@ def schema_history_log(spark: SparkSession, versions) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+@query("q_schema_history")  # rows-only: graded window full; the
+# operator's expected-set oracle runs in tests/test_schema_diff.py
+def q_schema_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change LOG across three schema versions of the orders table
+    — q_schema_diff answers "what changed between v_old and v_new";
+    this one answers "what happened, in order, across the archive"
+    (requirements.yaml:119-121 "version history"). The version
+    derivation is deterministic test plumbing (the same evolution
+    kinds q_schema_diff stages, split across two transitions); the
+    OPERATOR (schema_history_log) is the product. Each version
+    round-trips through the stored artifact form (schema.json ->
+    StructType.fromJson) exactly as schema_evolution_tracking archives
+    it."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    v1 = StructType.fromJson(
+        load_table(spark, sf_dir, "orders").schema.jsonValue()
+    )
+    # v2: one additive change (the compatibility gate's allowed kind)
+    v2 = StructType([*v1.fields, StructField("o_discount", DoubleType(), True)])
+    # v3: one re-type + one nullability flip
+    fields3 = []
+    for f in v2.fields:
+        if f.name == "o_custkey":
+            fields3.append(StructField(f.name, StringType(), f.nullable))
+        elif f.name == "o_orderstatus":
+            fields3.append(StructField(f.name, f.dataType, not f.nullable))
+        else:
+            fields3.append(f)
+    v3 = StructType(fields3)
+    versions = [
+        (vid, StructType.fromJson(s.jsonValue()))
+        for vid, s in (("v1", v1), ("v2", v2), ("v3", v3))
+    ]
+    return schema_history_log(spark, versions).orderBy(
+        "from_version", "col_name"
+    )

@@ -240,3 +240,16 @@ def test_schema_history_log_folds_consecutive_versions(spark):
 
     with _pytest.raises(ValueError, match="2 versions"):
         schema_history_log(spark, versions[:1])
+
+
+def test_q_schema_history_expected_log(spark, sf_correctness):
+    rows = {
+        (r.from_version, r.to_version, r.col_name, r.change_kind)
+        for r in QUERIES["q_schema_history"](spark, sf_correctness)
+        .collect()
+    }
+    assert rows == {
+        ("v1", "v2", "o_discount", "added"),
+        ("v2", "v3", "o_custkey", "type_changed"),
+        ("v2", "v3", "o_orderstatus", "nullability_changed"),
+    }
