@@ -37,7 +37,8 @@ def slugify(text: pd.Series) -> pd.Series:
 
 
 COMPRESS_LEVEL = 6  # zlib default-strength level, pinned for
-# determinism: same bytes + same level -> same compressed length
+# same-build determinism: same bytes + same level + same zlib build
+# -> same compressed length
 
 
 @pandas_udf(LongType())
@@ -45,8 +46,15 @@ def compressed_len(text: pd.Series) -> pd.Series:
     """Scalar pandas UDF: zlib-compressed byte length at the pinned
     ``COMPRESS_LEVEL``. Deflate has no Catalyst expression, so this is
     the sanctioned Python hot path: Arrow batches in, stdlib zlib per
-    value, Arrow batches out. Deterministic — same bytes + same level
-    -> same length, everywhere zlib's format promise holds."""
+    value, Arrow batches out. Deterministic per zlib BUILD — same
+    bytes + same level + same zlib implementation -> same length.
+    zlib's format promise covers round-trip fidelity only, NOT stable
+    compressed output across implementations (zlib-ng or differently
+    linked CPython builds may emit different lengths), so a cluster
+    mixing zlib builds across driver/executors could disagree with a
+    single-build oracle (ADVICE r10). q_quality_compress is therefore
+    rows-only graded and must stay out of any hash-exact window
+    unless the zlib build is pinned cluster-wide."""
     import zlib
 
     return text.map(

@@ -63,6 +63,16 @@ CONTAINMENT_THRESHOLD = 0.8
 DUP_LINE_BLOCK_TOKENS = 8
 DUP_LINE_MIN_DOCS = 2  # a block this widespread is boilerplate
 
+# Minimum duplicated run length for SPAN dedup, in tokens. The
+# published setting is 50 BPE tokens over web-scale corpora (Lee et
+# al. 2022, public paper — "Deduplicating Training Data Makes Language
+# Models Better", the ExactSubstr variant); the fixture corpus'
+# documents are a few hundred word-soup tokens, so the repo default is
+# proportionally smaller. The dataflow is length-independent. (Lives
+# with the dedup-family constants: q_dedup_exact's union oracle
+# interpolates it at module-import time, r11 spans leg.)
+SPAN_MIN_RUN = 8
+
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -161,14 +171,99 @@ DEDUP_UNION_ORACLE_SQL = f"""
                sha256(cleaned) AS cleaned_sha
         FROM lr
     ) lx
+    UNION ALL
+    SELECT * FROM (
+        -- spans leg (r11, VERDICT r10 #2): the full ExactSubstr
+        -- pipeline re-derived in SQL — grams -> hash stats with
+        -- canonical (first-occurrence) exemption -> per-doc interval
+        -- merge -> token-level strip -> position-ordered rebuild.
+        -- Same summary schema as the lines leg, unit = TOKEN:
+        -- n_blocks = the doc's token count, n_kept = tokens kept,
+        -- cleaned_sha = sha2 of the reassembled stripped text.
+        WITH sd AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sp_pos AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - SPANRUN + 1)) AS i
+            FROM sd WHERE len(w) >= SPANRUN
+        ),
+        sp_grams AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   md5(array_to_string(w[i:i + SPANRUN - 1], ' ')) AS h
+            FROM sp_pos
+        ),
+        sp_stats AS (
+            SELECT h, MIN({{'d': doc_id, 'p': pos}}) AS canon
+            FROM sp_grams GROUP BY h HAVING COUNT(*) >= 2
+        ),
+        sp_ints AS (
+            SELECT g.doc_id, g.pos AS s, g.pos + SPANRUN - 1 AS e
+            FROM sp_grams g JOIN sp_stats st USING (h)
+            WHERE NOT (g.doc_id = st.canon.d AND g.pos = st.canon.p)
+        ),
+        sp_isl AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                            PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -2) + 1
+                        THEN 1 ELSE 0 END AS brk
+            FROM sp_ints
+        ),
+        sp_spans AS (
+            SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+            FROM (SELECT doc_id, s, e,
+                         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                                        ROWS UNBOUNDED PRECEDING)
+                             AS island
+                  FROM sp_isl)
+            GROUP BY doc_id, island
+        ),
+        sp_removed AS (
+            SELECT doc_id, unnest(generate_series(s, e)) AS pos
+            FROM sp_spans
+        ),
+        sp_toks AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS tok
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w))) AS i
+                  FROM sd)
+        ),
+        sp_rebuilt AS (
+            SELECT t.doc_id,
+                   string_agg(t.tok, ' ' ORDER BY t.pos) AS cleaned
+            FROM sp_toks t
+            ANTI JOIN sp_removed r
+                 ON t.doc_id = r.doc_id AND t.pos = r.pos
+            GROUP BY t.doc_id
+        ),
+        sp_dup AS (
+            SELECT doc_id, SUM(e - s + 1) AS dup_tokens
+            FROM sp_spans GROUP BY doc_id
+        )
+        SELECT 'spans' AS dedup_kind,
+               sd.doc_id AS keep_doc_id,
+               CAST(NULL AS BIGINT) AS n_copies,
+               CAST(NULL AS BIGINT) AS n_raw_variants,
+               CAST(length(COALESCE(rb.cleaned, '')) AS BIGINT) AS n_chars,
+               CAST(len(sd.w) AS BIGINT) AS n_blocks,
+               CAST(len(sd.w) - COALESCE(dp.dup_tokens, 0) AS BIGINT)
+                   AS n_kept,
+               sha256(COALESCE(rb.cleaned, '')) AS cleaned_sha
+        FROM sd
+        LEFT JOIN sp_rebuilt rb USING (doc_id)
+        LEFT JOIN sp_dup dp USING (doc_id)
+    ) sx
 """.replace("LINESBLK", str(DUP_LINE_BLOCK_TOKENS)).replace(
     "LINESMIN", str(DUP_LINE_MIN_DOCS)
-)
+).replace("SPANRUN", str(SPAN_MIN_RUN))
 
 
 @query("q_dedup_exact", oracle=DEDUP_UNION_ORACLE_SQL)  # hard-graded
-# union (r6 wave + r7 seventh wave): raw + normalized hash-dedup +
-# the duplicated-segment (line) dedup summary in one slot
+# union (r6 wave + r7 seventh wave + r11 spans wave): raw + normalized
+# hash-dedup + the duplicated-segment (line) dedup summary + the
+# ExactSubstr span-dedup rebuild summary in one slot
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1: exact dedup — group by content hash, keep the smallest
     doc_id, tagged union of the canonical forms plus the segment-level
@@ -185,6 +280,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       the graded rows 32 bytes wide instead of document-sized),
       n_chars = the cleaned text's length. n_copies/n_raw_variants are
       NULL here; n_blocks/n_kept/cleaned_sha are NULL on the hash legs.
+    - ``spans`` (r11; VERDICT r10 #2): the repeated-substring
+      (ExactSubstr, Lee et al. 2022) dedup REBUILD summary — the same
+      per-doc report shape as ``lines`` with unit = TOKEN instead of
+      block: n_blocks = the document's token count, n_kept = tokens
+      surviving keep='first' span removal, cleaned_sha/n_chars = sha2
+      and length of the ``strip_duplicated_spans`` reassembled text.
+      Hashing the full reassembly puts the whole gram → canonical
+      exemption → interval merge → strip pipeline under the driver's
+      hash gate (the r10 flagship was rows-only until this fold).
 
     Hashing first keeps the shuffle key at 32 bytes regardless of
     document size (shipping full text through the exchange is the
@@ -249,7 +353,41 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept"),
         F.sha2("cleaned_text", 256).alias("cleaned_sha"),
     )
-    return hash_legs.unionByName(lines_leg)
+    return hash_legs.unionByName(lines_leg).unionByName(
+        _dedup_spans_leg(spark, sf_dir)
+    )
+
+
+def _dedup_spans_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_exact's ``spans`` leg: run the real ExactSubstr pipeline
+    (``duplicated_spans`` keep='first' → ``strip_duplicated_spans``)
+    and summarize the rebuild per document in the lines-leg schema.
+    One row per document — docs shorter than SPAN_MIN_RUN tokens emit
+    no grams, so they pass through with n_kept == n_blocks and
+    cleaned_sha == sha2 of their (token-rejoined) text. n_kept derives
+    from the merged-span token total rather than re-tokenizing the
+    rebuilt text: spans are disjoint and doc-bounded by construction,
+    so the two are equal and the derivation skips a second explode."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.size(T.tokens("text")).cast("long").alias("__n_toks")
+    )
+    spans = duplicated_spans(docs, min_run=SPAN_MIN_RUN, keep="first")
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("__dup_tokens")
+    )
+    cleaned = strip_duplicated_spans(docs, spans)
+    return cleaned.join(per_doc, "doc_id", "left").select(
+        F.lit("spans").alias("dedup_kind"),
+        F.col("doc_id").alias("keep_doc_id"),
+        F.lit(None).cast("long").alias("n_copies"),
+        F.lit(None).cast("long").alias("n_raw_variants"),
+        F.length("text_clean").cast("long").alias("n_chars"),
+        F.col("__n_toks").alias("n_blocks"),
+        (F.col("__n_toks") - F.coalesce("__dup_tokens", F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
+        F.sha2("text_clean", 256).alias("cleaned_sha"),
+    )
 
 
 def normalized_text(col) -> "F.Column":
@@ -2730,13 +2868,9 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Duplicated-span (repeated-substring) dedup — the ExactSubstr pass
 # ---------------------------------------------------------------------------
 
-# Minimum duplicated run length, in tokens. The published setting is 50
-# BPE tokens over web-scale corpora (Lee et al. 2022, public paper —
-# "Deduplicating Training Data Makes Language Models Better", the
-# ExactSubstr variant); the fixture corpus' documents are a few hundred
-# word-soup tokens, so the repo default is proportionally smaller. The
-# dataflow is length-independent.
-SPAN_MIN_RUN = 8
+# SPAN_MIN_RUN (the minimum duplicated run length) lives with the
+# dedup-family constants near the top of the module — q_dedup_exact's
+# union oracle interpolates it at import time.
 
 
 def gram_postings(
@@ -2796,10 +2930,16 @@ def duplicated_spans(
        never corpus size — no global window anywhere).
 
     ``keep='first'`` (the dedup setting) exempts each gram's canonical
-    occurrence, so exactly one copy of every duplicated passage
-    survives corpus-wide and the earliest (doc, pos) owner keeps it;
-    ``keep='none'`` flags every occurrence (the audit setting).
-    Deterministic: ties cannot arise — one gram per (doc, pos).
+    occurrence — the guarantee is PER GRAM: every duplicated gram's
+    earliest (doc, pos) occurrence survives corpus-wide. That usually
+    means the earliest full copy of a duplicated passage keeps it, but
+    not always: when a passage's first gram also occurs in an
+    unrelated earlier context (doc A), that gram's canonical lands in
+    A and the merge can partially strip the passage's earliest full
+    copy — inherent to the gram-level ExactSubstr approximation
+    (ADVICE r10). ``keep='none'`` flags every occurrence (the audit
+    setting). Deterministic: ties cannot arise — one gram per
+    (doc, pos).
 
     Returns (id_col, span_start, span_end, span_tokens), token
     positions 0-based inclusive. Documents shorter than ``min_run``
@@ -2959,7 +3099,9 @@ def strip_duplicated_spans(
     the text in order. Documents with no spans pass through unchanged;
     a fully-duplicated document survives as an empty string (its row
     is kept — downstream length filters decide its fate, not this
-    operator)."""
+    operator); a NULL-text document stays NULL (ADVICE r10: the
+    empty-string fallback is reserved for fully-STRIPPED docs, not
+    never-tokenized ones)."""
     removed = spans.select(
         id_col,
         F.explode(
@@ -2981,7 +3123,9 @@ def strip_duplicated_spans(
     )
     return docs.join(rebuilt, id_col, "left").select(
         *[c for c in docs.columns if c != text_col],
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce("text_clean", F.lit("")))
+        .alias("text_clean"),
     )
 
 

@@ -133,8 +133,19 @@ def probe_and_fold(
     dups pair too), overwrite this epoch's pairs partition, then
     overwrite this epoch's band delta so the NEXT epoch sees these
     docs as corpus. Every write is an epoch-keyed overwrite — replays
-    are no-ops in effect."""
+    are no-ops in effect.
+
+    The index side EXCLUDES the batch's own doc_ids (ADVICE r10, the
+    replay/compaction race shared with streaming/spans.py): if this
+    epoch's delta lands but the stream checkpoint does not commit, and
+    maintenance folds that delta into the base before restart, the
+    replay's epoch filter removes the delta but the BASE now carries
+    the batch's own bands — the batch's buckets would double (pushing
+    them toward the hot cap and distorting the pair set). The id set
+    is batch-sized and broadcasts; the anti-join also makes
+    re-ingesting an updated document safe."""
     batch_bands = doc_bands(batch_docs)
+    batch_ids = batch_docs.select("doc_id").distinct()
     idx = read_band_index(spark, index_table)
     earlier = _delta_bands(
         spark,
@@ -144,6 +155,7 @@ def probe_and_fold(
     )
     if earlier is not None:
         idx = idx.unionByName(earlier)
+    idx = idx.join(F.broadcast(batch_ids), "doc_id", "left_anti")
     allb = idx.withColumn("__new", F.lit(False)).unionByName(
         batch_bands.withColumn("__new", F.lit(True))
     )

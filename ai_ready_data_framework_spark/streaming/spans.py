@@ -116,7 +116,19 @@ def probe_and_fold_spans(
     per new doc, overwrite this epoch's spans partition, then
     overwrite this epoch's gram delta so the NEXT epoch sees these
     docs as corpus. Both writes are epoch-keyed overwrites — replays
-    are no-ops in effect."""
+    are no-ops in effect.
+
+    The probe EXCLUDES the batch's own doc_ids from the index side
+    (ADVICE r10, the replay/compaction race): if this epoch's delta
+    lands but the stream checkpoint does not commit, and a maintenance
+    pass folds that delta into the base before restart, the replay's
+    epoch filter removes the delta but the BASE now carries the
+    batch's own grams — without the exclusion every doc would
+    semi-join against itself and the replay would overwrite
+    ``spans_out/epoch=N`` with full-doc self-match spans. The id set
+    is batch-sized and broadcasts; provenance exclusion also makes
+    re-ingesting an updated document safe (it never matches its own
+    older grams)."""
     # two actions consume the batch's grams (the spans write probes
     # with them, the delta write lands them) — pin so the HOF shingle
     # build runs once per epoch, not once per action
@@ -128,7 +140,12 @@ def probe_and_fold_spans(
         exclude_epochs=folded_epochs_of(spark, index_table),
     )
     spans = probe_spans(
-        spark, batch_grams, index_table, earlier=earlier, min_run=min_run
+        spark,
+        batch_grams,
+        index_table,
+        earlier=earlier,
+        min_run=min_run,
+        exclude_ids=batch_docs.select("doc_id").distinct(),
     )
     spans.write.mode("overwrite").parquet(f"{spans_out}/epoch={epoch_id}")
     batch_grams.write.mode("overwrite").parquet(
@@ -142,15 +159,27 @@ def probe_spans(
     index_table: str,
     earlier: DataFrame | None = None,
     min_run: int = SPAN_MIN_RUN,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """The probe plan itself (pure, so tests can pin its physical
     shape): batch grams LEFT SEMI join the hash-bucketed index (the
     corpus-sized side claims HashPartitioning(h) from its buckets and
     never reshuffles; only the rate-sized batch side moves), then the
-    per-doc interval merge."""
-    probe = spark.table(index_table).select("h")
+    per-doc interval merge. ``exclude_ids`` (a doc_id frame) drops
+    those documents' postings from BOTH index sides before the hash
+    projection — a broadcast anti-join, so the bucketed side's
+    partitioning survives (plan-pinned). Callers pass the batch's own
+    ids: self-provenance must never count as corpus (ADVICE r10
+    replay/compaction race; see probe_and_fold_spans)."""
+
+    def _without_own(postings: DataFrame) -> DataFrame:
+        if exclude_ids is None:
+            return postings
+        return postings.join(F.broadcast(exclude_ids), "doc_id", "left_anti")
+
+    probe = _without_own(spark.table(index_table)).select("h")
     if earlier is not None:
-        probe = probe.unionByName(earlier.select("h"))
+        probe = probe.unionByName(_without_own(earlier).select("h"))
     hits = batch_grams.join(probe, "h", "left_semi")
     ints = hits.select(
         "doc_id",

@@ -188,3 +188,77 @@ def test_expected_changes_keys_unique():
     registry.load_all()
     missing = [k for k in keys if k not in registry.QUERIES]
     assert not missing, missing
+
+
+# --- Baseline-overwrite guard (VERDICT r10 #1) ----------------------
+# Two consecutive rounds committed a host-loaded run over the quiet
+# BENCH_DETAIL.json record; the refusal is now mechanical and these
+# pins keep it that way.
+
+
+def _run(load1=0.1, wall=88.0, sf=0.1):
+    return {"loadavg_start": [load1, 0.0, 0.0], "value": wall, "sf": sf}
+
+
+def test_baseline_guard_refuses_loaded_host():
+    # the exact r10 slip: loadavg_start 6.77, flags present
+    write, reason = bench.baseline_write_decision(
+        _run(load1=6.77, wall=124.557), {"value": 87.761, "sf": 0.1}, 5, False
+    )
+    assert not write and "loadavg" in reason
+
+
+def test_baseline_guard_refuses_zero_flag_drift():
+    # globally slow but nothing flagged = host drift, not a regression
+    write, reason = bench.baseline_write_decision(
+        _run(wall=120.0), {"value": 87.761, "sf": 0.1}, 0, False
+    )
+    assert not write and "1.2x stored" in reason
+
+
+def test_baseline_guard_allows_quiet_comparable_run():
+    write, reason = bench.baseline_write_decision(
+        _run(wall=88.5), {"value": 87.761, "sf": 0.1}, 0, False
+    )
+    assert write, reason
+
+
+def test_baseline_guard_refuses_materially_slower_run_even_with_flags():
+    # the r11 lesson: a cooling-down host produced a 2x-slow run with
+    # real-looking flags and low 1-min load — a >1.2x-wall run never
+    # silently loosens the guard, flagged or not
+    write, reason = bench.baseline_write_decision(
+        _run(wall=120.0), {"value": 87.761, "sf": 0.1}, 2, False
+    )
+    assert not write and "2 flags" in reason
+
+
+def test_baseline_guard_refuses_warm_five_minute_load():
+    # load [0.9, 1.08, 3.33] at start still measured 2x slow (r11)
+    write, reason = bench.baseline_write_decision(
+        {"loadavg_start": [0.9, 1.08, 3.33], "value": 88.0, "sf": 0.1},
+        {"value": 87.761, "sf": 0.1},
+        0,
+        False,
+    )
+    assert not write and "1m/5m" in reason
+
+
+def test_baseline_guard_refuses_cross_sf_overwrite():
+    # a local sf0.01 iteration must not destroy the committed sf0.1 record
+    write, reason = bench.baseline_write_decision(
+        _run(wall=9.0, sf=0.01), {"value": 87.761, "sf": 0.1}, 0, False
+    )
+    assert not write and "sf mismatch" in reason
+
+
+def test_baseline_guard_force_overrides_everything():
+    write, reason = bench.baseline_write_decision(
+        _run(load1=6.77, wall=200.0, sf=0.01), {"value": 87.761, "sf": 0.1}, 0, True
+    )
+    assert write and reason == "forced"
+
+
+def test_baseline_guard_writes_when_no_stored_baseline():
+    write, _ = bench.baseline_write_decision(_run(), None, 0, False)
+    assert write

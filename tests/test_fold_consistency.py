@@ -337,3 +337,47 @@ def test_mix_schedule_leg_matches_standalone(spark, sf_smoke):
         for r in QUERIES["q_mix_schedule"](spark, sf_smoke).collect()
     }
     assert leg == standalone and leg
+
+
+def test_dedup_spans_leg_matches_standalone(spark, sf_smoke):
+    """q_dedup_exact's spans leg == q_dedup_spans (r11 fold, VERDICT
+    r10 #2): the leg's token accounting must reconcile with the
+    standalone report — n_blocks is the doc's token count and
+    n_blocks - n_kept its duplicated-token total — and the leg's
+    cleaned_sha must be sha2-256 of the strip_duplicated_spans
+    rebuild re-derived here from the standalone pipeline."""
+    import hashlib
+
+    from ai_ready_data_framework_spark.io import load_table
+    from ai_ready_data_framework_spark.operators.ai import (
+        SPAN_MIN_RUN,
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    leg = {
+        r.keep_doc_id: (r.n_blocks, r.n_kept, r.cleaned_sha)
+        for r in _leg(
+            spark, sf_smoke, "q_dedup_exact", "dedup_kind", "spans"
+        ).collect()
+    }
+    standalone = {
+        r.doc_id: (r.n_tokens, r.n_tokens - r.dup_tokens)
+        for r in QUERIES["q_dedup_spans"](spark, sf_smoke).collect()
+    }
+    assert standalone  # the fixture corpus contains exact duplicates
+    # every doc with spans reconciles exactly with the standalone
+    for doc_id, (n_tokens, n_kept) in standalone.items():
+        assert leg[doc_id][:2] == (n_tokens, n_kept), doc_id
+    # docs absent from the standalone report have nothing stripped
+    for doc_id, (n_blocks, n_kept, _) in leg.items():
+        if doc_id not in standalone:
+            assert n_kept == n_blocks, doc_id
+    # and the leg's sha is the rebuild's sha, re-derived independently
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    spans = duplicated_spans(docs, min_run=SPAN_MIN_RUN, keep="first")
+    rebuilt = {
+        r.doc_id: hashlib.sha256(r.text_clean.encode()).hexdigest()
+        for r in strip_duplicated_spans(docs, spans).collect()
+    }
+    assert {d: sha for d, (_, _, sha) in leg.items()} == rebuilt

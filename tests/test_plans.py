@@ -759,8 +759,15 @@ def test_round6_unions_are_single_scan(spark, sf_smoke):
         # and the reassembly join, and re-reading pruned columnar
         # parquet is deliberately preferred over stage-pinning an
         # exploded text-block frame (corpus-sized cache) or a per-hash
-        # window (hot-boilerplate reducer funnel)
-        ("q_dedup_exact", 3),
+        # window (hot-boilerplate reducer funnel). r11 adds the spans
+        # leg (VERDICT r10 #2): its gram postings are stage-pinned
+        # (read back as an RDD, 0 scans), but the strip's token
+        # explode and the final doc join re-read the pruned parquet —
+        # +2 scans (token explode for the strip, final doc join)
+        # for the full ExactSubstr rebuild, same rationale as the
+        # lines leg (an exploded per-token frame would be a
+        # corpus-sized cache)
+        ("q_dedup_exact", 5),
         ("q_mask_pii", 2),
         # 0 in practice: the shared shingle-hash frame is stage-pinned,
         # so the executed plan reads the checkpointed RDD
@@ -944,3 +951,40 @@ def test_decontam_spans_semi_join_no_corpus_shuffle_shapes(spark, sf_smoke):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_vectorize_hash_two_linear_keyed_exchanges(spark, sf_smoke):
+    """q_vectorize_hash (r11 pin, VERDICT r10 #5): the hashing-trick
+    vectorizer's scale claim is 'two linear keyed exchanges' — the
+    explicit repartition(doc_id) before the token explode (single-file
+    landing zones serialize the tokenize otherwise), whose
+    HashPartitioning(doc_id) then satisfies BOTH downstream
+    clusterings ((doc_id, bucket) sum and per-doc assembly — no
+    second keyed shuffle), plus the output-order range exchange.
+    Everything stays JVM-side: no Python evaluation anywhere."""
+    plan = final_plan(run("q_vectorize_hash", spark, sf_smoke))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    n_scans = sum(
+        1 for ln in plan.splitlines()
+        if "Scan parquet" in ln or "FileScan" in ln
+    )
+    assert n_scans == 1, (n_scans, plan)
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
+
+
+def test_quality_compress_is_one_scan_arrow_no_shuffle(spark, sf_smoke):
+    """q_quality_compress (r11 pin, VERDICT r10 #5): the zlib signal's
+    scale claim is 'no shuffle, one scan' with the deflate as ONE
+    Arrow-batched pandas UDF — the sanctioned Python hot path. A
+    refactor that degrades it to row-at-a-time BatchEvalPython or
+    introduces an exchange must fail here."""
+    plan = final_plan(run("q_quality_compress", spark, sf_smoke))
+    assert "Exchange" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    n_scans = sum(
+        1 for ln in plan.splitlines()
+        if "Scan parquet" in ln or "FileScan" in ln
+    )
+    assert n_scans == 1, (n_scans, plan)

@@ -224,3 +224,82 @@ def test_maintain_band_index_plans_compact_none(
         spark, table, index_path, delta_dir, compact_after=2
     )
     assert rep == {"action": "none", "pending_epochs": []}
+
+
+def test_replay_after_premature_fold_keeps_pair_set(
+    spark, split_corpus, tmp_path
+):
+    """ADVICE r10 (the replay/compaction race, band form): epoch 0's
+    band delta lands, the stream checkpoint does NOT commit, and
+    compaction folds it into the base before restart. On replay the
+    base carries the batch's own bands — without the probe's
+    self-provenance exclusion the batch's buckets double (distorting
+    counts toward the hot cap) — the replayed pair set must be
+    IDENTICAL to the original."""
+    _, stream_docs, _, _, table = split_corpus
+    delta_dir = str(tmp_path / "deltas")
+    pairs_out = str(tmp_path / "pairs")
+    index_path = str(tmp_path / "index")
+    SD.probe_and_fold(spark, stream_docs, table, delta_dir, pairs_out, 0)
+    original = _pair_set(spark, f"{pairs_out}/epoch=0")
+    assert original  # the fixture corpus contains near-dups
+
+    # maintenance folds the uncommitted epoch's delta (premature fold)
+    SD.compact_band_index(spark, table, index_path, delta_dir)
+    spark.catalog.refreshTable(table)
+
+    # replay epoch 0 against the prematurely-folded base
+    SD.probe_and_fold(spark, stream_docs, table, delta_dir, pairs_out, 0)
+    assert _pair_set(spark, f"{pairs_out}/epoch=0") == original
+
+
+def test_maintain_band_index_crash_mid_compact_converges(
+    spark, split_corpus, tmp_path, monkeypatch
+):
+    """VERDICT r10 #7: the band planner carries the same crash contract
+    as the IVF planner — crash between publish and delta cleanup, then
+    a planner re-run converges to no-op (manifest-skipped leftovers,
+    no re-fold, rows conserved) and the next compaction sweeps the
+    leftover files."""
+    import glob as _glob
+
+    from ai_ready_data_framework_spark.sources import maintenance as M
+
+    _, stream_docs, _, _, table = split_corpus
+    delta_dir = str(tmp_path / "deltas")
+    pairs_out = str(tmp_path / "pairs")
+    index_path = str(tmp_path / "index")
+    b1 = stream_docs.filter(F.col("doc_id") % (2 * STREAM_MOD) == 0)
+    b2 = stream_docs.filter(F.col("doc_id") % (2 * STREAM_MOD) != 0)
+    SD.probe_and_fold(spark, b1, table, delta_dir, pairs_out, 0)
+    SD.probe_and_fold(spark, b2, table, delta_dir, pairs_out, 1)
+    n_all = (
+        read_band_index(spark, table).count()
+        + spark.read.parquet(delta_dir).count()
+    )
+
+    # simulated crash: the cleanup half of the compact never runs
+    monkeypatch.setattr(SD, "_fs_delete", lambda *_: None)
+    rep = SD.maintain_band_index(
+        spark, table, index_path, delta_dir, compact_after=2
+    )
+    monkeypatch.undo()
+    assert rep == {"action": "compact", "folded_epochs": [0, 1]}
+    assert _glob.glob(f"{delta_dir}/epoch=*")  # leftovers ARE on disk
+    assert M.folded_epochs_of(spark, table) == {0, 1}
+    spark.catalog.refreshTable(table)
+    assert read_band_index(spark, table).count() == n_all
+
+    # planner re-run converges to no-op (no re-fold)
+    rep = SD.maintain_band_index(
+        spark, table, index_path, delta_dir, compact_after=2
+    )
+    assert rep == {"action": "none", "pending_epochs": []}
+    spark.catalog.refreshTable(table)
+    assert read_band_index(spark, table).count() == n_all
+
+    # the next compaction pass sweeps leftovers without re-folding
+    SD.compact_band_index(spark, table, index_path, delta_dir)
+    assert not _glob.glob(f"{delta_dir}/epoch=*")
+    spark.catalog.refreshTable(table)
+    assert read_band_index(spark, table).count() == n_all

@@ -257,3 +257,90 @@ def test_stream_driver_equals_manual_epochs(spark, span_env, tmp_path):
         b2, index_docs.union(b1)
     )
     assert got == expected and got
+
+
+def test_replay_after_premature_fold_is_self_match_free(
+    spark, span_env, tmp_path
+):
+    """ADVICE r10 (the replay/compaction race): epoch 1's delta lands,
+    the stream checkpoint does NOT commit, and maintenance folds that
+    delta into the base before restart. On replay, the epoch filter
+    removes the delta but the BASE now carries the batch's own grams —
+    the probe's self-provenance exclusion (anti-join on the batch's
+    doc_ids) must keep the replayed span set IDENTICAL to the original
+    instead of overwriting it with full-doc self-matches."""
+    index_docs, b1, b2, table = span_env
+    delta_dir = str(tmp_path / "deltas")
+    spans_out = str(tmp_path / "spans")
+    index_path = str(tmp_path / "index")
+    for epoch, b in ((0, b1), (1, b2)):
+        SS.probe_and_fold_spans(
+            spark, b, table, delta_dir, spans_out, epoch, min_run=MIN_RUN
+        )
+    original = _span_set(spark, spans_out, 1)
+    assert original == {(201, 0, 9, 10), (202, 0, 9, 10)}
+
+    # maintenance folds EVERY pending delta — including epoch 1, whose
+    # checkpoint never committed (the premature fold)
+    SS.compact_gram_index(spark, table, index_path, delta_dir)
+    spark.catalog.refreshTable(table)
+
+    # replay epoch 1: doc 203 (fresh text u3) must NOT flag against
+    # its own folded grams; 201/202 still flag through the base
+    SS.probe_and_fold_spans(
+        spark, b2, table, delta_dir, spans_out, 1, min_run=MIN_RUN
+    )
+    assert _span_set(spark, spans_out, 1) == original
+
+
+def test_maintain_gram_index_crash_mid_compact_converges(
+    spark, span_env, tmp_path, monkeypatch
+):
+    """VERDICT r10 #7: the gram planner carries the same crash contract
+    as the IVF planner — a crash between the compaction publish and
+    the delta cleanup leaves leftover epoch files, but the manifest
+    makes every reader skip them; re-running the planner converges
+    (deletes leftovers, never re-folds, row count conserved)."""
+    import glob as _glob
+
+    from ai_ready_data_framework_spark.sources import maintenance as M
+
+    _, b1, b2, table = span_env
+    delta_dir = str(tmp_path / "deltas")
+    spans_out = str(tmp_path / "spans")
+    index_path = str(tmp_path / "index")
+    for epoch, b in ((0, b1), (1, b2)):
+        SS.probe_and_fold_spans(
+            spark, b, table, delta_dir, spans_out, epoch, min_run=MIN_RUN
+        )
+    n_all = (
+        spark.table(table).count() + spark.read.parquet(delta_dir).count()
+    )
+
+    # simulated crash: the cleanup half of the compact never runs
+    monkeypatch.setattr(SS, "_fs_delete", lambda *_: None)
+    rep = SS.maintain_gram_index(
+        spark, table, index_path, delta_dir, compact_after=2
+    )
+    monkeypatch.undo()
+    assert rep == {"action": "compact", "folded_epochs": [0, 1]}
+    assert _glob.glob(f"{delta_dir}/epoch=*")  # leftovers ARE on disk
+    assert M.folded_epochs_of(spark, table) == {0, 1}
+    spark.catalog.refreshTable(table)
+    assert spark.table(table).count() == n_all
+
+    # planner re-run: the folded leftovers are inert (manifest-skipped,
+    # zero pending) — the planner converges to no-op, never re-folds
+    rep = SS.maintain_gram_index(
+        spark, table, index_path, delta_dir, compact_after=2
+    )
+    assert rep == {"action": "none", "pending_epochs": []}
+    spark.catalog.refreshTable(table)
+    assert spark.table(table).count() == n_all
+
+    # and the next compaction pass sweeps the leftovers without
+    # re-folding them (to_fold is empty, delete-only)
+    SS.compact_gram_index(spark, table, index_path, delta_dir)
+    assert not _glob.glob(f"{delta_dir}/epoch=*")
+    spark.catalog.refreshTable(table)
+    assert spark.table(table).count() == n_all
