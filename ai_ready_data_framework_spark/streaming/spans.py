@@ -110,6 +110,7 @@ def probe_and_fold_spans(
     spans_out: str,
     epoch_id: int,
     min_run: int = SPAN_MIN_RUN,
+    scrubbed_out: str | None = None,
 ) -> None:
     """One micro-batch step: semi-join the batch's grams against
     (base index ∪ earlier deltas), merge the hits into maximal spans
@@ -147,7 +148,20 @@ def probe_and_fold_spans(
         min_run=min_run,
         exclude_ids=batch_docs.select("doc_id").distinct(),
     )
+    if scrubbed_out is not None:
+        # the WRITE side of the always-on scrub (r11): the spans feed
+        # two consumers (the report write and the strip), so pin the
+        # epoch-sized frame — the probe semi-join runs once per epoch
+        spans = stage_pin(spans)
     spans.write.mode("overwrite").parquet(f"{spans_out}/epoch={epoch_id}")
+    if scrubbed_out is not None:
+        from ai_ready_data_framework_spark.operators.ai import (
+            strip_duplicated_spans,
+        )
+
+        strip_duplicated_spans(batch_docs, spans).write.mode(
+            "overwrite"
+        ).parquet(f"{scrubbed_out}/epoch={epoch_id}")
     batch_grams.write.mode("overwrite").parquet(
         f"{delta_dir}/epoch={epoch_id}"
     )
@@ -226,6 +240,7 @@ def run_span_scrub_stream(
     checkpoint_dir: str,
     min_run: int = SPAN_MIN_RUN,
     max_files_per_trigger: int = 1,
+    scrubbed_out: str | None = None,
 ) -> None:
     """Drive the ExactSubstr scrub over a file stream of document
     parquet drops — the gram-index twin of
@@ -233,7 +248,14 @@ def run_span_scrub_stream(
     maxFilesPerTrigger=1 gives one micro-batch per dropped file:
     deterministic for tests, and the exact shape of a production
     landing-zone listener. Compaction is NOT in the loop — call
-    ``maintain_gram_index`` on its own cadence."""
+    ``maintain_gram_index`` on its own cadence.
+
+    ``scrubbed_out`` (r11) completes the WRITE side: each epoch also
+    lands the batch rewritten by ``strip_duplicated_spans`` — the
+    document set with every already-in-corpus passage removed — under
+    ``scrubbed_out/epoch=N``, the same replay-safe epoch-keyed
+    overwrite as the span report. Training-shard builders consume the
+    scrubbed partitions directly instead of re-deriving the strip."""
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -249,6 +271,7 @@ def run_span_scrub_stream(
             spans_out,
             epoch_id,
             min_run=min_run,
+            scrubbed_out=scrubbed_out,
         )
 
     (

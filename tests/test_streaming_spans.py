@@ -344,3 +344,64 @@ def test_maintain_gram_index_crash_mid_compact_converges(
     assert not _glob.glob(f"{delta_dir}/epoch=*")
     spark.catalog.refreshTable(table)
     assert spark.table(table).count() == n_all
+
+
+def test_scrubbed_out_lands_stripped_docs_per_epoch(
+    spark, span_env, tmp_path
+):
+    """r11 write side: with ``scrubbed_out`` set, each epoch also lands
+    the batch rewritten by strip_duplicated_spans — already-in-corpus
+    passages removed, untouched docs byte-identical, fully-duplicated
+    docs surviving as empty strings — and replays overwrite to the
+    same content."""
+    from ai_ready_data_framework_spark.operators.ai import (
+        strip_duplicated_spans,
+    )
+
+    index_docs, b1, b2, table = span_env
+    delta_dir = str(tmp_path / "deltas")
+    spans_out = str(tmp_path / "spans")
+    scrubbed_out = str(tmp_path / "scrubbed")
+    for epoch, b in ((0, b1), (1, b2)):
+        SS.probe_and_fold_spans(
+            spark,
+            b,
+            table,
+            delta_dir,
+            spans_out,
+            epoch,
+            min_run=MIN_RUN,
+            scrubbed_out=scrubbed_out,
+        )
+
+    def scrubbed(epoch):
+        return {
+            r.doc_id: r.text_clean
+            for r in spark.read.parquet(
+                f"{scrubbed_out}/epoch={epoch}"
+            ).collect()
+        }
+
+    got0, got1 = scrubbed(0), scrubbed(1)
+    # epoch 0: the base-doc-1 copy is fully covered -> empty string;
+    # the two texts new to the corpus pass through byte-identical
+    assert got0[101] == ""
+    assert got0[102] == _text("u1_") and got0[103] == _text("u2_")
+    # epoch 1: u1 copy (via the epoch-0 delta) and base-doc-2 copy are
+    # fully covered; the fresh text is untouched
+    assert got1 == {201: "", 202: "", 203: _text("u3_")}
+    # the epoch's scrub equals the batch operator against corpus-so-far
+    spans1 = cross_duplicated_spans(
+        b2, index_docs.union(b1), min_run=MIN_RUN
+    )
+    expected1 = {
+        r.doc_id: r.text_clean
+        for r in strip_duplicated_spans(b2, spans1).collect()
+    }
+    assert got1 == expected1
+    # replay: the epoch-keyed overwrite converges to the same content
+    SS.probe_and_fold_spans(
+        spark, b2, table, delta_dir, spans_out, 1,
+        min_run=MIN_RUN, scrubbed_out=scrubbed_out,
+    )
+    assert scrubbed(1) == got1
