@@ -50,9 +50,11 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_embed_centroids",
     # r10: all-integer outputs with full-pipeline DuckDB oracles in
     # pytest (tests/test_dedup_spans.py) — hash-safe, promotable as-is.
-    # r11: q_dedup_spans is now ALSO hard-graded through q_dedup_exact's
-    # spans leg (per-doc token accounting + sha2 of the strip rebuild);
-    # it stays here for a standalone slot if the window ever widens
+    # r11: both are now ALSO hard-graded through union legs
+    # (q_dedup_exact's spans leg — per-doc token accounting + sha2 of
+    # the strip rebuild; q_contamination's exact_spans leg — the
+    # per-train-doc decontamination report); they stay here for
+    # standalone slots if the window ever widens
     "q_dedup_spans",
     "q_decontam_spans",
     "q_assessment",  # the reference's primary surface roll-up

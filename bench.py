@@ -508,6 +508,13 @@ def build_compact(out: dict, regressions: dict | None) -> dict:
 #     the ln stages, bench-neutral).
 # Slots whose change is <2 rounds old keep a live entry below.
 EXPECTED_CHANGES = {
+    "q_contamination": (
+        "r11 exact_spans leg (seventeenth fold): the slot now also"
+        " runs q_decontam_spans' gram/semi-join/interval-merge"
+        " pipeline over the train fold beside the shingle-set"
+        " containment check (~+2.5s at sf0.1, the q_decontam_spans"
+        " cost)"
+    ),
     "q_dedup_exact": (
         "r11 spans leg (VERDICT r10 #2 fold): the slot now runs the"
         " full ExactSubstr pipeline — gram postings (stage-pinned),"

@@ -381,3 +381,28 @@ def test_dedup_spans_leg_matches_standalone(spark, sf_smoke):
         for r in strip_duplicated_spans(docs, spans).collect()
     }
     assert {d: sha for d, (_, _, sha) in leg.items()} == rebuilt
+
+
+def test_contamination_spans_leg_matches_standalone(spark, sf_smoke):
+    """q_contamination's exact_spans leg == q_decontam_spans (r11
+    seventeenth fold): identical per-train-doc span accounting, with
+    the leg adding only the doc's token count and the derived leaked
+    fraction."""
+    leg = {
+        r.doc_id: (r.n_spans, r.n_hit, r.max_span_tokens)
+        for r in _leg(
+            spark, sf_smoke, "q_contamination", "contam_kind", "exact_spans"
+        ).collect()
+    }
+    standalone = {
+        r.doc_id: (r.n_spans, r.leaked_tokens, r.max_span_tokens)
+        for r in QUERIES["q_decontam_spans"](spark, sf_smoke).collect()
+    }
+    assert leg == standalone and leg
+    # and the shingle leg is byte-stable against the pre-fold shape:
+    # one row per eval-fold doc, hits never exceed units
+    sh = _leg(
+        spark, sf_smoke, "q_contamination", "contam_kind", "shingle_set"
+    ).collect()
+    assert sh and all(r.doc_id % 10 == 0 for r in sh)
+    assert all(0 <= r.n_hit <= r.n_units for r in sh)
