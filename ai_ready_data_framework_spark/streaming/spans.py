@@ -283,6 +283,58 @@ def run_span_scrub_stream(
     )
 
 
+def run_decontam_stream(
+    spark: SparkSession,
+    stream_docs_dir: str,
+    benchmark_table: str,
+    spans_out: str,
+    checkpoint_dir: str,
+    min_run: int = SPAN_MIN_RUN,
+    max_files_per_trigger: int = 1,
+    scrubbed_out: str | None = None,
+) -> None:
+    """Streaming exact-substring DECONTAMINATION — the stream-static
+    sibling of ``run_span_scrub_stream``: each micro-batch of TRAINING
+    documents probes a FIXED benchmark gram index (``write_gram_index``
+    over the held-out/eval set) and lands the overlapping spans — and,
+    with ``scrubbed_out``, the stripped rewrite — per epoch. There is
+    deliberately NO fold step: the benchmark is static, training docs
+    must never become probe corpus, and two training docs sharing text
+    must NOT flag each other here (that is ``run_span_scrub_stream``'s
+    job). Matches ``cross_duplicated_spans``' batch semantics epoch by
+    epoch (parity-tested); the epoch-keyed overwrites make replays
+    no-ops in effect. Per-epoch cost follows ingest rate; the
+    benchmark index side probes exchange-free off its buckets."""
+    from ai_ready_data_framework_spark.operators.ai import (
+        strip_duplicated_spans,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stream_docs_dir)
+    )
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        grams = gram_postings(batch_df, min_run=min_run)
+        spans = probe_spans(spark, grams, benchmark_table, min_run=min_run)
+        if scrubbed_out is not None:
+            spans = stage_pin(spans)
+        spans.write.mode("overwrite").parquet(f"{spans_out}/epoch={epoch_id}")
+        if scrubbed_out is not None:
+            strip_duplicated_spans(batch_df, spans).write.mode(
+                "overwrite"
+            ).parquet(f"{scrubbed_out}/epoch={epoch_id}")
+
+    (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def maintain_gram_index(
     spark: SparkSession,
     index_table: str,

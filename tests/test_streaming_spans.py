@@ -405,3 +405,63 @@ def test_scrubbed_out_lands_stripped_docs_per_epoch(
         min_run=MIN_RUN, scrubbed_out=scrubbed_out,
     )
     assert scrubbed(1) == got1
+
+
+def test_decontam_stream_matches_batch_operator(spark, span_env, tmp_path):
+    """run_decontam_stream (r11): per-epoch spans against the FIXED
+    benchmark index equal cross_duplicated_spans(batch, benchmark) —
+    training docs never fold in (two drops sharing text must not flag
+    each other), and the scrubbed output equals the batch strip."""
+    from ai_ready_data_framework_spark.operators.ai import (
+        strip_duplicated_spans,
+    )
+
+    index_docs, b1, b2, table = span_env
+
+    def full(df):
+        return df.select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("src0").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+
+    drops = tmp_path / "decontam_drops"
+    full(b1).coalesce(1).write.parquet(str(drops / "d1"))
+    full(b2).coalesce(1).write.parquet(str(drops / "d2"))
+    spans_out = str(tmp_path / "decontam_spans")
+    scrubbed_out = str(tmp_path / "decontam_scrubbed")
+    SS.run_decontam_stream(
+        spark,
+        str(drops / "*"),
+        table,
+        spans_out,
+        str(tmp_path / "decontam_ckpt"),
+        min_run=MIN_RUN,
+        scrubbed_out=scrubbed_out,
+    )
+    # epoch order follows drop mtimes; identify each epoch by content
+    by_epoch = {
+        e: _span_set(spark, spans_out, e) for e in (0, 1)
+    }
+    # b1: only the base-doc-1 copy overlaps the benchmark; b2: ONLY the
+    # base-doc-2 copy — the u1 copy (201) shares text with b1's 102 but
+    # the benchmark is static, so cross-batch training dup is NOT
+    # flagged here (that is the scrub stream's job)
+    assert by_epoch[0] == _batch_oracle(b1, index_docs)
+    assert by_epoch[1] == _batch_oracle(b2, index_docs)
+    assert by_epoch[0] == {(101, 0, 9, 10)}
+    assert by_epoch[1] == {(202, 0, 9, 10)}
+    # scrubbed parity: epoch 1's rewrite equals the batch strip
+    got = {
+        r.doc_id: r.text_clean
+        for r in spark.read.parquet(f"{scrubbed_out}/epoch=1").collect()
+    }
+    spans = cross_duplicated_spans(full(b2), index_docs, min_run=MIN_RUN)
+    expected = {
+        r.doc_id: r.text_clean
+        for r in strip_duplicated_spans(full(b2), spans).collect()
+    }
+    assert got == expected
+    assert got[201] == _text("u1_") and got[202] == ""
