@@ -336,6 +336,24 @@ def main() -> None:
     # goes to a file + an early stdout line (for humans/logs), and the
     # FINAL line is a compact summary guaranteed to fit the tail window.
     detail_path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
+    persist_baseline(
+        out,
+        regressions,
+        detail_path,
+        force="--force-baseline" in sys.argv,
+    )
+    print(json.dumps(out))
+    print(json.dumps(build_compact(out, regressions)))
+
+
+def persist_baseline(
+    out: dict, regressions: dict | None, detail_path: str, force: bool
+) -> bool:
+    """Write the run record where it belongs: over the baseline when
+    ``baseline_write_decision`` allows it, else to the sibling
+    ``.candidate.json`` (the measurement is still recorded, just not
+    AS the baseline). Mutates ``out`` with the decision so the stdout
+    record carries it. Returns whether the baseline was replaced."""
     stored = None
     try:
         with open(detail_path) as f:
@@ -343,16 +361,13 @@ def main() -> None:
     except (OSError, json.JSONDecodeError):
         stored = None
     flagged_n = len((regressions or {}).get("flagged", {}))
-    write, reason = baseline_write_decision(
-        out, stored, flagged_n, force="--force-baseline" in sys.argv
-    )
+    write, reason = baseline_write_decision(out, stored, flagged_n, force)
     out["baseline_written"] = write
     if write:
         with open(detail_path, "w") as f:
             json.dump(out, f)
     else:
         out["baseline_kept_reason"] = reason
-        # the measurement is still recorded, just not AS the baseline
         with open(detail_path.replace(".json", ".candidate.json"), "w") as f:
             json.dump(out, f)
         print(
@@ -361,8 +376,7 @@ def main() -> None:
             " rerun with --force-baseline to override",
             file=sys.stderr,
         )
-    print(json.dumps(out))
-    print(json.dumps(build_compact(out, regressions)))
+    return write
 
 
 # --- Baseline-overwrite guard (VERDICT r10 #1) -------------------------

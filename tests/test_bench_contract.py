@@ -262,3 +262,26 @@ def test_baseline_guard_force_overrides_everything():
 def test_baseline_guard_writes_when_no_stored_baseline():
     write, _ = bench.baseline_write_decision(_run(), None, 0, False)
     assert write
+
+
+def test_persist_baseline_routes_refused_run_to_candidate(tmp_path):
+    """The refusal path must leave the stored baseline byte-identical
+    and land the full record in the sibling .candidate.json with the
+    decision recorded; an allowed run replaces the baseline in place."""
+    detail = tmp_path / "BENCH_DETAIL.json"
+    stored = {"value": 87.761, "sf": 0.1, "queries": {"q": 1.0}}
+    detail.write_text(json.dumps(stored))
+
+    loaded = {"loadavg_start": [6.77, 5.1, 4.4], "value": 124.5, "sf": 0.1}
+    wrote = bench.persist_baseline(loaded, None, str(detail), force=False)
+    assert not wrote
+    assert json.loads(detail.read_text()) == stored  # untouched
+    cand = json.loads((tmp_path / "BENCH_DETAIL.candidate.json").read_text())
+    assert cand["baseline_written"] is False
+    assert "loadavg" in cand["baseline_kept_reason"]
+
+    quiet = {"loadavg_start": [0.1, 0.2, 0.3], "value": 88.0, "sf": 0.1}
+    wrote = bench.persist_baseline(quiet, None, str(detail), force=False)
+    assert wrote
+    assert json.loads(detail.read_text())["value"] == 88.0
+    assert json.loads(detail.read_text())["baseline_written"] is True
