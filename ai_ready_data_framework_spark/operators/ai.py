@@ -371,7 +371,10 @@ def _dedup_spans_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.size(T.tokens("text")).cast("long").alias("__n_toks")
     )
-    spans = duplicated_spans(docs, min_run=SPAN_MIN_RUN, keep="first")
+    # two consumers (the per-doc accounting agg and the strip's removal
+    # explode) — pin the duplicated-postings-sized span frame so the
+    # stats groupBy + join-back + interval-merge window run once
+    spans = stage_pin(duplicated_spans(docs, min_run=SPAN_MIN_RUN, keep="first"))
     per_doc = spans.groupBy("doc_id").agg(
         F.sum("span_tokens").alias("__dup_tokens")
     )

@@ -465,3 +465,31 @@ def test_decontam_stream_matches_batch_operator(spark, span_env, tmp_path):
     }
     assert got == expected
     assert got[201] == _text("u1_") and got[202] == ""
+
+
+def test_probe_exclusion_broadcasts_never_reshuffles_index(
+    spark, span_env, tmp_path
+):
+    """The self-provenance exclusion's scale claim (probe_spans
+    docstring): the anti-join on the batch's doc_ids must reach the
+    plan as a BROADCAST join — the corpus-sized index side still
+    claims its bucket partitioning and never gains a doc_id-keyed
+    exchange."""
+    index_docs, b1, _, table = span_env
+    df = SS.probe_spans(
+        spark,
+        gram_postings(b1, min_run=MIN_RUN),
+        table,
+        min_run=MIN_RUN,
+        exclude_ids=b1.select("doc_id").distinct(),
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Bucketed: true" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # same exchange budget as the exclusion-free probe (batch->h plus
+    # hits->doc_id for the interval merge): the broadcast anti-join
+    # must not add a third keyed exchange — with the index side
+    # bucketed, any doc_id exchange left is the rate-sized hit set
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
