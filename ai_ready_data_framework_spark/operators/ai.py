@@ -3176,8 +3176,9 @@ def cross_duplicated_spans(
     return _merge_gram_intervals(ints, id_col)
 
 
-@query("q_decontam_spans")  # 50-slot window full — DuckDB oracle in
-# tests/test_dedup_spans.py replicates the cross-corpus pipeline
+@query("q_decontam_spans")  # standalone slot: window full — DuckDB
+# oracle in tests/test_dedup_spans.py replicates the cross-corpus
+# pipeline; hash-graded since r11 via q_contamination's exact_spans leg
 def q_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval hygiene (exact-substring form): per-TRAIN-doc report of
     verbatim >= min_run-token overlaps with the held-out fold — the
@@ -3248,8 +3249,9 @@ def strip_duplicated_spans(
     )
 
 
-@query("q_dedup_spans")  # 50-slot window full — DuckDB oracle lives in
-# tests/test_dedup_spans.py (full pipeline replicated in SQL)
+@query("q_dedup_spans")  # standalone slot: window full — DuckDB oracle
+# lives in tests/test_dedup_spans.py (full pipeline replicated in SQL);
+# hash-graded since r11 through q_dedup_exact's spans union leg
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 (repeated-substring form): per-document duplicated-span
     report over the documents table — ExactSubstr dedup (Lee et al.
