@@ -945,12 +945,15 @@ def test_dedup_spans_windows_stay_per_document(spark, sf_smoke):
 def test_decontam_spans_semi_join_no_corpus_shuffle_shapes(spark, sf_smoke):
     """q_decontam_spans: the probe side reduces to a distinct hash set
     joined LEFT SEMI — no cartesian/nested-loop, no single-partition
-    funnel of the corpus postings."""
-    plan = final_plan(run("q_decontam_spans", spark, sf_smoke))
-    assert "SinglePartition" not in plan, plan
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "LeftSemi" in plan, plan
+    funnel of the corpus postings. The same shapes must hold for
+    q_contamination since its r11 exact_spans leg runs the identical
+    pipeline beside the shingle containment join."""
+    for name in ("q_decontam_spans", "q_contamination"):
+        plan = final_plan(run(name, spark, sf_smoke))
+        assert "SinglePartition" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "LeftSemi" in plan, (name, plan)
 
 
 def test_vectorize_hash_two_linear_keyed_exchanges(spark, sf_smoke):
