@@ -521,6 +521,15 @@ def build_compact(out: dict, regressions: dict | None) -> dict:
 #     the r9 ladder placement made the perplexity model tables carry
 #     the ln stages, bench-neutral).
 # Slots whose change is <2 rounds old keep a live entry below.
+#
+# ARCHIVE (pruned at r11; the r9 ladder/layout changes are baked into
+# the r10-quiet committed baseline):
+#   r6-r8 q_sample_stratified waves (stratified+weighted+group+quality
+#     legs, mix_temperature/mix_budget planner legs, schedule leg).
+#   r9: q_dedup_incremental one-file-per-bucket build layout;
+#     q_dsir_weights / q_source_divergence / q_drift_psi /
+#     q_vector_topk integer-ln/exp ladder restatements; q_token_bpe's
+#     six-leg tf-frame stack + entropy/divergence/pmi/tfidf ladders.
 EXPECTED_CHANGES = {
     "q_contamination": (
         "r11 exact_spans leg (seventeenth fold): the slot now also"
@@ -531,66 +540,11 @@ EXPECTED_CHANGES = {
     ),
     "q_dedup_exact": (
         "r11 spans leg (VERDICT r10 #2 fold): the slot now runs the"
-        " full ExactSubstr pipeline — gram postings (stage-pinned),"
+        " full ExactSubstr pipeline - gram postings (stage-pinned),"
         " canonical exemption, interval merge, token-level strip and"
-        " per-doc rebuild — alongside the raw/normalized/lines legs,"
+        " per-doc rebuild - alongside the raw/normalized/lines legs,"
         " moving the r10 flagship under the driver's hash gate"
         " (~+3s at sf0.1, the q_dedup_spans cost plus the rebuild)"
-    ),
-    "q_sample_stratified": (
-        "tagged-union merge runs stratified + weighted + group legs"
-        " (r6); r7 ninth wave adds the quality leg — the shared"
-        " map-side scan now reads text and scores it once per doc;"
-        " r8 adds the mix_temperature + mix_budget planner legs"
-        " (VERDICT r7 #2 fold) — the budget leg tokenizes the corpus"
-        " once for its per-source token totals — and the schedule leg"
-        " (per-source md5 rank window over the documents scan)"
-    ),
-    "q_dedup_incremental": (
-        "r9: write_band_index repartitions onto the bucket columns so"
-        " every build lands ONE file per bucket (2.7->3.1s at sf0.1 —"
-        " one extra exchange at build time buys the layout every probe"
-        " reads; this query rebuilds the index per run by design)"
-    ),
-    "q_dsir_weights": (
-        "r9 ladder restatement: the per-bucket log-ratio runs four"
-        " integer-ln stage chains on the 2^14-row model table and the"
-        " Gumbel draw runs the positive-double ladder twice per doc"
-        " (2.9->3.4s at sf0.1 — bitwise cross-engine determinism for"
-        " the selection set)"
-    ),
-    "q_source_divergence": (
-        "r9 ladder restatement (annotated r10 — VERDICT r9 wrong #2):"
-        " the KL/JS legs run four integer-ln stage chains per"
-        " (source, term) row; the marginal lns are already placed on"
-        " the small model tables (corpus.py), so the per-row chains"
-        " are the irreducible cost of the bitwise cross-engine gate"
-        " (0.58->0.86s quiet-to-quiet)"
-    ),
-    "q_drift_psi": (
-        "r9 ladder restatement: ln(p_cur/p_ref) runs the fixedmath"
-        " integer-ln ladder (four ~30-op stage chains per PSI row,"
-        " both legs) instead of one libm ln — the price of a bitwise"
-        " cross-engine hash gate on a fixed-overhead-dominated slot"
-        " (0.8->1.5s; frames are category/bin sized, so the cost is"
-        " plan/codegen overhead, not data)"
-    ),
-    "q_token_bpe": (
-        "tagged-union merge adds the heavy-hitters vocabulary leg (r6"
-        " sixth wave), the nano-nat doc-entropy leg (r7 seventh wave),"
-        " the src-divergence + ranked-PMI legs (r7 eighth wave), and"
-        " the per-doc tfidf top-K leg (r7 ninth wave); the hh +"
-        " entropy + divergence + tfidf legs share one stage-pinned"
-        " (doc, source, term) tf frame and the pmi leg pins its bigram"
-        " aggregate, so 6 legs cost 3 corpus scans; r9 adds the"
-        " integer-ln ladder to the entropy (per tf row), divergence,"
-        " pmi, and tfidf legs (~+0.9s at sf0.1 — no libm ln under the"
-        " gate)"
-    ),
-    "q_vector_topk": (
-        "r9 ladder restatement: the bm25 + rrf legs' idf runs the"
-        " integer-ln ladder (two stage chains per (doc, term) posting)"
-        " instead of libm ln"
     ),
 }
 REGRESSION_FACTOR = 1.5
