@@ -292,6 +292,19 @@ def test_replay_after_premature_fold_is_self_match_free(
     )
     assert _span_set(spark, spans_out, 1) == original
 
+    # and the WRITE side inherits the protection: the replayed scrub
+    # keeps 203 byte-identical instead of blanking it as a self-match
+    scrubbed_out = str(tmp_path / "scrubbed")
+    SS.probe_and_fold_spans(
+        spark, b2, table, delta_dir, spans_out, 1,
+        min_run=MIN_RUN, scrubbed_out=scrubbed_out,
+    )
+    got = {
+        r.doc_id: r.text_clean
+        for r in spark.read.parquet(f"{scrubbed_out}/epoch=1").collect()
+    }
+    assert got == {201: "", 202: "", 203: _text("u3_")}
+
 
 def test_maintain_gram_index_crash_mid_compact_converges(
     spark, span_env, tmp_path, monkeypatch
