@@ -874,3 +874,72 @@ def schema_compatibility_audit(
         return kinds - {"unchanged"} <= set(allow)
 
     return check
+
+
+def forget_keys(
+    spark: SparkSession,
+    keys: DataFrame,
+    table_name: str,
+    gen_dir_base: str,
+    bucket_cols: "tuple[str, ...]",
+    n_buckets: int,
+    key_col: str = "doc_id",
+) -> dict:
+    """Right-to-erasure / takedown for a persisted bucketed index: drop
+    every posting owned by ``keys`` (a 1-column frame of ``key_col``
+    values) and republish the survivors through the crash-safe
+    generation publish — the DELETE half of the index lifecycle the
+    reference's retention_policy factor requires to be enforceable
+    ("defined and ENFORCED data retention and deletion schedules",
+    /root/reference/factors/requirements.yaml:197-199).
+
+    Dataflow: the key set is takedown-sized and broadcasts; the base
+    reads from its bucketed files (one linear pass), the anti-join is
+    map-side, and the republish re-lands one file per bucket — the
+    same cost as a compaction. Audits pin exact row conservation AND
+    zero surviving postings for the forgotten keys; a failed audit
+    keeps the live generation serving (AuditFailure). Folded-epoch and
+    side-artifact table properties (e.g. the IVF centroids pointer)
+    carry over unchanged. Idempotent: re-running with the same keys
+    removes 0 rows and publishes an identical survivor set.
+
+    Callers must compact pending deltas FIRST (each index's wrapper
+    does) and should invoke this only after the ingest checkpoint has
+    committed past the epochs that carried the keys — a later stream
+    REPLAY of those epochs would re-land the postings, so takedown at
+    the source (the landing zone) is part of the procedure, exactly as
+    with any log-structured store."""
+    import json as _json
+
+    key_set = keys.select(key_col).distinct()
+    base = spark.read.parquet(_table_location(spark, table_name))
+    n_base = base.count()
+    n_forget = base.join(F.broadcast(key_set), key_col, "left_semi").count()
+    survivors = base.join(F.broadcast(key_set), key_col, "left_anti")
+    props = table_properties(spark, table_name)
+    extra = {
+        k: v
+        for k, v in props.items()
+        if k not in (_PROP_GEN, _PROP_FOLDED) and k.startswith("idx.")
+    }
+    publish_bucketed_generation(
+        spark,
+        survivors,
+        table_name,
+        gen_dir_base,
+        bucket_cols,
+        n_buckets,
+        folded_epochs=sorted(
+            _json.loads(props.get(_PROP_FOLDED) or "[]")
+        ),
+        extra_props=extra or None,
+        audits={
+            "row_conservation": lambda staged: staged.count()
+            == n_base - n_forget,
+            "no_forgotten_keys": lambda staged: staged.join(
+                F.broadcast(key_set), key_col, "left_semi"
+            ).count()
+            == 0,
+        },
+    )
+    return {"removed_rows": n_forget, "kept_rows": n_base - n_forget}

@@ -270,3 +270,32 @@ def run_incremental_dedup_stream(
         .start()
         .awaitTermination()
     )
+
+
+def forget_documents_band(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    index_table: str,
+    index_path: str,
+    delta_dir: str,
+) -> dict:
+    """Takedown for the band index — the band twin of
+    streaming/spans.py::forget_documents_gram: compact pending deltas,
+    then republish the bucketed base without the forgotten documents'
+    band postings (crash-safe, audited, idempotent). A forgotten doc
+    stops appearing in every future probe's pair set."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        BAND_INDEX_BUCKETS,
+        forget_keys,
+    )
+
+    compact_band_index(spark, index_table, index_path, delta_dir)
+    return forget_keys(
+        spark,
+        doc_ids,
+        index_table,
+        index_path,
+        ("band", "bk"),
+        BAND_INDEX_BUCKETS,
+        key_col="doc_id",
+    )

@@ -271,3 +271,35 @@ def maintain_ivf_index(
         compact_ivf_index_deltas(spark, table_name, path, delta_dir)
         return {"action": "compact", "folded_epochs": pending}
     return {"action": "none", "pending_epochs": pending}
+
+
+def forget_vectors_ivf(
+    spark: SparkSession,
+    vec_ids: DataFrame,
+    table_name: str,
+    path: str,
+    delta_dir: str,
+) -> dict:
+    """Takedown for the IVF index — the vector twin of
+    streaming/spans.py::forget_documents_gram: fold pending deltas,
+    then republish the cell-bucketed assignments without the forgotten
+    vec_ids (crash-safe, audited, idempotent). The centroids pointer
+    carries over through the republish (forget_keys preserves idx.*
+    table properties), so probes keep pairing the surviving
+    assignments with the same frozen quantizer — erasure never
+    silently changes recall for the survivors."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        IVF_INDEX_BUCKETS,
+        forget_keys,
+    )
+
+    compact_ivf_index_deltas(spark, table_name, path, delta_dir)
+    return forget_keys(
+        spark,
+        vec_ids,
+        table_name,
+        f"{path}/vectors",
+        ("cell",),
+        IVF_INDEX_BUCKETS,
+        key_col="vec_id",
+    )

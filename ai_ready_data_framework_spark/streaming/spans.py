@@ -353,3 +353,32 @@ def maintain_gram_index(
         compact_gram_index(spark, index_table, index_path, delta_dir)
         return {"action": "compact", "folded_epochs": pending}
     return {"action": "none", "pending_epochs": pending}
+
+
+def forget_documents_gram(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    index_table: str,
+    index_path: str,
+    delta_dir: str,
+) -> dict:
+    """Takedown for the gram index: fold pending deltas first (so the
+    forgotten docs' postings cannot survive in an un-folded epoch),
+    then republish the base without them
+    (sources/maintenance.py::forget_keys — crash-safe, audited,
+    idempotent). Run after the scrub stream's checkpoint has committed
+    past the epochs that carried these docs, and remove them from the
+    landing zone too: a checkpoint-loss replay would otherwise re-land
+    their grams."""
+    from ai_ready_data_framework_spark.sources.maintenance import forget_keys
+
+    compact_gram_index(spark, index_table, index_path, delta_dir)
+    return forget_keys(
+        spark,
+        doc_ids,
+        index_table,
+        index_path,
+        ("h",),
+        GRAM_INDEX_BUCKETS,
+        key_col="doc_id",
+    )
