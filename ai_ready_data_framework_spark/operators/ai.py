@@ -246,11 +246,19 @@ DEDUP_UNION_ORACLE_SQL = f"""
                sd.doc_id AS keep_doc_id,
                CAST(NULL AS BIGINT) AS n_copies,
                CAST(NULL AS BIGINT) AS n_raw_variants,
-               CAST(length(COALESCE(rb.cleaned, '')) AS BIGINT) AS n_chars,
+               -- NULL-text passthrough (ADVICE r11): the Spark side
+               -- deliberately keeps a NULL-text doc's cleaned_sha and
+               -- n_chars NULL; the COALESCE('') is only for docs whose
+               -- every token was stripped (Spark emits '' there).
+               CASE WHEN sd.w IS NULL THEN CAST(NULL AS BIGINT)
+                    ELSE CAST(length(COALESCE(rb.cleaned, '')) AS BIGINT)
+               END AS n_chars,
                CAST(len(sd.w) AS BIGINT) AS n_blocks,
                CAST(len(sd.w) - COALESCE(dp.dup_tokens, 0) AS BIGINT)
                    AS n_kept,
-               sha256(COALESCE(rb.cleaned, '')) AS cleaned_sha
+               CASE WHEN sd.w IS NULL THEN NULL
+                    ELSE sha256(COALESCE(rb.cleaned, ''))
+               END AS cleaned_sha
         FROM sd
         LEFT JOIN sp_rebuilt rb USING (doc_id)
         LEFT JOIN sp_dup dp USING (doc_id)

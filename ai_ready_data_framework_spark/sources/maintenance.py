@@ -912,7 +912,14 @@ def forget_keys(
     import json as _json
 
     key_set = keys.select(key_col).distinct()
-    base = spark.read.parquet(_table_location(spark, table_name))
+    loc = _table_location(spark, table_name)
+    if loc is None:
+        # An erasure request against a missing index must fail loudly —
+        # a silent misfire here is a compliance bug, not a convenience.
+        raise ValueError(
+            f"index table {table_name!r} does not exist; cannot forget keys"
+        )
+    base = spark.read.parquet(loc)
     n_base = base.count()
     n_forget = base.join(F.broadcast(key_set), key_col, "left_semi").count()
     survivors = base.join(F.broadcast(key_set), key_col, "left_anti")

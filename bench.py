@@ -368,7 +368,8 @@ def persist_baseline(
             json.dump(out, f)
     else:
         out["baseline_kept_reason"] = reason
-        with open(detail_path.replace(".json", ".candidate.json"), "w") as f:
+        root, ext = os.path.splitext(detail_path)
+        with open(root + ".candidate" + ext, "w") as f:
             json.dump(out, f)
         print(
             f"bench BASELINE GUARD: keeping stored BENCH_DETAIL.json ({reason});"

@@ -7,6 +7,8 @@ keep-mode validation)."""
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
@@ -332,10 +334,70 @@ def test_hot_gram_adversarial_duplication_factor(spark):
     # boilerplate span [3, 12] — 10 tokens — and nothing else
     assert got == {(d, 3, 12, 10) for d in range(1, N)}
     # postings-sized, not pairs-sized: tiny data must stay fast even
-    # with one gram hash carrying 300 occurrences (generous bound —
-    # a pairwise design would already visibly blow up here)
-    assert wall < 30.0, wall
+    # with one gram hash carrying 300 occurrences. The structural
+    # invariant is the plan pin below; the wall check is advisory and
+    # only enforced on a quiet host (ADVICE r11: BASELINE.md documents
+    # 2x host-noise swings, so a hard timing assert flakes under load).
+    if os.getloadavg()[0] < 2.0:
+        assert wall < 120.0, wall
     plan = spans._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     plan = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_null_text_parity_with_graded_oracle(spark, tmp_path):
+    """ADVICE r11: the Spark spans leg keeps a NULL-text doc's
+    cleaned_sha/n_chars NULL, and the q_dedup_exact DuckDB oracle must
+    mirror that passthrough (it used to COALESCE to sha256('')/0 — a
+    latent hash-gate mismatch the sf fixtures never exercised). Run
+    the FULL graded query against the FULL graded oracle on a corpus
+    that carries a NULL-text document and hash-compare, exactly as the
+    driver would."""
+    from ai_ready_data_framework_spark.parity import (
+        compare_frames,
+        duckdb_connection,
+    )
+    from ai_ready_data_framework_spark.registry import ORACLES
+
+    passage = " ".join(f"p{i}" for i in range(SPAN_MIN_RUN + 2))
+    # mirror the canonical documents schema (the graded query touches
+    # n_chars on its raw/normalized legs)
+    rows = [
+        (1, None),
+        (2, f"a0 a1 a2 {passage} a3"),
+        (3, f"b0 b1 {passage} b2 b3"),
+        (4, ""),  # empty string stays distinct from NULL
+        (5, "short text"),
+    ]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in rows],
+            "text": [t for _, t in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["test"] * len(rows),
+            "n_chars": pd.array(
+                [len(t) if t is not None else None for _, t in rows],
+                dtype="Int64",
+            ),
+        }
+    )
+    sf_dir = str(tmp_path)
+    # single-file layout, exactly like the driver's testdata
+    pq.write_table(
+        pa.Table.from_pandas(pdf), table_path(sf_dir, "documents")
+    )
+    spark_pdf = QUERIES["q_dedup_exact"](spark, sf_dir).toPandas()
+    oracle_pdf = (
+        duckdb_connection(sf_dir).execute(ORACLES["q_dedup_exact"]).df()
+    )
+    result = compare_frames("q_dedup_exact_null_text", spark_pdf, oracle_pdf)
+    assert result.ok, result.detail
+    spans = spark_pdf[spark_pdf.dedup_kind == "spans"].set_index("keep_doc_id")
+    # the NULL-text doc passes through NULL; the empty-text doc hashes ''
+    assert spans.loc[1, "cleaned_sha"] is None or spans.loc[1].isna()["cleaned_sha"]
+    assert spans.loc[4, "cleaned_sha"] is not None
