@@ -950,3 +950,192 @@ def forget_keys(
         },
     )
     return {"removed_rows": n_forget, "kept_rows": n_base - n_forget}
+
+
+# --- Right-to-erasure for DERIVED data products (VERDICT r11 #2) -------
+# forget_keys erases the three persisted INDEXES, but a forgotten
+# document's text also lives in derived artifacts: the scrub streams'
+# ``scrubbed_out/epoch=N`` rewrites, span reports, training-shard
+# directories (write_training_shards), and any chunk/vector
+# materialization keyed by doc_id. The reference's retention_policy
+# factor requires deletion to be ENFORCED (requirements.yaml:197-199)
+# — enforcement reaches every persisted copy, not just the indexes.
+# Every rewrite below goes through write_audit_publish: staged write,
+# row-conservation + zero-surviving-keys audits against the STAGED
+# files, atomic swap; a crash mid-rewrite leaves the live data
+# serving and the staging dir inspectable, and re-runs are no-ops.
+
+
+def _forget_in_flat_dir(
+    spark: SparkSession, path: str, key_set: DataFrame, key_col: str
+) -> dict:
+    """Erase rows owned by ``key_set`` from one flat parquet dir.
+    Broadcast anti-join (takedown-sized key set, one linear pass over
+    the dir); skipped entirely when the dir holds no forgotten rows,
+    so re-runs rewrite nothing."""
+    base = spark.read.parquet(path)
+    n_base = base.count()
+    n_forget = base.join(F.broadcast(key_set), key_col, "left_semi").count()
+    if n_forget == 0:
+        return {"removed_rows": 0, "kept_rows": n_base, "rewritten": False}
+    survivors = base.join(F.broadcast(key_set), key_col, "left_anti")
+    write_audit_publish(
+        spark,
+        survivors,
+        path,
+        audits={
+            "row_conservation": lambda staged: staged.count()
+            == n_base - n_forget,
+            "no_forgotten_keys": lambda staged: staged.join(
+                F.broadcast(key_set), key_col, "left_semi"
+            ).count()
+            == 0,
+        },
+    )
+    return {
+        "removed_rows": n_forget,
+        "kept_rows": n_base - n_forget,
+        "rewritten": True,
+    }
+
+
+def forget_in_epoch_dir(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str = "doc_id",
+    partition_col: str = "epoch",
+) -> dict:
+    """Erase ``keys`` from an epoch-partitioned artifact dir
+    (``path/epoch=N`` — the scrub streams' spans_out / scrubbed_out
+    layout). One column-pruned scan of the key column finds WHICH
+    epoch partitions carry forgotten rows; only those partitions are
+    rewritten (each through the audited staged swap), so the cost
+    follows the takedown's blast radius, not the artifact's size — at
+    100 TB a doc ingested in one epoch touches one partition. The
+    epoch-keyed directory layout survives the rewrite, so stream
+    replays' epoch arithmetic and the fold manifest are unaffected."""
+    if not os.path.isdir(path):
+        return {"partitions_rewritten": [], "removed_rows": 0}
+    key_set = keys.select(key_col).distinct()
+    base = spark.read.option("basePath", path).parquet(path)
+    affected = sorted(
+        r[0]
+        for r in base.join(F.broadcast(key_set), key_col, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    )
+    removed = 0
+    for p in affected:
+        rep = _forget_in_flat_dir(
+            spark, f"{path}/{partition_col}={p}", key_set, key_col
+        )
+        removed += rep["removed_rows"]
+    return {"partitions_rewritten": affected, "removed_rows": removed}
+
+
+def forget_in_training_shards(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+) -> dict:
+    """Erase ``keys`` from a write_training_shards layout. The shard
+    assignment is a pure function of the key (md5 -> xxhash64 -> pmod
+    — write_training_shards above), so the affected ``__shard=K``
+    directories are computed FROM THE KEY SET with no corpus scan at
+    all: a handful of forgotten keys touches a handful of shard files
+    regardless of corpus size. Each affected shard is rewritten
+    through the audited staged swap with the survivors re-sorted by
+    the same content hash, preserving the writer's determinism
+    contract: the forgotten layout is byte-equivalent (content and
+    order) to re-sharding the scrubbed corpus from scratch."""
+    shard_parts = [
+        d for d in os.listdir(path) if d.startswith("__shard=")
+    ]
+    n_shards = len(shard_parts)
+    if n_shards == 0:
+        return {"shards_rewritten": [], "removed_rows": 0}
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    shard_of = F.pmod(F.xxhash64(h), F.lit(n_shards))
+    key_set = keys.select(key_col).distinct()
+    candidates = sorted(
+        r[0]
+        for r in key_set.select(shard_of.alias("__s")).distinct().collect()
+    )
+    rewritten, removed = [], 0
+    for s in candidates:
+        sub = f"{path}/__shard={s}"
+        if not os.path.isdir(sub):
+            continue
+        base = spark.read.parquet(sub)
+        n_base = base.count()
+        n_forget = base.join(
+            F.broadcast(key_set), key_col, "left_semi"
+        ).count()
+        if n_forget == 0:
+            continue
+        survivors = (
+            base.join(F.broadcast(key_set), key_col, "left_anti")
+            .withColumn("__h", h)
+            .coalesce(1)
+            .sortWithinPartitions("__h")
+            .drop("__h")
+        )
+        write_audit_publish(
+            spark,
+            survivors,
+            sub,
+            audits={
+                "row_conservation": lambda staged, n_base=n_base,
+                n_forget=n_forget: staged.count() == n_base - n_forget,
+                "no_forgotten_keys": lambda staged: staged.join(
+                    F.broadcast(key_set), key_col, "left_semi"
+                ).count()
+                == 0,
+            },
+        )
+        rewritten.append(s)
+        removed += n_forget
+    return {"shards_rewritten": rewritten, "removed_rows": removed}
+
+
+def forget_documents_derived(
+    spark: SparkSession,
+    keys: DataFrame,
+    *,
+    epoch_dirs: "tuple[str, ...]" = (),
+    shard_dirs: "tuple[str, ...]" = (),
+    flat_dirs: "tuple[str, ...]" = (),
+    key_col: str = "doc_id",
+) -> dict:
+    """One-call right-to-erasure across DERIVED artifacts: epoch-keyed
+    stream outputs (scrubbed rewrites, span reports), training-shard
+    directories, and flat materializations (chunk tables, embedding
+    tables — anything carrying ``key_col``). Composes with the index
+    wrappers (forget_documents_gram/band, forget_vectors_ivf) for the
+    full deletion schedule; idempotent and crash-safe per target (a
+    crash mid-list leaves already-swapped targets clean and the rest
+    untouched — re-run to converge). Streaming LANDING ZONES are
+    deliberately out of scope: rewriting files under an active file
+    stream source re-ingests the survivors as new files; scrub the
+    source by tombstoning upstream or after stream retirement (the
+    fold manifest already neutralizes checkpoint-loss replays of
+    forgotten epochs — see tests/test_forget.py's replay race)."""
+    report: dict = {"removed_rows": 0, "targets": {}}
+    for d in epoch_dirs:
+        rep = forget_in_epoch_dir(spark, d, keys, key_col=key_col)
+        report["targets"][d] = rep
+        report["removed_rows"] += rep["removed_rows"]
+    for d in shard_dirs:
+        rep = forget_in_training_shards(spark, d, keys, key_col=key_col)
+        report["targets"][d] = rep
+        report["removed_rows"] += rep["removed_rows"]
+    for d in flat_dirs:
+        rep = _forget_in_flat_dir(
+            spark, d, keys.select(key_col).distinct(), key_col
+        )
+        report["targets"][d] = rep
+        report["removed_rows"] += rep["removed_rows"]
+    return report

@@ -9,6 +9,8 @@ reference's retention_policy factor (requirements.yaml:197-199,
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -224,5 +226,313 @@ def test_forget_keys_audit_failure_keeps_live_generation(spark, tmp_path):
             M.publish_bucketed_generation = real
         spark.catalog.refreshTable(table)
         assert spark.table(table).count() == n0  # still generation 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 #2: erasure must reach DERIVED data products, not just
+# the three indexes — scrubbed epoch rewrites, span reports, training
+# shards, flat chunk/vector materializations.
+# ---------------------------------------------------------------------------
+
+
+def test_forget_in_epoch_dir_scrubbed_and_spans(spark, tmp_path):
+    """A forgotten doc's text must vanish from scrubbed_out/epoch=N
+    and spans_out/epoch=N; only the partitions that carried it are
+    rewritten, the epoch layout survives, and re-runs are no-ops."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        forget_in_epoch_dir,
+    )
+
+    index_docs = spark.createDataFrame(
+        [(d, _text(f"base{d}_")) for d in range(1, 4)],
+        "doc_id long, text string",
+    )
+    table = "gram_forget_derived"
+    index_path = str(tmp_path / "index")
+    delta_dir = str(tmp_path / "deltas")
+    spans_out = str(tmp_path / "spans")
+    scrubbed_out = str(tmp_path / "scrubbed")
+    try:
+        SS.write_gram_index(
+            gram_postings(index_docs, min_run=MIN_RUN), table, index_path
+        )
+        # epoch 0 carries a copy of base1 (doc 201: spans -> scrub);
+        # epoch 1 carries only fresh text (doc 202: no spans)
+        for epoch, rows in enumerate(
+            [[(201, _text("base1_"))], [(202, _text("fresh_"))]]
+        ):
+            SS.probe_and_fold_spans(
+                spark,
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                table,
+                delta_dir,
+                spans_out,
+                epoch,
+                min_run=MIN_RUN,
+                scrubbed_out=scrubbed_out,
+            )
+        scrub_before = spark.read.parquet(scrubbed_out)
+        assert scrub_before.filter("doc_id = 201").count() == 1
+        n_before = scrub_before.count()  # eager: files swap under us
+        ep1_mtime = max(
+            os.path.getmtime(os.path.join(scrubbed_out, "epoch=1", f))
+            for f in os.listdir(os.path.join(scrubbed_out, "epoch=1"))
+        )
+
+        keys = _ids(spark, 201)
+        rep_scrub = forget_in_epoch_dir(spark, scrubbed_out, keys)
+        rep_spans = forget_in_epoch_dir(spark, spans_out, keys)
+        assert rep_scrub == {"partitions_rewritten": [0], "removed_rows": 1}
+        assert rep_spans["partitions_rewritten"] == [0]
+        # erased everywhere, survivors intact, layout readable
+        scrub_after = spark.read.parquet(scrubbed_out)
+        assert scrub_after.filter("doc_id = 201").count() == 0
+        assert scrub_after.count() == n_before - 1
+        assert (
+            spark.read.parquet(spans_out).filter("doc_id = 201").count() == 0
+        )
+        # the untouched epoch partition was NOT rewritten
+        assert ep1_mtime == max(
+            os.path.getmtime(os.path.join(scrubbed_out, "epoch=1", f))
+            for f in os.listdir(os.path.join(scrubbed_out, "epoch=1"))
+        )
+        # idempotent
+        assert forget_in_epoch_dir(spark, scrubbed_out, keys) == {
+            "partitions_rewritten": [],
+            "removed_rows": 0,
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_forget_in_training_shards_matches_rescratch(spark, tmp_path):
+    """Shard erasure must (a) touch ONLY the shards the key hashes to —
+    computed from the key set, no corpus scan — and (b) leave a layout
+    row-identical IN CONTENT AND ORDER to re-sharding the scrubbed
+    corpus from scratch (write_training_shards' determinism
+    contract)."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        forget_in_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, _text(f"t{d}_")) for d in range(1, 41)],
+        "doc_id long, text string",
+    )
+    shards = str(tmp_path / "shards")
+    rescratch = str(tmp_path / "rescratch")
+    write_training_shards(docs, shards, "doc_id", 4)
+    forgotten = [7, 23]
+    keys = _ids(spark, *forgotten)
+
+    untouched_mtimes = {}
+    for d in os.listdir(shards):
+        if d.startswith("__shard="):
+            untouched_mtimes[d] = max(
+                os.path.getmtime(os.path.join(shards, d, f))
+                for f in os.listdir(os.path.join(shards, d))
+            )
+
+    rep = forget_in_training_shards(spark, shards, keys, "doc_id")
+    assert rep["removed_rows"] == len(forgotten)
+
+    write_training_shards(
+        docs.filter(~F.col("doc_id").isin(forgotten)),
+        rescratch,
+        "doc_id",
+        4,
+    )
+    for s in range(4):
+        got = [
+            tuple(r)
+            for r in spark.read.parquet(f"{shards}/__shard={s}").collect()
+        ]
+        want = [
+            tuple(r)
+            for r in spark.read.parquet(f"{rescratch}/__shard={s}").collect()
+        ]
+        assert got == want, f"shard {s} diverged from re-scratch"
+    # shards the keys do NOT hash to were never rewritten
+    for d, mtime in untouched_mtimes.items():
+        s = int(d.split("=")[1])
+        if s not in rep["shards_rewritten"]:
+            assert mtime == max(
+                os.path.getmtime(os.path.join(shards, d, f))
+                for f in os.listdir(os.path.join(shards, d))
+            ), f"{d} was rewritten needlessly"
+    assert len(rep["shards_rewritten"]) < 4 or len(set(
+        rep["shards_rewritten"]
+    )) == len(rep["shards_rewritten"])
+    # idempotent
+    rep2 = forget_in_training_shards(spark, shards, keys, "doc_id")
+    assert rep2 == {"shards_rewritten": [], "removed_rows": 0}
+
+
+def test_forget_documents_derived_one_call_everything(spark, tmp_path):
+    """The wrapper reaches every artifact class in one call: epoch
+    dirs, shard dirs, and a flat chunk materialization — after it, the
+    forgotten doc_id appears in NONE of them."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        forget_documents_derived,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, _text(f"c{d}_")) for d in range(1, 21)],
+        "doc_id long, text string",
+    )
+    epoch_dir = str(tmp_path / "epochs")
+    shard_dir = str(tmp_path / "shards")
+    chunk_dir = str(tmp_path / "chunks")
+    for e in range(2):
+        docs.filter(
+            (F.col("doc_id") % 2) == e
+        ).write.parquet(f"{epoch_dir}/epoch={e}")
+    write_training_shards(docs, shard_dir, "doc_id", 3)
+    docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("chunk")
+    ).write.parquet(chunk_dir)
+
+    rep = forget_documents_derived(
+        spark,
+        _ids(spark, 5, 12),
+        epoch_dirs=(epoch_dir,),
+        shard_dirs=(shard_dir,),
+        flat_dirs=(chunk_dir,),
+    )
+    assert rep["removed_rows"] > 0
+    for path in (epoch_dir, shard_dir, chunk_dir):
+        surviving = (
+            spark.read.parquet(path)
+            .filter(F.col("doc_id").isin([5, 12]))
+            .count()
+        )
+        assert surviving == 0, path
+    # survivors conserved in the flat dir: 18 docs' chunks remain
+    assert (
+        spark.read.parquet(chunk_dir).select("doc_id").distinct().count()
+        == 18
+    )
+    # idempotent end-to-end
+    rep2 = forget_documents_derived(
+        spark,
+        _ids(spark, 5, 12),
+        epoch_dirs=(epoch_dir,),
+        shard_dirs=(shard_dir,),
+        flat_dirs=(chunk_dir,),
+    )
+    assert rep2["removed_rows"] == 0
+
+
+def test_forget_derived_audit_failure_keeps_live_data(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-safety: if the staged rewrite fails its audits, the live
+    flat dir keeps serving the pre-forget data (the staged swap never
+    happens) and a later honest re-run converges."""
+    from ai_ready_data_framework_spark.sources import maintenance as M
+
+    docs = spark.createDataFrame(
+        [(d, _text(f"a{d}_")) for d in range(1, 6)],
+        "doc_id long, text string",
+    )
+    flat = str(tmp_path / "flat")
+    docs.write.parquet(flat)
+
+    real_wap = M.write_audit_publish
+
+    def sabotaged(spark_, df, path, audits):
+        audits = dict(audits)
+        audits["sabotage"] = lambda staged: False
+        return real_wap(spark_, df, path, audits)
+
+    monkeypatch.setattr(M, "write_audit_publish", sabotaged)
+    with pytest.raises(M.AuditFailure):
+        M._forget_in_flat_dir(
+            spark, flat, _ids(spark, 3), "doc_id"
+        )
+    # live data untouched — doc 3 still served
+    assert spark.read.parquet(flat).filter("doc_id = 3").count() == 1
+    monkeypatch.setattr(M, "write_audit_publish", real_wap)
+    rep = M._forget_in_flat_dir(spark, flat, _ids(spark, 3), "doc_id")
+    assert rep["removed_rows"] == 1
+    assert spark.read.parquet(flat).filter("doc_id = 3").count() == 0
+
+
+def test_forget_then_replay_race_gram_index(spark, tmp_path):
+    """VERDICT r11 #4 — the erasure twin of the premature-fold race:
+    forget_documents_gram's docstring tells callers a checkpoint-loss
+    REPLAY of a pre-forget epoch would re-land the forgotten grams in
+    the delta dir. Prove the machinery converges anyway: the
+    compact-first wrapper records the epoch as FOLDED in the table
+    manifest, so (a) the replayed delta is invisible to every later
+    probe (folded epochs are excluded from the probe set), (b) the
+    next maintenance pass refuses to fold it back and instead deletes
+    the re-landed file — the detect-and-re-scrub the docstring
+    promises — and (c) the republished base never regains the
+    forgotten postings."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        _delta_epochs_present,
+        _table_location,
+    )
+
+    index_docs = spark.createDataFrame(
+        [(d, _text(f"base{d}_")) for d in range(1, 4)],
+        "doc_id long, text string",
+    )
+    table = "gram_forget_replay"
+    index_path = str(tmp_path / "index")
+    delta_dir = str(tmp_path / "deltas")
+    spans_out = str(tmp_path / "spans")
+    batch0 = spark.createDataFrame(
+        [(301, _text("base1_"))], "doc_id long, text string"
+    )
+    try:
+        SS.write_gram_index(
+            gram_postings(index_docs, min_run=MIN_RUN), table, index_path
+        )
+        SS.probe_and_fold_spans(
+            spark, batch0, table, delta_dir, spans_out, 0, min_run=MIN_RUN
+        )
+        SS.forget_documents_gram(
+            spark, _ids(spark, 1, 301), table, index_path, delta_dir
+        )
+
+        def forgotten_in_base() -> int:
+            return (
+                spark.read.parquet(_table_location(spark, table))
+                .filter(F.col("doc_id").isin([1, 301]))
+                .count()
+            )
+
+        assert forgotten_in_base() == 0
+
+        # checkpoint-loss replay of the pre-forget epoch: the batch's
+        # grams RE-LAND in delta_dir/epoch=0
+        SS.probe_and_fold_spans(
+            spark, batch0, table, delta_dir, spans_out, 0, min_run=MIN_RUN
+        )
+        assert 0 in _delta_epochs_present(spark, delta_dir)
+        # ... but the epoch is manifest-folded, so a NEW epoch probing
+        # the forgotten text matches NOTHING (base scrubbed, replayed
+        # delta excluded)
+        batch1 = spark.createDataFrame(
+            [(302, _text("base1_"))], "doc_id long, text string"
+        )
+        SS.probe_and_fold_spans(
+            spark, batch1, table, delta_dir, spans_out, 1, min_run=MIN_RUN
+        )
+        assert (
+            spark.read.parquet(spans_out).filter("doc_id = 302").count() == 0
+        )
+
+        # maintenance detects and re-scrubs: the replayed epoch is NOT
+        # folded back (base stays clean) and its landing file is gone
+        SS.compact_gram_index(spark, table, index_path, delta_dir)
+        assert forgotten_in_base() == 0
+        assert 0 not in _delta_epochs_present(spark, delta_dir)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
