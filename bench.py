@@ -531,23 +531,13 @@ def build_compact(out: dict, regressions: dict | None) -> dict:
 #     q_dsir_weights / q_source_divergence / q_drift_psi /
 #     q_vector_topk integer-ln/exp ladder restatements; q_token_bpe's
 #     six-leg tf-frame stack + entropy/divergence/pmi/tfidf ladders.
-EXPECTED_CHANGES = {
-    "q_contamination": (
-        "r11 exact_spans leg (seventeenth fold): the slot now also"
-        " runs q_decontam_spans' gram/semi-join/interval-merge"
-        " pipeline over the train fold beside the shingle-set"
-        " containment check (~+2.5s at sf0.1, the q_decontam_spans"
-        " cost)"
-    ),
-    "q_dedup_exact": (
-        "r11 spans leg (VERDICT r10 #2 fold): the slot now runs the"
-        " full ExactSubstr pipeline - gram postings (stage-pinned),"
-        " canonical exemption, interval merge, token-level strip and"
-        " per-doc rebuild - alongside the raw/normalized/lines legs,"
-        " moving the r10 flagship under the driver's hash gate"
-        " (~+3s at sf0.1, the q_dedup_spans cost plus the rebuild)"
-    ),
-}
+#   r11 (retired at the r12 single-epoch re-baseline, VERDICT r11 #1 —
+#     both costs are now PRICED INTO the stored record, so the guard
+#     is re-armed on these two heaviest graded slots):
+#     q_contamination exact_spans leg (~+2.5s at sf0.1);
+#     q_dedup_exact spans leg (~+3s at sf0.1, the full ExactSubstr
+#     pipeline under the driver's hash gate).
+EXPECTED_CHANGES = {}
 REGRESSION_FACTOR = 1.5
 # Below this, per-query wall time is dominated by fixed Spark job
 # overhead plus host scheduling noise (measured: identical code swings
