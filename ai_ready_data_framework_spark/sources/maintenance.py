@@ -1117,12 +1117,13 @@ def forget_documents_derived(
     wrappers (forget_documents_gram/band, forget_vectors_ivf) for the
     full deletion schedule; idempotent and crash-safe per target (a
     crash mid-list leaves already-swapped targets clean and the rest
-    untouched — re-run to converge). Streaming LANDING ZONES are
-    deliberately out of scope: rewriting files under an active file
-    stream source re-ingests the survivors as new files; scrub the
-    source by tombstoning upstream or after stream retirement (the
-    fold manifest already neutralizes checkpoint-loss replays of
-    forgotten epochs — see tests/test_forget.py's replay race)."""
+    untouched — re-run to converge). Streaming LANDING ZONES are NOT
+    rewritten here — rewriting files under an active file stream
+    source re-ingests the survivors as new files; their enforcement is
+    the tombstone set below (write_forget_tombstones + the stream
+    drivers' ``tombstone_dir``), layered on the fold manifest that
+    already neutralizes checkpoint-loss replays of forgotten epochs
+    (tests/test_forget.py's replay races cover both)."""
     report: dict = {"removed_rows": 0, "targets": {}}
     for d in epoch_dirs:
         rep = forget_in_epoch_dir(spark, d, keys, key_col=key_col)
@@ -1139,3 +1140,59 @@ def forget_documents_derived(
         report["targets"][d] = rep
         report["removed_rows"] += rep["removed_rows"]
     return report
+
+
+# --- Landing-zone tombstones (closing forget_documents_derived's
+# documented out-of-scope gap) ------------------------------------------
+# A streaming LANDING ZONE cannot be rewritten in place: the file
+# stream source tracks files by name, so a staged-swap rewrite
+# re-ingests every survivor as a brand-new file. The enforcement that
+# works with the streaming model is a TOMBSTONE SET: takedowns append
+# the forgotten keys here, and every ingest step anti-joins its batch
+# against the set BEFORE any probe/land/scrub work — so a
+# checkpoint-loss replay of a pre-forget epoch, or a fresh re-drop of
+# the same file, can never re-land a forgotten key anywhere. The set
+# is takedown-sized (it broadcasts), the per-epoch read is one tiny
+# parquet listing, and new tombstones take effect from the next
+# micro-batch without restarting the stream.
+
+
+def write_forget_tombstones(
+    spark: SparkSession,
+    keys: DataFrame,
+    tombstone_dir: str,
+    key_col: str = "doc_id",
+) -> int:
+    """Append ``keys`` to the tombstone set. Append-only on purpose:
+    concurrent takedowns never clobber each other, and readers
+    de-duplicate. Returns the number of keys written."""
+    key_set = keys.select(key_col).distinct()
+    n = key_set.count()
+    key_set.coalesce(1).write.mode("append").parquet(tombstone_dir)
+    return n
+
+
+def read_forget_tombstones(
+    spark: SparkSession, tombstone_dir: str | None
+) -> DataFrame | None:
+    """The current tombstone set (distinct), or None when no takedown
+    has ever landed — callers skip the anti-join entirely then."""
+    if tombstone_dir is None or not os.path.isdir(tombstone_dir):
+        return None
+    if not any(f.endswith(".parquet") for f in os.listdir(tombstone_dir)):
+        return None
+    return spark.read.parquet(tombstone_dir).distinct()
+
+
+def apply_forget_tombstones(
+    batch_df: DataFrame,
+    tombstones: DataFrame | None,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Drop tombstoned rows from an ingest batch: broadcast anti-join
+    on the tombstone set's key column (rate-sized batch side never
+    reshuffles, takedown-sized tombstone side ships to every task)."""
+    if tombstones is None:
+        return batch_df
+    key_col = key_col or tombstones.columns[0]
+    return batch_df.join(F.broadcast(tombstones), key_col, "left_anti")

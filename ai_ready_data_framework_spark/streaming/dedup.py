@@ -247,11 +247,21 @@ def run_incremental_dedup_stream(
     pairs_out: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    tombstone_dir: str | None = None,
 ) -> None:
     """Drive the incremental dedup over a file stream of document
     parquet drops. availableNow + maxFilesPerTrigger=1 gives one
     micro-batch per dropped file — deterministic for tests, and the
-    exact shape of a production landing-zone listener."""
+    exact shape of a production landing-zone listener.
+    ``tombstone_dir`` (r12): anti-join each batch against the takedown
+    tombstone set before probing/landing, so replays and re-drops
+    never re-land a forgotten document's bands (see
+    forget_documents_band)."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        apply_forget_tombstones,
+        read_forget_tombstones,
+    )
+
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -259,6 +269,9 @@ def run_incremental_dedup_stream(
     )
 
     def step(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = apply_forget_tombstones(
+            batch_df, read_forget_tombstones(spark, tombstone_dir)
+        )
         probe_and_fold(
             spark, batch_df, index_table, delta_dir, pairs_out, epoch_id
         )
@@ -278,17 +291,24 @@ def forget_documents_band(
     index_table: str,
     index_path: str,
     delta_dir: str,
+    tombstone_dir: str | None = None,
 ) -> dict:
     """Takedown for the band index — the band twin of
     streaming/spans.py::forget_documents_gram: compact pending deltas,
     then republish the bucketed base without the forgotten documents'
     band postings (crash-safe, audited, idempotent). A forgotten doc
-    stops appearing in every future probe's pair set."""
+    stops appearing in every future probe's pair set. ``tombstone_dir``
+    (r12): append the keys to the landing-zone tombstone set first, so
+    a dedup stream given the same dir drops them from every future
+    micro-batch (incl. checkpoint-loss replays)."""
     from ai_ready_data_framework_spark.sources.maintenance import (
         BAND_INDEX_BUCKETS,
         forget_keys,
+        write_forget_tombstones,
     )
 
+    if tombstone_dir is not None:
+        write_forget_tombstones(spark, doc_ids, tombstone_dir)
     compact_band_index(spark, index_table, index_path, delta_dir)
     return forget_keys(
         spark,

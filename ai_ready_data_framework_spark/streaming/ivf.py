@@ -185,13 +185,23 @@ def run_ivf_ingest_stream(
     checkpoint_dir: str,
     drift_log_dir: str | None = None,
     max_files_per_trigger: int = 1,
+    tombstone_dir: str | None = None,
 ) -> None:
     """Drive IVF ingestion over a file stream of embedding parquet
     drops. availableNow + maxFilesPerTrigger=1 gives one micro-batch
     per dropped file — deterministic for tests, and the exact shape of
     a production landing-zone listener. Compaction is NOT in the loop:
     it is table maintenance, run on whatever cadence keeps the delta
-    union small (call compact_ivf_index_deltas between/after runs)."""
+    union small (call compact_ivf_index_deltas between/after runs).
+    ``tombstone_dir`` (r12): anti-join each batch against the takedown
+    tombstone set (keyed by vec_id) before assigning cells, so replays
+    and re-drops never re-land a forgotten vector (see
+    forget_vectors_ivf)."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        apply_forget_tombstones,
+        read_forget_tombstones,
+    )
+
     stream = (
         spark.readStream.schema(EMB_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -199,6 +209,9 @@ def run_ivf_ingest_stream(
     )
 
     def step(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = apply_forget_tombstones(
+            batch_df, read_forget_tombstones(spark, tombstone_dir)
+        )
         ingest_epoch(
             spark,
             batch_df,
@@ -279,6 +292,7 @@ def forget_vectors_ivf(
     table_name: str,
     path: str,
     delta_dir: str,
+    tombstone_dir: str | None = None,
 ) -> dict:
     """Takedown for the IVF index — the vector twin of
     streaming/spans.py::forget_documents_gram: fold pending deltas,
@@ -287,12 +301,20 @@ def forget_vectors_ivf(
     carries over through the republish (forget_keys preserves idx.*
     table properties), so probes keep pairing the surviving
     assignments with the same frozen quantizer — erasure never
-    silently changes recall for the survivors."""
+    silently changes recall for the survivors. ``tombstone_dir``
+    (r12): append the vec_ids to the landing-zone tombstone set first,
+    so an ingest stream given the same dir drops them from every
+    future micro-batch (incl. checkpoint-loss replays)."""
     from ai_ready_data_framework_spark.sources.maintenance import (
         IVF_INDEX_BUCKETS,
         forget_keys,
+        write_forget_tombstones,
     )
 
+    if tombstone_dir is not None:
+        write_forget_tombstones(
+            spark, vec_ids, tombstone_dir, key_col="vec_id"
+        )
     compact_ivf_index_deltas(spark, table_name, path, delta_dir)
     return forget_keys(
         spark,

@@ -241,6 +241,7 @@ def run_span_scrub_stream(
     min_run: int = SPAN_MIN_RUN,
     max_files_per_trigger: int = 1,
     scrubbed_out: str | None = None,
+    tombstone_dir: str | None = None,
 ) -> None:
     """Drive the ExactSubstr scrub over a file stream of document
     parquet drops — the gram-index twin of
@@ -255,7 +256,20 @@ def run_span_scrub_stream(
     document set with every already-in-corpus passage removed — under
     ``scrubbed_out/epoch=N``, the same replay-safe epoch-keyed
     overwrite as the span report. Training-shard builders consume the
-    scrubbed partitions directly instead of re-deriving the strip."""
+    scrubbed partitions directly instead of re-deriving the strip.
+
+    ``tombstone_dir`` (r12) is the landing-zone half of erasure: each
+    micro-batch is broadcast-anti-joined against the takedown
+    tombstone set BEFORE probing or landing, so a checkpoint-loss
+    replay of a pre-forget epoch — or a fresh re-drop of the same
+    file — can never re-land a forgotten document's grams, spans, or
+    scrubbed text. forget_documents_gram writes the set when given
+    the same dir."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        apply_forget_tombstones,
+        read_forget_tombstones,
+    )
+
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -263,6 +277,9 @@ def run_span_scrub_stream(
     )
 
     def step(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = apply_forget_tombstones(
+            batch_df, read_forget_tombstones(spark, tombstone_dir)
+        )
         probe_and_fold_spans(
             spark,
             batch_df,
@@ -292,6 +309,7 @@ def run_decontam_stream(
     min_run: int = SPAN_MIN_RUN,
     max_files_per_trigger: int = 1,
     scrubbed_out: str | None = None,
+    tombstone_dir: str | None = None,
 ) -> None:
     """Streaming exact-substring DECONTAMINATION — the stream-static
     sibling of ``run_span_scrub_stream``: each micro-batch of TRAINING
@@ -308,6 +326,10 @@ def run_decontam_stream(
     from ai_ready_data_framework_spark.operators.ai import (
         strip_duplicated_spans,
     )
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        apply_forget_tombstones,
+        read_forget_tombstones,
+    )
 
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
@@ -316,6 +338,9 @@ def run_decontam_stream(
     )
 
     def step(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = apply_forget_tombstones(
+            batch_df, read_forget_tombstones(spark, tombstone_dir)
+        )
         grams = gram_postings(batch_df, min_run=min_run)
         spans = probe_spans(spark, grams, benchmark_table, min_run=min_run)
         if scrubbed_out is not None:
@@ -361,17 +386,26 @@ def forget_documents_gram(
     index_table: str,
     index_path: str,
     delta_dir: str,
+    tombstone_dir: str | None = None,
 ) -> dict:
     """Takedown for the gram index: fold pending deltas first (so the
     forgotten docs' postings cannot survive in an un-folded epoch),
     then republish the base without them
     (sources/maintenance.py::forget_keys — crash-safe, audited,
     idempotent). Run after the scrub stream's checkpoint has committed
-    past the epochs that carried these docs, and remove them from the
-    landing zone too: a checkpoint-loss replay would otherwise re-land
-    their grams."""
-    from ai_ready_data_framework_spark.sources.maintenance import forget_keys
+    past the epochs that carried these docs. ``tombstone_dir`` (r12)
+    closes the landing-zone half: the keys are appended to the
+    tombstone set FIRST (before any index work, so even a crash
+    mid-forget leaves the zone protected), and a scrub stream given
+    the same dir drops them from every future micro-batch — including
+    checkpoint-loss replays of pre-forget epochs."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        forget_keys,
+        write_forget_tombstones,
+    )
 
+    if tombstone_dir is not None:
+        write_forget_tombstones(spark, doc_ids, tombstone_dir)
     compact_gram_index(spark, index_table, index_path, delta_dir)
     return forget_keys(
         spark,

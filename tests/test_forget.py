@@ -536,3 +536,144 @@ def test_forget_then_replay_race_gram_index(spark, tmp_path):
         assert 0 not in _delta_epochs_present(spark, delta_dir)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ---------------------------------------------------------------------------
+# Landing-zone tombstones (r12): the streaming half of erasure.
+# ---------------------------------------------------------------------------
+
+
+def test_tombstone_roundtrip_and_apply(spark, tmp_path):
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        apply_forget_tombstones,
+        read_forget_tombstones,
+        write_forget_tombstones,
+    )
+
+    ts_dir = str(tmp_path / "tombstones")
+    # no takedown yet -> None, and apply is the identity
+    assert read_forget_tombstones(spark, ts_dir) is None
+    assert read_forget_tombstones(spark, None) is None
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    assert apply_forget_tombstones(batch, None).count() == 3
+
+    # append-only accumulation + distinct on read (overlapping sets)
+    assert write_forget_tombstones(spark, _ids(spark, 1, 2), ts_dir) == 2
+    assert write_forget_tombstones(spark, _ids(spark, 2, 3), ts_dir) == 2
+    ts = read_forget_tombstones(spark, ts_dir)
+    assert {r.doc_id for r in ts.collect()} == {1, 2, 3}
+    assert apply_forget_tombstones(batch, ts).count() == 0
+
+    # alternate key column (the IVF vec_id case)
+    vecs = spark.createDataFrame([(10,), (11,)], "vec_id long")
+    vts_dir = str(tmp_path / "vec_tombstones")
+    write_forget_tombstones(
+        spark, spark.createDataFrame([(10,)], "vec_id long"),
+        vts_dir, key_col="vec_id",
+    )
+    kept = apply_forget_tombstones(
+        vecs, read_forget_tombstones(spark, vts_dir)
+    )
+    assert [r.vec_id for r in kept.collect()] == [11]
+
+    # plan shape: the tombstone side BROADCASTS into a left-anti join —
+    # the (rate-sized) batch side must never reshuffle for erasure
+    plan = kept._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tombstones_survive_checkpoint_loss_replay(spark, tmp_path):
+    """The true end-to-end erasure race through the REAL stream driver:
+    ingest a landing file carrying a doc, forget the doc (takedown
+    writes the tombstone), then lose the checkpoint and re-run the
+    stream over the same landing zone. The replayed batch must be
+    anti-joined against the tombstone set BEFORE probing/landing, so
+    the forgotten doc's grams, spans, and scrubbed text re-land
+    NOWHERE — while the surviving doc's replay stays the usual
+    epoch-keyed no-op."""
+    import shutil
+
+    from ai_ready_data_framework_spark.operators.ai import gram_postings
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        _table_location,
+    )
+
+    index_docs = spark.createDataFrame(
+        [(d, _text(f"base{d}_")) for d in range(1, 4)],
+        "doc_id long, text string",
+    )
+    table = "gram_tombstone_replay"
+    index_path = str(tmp_path / "index")
+    delta_dir = str(tmp_path / "deltas")
+    spans_out = str(tmp_path / "spans")
+    scrubbed_out = str(tmp_path / "scrubbed")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    ts_dir = str(tmp_path / "tombstones")
+    try:
+        SS.write_gram_index(
+            gram_postings(index_docs, min_run=MIN_RUN), table, index_path
+        )
+        # one landing file: doc 401 copies base1 (will be forgotten),
+        # doc 402 is fresh (survivor)
+        spark.createDataFrame(
+            [(401, _text("base1_")), (402, _text("fresh_"))],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(zone)
+        kw = dict(min_run=MIN_RUN, scrubbed_out=scrubbed_out,
+                  tombstone_dir=ts_dir)
+        SS.run_span_scrub_stream(
+            spark, zone, table, delta_dir, spans_out, ckpt, **kw
+        )
+        assert (
+            spark.read.parquet(scrubbed_out).filter("doc_id = 401").count()
+            == 1
+        )
+
+        SS.forget_documents_gram(
+            spark, _ids(spark, 1, 401), table, index_path, delta_dir,
+            tombstone_dir=ts_dir,
+        )
+        # derived epoch artifacts scrubbed via the derived wrapper
+        from ai_ready_data_framework_spark.sources.maintenance import (
+            forget_documents_derived,
+        )
+
+        forget_documents_derived(
+            spark, _ids(spark, 1, 401),
+            epoch_dirs=(spans_out, scrubbed_out),
+        )
+
+        # CHECKPOINT LOSS: the stream restarts from scratch over the
+        # same landing zone and replays the pre-forget file
+        shutil.rmtree(ckpt)
+        SS.run_span_scrub_stream(
+            spark, zone, table, delta_dir, spans_out, ckpt, **kw
+        )
+
+        # the forgotten doc re-landed NOWHERE
+        for path in (delta_dir, spans_out, scrubbed_out):
+            hits = (
+                spark.read.parquet(path)
+                .filter(F.col("doc_id").isin([1, 401]))
+                .count()
+            )
+            assert hits == 0, path
+        base_hits = (
+            spark.read.parquet(_table_location(spark, table))
+            .filter(F.col("doc_id").isin([1, 401]))
+            .count()
+        )
+        assert base_hits == 0
+        # the survivor replayed normally (epoch-keyed overwrite)
+        assert (
+            spark.read.parquet(scrubbed_out).filter("doc_id = 402").count()
+            == 1
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
