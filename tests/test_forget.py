@@ -677,3 +677,90 @@ def test_tombstones_survive_checkpoint_loss_replay(spark, tmp_path):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_tombstones_band_stream_twin(spark, tmp_path):
+    """Twin symmetry (the repo's race tests always cover both index
+    twins): the BAND dedup stream given a tombstone_dir drops a
+    forgotten doc from a checkpoint-loss replay — its bands re-land in
+    neither the delta dir nor the pair set, while the survivor's
+    replay stays the epoch-keyed no-op."""
+    import shutil
+
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        _table_location,
+        write_band_index,
+    )
+
+    # near-identical long texts so the banded MinHash actually pairs
+    base_text = _text("w", 30)
+    index_docs = spark.createDataFrame(
+        [(1, base_text), (2, _text("z", 30))],
+        "doc_id long, text string",
+    )
+    table = "band_tombstone_replay"
+    index_path = str(tmp_path / "index")
+    delta_dir = str(tmp_path / "deltas")
+    pairs_out = str(tmp_path / "pairs")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    ts_dir = str(tmp_path / "tombstones")
+    try:
+        write_band_index(SD.doc_bands(index_docs), table, index_path)
+        # doc 501 duplicates base doc 1 (will be forgotten); 502 is new
+        spark.createDataFrame(
+            [(501, base_text), (502, _text("q", 30))],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(zone)
+        SD.run_incremental_dedup_stream(
+            spark, zone, table, delta_dir, pairs_out, ckpt,
+            tombstone_dir=ts_dir,
+        )
+        assert (
+            spark.read.parquet(pairs_out)
+            .filter("new_doc = 501 OR other_doc = 501")
+            .count()
+            > 0
+        )
+
+        SD.forget_documents_band(
+            spark, _ids(spark, 1, 501), table, index_path, delta_dir,
+            tombstone_dir=ts_dir,
+        )
+        from ai_ready_data_framework_spark.sources.maintenance import (
+            forget_documents_derived,
+        )
+
+        # the pair rows reference the forgotten doc under BOTH roles
+        for col in ("new_doc", "other_doc"):
+            forget_documents_derived(
+                spark,
+                spark.createDataFrame([(1,), (501,)], f"{col} long"),
+                epoch_dirs=(pairs_out,),
+                key_col=col,
+            )
+
+        shutil.rmtree(ckpt)
+        SD.run_incremental_dedup_stream(
+            spark, zone, table, delta_dir, pairs_out, ckpt,
+            tombstone_dir=ts_dir,
+        )
+
+        for path, cols in ((delta_dir, ("doc_id",)),
+                           (pairs_out, ("new_doc", "other_doc"))):
+            df = spark.read.parquet(path)
+            for col in cols:
+                hits = df.filter(F.col(col).isin([1, 501])).count()
+                assert hits == 0, (path, col)
+        assert (
+            spark.read.parquet(_table_location(spark, table))
+            .filter(F.col("doc_id").isin([1, 501]))
+            .count()
+            == 0
+        )
+        # survivor's bands re-landed normally
+        assert (
+            spark.read.parquet(delta_dir).filter("doc_id = 502").count() > 0
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
