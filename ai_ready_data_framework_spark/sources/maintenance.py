@@ -1196,3 +1196,55 @@ def apply_forget_tombstones(
         return batch_df
     key_col = key_col or tombstones.columns[0]
     return batch_df.join(F.broadcast(tombstones), key_col, "left_anti")
+
+
+def verify_forgotten(
+    spark: SparkSession,
+    keys: DataFrame,
+    *,
+    tables: "tuple[str, ...]" = (),
+    epoch_dirs: "tuple[str, ...]" = (),
+    shard_dirs: "tuple[str, ...]" = (),
+    flat_dirs: "tuple[str, ...]" = (),
+    key_col: str = "doc_id",
+    key_cols_by_target: "dict[str, str] | None" = None,
+) -> dict:
+    """The AUDIT half of right-to-erasure: count surviving rows for
+    ``keys`` across every persisted artifact — index tables, epoch
+    dirs, shard dirs, flat dirs — and report per-target. Enforcement
+    without verification is a promise, not a control: the reference's
+    retention_policy factor scores *enforced* deletion
+    (requirements.yaml:197-199), and the enforceable evidence is a
+    zero count re-derived from the serving artifacts themselves, not
+    from the deletion job's own return value. One broadcast semi-join
+    per target (column-pruned scan of the key column only), so the
+    audit costs a fraction of the erasure it certifies. Returns
+    ``{"clean": bool, "targets": {target: surviving_rows}}``;
+    ``key_cols_by_target`` overrides the key column for targets keyed
+    differently (e.g. a pair table keyed by new_doc/other_doc —
+    list the target once per role)."""
+    overrides = key_cols_by_target or {}
+    key_set = keys.select(key_col).distinct()
+
+    def _count(df: DataFrame, target: str) -> int:
+        col = overrides.get(target, key_col)
+        probe = (
+            key_set.withColumnRenamed(key_col, col)
+            if col != key_col
+            else key_set
+        )
+        return df.join(F.broadcast(probe), col, "left_semi").count()
+
+    report: dict = {"targets": {}}
+    for t in tables:
+        loc = _table_location(spark, t)
+        if loc is None:
+            raise ValueError(f"index table {t!r} does not exist")
+        report["targets"][t] = _count(spark.read.parquet(loc), t)
+    for d in epoch_dirs + shard_dirs + flat_dirs:
+        if not os.path.isdir(d):
+            report["targets"][d] = 0
+            continue
+        report["targets"][d] = _count(spark.read.parquet(d), d)
+    report["clean"] = all(v == 0 for v in report["targets"].values())
+    return report

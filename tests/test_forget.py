@@ -764,3 +764,77 @@ def test_tombstones_band_stream_twin(spark, tmp_path):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_verify_forgotten_audits_every_artifact_class(spark, tmp_path):
+    """The audit half of erasure: verify_forgotten re-derives survival
+    counts from the serving artifacts themselves — dirty before the
+    takedown, zero after, with per-target attribution and key-column
+    overrides for pair-shaped targets."""
+    from ai_ready_data_framework_spark.operators.ai import gram_postings
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        forget_documents_derived,
+        verify_forgotten,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, _text(f"v{d}_")) for d in range(1, 11)],
+        "doc_id long, text string",
+    )
+    table = "gram_verify_forgotten"
+    index_path = str(tmp_path / "index")
+    epoch_dir = str(tmp_path / "epochs")
+    shard_dir = str(tmp_path / "shards")
+    pair_dir = str(tmp_path / "pairs")
+    try:
+        SS.write_gram_index(
+            gram_postings(docs, min_run=MIN_RUN), table, index_path
+        )
+        docs.write.parquet(f"{epoch_dir}/epoch=0")
+        write_training_shards(docs, shard_dir, "doc_id", 3)
+        spark.createDataFrame(
+            [(3, 7, 0.9)], "new_doc long, other_doc long, est_jaccard double"
+        ).write.parquet(pair_dir)
+
+        kw = dict(
+            tables=(table,),
+            epoch_dirs=(epoch_dir,),
+            shard_dirs=(shard_dir,),
+            flat_dirs=(pair_dir,),
+            key_cols_by_target={pair_dir: "new_doc"},
+        )
+        keys = _ids(spark, 3)
+        before = verify_forgotten(spark, keys, **kw)
+        assert not before["clean"]
+        assert before["targets"][pair_dir] == 1
+        assert before["targets"][table] == 7  # 10-token doc, 4-grams
+        assert before["targets"][epoch_dir] == 1
+        assert before["targets"][shard_dir] == 1
+
+        SS.forget_documents_gram(
+            spark, keys, table, index_path, str(tmp_path / "deltas")
+        )
+        forget_documents_derived(
+            spark, keys, epoch_dirs=(epoch_dir,), shard_dirs=(shard_dir,)
+        )
+        forget_documents_derived(
+            spark,
+            spark.createDataFrame([(3,)], "new_doc long"),
+            flat_dirs=(pair_dir,),
+            key_col="new_doc",
+        )
+        after = verify_forgotten(spark, keys, **kw)
+        assert after["clean"], after
+        assert set(after["targets"].values()) == {0}
+
+        # a missing index table fails loudly, like forget_keys
+        with pytest.raises(ValueError, match="does not exist"):
+            verify_forgotten(spark, keys, tables=("no_such_index",))
+        # a never-created dir audits as trivially clean
+        ghost = verify_forgotten(
+            spark, keys, flat_dirs=(str(tmp_path / "ghost"),)
+        )
+        assert ghost["clean"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
