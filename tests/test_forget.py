@@ -838,3 +838,58 @@ def test_verify_forgotten_audits_every_artifact_class(spark, tmp_path):
         assert ghost["clean"]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_tombstones_decontam_stream(spark, tmp_path):
+    """The stream-static decontamination driver honors the tombstone
+    set too: after a takedown, a checkpoint-loss replay of the training
+    drop neither reports spans for the forgotten doc nor rewrites its
+    scrubbed text — the survivor's replay is unchanged."""
+    import shutil
+
+    from ai_ready_data_framework_spark.operators.ai import gram_postings
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        write_forget_tombstones,
+    )
+
+    bench_docs = spark.createDataFrame(
+        [(d, _text(f"eval{d}_")) for d in range(1, 4)],
+        "doc_id long, text string",
+    )
+    table = "decontam_tombstone"
+    zone = str(tmp_path / "zone")
+    spans_out = str(tmp_path / "spans")
+    scrubbed_out = str(tmp_path / "scrubbed")
+    ckpt = str(tmp_path / "ckpt")
+    ts_dir = str(tmp_path / "tombstones")
+    try:
+        SS.write_gram_index(
+            gram_postings(bench_docs, min_run=MIN_RUN),
+            table,
+            str(tmp_path / "index"),
+        )
+        # train doc 601 leaks eval1 text (will be forgotten), 602 clean
+        spark.createDataFrame(
+            [(601, _text("eval1_")), (602, _text("clean_"))],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(zone)
+        kw = dict(min_run=MIN_RUN, scrubbed_out=scrubbed_out,
+                  tombstone_dir=ts_dir)
+        SS.run_decontam_stream(spark, zone, table, spans_out, ckpt, **kw)
+        assert (
+            spark.read.parquet(spans_out).filter("doc_id = 601").count() == 1
+        )
+
+        write_forget_tombstones(spark, _ids(spark, 601), ts_dir)
+        shutil.rmtree(ckpt)
+        SS.run_decontam_stream(spark, zone, table, spans_out, ckpt, **kw)
+        for path in (spans_out, scrubbed_out):
+            assert (
+                spark.read.parquet(path).filter("doc_id = 601").count() == 0
+            ), path
+        assert (
+            spark.read.parquet(scrubbed_out).filter("doc_id = 602").count()
+            == 1
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
