@@ -1040,30 +1040,52 @@ def forget_in_training_shards(
     path: str,
     keys: DataFrame,
     key_col: str,
+    n_shards: int | None = None,
 ) -> dict:
-    """Erase ``keys`` from a write_training_shards layout. The shard
-    assignment is a pure function of the key (md5 -> xxhash64 -> pmod
-    — write_training_shards above), so the affected ``__shard=K``
+    """Erase ``keys`` from a write_training_shards layout. With
+    ``n_shards`` (the WRITER's shard count) the shard assignment is a
+    pure function of the key (md5 -> xxhash64 -> pmod —
+    write_training_shards above), so the affected ``__shard=K``
     directories are computed FROM THE KEY SET with no corpus scan at
     all: a handful of forgotten keys touches a handful of shard files
-    regardless of corpus size. Each affected shard is rewritten
-    through the audited staged swap with the survivors re-sorted by
-    the same content hash, preserving the writer's determinism
-    contract: the forgotten layout is byte-equivalent (content and
-    order) to re-sharding the scrubbed corpus from scratch."""
+    regardless of corpus size. ``n_shards`` cannot be inferred from
+    the directory listing — ``partitionBy`` omits EMPTY shards, and a
+    wrong modulus remaps every candidate and silently misses keys (a
+    property test caught exactly this on a 1-doc corpus written with
+    3 shards) — so without it the function falls back to one
+    column-pruned scan of the key column to find the affected shard
+    partitions: always correct, just not scan-free. Each affected
+    shard is rewritten through the audited staged swap with the
+    survivors re-sorted by the same content hash, preserving the
+    writer's determinism contract: the forgotten layout is
+    row-equivalent (content and order) to re-sharding the scrubbed
+    corpus from scratch."""
     shard_parts = [
         d for d in os.listdir(path) if d.startswith("__shard=")
     ]
-    n_shards = len(shard_parts)
-    if n_shards == 0:
+    if not shard_parts:
         return {"shards_rewritten": [], "removed_rows": 0}
     h = F.md5(F.col(key_col).cast("string").cast("binary"))
-    shard_of = F.pmod(F.xxhash64(h), F.lit(n_shards))
     key_set = keys.select(key_col).distinct()
-    candidates = sorted(
-        r[0]
-        for r in key_set.select(shard_of.alias("__s")).distinct().collect()
-    )
+    if n_shards is not None:
+        shard_of = F.pmod(F.xxhash64(h), F.lit(n_shards))
+        candidates = sorted(
+            r[0]
+            for r in key_set.select(shard_of.alias("__s"))
+            .distinct()
+            .collect()
+        )
+    else:
+        base_all = spark.read.option("basePath", path).parquet(path)
+        candidates = sorted(
+            r[0]
+            for r in base_all.join(
+                F.broadcast(key_set), key_col, "left_semi"
+            )
+            .select("__shard")
+            .distinct()
+            .collect()
+        )
     rewritten, removed = [], 0
     for s in candidates:
         sub = f"{path}/__shard={s}"
@@ -1248,3 +1270,33 @@ def verify_forgotten(
         report["targets"][d] = _count(spark.read.parquet(d), d)
     report["clean"] = all(v == 0 for v in report["targets"].values())
     return report
+
+
+def compact_forget_tombstones(
+    spark: SparkSession, tombstone_dir: str
+) -> dict:
+    """Fold the append-only tombstone set into ONE deduplicated file —
+    the same small-files maintenance every other persisted artifact
+    here gets (band/gram/IVF compactors, `compact`). Takedowns append
+    a file each, so a long-lived zone accumulates tiny files that every
+    micro-batch re-lists; after compaction the per-epoch read is one
+    footer. Staged swap through write_audit_publish with a
+    distinct-set-conservation audit (a lost key would silently
+    un-forget someone — the one failure mode erasure cannot have).
+    Single-writer like the index compactors: run it from the same
+    maintenance cadence, not concurrently with a takedown."""
+    ts = read_forget_tombstones(spark, tombstone_dir)
+    if ts is None:
+        return {"keys": 0, "compacted": False}
+    n = ts.count()  # read_forget_tombstones already returns distinct
+    write_audit_publish(
+        spark,
+        ts.coalesce(1),
+        tombstone_dir,
+        audits={
+            "distinct_set_conservation": lambda staged: (
+                staged.distinct().count() == n and staged.count() == n
+            ),
+        },
+    )
+    return {"keys": n, "compacted": True}

@@ -336,7 +336,9 @@ def test_forget_in_training_shards_matches_rescratch(spark, tmp_path):
                 for f in os.listdir(os.path.join(shards, d))
             )
 
-    rep = forget_in_training_shards(spark, shards, keys, "doc_id")
+    rep = forget_in_training_shards(
+        spark, shards, keys, "doc_id", n_shards=4
+    )
     assert rep["removed_rows"] == len(forgotten)
 
     write_training_shards(
@@ -893,3 +895,47 @@ def test_tombstones_decontam_stream(spark, tmp_path):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_forget_tombstones(spark, tmp_path):
+    """Tombstone maintenance: N appended takedown files fold into one
+    deduplicated file with the EXACT same key set (losing a key would
+    silently un-forget someone), applies identically afterwards, and
+    the no-takedowns case is a clean no-op."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        apply_forget_tombstones,
+        compact_forget_tombstones,
+        read_forget_tombstones,
+        write_forget_tombstones,
+    )
+
+    ts_dir = str(tmp_path / "tombstones")
+    assert compact_forget_tombstones(spark, ts_dir) == {
+        "keys": 0,
+        "compacted": False,
+    }
+    write_forget_tombstones(spark, _ids(spark, 1, 2), ts_dir)
+    write_forget_tombstones(spark, _ids(spark, 2, 3), ts_dir)
+    write_forget_tombstones(spark, _ids(spark, 4), ts_dir)
+    n_files_before = sum(
+        1 for f in os.listdir(ts_dir) if f.endswith(".parquet")
+    )
+    assert n_files_before >= 3
+
+    rep = compact_forget_tombstones(spark, ts_dir)
+    assert rep == {"keys": 4, "compacted": True}
+    assert (
+        sum(1 for f in os.listdir(ts_dir) if f.endswith(".parquet")) == 1
+    )
+    ts = read_forget_tombstones(spark, ts_dir)
+    assert {r.doc_id for r in ts.collect()} == {1, 2, 3, 4}
+    batch = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    assert {
+        r.doc_id for r in apply_forget_tombstones(batch, ts).collect()
+    } == {5, 6}
+    # takedowns keep working after compaction (append to the one file's
+    # dir), and a re-compact converges
+    write_forget_tombstones(spark, _ids(spark, 5), ts_dir)
+    assert compact_forget_tombstones(spark, ts_dir)["keys"] == 5

@@ -782,3 +782,73 @@ def test_cross_duplicated_spans_matches_brute_force(spark, corpus, probe):
         for r in cross_duplicated_spans(c, p, min_run=SPAN_RUN).collect()
     }
     assert got == _brute_cross_spans(corpus, probe)
+
+
+# --- shard erasure == re-scratch (r12) --------------------------------
+# forget_in_training_shards claims its rewrite is row-identical in
+# content AND order to re-sharding the scrubbed corpus from scratch,
+# for ANY corpus and ANY takedown subset — exactly the kind of claim
+# a property test should own, not one fixture.
+
+shard_corpora = st.lists(
+    st.integers(0, 200), min_size=1, max_size=30, unique=True
+)
+
+
+@given(ids=shard_corpora, data=st.data())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_shard_forget_equals_rescratch_property(spark, tmp_path_factory, ids, data):
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        forget_in_training_shards,
+        write_training_shards,
+    )
+
+    forgotten = data.draw(
+        st.lists(st.sampled_from(ids), max_size=len(ids), unique=True)
+    )
+    tmp = tmp_path_factory.mktemp("shardprop")
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in ids], "doc_id long, text string"
+    )
+    shards, rescratch = str(tmp / "shards"), str(tmp / "rescratch")
+    n_shards = 3
+    write_training_shards(docs, shards, "doc_id", n_shards)
+    keys = spark.createDataFrame(
+        [(i,) for i in forgotten] or [(None,)], "doc_id long"
+    ).filter(F.col("doc_id").isNotNull())
+    # exercise BOTH paths: the scan-free hash shortcut (writer's
+    # n_shards supplied) and the safe pruned-scan fallback (None) —
+    # the None path is what caught the empty-shard pmod remap bug
+    explicit = data.draw(st.booleans())
+    rep = forget_in_training_shards(
+        spark, shards, keys, "doc_id",
+        n_shards=n_shards if explicit else None,
+    )
+    assert rep["removed_rows"] == len(forgotten)
+    write_training_shards(
+        docs.filter(~F.col("doc_id").isin(forgotten))
+        if forgotten
+        else docs,
+        rescratch,
+        "doc_id",
+        n_shards,
+    )
+    for s in range(n_shards):
+        import os as _os
+
+        a, b = f"{shards}/__shard={s}", f"{rescratch}/__shard={s}"
+        a_rows = (
+            [tuple(r) for r in spark.read.parquet(a).collect()]
+            if _os.path.isdir(a)
+            else []
+        )
+        b_rows = (
+            [tuple(r) for r in spark.read.parquet(b).collect()]
+            if _os.path.isdir(b)
+            else []
+        )
+        assert a_rows == b_rows, f"shard {s}"
