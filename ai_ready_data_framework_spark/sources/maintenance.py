@@ -73,7 +73,14 @@ def compact(
     tmp = path.rstrip("/") + "__compacting"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     # atomic-ish swap: verify the rewrite before replacing the original
-    assert spark.read.parquet(tmp).count() == df.count()
+    # (a real exception, not `assert` — python -O must not turn this
+    # into an unverified swap)
+    n_new, n_old = spark.read.parquet(tmp).count(), df.count()
+    if n_new != n_old:
+        raise AuditFailure(
+            f"compaction rewrite of {path} holds {n_new} rows, expected"
+            f" {n_old}; rewrite kept at {tmp}, original left serving"
+        )
     import shutil
 
     shutil.rmtree(path)
@@ -1187,7 +1194,11 @@ def write_forget_tombstones(
 ) -> int:
     """Append ``keys`` to the tombstone set. Append-only on purpose:
     concurrent takedowns never clobber each other, and readers
-    de-duplicate. Returns the number of keys written."""
+    de-duplicate. Returns the number of keys written. Retention note:
+    the set holds only the OPAQUE keys — never any erased content —
+    and that key-level remembering is what makes the forgetting
+    enforceable against replays; drop the set only when its landing
+    zone is itself retired."""
     key_set = keys.select(key_col).distinct()
     n = key_set.count()
     key_set.coalesce(1).write.mode("append").parquet(tombstone_dir)
