@@ -1138,6 +1138,7 @@ def forget_documents_derived(
     shard_dirs: "tuple[str, ...]" = (),
     flat_dirs: "tuple[str, ...]" = (),
     key_col: str = "doc_id",
+    n_shards_by_dir: "dict[str, int] | None" = None,
 ) -> dict:
     """One-call right-to-erasure across DERIVED artifacts: epoch-keyed
     stream outputs (scrubbed rewrites, span reports), training-shard
@@ -1159,7 +1160,15 @@ def forget_documents_derived(
         report["targets"][d] = rep
         report["removed_rows"] += rep["removed_rows"]
     for d in shard_dirs:
-        rep = forget_in_training_shards(spark, d, keys, key_col=key_col)
+        # pass the writer's shard count when the caller knows it — the
+        # scan-free hash shortcut; omitted dirs take the safe scan path
+        rep = forget_in_training_shards(
+            spark,
+            d,
+            keys,
+            key_col=key_col,
+            n_shards=(n_shards_by_dir or {}).get(d),
+        )
         report["targets"][d] = rep
         report["removed_rows"] += rep["removed_rows"]
     for d in flat_dirs:

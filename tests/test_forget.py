@@ -404,6 +404,7 @@ def test_forget_documents_derived_one_call_everything(spark, tmp_path):
         epoch_dirs=(epoch_dir,),
         shard_dirs=(shard_dir,),
         flat_dirs=(chunk_dir,),
+        n_shards_by_dir={shard_dir: 3},  # scan-free shard path
     )
     assert rep["removed_rows"] > 0
     for path in (epoch_dir, shard_dir, chunk_dir):
