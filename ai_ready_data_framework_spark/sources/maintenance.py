@@ -111,10 +111,26 @@ def write_audit_publish(
     0-1-scored checks thresholded at publish time); at 100 TB the same
     structure publishes per-partition. The publish step is a directory
     rename: atomic on POSIX filesystems, and on object stores the
-    rename becomes a metadata-catalog pointer swap — same protocol."""
+    rename becomes a metadata-catalog pointer swap — same protocol.
+
+    The staging dir is a SIBLING with an underscore-prefixed name:
+    when ``path`` is itself a partition inside a partitioned root
+    (``scrubbed_out/epoch=5`` — the derived-erasure rewrites), a
+    suffix-only name like ``epoch=5__staging`` would be picked up by
+    Spark's partition discovery on the ROOT, flipping the partition
+    column to string and re-exposing the staged copy whenever a crash
+    or a failed audit leaves staging behind. ``.``-prefixed paths are
+    invisible to Spark's listing (measured on this build: a ``_``
+    prefix is NOT enough — ``_epoch=0__staging`` still conflicts
+    partition inference; a dot-dir does not), so leftovers never
+    corrupt readers of the root."""
     import shutil
 
-    staging = path.rstrip("/") + "__staging"
+    clean = path.rstrip("/")
+    staging = os.path.join(
+        os.path.dirname(clean) or ".",
+        "." + os.path.basename(clean) + "__staging",
+    )
     df.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
     failed = [name for name, check in audits.items() if not check(staged)]
@@ -974,18 +990,32 @@ def forget_keys(
 
 
 def _forget_in_flat_dir(
-    spark: SparkSession, path: str, key_set: DataFrame, key_col: str
+    spark: SparkSession,
+    path: str,
+    key_set: DataFrame,
+    key_col: str,
+    transform_survivors=None,
 ) -> dict:
     """Erase rows owned by ``key_set`` from one flat parquet dir.
     Broadcast anti-join (takedown-sized key set, one linear pass over
     the dir); skipped entirely when the dir holds no forgotten rows,
-    so re-runs rewrite nothing."""
+    so re-runs rewrite nothing. A MISSING dir is a graceful no-op —
+    enforcement against a retired artifact must converge, not abort
+    the rest of the deletion schedule (the audit half,
+    ``verify_forgotten``, takes the opposite policy and fails loudly).
+    ``transform_survivors`` lets callers reshape the rewrite (the
+    shard path re-sorts by content hash)."""
+    if not os.path.isdir(path):
+        return {"removed_rows": 0, "kept_rows": 0, "rewritten": False,
+                "missing": True}
     base = spark.read.parquet(path)
     n_base = base.count()
     n_forget = base.join(F.broadcast(key_set), key_col, "left_semi").count()
     if n_forget == 0:
         return {"removed_rows": 0, "kept_rows": n_base, "rewritten": False}
     survivors = base.join(F.broadcast(key_set), key_col, "left_anti")
+    if transform_survivors is not None:
+        survivors = transform_survivors(survivors)
     write_audit_publish(
         spark,
         survivors,
@@ -1067,6 +1097,10 @@ def forget_in_training_shards(
     writer's determinism contract: the forgotten layout is
     row-equivalent (content and order) to re-sharding the scrubbed
     corpus from scratch."""
+    if not os.path.isdir(path):
+        # graceful like _forget_in_flat_dir: a retired shard layout
+        # must not abort the rest of the deletion schedule
+        return {"shards_rewritten": [], "removed_rows": 0, "missing": True}
     shard_parts = [
         d for d in os.listdir(path) if d.startswith("__shard=")
     ]
@@ -1094,39 +1128,28 @@ def forget_in_training_shards(
             .collect()
         )
     rewritten, removed = [], 0
-    for s in candidates:
-        sub = f"{path}/__shard={s}"
-        if not os.path.isdir(sub):
-            continue
-        base = spark.read.parquet(sub)
-        n_base = base.count()
-        n_forget = base.join(
-            F.broadcast(key_set), key_col, "left_semi"
-        ).count()
-        if n_forget == 0:
-            continue
-        survivors = (
-            base.join(F.broadcast(key_set), key_col, "left_anti")
-            .withColumn("__h", h)
+
+    def _ordered(survivors: DataFrame) -> DataFrame:
+        # preserve the writer's determinism contract: one file per
+        # shard, rows re-sorted by the same content hash
+        return (
+            survivors.withColumn("__h", h)
             .coalesce(1)
             .sortWithinPartitions("__h")
             .drop("__h")
         )
-        write_audit_publish(
+
+    for s in candidates:
+        rep = _forget_in_flat_dir(
             spark,
-            survivors,
-            sub,
-            audits={
-                "row_conservation": lambda staged, n_base=n_base,
-                n_forget=n_forget: staged.count() == n_base - n_forget,
-                "no_forgotten_keys": lambda staged: staged.join(
-                    F.broadcast(key_set), key_col, "left_semi"
-                ).count()
-                == 0,
-            },
+            f"{path}/__shard={s}",
+            key_set,
+            key_col,
+            transform_survivors=_ordered,
         )
-        rewritten.append(s)
-        removed += n_forget
+        if rep["removed_rows"]:
+            rewritten.append(s)
+            removed += rep["removed_rows"]
     return {"shards_rewritten": rewritten, "removed_rows": removed}
 
 
@@ -1285,8 +1308,14 @@ def verify_forgotten(
         report["targets"][t] = _count(spark.read.parquet(loc), t)
     for d in epoch_dirs + shard_dirs + flat_dirs:
         if not os.path.isdir(d):
-            report["targets"][d] = 0
-            continue
+            # a typo'd path must not silently CERTIFY erasure — the
+            # audit fails loudly, mirroring the missing-table policy
+            # (enforcement skips missing targets; verification never
+            # certifies what it did not inspect)
+            raise ValueError(
+                f"audit target {d!r} does not exist; remove retired"
+                " artifacts from the audit list explicitly"
+            )
         report["targets"][d] = _count(spark.read.parquet(d), d)
     report["clean"] = all(v == 0 for v in report["targets"].values())
     return report
@@ -1300,23 +1329,44 @@ def compact_forget_tombstones(
     here gets (band/gram/IVF compactors, `compact`). Takedowns append
     a file each, so a long-lived zone accumulates tiny files that every
     micro-batch re-lists; after compaction the per-epoch read is one
-    footer. Staged swap through write_audit_publish with a
-    distinct-set-conservation audit (a lost key would silently
-    un-forget someone — the one failure mode erasure cannot have).
-    Single-writer like the index compactors: run it from the same
-    maintenance cadence, not concurrently with a takedown."""
+    footer.
+
+    Protocol: APPEND the deduplicated set as a new file, AUDIT it,
+    then prune the old files — NOT a directory swap. Live streams read
+    this dir between micro-batches, and a swap's rmtree→rename window
+    would make read_forget_tombstones return None — one unfiltered
+    batch could re-land a forgotten key with no error. Under
+    append-then-prune the dir always exists and every interleaved read
+    sees a SUPERSET of the tombstone set (old files ∪ compacted file
+    during the transition); a crash after the append leaves harmless
+    duplicates (readers de-duplicate), a crash mid-prune leaves a
+    superset — a key can never be lost, the one failure mode erasure
+    cannot have. Single-WRITER like the index compactors (no
+    concurrent takedown appends); concurrent stream READS are safe by
+    construction."""
     ts = read_forget_tombstones(spark, tombstone_dir)
     if ts is None:
         return {"keys": 0, "compacted": False}
+    old_files = [
+        f for f in os.listdir(tombstone_dir) if f.endswith(".parquet")
+    ]
     n = ts.count()  # read_forget_tombstones already returns distinct
-    write_audit_publish(
-        spark,
-        ts.coalesce(1),
-        tombstone_dir,
-        audits={
-            "distinct_set_conservation": lambda staged: (
-                staged.distinct().count() == n and staged.count() == n
-            ),
-        },
+    ts.coalesce(1).write.mode("append").parquet(tombstone_dir)
+    new_files = [
+        f
+        for f in os.listdir(tombstone_dir)
+        if f.endswith(".parquet") and f not in old_files
+    ]
+    # audit the compacted file alone before pruning: it must carry the
+    # ENTIRE distinct set, or the prune would lose keys
+    compacted = spark.read.parquet(
+        *[os.path.join(tombstone_dir, f) for f in new_files]
     )
+    if compacted.distinct().count() != n:
+        raise AuditFailure(
+            f"tombstone compaction of {tombstone_dir} lost keys; old"
+            " files left in place (readers unaffected)"
+        )
+    for f in old_files:
+        os.remove(os.path.join(tombstone_dir, f))
     return {"keys": n, "compacted": True}

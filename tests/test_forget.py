@@ -834,11 +834,12 @@ def test_verify_forgotten_audits_every_artifact_class(spark, tmp_path):
         # a missing index table fails loudly, like forget_keys
         with pytest.raises(ValueError, match="does not exist"):
             verify_forgotten(spark, keys, tables=("no_such_index",))
-        # a never-created dir audits as trivially clean
-        ghost = verify_forgotten(
-            spark, keys, flat_dirs=(str(tmp_path / "ghost"),)
-        )
-        assert ghost["clean"]
+        # ... and so does a missing/typo'd dir: the audit must never
+        # certify an artifact it did not inspect (code-review r12)
+        with pytest.raises(ValueError, match="does not exist"):
+            verify_forgotten(
+                spark, keys, flat_dirs=(str(tmp_path / "ghost"),)
+            )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
@@ -940,3 +941,74 @@ def test_compact_forget_tombstones(spark, tmp_path):
     # dir), and a re-compact converges
     write_forget_tombstones(spark, _ids(spark, 5), ts_dir)
     assert compact_forget_tombstones(spark, ts_dir)["keys"] == 5
+
+
+def test_staging_leftover_inside_partitioned_root_is_invisible(
+    spark, tmp_path, monkeypatch
+):
+    """Code-review r12: the staged-rewrite dir for a PARTITION target
+    (scrubbed_out/epoch=N) must be invisible to Spark's partition
+    discovery on the root — a failed audit deliberately KEEPS staging,
+    and a suffix-only name (epoch=5__staging) would flip the epoch
+    column to string and re-expose the staged copy. The underscore-
+    prefixed sibling keeps the root readable, int-typed, and
+    duplicate-free with the leftover in place."""
+    from ai_ready_data_framework_spark.sources import maintenance as M
+
+    docs = spark.createDataFrame(
+        [(d, f"t{d}") for d in range(1, 7)], "doc_id long, text string"
+    )
+    root = str(tmp_path / "epochs")
+    for e in range(2):
+        docs.filter((F.col("doc_id") % 2) == e).write.parquet(
+            f"{root}/epoch={e}"
+        )
+    n_total = spark.read.parquet(root).count()
+
+    real_wap = M.write_audit_publish
+
+    def sabotaged(spark_, df, path, audits):
+        audits = dict(audits)
+        audits["sabotage"] = lambda staged: False
+        return real_wap(spark_, df, path, audits)
+
+    monkeypatch.setattr(M, "write_audit_publish", sabotaged)
+    with pytest.raises(M.AuditFailure):
+        M.forget_in_epoch_dir(spark, root, _ids(spark, 2))
+    # staging was kept (for inspection) as an underscore sibling...
+    leftovers = [d for d in os.listdir(root) if "__staging" in d]
+    assert leftovers and all(d.startswith(".epoch") for d in leftovers)
+    # ...and the root reads EXACTLY as before: same rows, epoch still
+    # int-typed, no phantom '0__staging' partition value
+    after = spark.read.parquet(root)
+    assert after.count() == n_total
+    assert dict(after.dtypes)["epoch"] in ("int", "bigint")
+    assert after.filter("doc_id = 2").count() == 1  # live data serving
+    monkeypatch.setattr(M, "write_audit_publish", real_wap)
+    rep = M.forget_in_epoch_dir(spark, root, _ids(spark, 2))
+    assert rep["removed_rows"] == 1
+
+
+def test_forget_derived_skips_missing_targets(spark, tmp_path):
+    """Code-review r12: a retired/missing dir anywhere in the schedule
+    must not abort the remaining targets — enforcement converges,
+    reporting the miss, while the real targets still get erased."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        forget_documents_derived,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, f"t{d}") for d in range(1, 6)], "doc_id long, text string"
+    )
+    real_flat = str(tmp_path / "real_flat")
+    docs.write.parquet(real_flat)
+    rep = forget_documents_derived(
+        spark,
+        _ids(spark, 2),
+        epoch_dirs=(str(tmp_path / "gone_epochs"),),
+        shard_dirs=(str(tmp_path / "gone_shards"),),
+        flat_dirs=(real_flat,),
+    )
+    assert rep["targets"][str(tmp_path / "gone_shards")]["missing"]
+    assert rep["removed_rows"] == 1
+    assert spark.read.parquet(real_flat).filter("doc_id = 2").count() == 0

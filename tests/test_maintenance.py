@@ -93,7 +93,12 @@ def test_write_audit_publish_gates_bad_data(spark, sf_correctness, tmp_path):
     }
     write_audit_publish(spark, docs, good_path, audits)
     assert spark.read.parquet(good_path).count() == docs.count()
-    assert not os.path.exists(good_path + "__staging")
+    assert not os.path.exists(
+        os.path.join(
+            os.path.dirname(good_path),
+            "." + os.path.basename(good_path) + "__staging",
+        )
+    )
 
     bad_path = str(tmp_path / "rejected")
     with pytest.raises(AuditFailure, match="impossible"):
@@ -101,4 +106,9 @@ def test_write_audit_publish_gates_bad_data(spark, sf_correctness, tmp_path):
             spark, docs, bad_path, {"impossible": lambda d: d.count() > 10**9}
         )
     assert not os.path.exists(bad_path)  # nothing published
-    assert os.path.exists(bad_path + "__staging")  # kept for inspection
+    assert os.path.exists(  # kept for inspection, invisible to Spark
+        os.path.join(
+            os.path.dirname(bad_path),
+            "." + os.path.basename(bad_path) + "__staging",
+        )
+    )
