@@ -950,9 +950,9 @@ def test_staging_leftover_inside_partitioned_root_is_invisible(
     (scrubbed_out/epoch=N) must be invisible to Spark's partition
     discovery on the root — a failed audit deliberately KEEPS staging,
     and a suffix-only name (epoch=5__staging) would flip the epoch
-    column to string and re-expose the staged copy. The underscore-
-    prefixed sibling keeps the root readable, int-typed, and
-    duplicate-free with the leftover in place."""
+    column to string and re-expose the staged copy. The DOT-prefixed
+    sibling keeps the root readable, int-typed, and duplicate-free
+    with the leftover in place."""
     from ai_ready_data_framework_spark.sources import maintenance as M
 
     docs = spark.createDataFrame(
@@ -975,7 +975,7 @@ def test_staging_leftover_inside_partitioned_root_is_invisible(
     monkeypatch.setattr(M, "write_audit_publish", sabotaged)
     with pytest.raises(M.AuditFailure):
         M.forget_in_epoch_dir(spark, root, _ids(spark, 2))
-    # staging was kept (for inspection) as an underscore sibling...
+    # staging was kept (for inspection) as a dot-prefixed sibling...
     leftovers = [d for d in os.listdir(root) if "__staging" in d]
     assert leftovers and all(d.startswith(".epoch") for d in leftovers)
     # ...and the root reads EXACTLY as before: same rows, epoch still
@@ -1012,3 +1012,273 @@ def test_forget_derived_skips_missing_targets(spark, tmp_path):
     assert rep["targets"][str(tmp_path / "gone_shards")]["missing"]
     assert rep["removed_rows"] == 1
     assert spark.read.parquet(real_flat).filter("doc_id = 2").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r13 (VERDICT r12 #1/#2/#5/#6 + ADVICE r12): erasure through the
+# Hadoop FS API (file:// scheme URIs), zero-match republish skip,
+# multi-role audit, crash-window publish recovery, oversized-shard
+# guard, landing-zone retirement.
+# ---------------------------------------------------------------------------
+
+
+def test_erasure_roundtrip_through_file_scheme_uris(spark, tmp_path):
+    """VERDICT r12 #1: every erasure path must enforce through the
+    Hadoop FS API. An explicit ``file://`` scheme URI — which the old
+    os.* checks reject (os.path.isdir('file:///x') is False) —
+    exercises the same code path an hdfs:///s3a:// deployment takes:
+    tombstone write/read/apply/compact AND every forget-target class
+    must work, not silently no-op, through URIs."""
+    from ai_ready_data_framework_spark.sources import maintenance as M
+
+    # tombstone roundtrip through file:// URIs
+    ts_dir = "file://" + str(tmp_path / "tombstones")
+    assert M.read_forget_tombstones(spark, ts_dir) is None  # absent != error
+    assert M.write_forget_tombstones(spark, _ids(spark, 1, 2), ts_dir) == 2
+    ts = M.read_forget_tombstones(spark, ts_dir)
+    assert {r.doc_id for r in ts.collect()} == {1, 2}
+    batch = spark.createDataFrame(
+        [(1, "a"), (3, "c")], "doc_id long, text string"
+    )
+    assert [
+        r.doc_id for r in M.apply_forget_tombstones(batch, ts).collect()
+    ] == [3]
+    assert M.compact_forget_tombstones(spark, ts_dir) == {
+        "keys": 2,
+        "compacted": True,
+    }
+    assert {
+        r.doc_id
+        for r in M.read_forget_tombstones(spark, ts_dir).collect()
+    } == {1, 2}
+
+    # every forget-target class addressed by file:// URI — the os.*
+    # code returned missing/empty here and silently skipped the erasure
+    docs = spark.createDataFrame(
+        [(d, _text(f"u{d}_")) for d in range(1, 6)],
+        "doc_id long, text string",
+    )
+    flat_local = str(tmp_path / "flat")
+    docs.write.parquet(flat_local)
+    epoch_local = str(tmp_path / "epochs")
+    for e in range(2):
+        docs.filter((F.col("doc_id") % 2) == e).write.parquet(
+            f"{epoch_local}/epoch={e}"
+        )
+    shard_local = str(tmp_path / "shards")
+    M.write_training_shards(docs, shard_local, "doc_id", 2)
+
+    keys = _ids(spark, 2)
+    rep = M._forget_in_flat_dir(spark, "file://" + flat_local, keys, "doc_id")
+    assert rep == {"removed_rows": 1, "kept_rows": 4, "rewritten": True}
+    rep = M.forget_in_epoch_dir(spark, "file://" + epoch_local, keys)
+    assert rep["removed_rows"] == 1
+    rep = M.forget_in_training_shards(
+        spark, "file://" + shard_local, keys, "doc_id", n_shards=2
+    )
+    assert rep["removed_rows"] == 1
+    # the audit half answers through URIs too (and certifies zero)
+    audit = M.verify_forgotten(
+        spark,
+        keys,
+        epoch_dirs=("file://" + epoch_local,),
+        shard_dirs=("file://" + shard_local,),
+        flat_dirs=("file://" + flat_local,),
+    )
+    assert audit["clean"], audit
+
+
+def test_forget_keys_zero_match_skips_republish(spark, tmp_path):
+    """Code-review r12: re-running a completed deletion schedule must
+    not pay a compaction-sized republish per index — a takedown that
+    matches ZERO live postings advances no generation and rewrites no
+    files; the converging re-run costs one semi-join."""
+    from ai_ready_data_framework_spark.sources import maintenance as M
+
+    docs = spark.createDataFrame(
+        [(d, _text(f"base{d}_")) for d in range(1, 6)],
+        "doc_id long, text string",
+    )
+    table = "gram_forget_zero_skip"
+    index_path = str(tmp_path / "index")
+    delta_dir = str(tmp_path / "deltas")
+    try:
+        SS.write_gram_index(
+            gram_postings(docs, min_run=MIN_RUN), table, index_path
+        )
+        rep = SS.forget_documents_gram(
+            spark, _ids(spark, 1), table, index_path, delta_dir
+        )
+        assert rep["removed_rows"] > 0
+        gen1 = M._generation_of(spark, table)
+        loc1 = M._table_location(spark, table)
+        assert gen1 == 1
+        rep2 = SS.forget_documents_gram(
+            spark, _ids(spark, 1), table, index_path, delta_dir
+        )
+        assert rep2["removed_rows"] == 0
+        assert M._generation_of(spark, table) == gen1  # no new generation
+        assert M._table_location(spark, table) == loc1  # same files serving
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_verify_forgotten_multi_role_target(spark, tmp_path):
+    """ADVICE r12 (medium): one pair-shaped target audited under BOTH
+    key roles in ONE call — a survivor under the second role must
+    block the clean verdict (the old target-keyed report collapsed two
+    roles into one entry and could falsely certify erasure)."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        verify_forgotten,
+    )
+
+    pair_dir = str(tmp_path / "pairs")
+    spark.createDataFrame(
+        [(1, 9, 0.8), (8, 3, 0.7)],
+        "new_doc long, other_doc long, est_jaccard double",
+    ).write.parquet(pair_dir)
+    keys = _ids(spark, 3)  # survives ONLY under other_doc
+    rep = verify_forgotten(
+        spark,
+        keys,
+        flat_dirs=(pair_dir,),
+        key_cols_by_target={pair_dir: ("new_doc", "other_doc")},
+    )
+    assert not rep["clean"], rep
+    assert rep["targets"][f"{pair_dir}#new_doc"] == 0
+    assert rep["targets"][f"{pair_dir}#other_doc"] == 1
+    # a single-string override keeps the old report shape — and shows
+    # exactly the false-certification the tuple form exists to prevent
+    rep_one = verify_forgotten(
+        spark,
+        keys,
+        flat_dirs=(pair_dir,),
+        key_cols_by_target={pair_dir: "new_doc"},
+    )
+    assert rep_one["targets"] == {pair_dir: 0}
+
+
+def test_publish_swap_crash_window_recovery(spark, tmp_path):
+    """ADVICE r12: the publish protocol must never delete live data
+    before its replacement is in place. Simulate the crash between
+    rename-aside and rename-in (tomb present, live absent): recovery
+    restores the OLD data; a full re-publish over the crashed state
+    converges to the NEW data; a leftover tomb after a completed swap
+    is dropped without touching the live dir."""
+    from ai_ready_data_framework_spark.sources import maintenance as M
+
+    live = str(tmp_path / "live")
+    old = spark.createDataFrame([(1, "old")], "doc_id long, v string")
+    new = spark.createDataFrame([(2, "new")], "doc_id long, v string")
+    old.write.parquet(live)
+    tomb = M._swap_tomb_path(live)
+
+    # crash state: live renamed aside, staging never renamed in
+    os.rename(live, tomb)
+    assert not os.path.exists(live)
+    M._recover_publish(spark, live)
+    assert [r.v for r in spark.read.parquet(live).collect()] == ["old"]
+    assert not os.path.exists(tomb)
+
+    # a re-run of the publish over a crashed state converges to NEW
+    os.rename(live, tomb)
+    M.write_audit_publish(
+        spark, new, live, audits={"nonempty": lambda d: d.count() == 1}
+    )
+    assert [r.v for r in spark.read.parquet(live).collect()] == ["new"]
+    assert not os.path.exists(tomb)
+
+    # leftover tomb AFTER a completed swap: dropped, live untouched
+    old.write.parquet(tomb)
+    M._recover_publish(spark, live)
+    assert not os.path.exists(tomb)
+    assert [r.v for r in spark.read.parquet(live).collect()] == ["new"]
+
+
+def test_forget_in_training_shards_warns_on_oversized_shard(
+    spark, tmp_path
+):
+    """VERDICT r12 #6: the one-file-per-shard rewrite is a single-task
+    job — pointing it at an oversized legacy shard must WARN (naming
+    the shard) while still erasing; a healthy layout stays silent."""
+    import warnings
+
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        forget_in_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, _text(f"s{d}_")) for d in range(1, 21)],
+        "doc_id long, text string",
+    )
+    shards = str(tmp_path / "shards")
+    write_training_shards(docs, shards, "doc_id", 2)
+    with pytest.warns(UserWarning, match="single-task rewrite"):
+        rep = forget_in_training_shards(
+            spark, shards, _ids(spark, 5), "doc_id",
+            n_shards=2, max_rewrite_bytes=1,
+        )
+    assert rep["removed_rows"] == 1  # erasure proceeded despite the warn
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # healthy default threshold: silent
+        rep2 = forget_in_training_shards(
+            spark, shards, _ids(spark, 6), "doc_id", n_shards=2
+        )
+    assert rep2["removed_rows"] == 1
+
+
+def test_retire_landing_zone_lifecycle(spark, tmp_path):
+    """VERDICT r12 #5: a zone and its tombstone set retire TOGETHER in
+    one audited call — refused while a deployed stream's checkpoint
+    (or an active query on the zone) still exists, converging once
+    decommissioned, idempotent on re-run."""
+    import shutil
+    import time
+
+    from ai_ready_data_framework_spark.sources import maintenance as M
+
+    zone = str(tmp_path / "zone")
+    ts_dir = str(tmp_path / "tombstones")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).write.parquet(zone)
+    M.write_forget_tombstones(spark, _ids(spark, 1), ts_dir)
+
+    os.makedirs(ckpt)  # a deployed stream's checkpointLocation
+    with pytest.raises(RuntimeError, match="live checkpoints"):
+        M.retire_landing_zone(spark, zone, ts_dir, checkpoint_dirs=(ckpt,))
+    # refusal left both artifacts intact
+    assert M.read_forget_tombstones(spark, ts_dir) is not None
+    assert spark.read.parquet(zone).count() == 2
+
+    # an ACTIVE stream reading the zone refuses even with no
+    # checkpoint listed (belt and braces)
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(zone)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while not q.recentProgress and time.time() < deadline:
+            time.sleep(0.5)
+        assert q.recentProgress, "stream never reported progress"
+        with pytest.raises(RuntimeError, match="active stream"):
+            M.retire_landing_zone(spark, zone, ts_dir)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    # decommission (stream stopped, checkpoint deleted) -> retires both
+    shutil.rmtree(ckpt)
+    rep = M.retire_landing_zone(spark, zone, ts_dir, checkpoint_dirs=(ckpt,))
+    assert rep == {"zone_removed": True, "tombstones_removed": True}
+    assert not os.path.exists(zone) and not os.path.exists(ts_dir)
+    # idempotent re-run of a completed retirement
+    rep2 = M.retire_landing_zone(spark, zone, ts_dir, checkpoint_dirs=(ckpt,))
+    assert rep2 == {"zone_removed": False, "tombstones_removed": False}
