@@ -872,8 +872,13 @@ def classification(ctx: CheckContext) -> float:
 
 @check("field_masking", "compliant", "serving,training", "D", ":169-171")
 def field_masking(ctx: CheckContext) -> float:
-    """PII columns with masking applied — verifies the masked
-    materialization actually differs from the raw values."""
+    """PII columns with masking applied — two multiplicative halves:
+    the masked MATERIALIZATION actually differs from the raw values,
+    AND the governed read path consumers use (checks/enforce.py::
+    read_enforced, r13) hands out exactly the audited sha2 masks for
+    every registered PII column — enforcement by construction, scored
+    value-for-value against the raw table."""
+    from ai_ready_data_framework_spark.checks.enforce import read_enforced
     from ai_ready_data_framework_spark.registry import QUERIES
 
     masked = QUERIES["q_mask_pii"](ctx.spark, ctx.sf_dir)
@@ -884,11 +889,38 @@ def field_masking(ctx: CheckContext) -> float:
         (F.col("mask_kind") == "column_hash") & (F.col("field") == "text")
     ).select(F.col("rec_id").alias("doc_id"), "masked_value")
     joined = hashed.join(docs, "doc_id")
-    return _scalar(
+    materialized = _scalar(
         joined.agg(
             F.avg(F.when(F.col("masked_value") != F.col("text"), 1.0).otherwise(0.0))
         )
     )
+    # enforcement half: per registered (table, column), the enforced
+    # read must equal sha2(raw, 256) on every row — one broadcast-key
+    # join + conditional mean per table, data-level like the rest of
+    # the D checks
+    enforced_fracs: list[float] = []
+    for t, cols in R.MASKED_FIELDS.items():
+        purpose = R.PURPOSES[t][0]
+        key = R.PRIMARY_KEYS[t]
+        enforced = read_enforced(ctx.spark, ctx.sf_dir, t, purpose).select(
+            key, *[F.col(c).alias(f"__m_{c}") for c in cols]
+        )
+        raw = ctx.table(t)
+        j = enforced.join(raw, key)
+        for c in cols:
+            enforced_fracs.append(
+                _scalar(
+                    j.agg(
+                        F.avg(
+                            F.when(
+                                F.col(f"__m_{c}") == F.sha2(F.col(c), 256),
+                                1.0,
+                            ).otherwise(0.0)
+                        )
+                    )
+                )
+            )
+    return min([materialized, *enforced_fracs])
 
 
 @check("access_audit_coverage", "compliant", "serving,training", "P", ":173-175")
@@ -921,6 +953,23 @@ def bias_testing_coverage(ctx: CheckContext) -> float:
 
 @check("purpose_limitation", "compliant", "serving,training", "M", ":181-183")
 def purpose_limitation(ctx: CheckContext) -> float:
+    """Declared purposes per asset, GATED on the read path actually
+    refusing an undeclared purpose (r13): declaration without a
+    working refusal is documentation, not limitation — if
+    read_enforced lets an undeclared purpose through, the whole check
+    scores 0 regardless of registry coverage."""
+    from ai_ready_data_framework_spark.checks.enforce import (
+        PurposeDenied,
+        read_enforced,
+    )
+
+    try:
+        read_enforced(
+            ctx.spark, ctx.sf_dir, "documents", "__undeclared_purpose__"
+        )
+        return 0.0  # the gate did not hold
+    except PurposeDenied:
+        pass
     return _frac(sum(1 for t in R.ASSETS if R.PURPOSES.get(t)), len(R.ASSETS))
 
 

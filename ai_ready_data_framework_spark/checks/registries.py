@@ -237,6 +237,15 @@ CLASSIFICATION_TAGS: dict[str, str] = {  # classification (:165-167)
     "part": "business",
 }
 
+# --- read-side masking (field_masking :169-171): columns hashed on
+# EVERY read through checks/enforce.py::read_enforced. documents.text/
+# source mirror q_mask_pii's graded column_hash legs; customer.c_name
+# is the pii-classified entity's direct identifier.
+MASKED_FIELDS: dict[str, tuple[str, ...]] = {
+    "documents": ("text", "source"),
+    "customer": ("c_name",),
+}
+
 CONSENT_BASIS: dict[str, str] = {  # consent_coverage (:193-195)
     "customer": "contract",
     "events": "legitimate-interest",

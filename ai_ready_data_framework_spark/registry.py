@@ -172,6 +172,8 @@ ROWS_ONLY_TAIL_ORDER = [
     "q_multimodal_meta",
     "q_multimodal_features",
     "q_multimodal_frames",
+    "q_read_enforced",  # r13 factor-5 governed-read surface; masking
+    # parity vs q_mask_pii pinned byte-identical in tests/test_enforce.py
     "q_dedup_near_mllib",  # knowingly-slower API-parity twin: last
 ]
 
@@ -205,6 +207,7 @@ def load_all() -> None:
         corpus,
         pipeline,
     )
+    from ai_ready_data_framework_spark.checks import enforce  # noqa: F401
     from ai_ready_data_framework_spark.checks import queries as check_queries  # noqa: F401
     from ai_ready_data_framework_spark.plans import assessment  # noqa: F401
     from ai_ready_data_framework_spark.streaming import stateful  # noqa: F401

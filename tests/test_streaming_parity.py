@@ -3,6 +3,8 @@ batch and as an availableNow stream must produce identical rows."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ai_ready_data_framework_spark.streaming import parity
 
 
@@ -233,3 +235,77 @@ def test_quality_sample_parity(spark, sf_smoke):
         r.doc_id for r in QUERIES["q_sample_quality"](spark, sf_smoke).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_streaming_assessment_score_table_parity(spark, sf_smoke, tmp_path):
+    """VERDICT r12 #4: the 48-check battery as an availableNow
+    micro-batch job over a landing zone, reusing the batch check fns
+    (training_serving_parity discipline, requirements.yaml:107-109).
+    Stream == batch score-table parity is exact on every
+    deterministic row; kind-'P' checks measure their own run's
+    wall-clock (two runs measure two different executions — the same
+    reason run_assessment times them serially), so their criterion is
+    presence + in-range, not value equality. A second landing file
+    triggers a fresh epoch with the same contract."""
+    import shutil
+
+    from ai_ready_data_framework_spark.checks.engine import run_assessment
+    from ai_ready_data_framework_spark.streaming.assessment import (
+        run_assessment_stream,
+    )
+
+    zone = str(tmp_path / "zone")
+    scores_out = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copytree(sf_smoke, zone)  # the landing zone IS an sf-layout
+    # the trigger table of a REAL landing zone is a directory that
+    # receives files (the file stream source requires one); the static
+    # testdata ships it as a single file, so re-shape it
+    import os
+
+    doc_file = os.path.join(zone, "documents.parquet")
+    tmp_dir = os.path.join(zone, "__docs_tmp")
+    os.mkdir(tmp_dir)
+    shutil.move(doc_file, os.path.join(tmp_dir, "part-00000.parquet"))
+    os.rename(tmp_dir, doc_file)
+
+    batch = run_assessment(spark, zone, run_streaming=False)
+    run_assessment_stream(spark, zone, scores_out, ckpt)
+    streamed = spark.read.parquet(f"{scores_out}/epoch=0")
+
+    def canon(df):
+        return sorted(
+            tuple(r)
+            for r in df.filter(~F.col("kind").contains("P")).collect()
+        )
+
+    def p_rows(df):
+        return df.filter(F.col("kind").contains("P")).collect()
+
+    assert canon(streamed) == canon(batch)  # hash-equivalent: exact rows
+    assert streamed.count() == batch.count() == 48
+    assert {r.requirement for r in p_rows(streamed)} == {
+        r.requirement for r in p_rows(batch)
+    }
+    assert all(0.0 <= r.value <= 1.0 for r in p_rows(streamed))
+
+    # new data lands -> the next run scores a NEW epoch (continuous
+    # monitoring, not one-shot), and the fresh score table reflects
+    # the zone's current state with the same 48-row contract
+    extra = spark.createDataFrame(
+        [(990001, "late landing doc", "en", "src_z", 16)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    extra.coalesce(1).write.mode("append").parquet(f"{zone}/documents.parquet")
+    run_assessment_stream(spark, zone, scores_out, ckpt)
+    epochs = sorted(
+        r.epoch
+        for r in spark.read.parquet(scores_out)
+        .select("epoch")
+        .distinct()
+        .collect()
+    )
+    assert len(epochs) == 2
+    latest = spark.read.parquet(f"{scores_out}/epoch={epochs[-1]}")
+    assert latest.count() == 48
+    assert all(0.0 <= r.value <= 1.0 for r in latest.collect())
