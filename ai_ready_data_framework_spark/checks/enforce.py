@@ -42,8 +42,45 @@ class PurposeDenied(PermissionError):
     does not permit. Raised BEFORE any data access."""
 
 
+# one row per governed access — denials included, because refusals are
+# exactly what an access auditor wants to see (access_audit_coverage,
+# requirements.yaml:173-175)
+ACCESS_AUDIT_SCHEMA = (
+    "ts_epoch_ms long, table string, purpose string,"
+    " decision string, n_masked_cols int"
+)
+
+
+def _log_access(
+    spark: SparkSession,
+    audit_dir: str | None,
+    table: str,
+    purpose: str,
+    decision: str,
+    n_masked: int,
+) -> None:
+    if audit_dir is None:
+        return
+    import time as _time
+
+    spark.createDataFrame(
+        [(int(_time.time() * 1000), table, purpose, decision, n_masked)],
+        ACCESS_AUDIT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(audit_dir)
+
+
+def read_access_audit(spark: SparkSession, audit_dir: str) -> DataFrame:
+    """The access audit log (append-only, one tiny file per access —
+    fold with sources/maintenance.py::compact when it accumulates)."""
+    return spark.read.parquet(audit_dir)
+
+
 def read_enforced(
-    spark: SparkSession, sf_dir: str, table: str, purpose: str
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    purpose: str,
+    audit_dir: str | None = None,
 ) -> DataFrame:
     """Governed read: the table's DataFrame with every registered PII
     column masked, handed out only for a declared purpose.
@@ -60,20 +97,32 @@ def read_enforced(
       masking surface (field_masking, :169-171). The schema is
       unchanged (same names, string type), so downstream code is
       oblivious; only the values are irreversibly masked.
+    - ``audit_dir`` (optional) captures the access event —
+      GRANTS AND DENIALS both — as an append-only log
+      (access_audit_coverage, :173-175): refusals are exactly what an
+      access auditor needs to see, so the denial is logged before the
+      exception leaves.
     """
     if table not in R.ASSETS:
         raise ValueError(
             f"{table!r} is not a cataloged asset; uncataloged data"
             " cannot be governed — register it in checks/registries.py"
         )
+    masked_cols = R.MASKED_FIELDS.get(table, ())
     allowed = R.PURPOSES.get(table, ())
     if purpose not in allowed:
+        _log_access(
+            spark, audit_dir, table, purpose, "denied", len(masked_cols)
+        )
         raise PurposeDenied(
             f"purpose {purpose!r} is not permitted for table"
             f" {table!r}; declared purposes: {sorted(allowed)}"
         )
+    _log_access(
+        spark, audit_dir, table, purpose, "granted", len(masked_cols)
+    )
     df = load_table(spark, sf_dir, table)
-    for col in R.MASKED_FIELDS.get(table, ()):
+    for col in masked_cols:
         df = df.withColumn(col, F.sha2(col, 256))
     return df
 

@@ -1310,7 +1310,9 @@ def forget_documents_derived(
     the tombstone set below (write_forget_tombstones + the stream
     drivers' ``tombstone_dir``), layered on the fold manifest that
     already neutralizes checkpoint-loss replays of forgotten epochs
-    (tests/test_forget.py's replay races cover both)."""
+    (tests/test_forget.py's replay races cover both); when a zone is
+    decommissioned, ``retire_landing_zone`` removes it together with
+    its tombstone set in one audited call."""
     report: dict = {"removed_rows": 0, "targets": {}}
     for d in epoch_dirs:
         rep = forget_in_epoch_dir(spark, d, keys, key_col=key_col)

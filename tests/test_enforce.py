@@ -156,3 +156,30 @@ def test_q_read_enforced_registered_rows_only(spark, sf_smoke):
     )
     assert out.count() == raw_n
     assert out.filter(F.length("text") != 64).count() == 0  # sha2 hex
+
+
+def test_access_audit_captures_grants_and_denials(spark, sf_smoke, tmp_path):
+    """The governed read's audit trail (access_audit_coverage,
+    requirements.yaml:173-175): grants AND denials land as append-only
+    records — the denial is written before the exception leaves, so a
+    probing consumer cannot stay invisible."""
+    from ai_ready_data_framework_spark.checks.enforce import (
+        read_access_audit,
+        read_enforced,
+    )
+
+    audit = str(tmp_path / "access_audit")
+    read_enforced(
+        spark, sf_smoke, "documents", "model-training", audit_dir=audit
+    )
+    with pytest.raises(PurposeDenied):
+        read_enforced(
+            spark, sf_smoke, "documents", "ad-targeting", audit_dir=audit
+        )
+    log = read_access_audit(spark, audit).collect()
+    assert len(log) == 2
+    by_decision = {r.decision: r for r in log}
+    assert by_decision["granted"].purpose == "model-training"
+    assert by_decision["granted"].n_masked_cols == 2  # text, source
+    assert by_decision["denied"].purpose == "ad-targeting"
+    assert all(r.table == "documents" and r.ts_epoch_ms > 0 for r in log)
