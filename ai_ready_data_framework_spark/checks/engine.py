@@ -895,9 +895,10 @@ def field_masking(ctx: CheckContext) -> float:
         )
     )
     # enforcement half: per registered (table, column), the enforced
-    # read must equal sha2(raw, 256) on every row — one broadcast-key
-    # join + conditional mean per table, data-level like the rest of
-    # the D checks
+    # read must equal sha2(raw, 256) on every row — ONE join + ONE
+    # aggregation per table covering all of its masked columns (one
+    # Spark action each, not one per column), data-level like the rest
+    # of the D checks
     enforced_fracs: list[float] = []
     for t, cols in R.MASKED_FIELDS.items():
         purpose = R.PURPOSES[t][0]
@@ -906,20 +907,23 @@ def field_masking(ctx: CheckContext) -> float:
             key, *[F.col(c).alias(f"__m_{c}") for c in cols]
         )
         raw = ctx.table(t)
-        j = enforced.join(raw, key)
-        for c in cols:
-            enforced_fracs.append(
-                _scalar(
-                    j.agg(
-                        F.avg(
-                            F.when(
-                                F.col(f"__m_{c}") == F.sha2(F.col(c), 256),
-                                1.0,
-                            ).otherwise(0.0)
-                        )
-                    )
-                )
+        row = (
+            enforced.join(raw, key)
+            .agg(
+                *[
+                    F.avg(
+                        F.when(
+                            F.col(f"__m_{c}") == F.sha2(F.col(c), 256), 1.0
+                        ).otherwise(0.0)
+                    ).alias(c)
+                    for c in cols
+                ]
             )
+            .collect()[0]
+        )
+        enforced_fracs.extend(
+            0.0 if row[c] is None else float(row[c]) for c in cols
+        )
     return min([materialized, *enforced_fracs])
 
 

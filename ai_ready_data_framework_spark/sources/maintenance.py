@@ -80,9 +80,16 @@ def _hdfs(spark: SparkSession, path_str: str):
 
 
 def _fs_delete(spark: SparkSession, path_str: str) -> None:
+    """Recursive delete that FAILS LOUDLY: Hadoop FileSystem.delete
+    reports several failure modes (e.g. permission failure on a child)
+    by returning false rather than raising, and a silently-failed
+    delete is how 'retired' data quietly keeps serving — or, in
+    retire_landing_zone, how a zone could outlive the tombstone set
+    that protects it (code-review r13)."""
     fs, jpath = _hdfs(spark, path_str)
-    if fs.exists(jpath):
-        fs.delete(jpath, True)
+    if fs.exists(jpath) and not fs.delete(jpath, True):
+        raise IOError(f"delete of {path_str} failed (FileSystem returned"
+                      " false); target may still hold data")
 
 
 def _fs_isdir(spark: SparkSession, path_str: str) -> bool:
@@ -113,15 +120,46 @@ def _fs_dir_bytes(spark: SparkSession, path_str: str) -> int:
     )
 
 
-def _swap_tomb_path(path: str) -> str:
-    """The rename-aside name used by _publish_swap: a dot-prefixed
-    SIBLING, for the same partition-discovery reason as the staging
-    dir (write_audit_publish docstring)."""
+def _dot_sibling(path: str, suffix: str) -> str:
+    """A dot-prefixed SIBLING of ``path`` named ``.{name}{suffix}`` —
+    the one shape (staging, compaction temp, rename-aside tomb) that
+    Spark's partition discovery is guaranteed to ignore; see the
+    write_audit_publish docstring for why a ``_`` prefix is NOT
+    enough. Single constructor so URI handling can never diverge
+    between the three uses (code-review r13)."""
     clean = path.rstrip("/")
     return os.path.join(
         os.path.dirname(clean) or ".",
-        "." + os.path.basename(clean) + "__tomb",
+        "." + os.path.basename(clean) + suffix,
     )
+
+
+_TOMB_SUFFIX = "__tomb"
+
+
+def _swap_tomb_path(path: str) -> str:
+    """The rename-aside name used by _publish_swap."""
+    return _dot_sibling(path, _TOMB_SUFFIX)
+
+
+def _recover_publishes_under(spark: SparkSession, root: str) -> "list[str]":
+    """Restore every crashed _publish_swap DIRECTLY under ``root``
+    (code-review r13): a dot-tomb whose live sibling is absent means a
+    publish died between rename-aside and rename-in, and because the
+    live dir is gone, per-target code paths (existence checks,
+    blast-radius scans) would otherwise never look at it again — the
+    partition would silently drop out of the dataset with its data
+    stranded invisible in the tomb. Called by the epoch/shard erasure
+    entry points before they enumerate targets; returns the recovered
+    live paths. Idempotent: completed swaps just lose their leftover
+    tomb."""
+    recovered = []
+    for name in _fs_listdir(spark, root):
+        if name.startswith(".") and name.endswith(_TOMB_SUFFIX):
+            live = f"{root.rstrip('/')}/{name[1:-len(_TOMB_SUFFIX)]}"
+            _recover_publish(spark, live)
+            recovered.append(live)
+    return recovered
 
 
 def _recover_publish(spark: SparkSession, live: str) -> None:
@@ -178,13 +216,13 @@ def compact(
     partition of a partitioned table (compact the partitions whose
     file count exceeds a threshold), not over the whole table — the
     loop structure is identical."""
+    # converge a previous compact that crashed mid-swap FIRST — without
+    # this the read below throws on the absent live dir and the table
+    # stays unreadable until manual recovery (code-review r13)
+    _recover_publish(spark, path)
     n_files = max(1, math.ceil(_fs_dir_bytes(spark, path) / target_file_bytes))
     df = spark.read.parquet(path)
-    clean = path.rstrip("/")
-    tmp = os.path.join(
-        os.path.dirname(clean) or ".",
-        "." + os.path.basename(clean) + "__compacting",
-    )
+    tmp = _dot_sibling(path, "__compacting")
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     # verified swap: check the rewrite before replacing the original
     # (a real exception, not `assert` — python -O must not turn this
@@ -246,10 +284,7 @@ def write_audit_publish(
     # between rename-aside and rename-in, restore the old data before
     # staging — a failed audit below must leave live data serving
     _recover_publish(spark, clean)
-    staging = os.path.join(
-        os.path.dirname(clean) or ".",
-        "." + os.path.basename(clean) + "__staging",
-    )
+    staging = _dot_sibling(clean, "__staging")
     df.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
     failed = [name for name, check in audits.items() if not check(staged)]
@@ -1117,6 +1152,11 @@ def _forget_in_flat_dir(
     no-opping the erasure (VERDICT r12 #1). ``transform_survivors``
     lets callers reshape the rewrite (the shard path re-sorts by
     content hash)."""
+    # a previous rewrite of THIS dir may have crashed mid-swap, leaving
+    # the live dir absent and the old data in a dot-tomb — recover it
+    # first or the missing-dir branch below would skip the target while
+    # its un-erased rows sit invisible on disk (code-review r13)
+    _recover_publish(spark, path)
     if not _fs_isdir(spark, path):
         return {"removed_rows": 0, "kept_rows": 0, "rewritten": False,
                 "missing": True}
@@ -1166,6 +1206,11 @@ def forget_in_epoch_dir(
     replays' epoch arithmetic and the fold manifest are unaffected."""
     if not _fs_isdir(spark, path):
         return {"partitions_rewritten": [], "removed_rows": 0}
+    # a partition whose rewrite crashed mid-swap is ABSENT from the
+    # blast-radius scan below (its data sits in a dot-tomb the reader
+    # cannot see) — restore crashed partitions before enumerating, or
+    # they would drop out of the dataset forever (code-review r13)
+    _recover_publishes_under(spark, path)
     key_set = keys.select(key_col).distinct()
     base = spark.read.option("basePath", path).parquet(path)
     affected = sorted(
@@ -1222,6 +1267,11 @@ def forget_in_training_shards(
         # graceful like _forget_in_flat_dir: a retired shard layout
         # must not abort the rest of the deletion schedule
         return {"shards_rewritten": [], "removed_rows": 0, "missing": True}
+    # restore any shard whose previous rewrite crashed mid-swap — the
+    # hash shortcut recomputes the same candidate shards, but the
+    # listing fallback and the per-shard existence check would skip an
+    # absent (tombed) shard silently (code-review r13)
+    _recover_publishes_under(spark, path)
     shard_parts = [
         d for d in _fs_listdir(spark, path) if d.startswith("__shard=")
     ]
@@ -1469,6 +1519,23 @@ def verify_forgotten(
                 f"audit target {d!r} does not exist; remove retired"
                 " artifacts from the audit list explicitly"
             )
+        # a dot-tomb under the target means a rewrite crashed mid-swap:
+        # that partition's rows are on disk but INVISIBLE to the scan
+        # below, so certifying now could declare erased data clean.
+        # Fail loudly (the audit never mutates; re-running the deletion
+        # schedule performs the recovery) — code-review r13
+        tombs = [
+            n
+            for n in _fs_listdir(spark, d)
+            if n.startswith(".") and n.endswith(_TOMB_SUFFIX)
+        ]
+        if tombs:
+            raise ValueError(
+                f"audit target {d!r} holds crashed-publish tombs"
+                f" {tombs}: rows exist on disk that this scan cannot"
+                " see — re-run the deletion schedule (it recovers"
+                " crashed swaps) before auditing"
+            )
         _audit(report, spark.read.parquet(d), d)
     report["clean"] = all(v == 0 for v in report["targets"].values())
     return report
@@ -1557,11 +1624,17 @@ def retire_landing_zone(
     re-running a crashed or completed retirement converges — already-
     deleted targets report removed=False and the call succeeds."""
     zone_norm = zone_dir.rstrip("/")
+    # source descriptions carry Hadoop-NORMALIZED URIs (file:///x
+    # prints as file:/x), so a raw substring match of the caller's
+    # spelling silently misses scheme-qualified paths — compare the
+    # fully-qualified form too (code-review r13)
+    fs, jzone = _hdfs(spark, zone_norm)
+    zone_qualified = fs.makeQualified(jzone).toString()
     for q in spark.streams.active:
         for progress in q.recentProgress or []:
             for src in progress.get("sources") or []:
                 desc = src.get("description") or ""
-                if zone_norm in desc:
+                if zone_norm in desc or zone_qualified in desc:
                     raise RuntimeError(
                         f"landing zone {zone_dir!r} is still read by the"
                         f" active stream {q.id}; stop it before retiring"

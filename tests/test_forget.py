@@ -1282,3 +1282,62 @@ def test_retire_landing_zone_lifecycle(spark, tmp_path):
     # idempotent re-run of a completed retirement
     rep2 = M.retire_landing_zone(spark, zone, ts_dir, checkpoint_dirs=(ckpt,))
     assert rep2 == {"zone_removed": False, "tombstones_removed": False}
+
+
+def test_crashed_swap_recovery_reaches_every_forget_path(spark, tmp_path):
+    """Code-review r13: a rewrite that crashed between rename-aside
+    and rename-in leaves the live dir ABSENT and its data in a
+    dot-tomb — invisible to readers and to the existence/blast-radius
+    checks of every forget entry point, which would otherwise skip the
+    target forever with un-erased rows stranded on disk. Each entry
+    point must recover the tomb before enumerating targets, and
+    verify_forgotten must refuse to certify while a tomb exists."""
+    from ai_ready_data_framework_spark.sources import maintenance as M
+
+    docs = spark.createDataFrame(
+        [(d, _text(f"r{d}_")) for d in range(1, 6)],
+        "doc_id long, text string",
+    )
+
+    # flat dir: crash state -> recovered, erased, NOT reported missing
+    flat = str(tmp_path / "flat")
+    docs.write.parquet(flat)
+    os.rename(flat, M._swap_tomb_path(flat))
+    rep = M._forget_in_flat_dir(spark, flat, _ids(spark, 2), "doc_id")
+    assert rep == {"removed_rows": 1, "kept_rows": 4, "rewritten": True}
+    assert spark.read.parquet(flat).count() == 4
+
+    # epoch root: the crashed partition must re-enter the blast radius
+    root = str(tmp_path / "epochs")
+    for e in range(2):
+        docs.filter((F.col("doc_id") % 2) == e).write.parquet(
+            f"{root}/epoch={e}"
+        )
+    os.rename(f"{root}/epoch=1", os.path.join(root, ".epoch=1__tomb"))
+    # ...and the audit refuses to certify while the tomb exists
+    with pytest.raises(ValueError, match="crashed-publish tombs"):
+        M.verify_forgotten(spark, _ids(spark, 3), epoch_dirs=(root,))
+    rep = M.forget_in_epoch_dir(spark, root, _ids(spark, 3))  # 3 is odd
+    assert rep == {"partitions_rewritten": [1], "removed_rows": 1}
+    assert spark.read.parquet(root).count() == 4  # partition restored
+    after = M.verify_forgotten(spark, _ids(spark, 3), epoch_dirs=(root,))
+    assert after["clean"]
+
+    # shard layout: a tombed shard is restored before candidates run
+    shards = str(tmp_path / "shards")
+    M.write_training_shards(docs, shards, "doc_id", 2)
+    os.rename(
+        f"{shards}/__shard=0", os.path.join(shards, ".__shard=0__tomb")
+    )
+    rep = M.forget_in_training_shards(
+        spark, shards, _ids(spark, 4), "doc_id", n_shards=2
+    )
+    assert rep["removed_rows"] == 1
+    assert spark.read.parquet(shards).count() == 4
+
+    # compact over a crashed swap converges instead of raising
+    cdir = str(tmp_path / "compactme")
+    docs.write.parquet(cdir)
+    os.rename(cdir, M._swap_tomb_path(cdir))
+    M.compact(spark, cdir)
+    assert spark.read.parquet(cdir).count() == 5
