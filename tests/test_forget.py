@@ -1341,3 +1341,21 @@ def test_crashed_swap_recovery_reaches_every_forget_path(spark, tmp_path):
     os.rename(cdir, M._swap_tomb_path(cdir))
     M.compact(spark, cdir)
     assert spark.read.parquet(cdir).count() == 5
+
+
+def test_erasure_fails_loudly_on_unresolvable_scheme(spark, tmp_path):
+    """ADVICE r12: tombstone/erasure enforcement silently turning off
+    is the one failure mode the subsystem cannot have. A URI whose
+    scheme no FileSystem can serve must RAISE from every enforcement
+    entry point — never return 'no tombstones' / 'missing target'."""
+    from ai_ready_data_framework_spark.sources import maintenance as M
+
+    bad = "nosuchscheme://bucket/path"
+    with pytest.raises(Exception, match="[Nn]o FileSystem for scheme"):
+        M.read_forget_tombstones(spark, bad)
+    with pytest.raises(Exception, match="[Nn]o FileSystem for scheme"):
+        M._forget_in_flat_dir(spark, bad, _ids(spark, 1), "doc_id")
+    with pytest.raises(Exception, match="[Nn]o FileSystem for scheme"):
+        M.forget_in_training_shards(spark, bad, _ids(spark, 1), "doc_id")
+    with pytest.raises(Exception, match="[Nn]o FileSystem for scheme"):
+        M.verify_forgotten(spark, _ids(spark, 1), flat_dirs=(bad,))
