@@ -52,14 +52,6 @@ def write_training_shards(
     )
 
 
-def dir_bytes(path: str) -> int:
-    return sum(
-        os.path.getsize(os.path.join(path, f))
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-    )
-
-
 # --- Filesystem access: every maintenance/erasure path goes through
 # the Hadoop FileSystem API (r13, VERDICT r12 #1). ``os.path.isdir``
 # on an ``hdfs://``/``s3a://`` URI is False, so the os.* versions of
@@ -108,8 +100,8 @@ def _fs_listdir(spark: SparkSession, path_str: str) -> "list[str]":
 
 
 def _fs_dir_bytes(spark: SparkSession, path_str: str) -> int:
-    """Total bytes of the parquet files directly under a dir (the
-    FS-API twin of dir_bytes, for paths that may not be local)."""
+    """Total bytes of the parquet files directly under a dir (any
+    Hadoop scheme)."""
     fs, jpath = _hdfs(spark, path_str)
     if not fs.exists(jpath):
         return 0
@@ -168,14 +160,25 @@ def _recover_publish(spark: SparkSession, live: str) -> None:
     rename-aside and rename-in — restore the old data so readers keep
     serving; a tomb with the live path present means the swap
     completed — drop the leftover. Idempotent; called before every
-    stage/swap so re-running a crashed publish converges."""
+    stage/swap so re-running a crashed publish converges. Both FS ops
+    check Hadoop's boolean result and raise on failure (code-review
+    r13): a silently-failed restore would leave the target looking
+    legitimately missing — erasure would report it skipped while its
+    un-erased rows sit stranded in the tomb."""
+    tomb = _swap_tomb_path(live)
     fs, jlive = _hdfs(spark, live)
-    _, jtomb = _hdfs(spark, _swap_tomb_path(live))
+    _, jtomb = _hdfs(spark, tomb)
     if fs.exists(jtomb):
         if fs.exists(jlive):
-            fs.delete(jtomb, True)
-        else:
-            fs.rename(jtomb, jlive)
+            if not fs.delete(jtomb, True):
+                raise IOError(
+                    f"recovery: delete of leftover tomb {tomb} failed"
+                )
+        elif not fs.rename(jtomb, jlive):
+            raise IOError(
+                f"recovery: restore {tomb} -> {live} failed; the"
+                " target's data is intact in the tomb but unreachable"
+            )
 
 
 def _publish_swap(spark: SparkSession, staging: str, live: str) -> None:
@@ -734,12 +737,30 @@ def publish_bucketed_generation(
     vector index and the LSH band index. Generation directories are
     siblings of ``gen_dir_base`` (``{base}_gen{G}``); returns the new
     one. ``folded_epochs`` lands in the table manifest atomically with
-    the folded data; ``extra_props`` lets a caller swap side-artifact
-    pointers (the refit path's centroids) in the same catalog commit;
-    ``audits`` run against the staged files, AuditFailure keeps them
-    for inspection."""
+    the folded data — pass None to PRESERVE the live generation's
+    folded set (the plain-compaction case), an explicit list to
+    replace it; ``extra_props`` lets a caller swap side-artifact
+    pointers (the refit path's centroids) in the same catalog commit —
+    existing ``idx.*`` side-artifact properties CARRY OVER by default
+    and extra_props overrides key-by-key (code-review r13: the plain
+    compactors passed neither, so a routine compaction after a refit
+    dropped idx.centroids_path and silently re-pointed every probe at
+    the stale build-time quantizer, and compact_ivf_index also reset
+    the folded manifest while folded delta partitions could still be
+    on disk); ``audits`` run against the staged files, AuditFailure
+    keeps them for inspection."""
     import json as _json
 
+    prev_props = table_properties(spark, table_name)
+    carried = {
+        k: v
+        for k, v in prev_props.items()
+        if k.startswith("idx.") and k not in (_PROP_GEN, _PROP_FOLDED)
+    }
+    if folded_epochs is None:
+        folded_epochs = sorted(
+            _json.loads(prev_props.get(_PROP_FOLDED) or "[]")
+        )
     gen = _generation_of(spark, table_name) + 1
     gen_dir = f"{gen_dir_base}_gen{gen}"
     staging_table = f"{table_name}__staging"
@@ -765,16 +786,23 @@ def publish_bucketed_generation(
     )
     props = {
         _PROP_GEN: str(gen),
-        _PROP_FOLDED: _json.dumps(sorted(folded_epochs or [])),
+        _PROP_FOLDED: _json.dumps(sorted(folded_epochs)),
+        **carried,
         **(extra_props or {}),
     }
-    prop_sql = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+
+    def _q(s: str) -> str:
+        # single quotes doubled — a path like /data/o'brien must not
+        # break the CREATE inside the loud swap window (code-review r13)
+        return s.replace("'", "''")
+
+    prop_sql = ", ".join(f"'{_q(k)}'='{_q(v)}'" for k, v in props.items())
     bcols = ", ".join(bucket_cols)
     create_sql = (
         f"CREATE TABLE {table_name} ({cols}) USING PARQUET "
         f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
         f"INTO {n_buckets} BUCKETS "
-        f"LOCATION '{gen_dir}' TBLPROPERTIES ({prop_sql})"
+        f"LOCATION '{_q(gen_dir)}' TBLPROPERTIES ({prop_sql})"
     )
     # manifest json inside the generation dir (underscore-prefixed =
     # invisible to parquet scans): the loud-window recovery record
@@ -885,14 +913,30 @@ def refit_ivf_index(
     controls the only corpus-sized multiplier (one exact-top-k pass
     over the query batch)."""
     from ai_ready_data_framework_spark.operators import ai as _ai
-    from ai_ready_data_framework_spark.streaming.ivf import indexed_vectors
 
     cfg = cfg or _ai.DEFAULT_ANN
-    current = (
-        indexed_vectors(spark, table_name, delta_dir)
-        if delta_dir is not None
-        else spark.table(table_name)
-    ).select("vec_id", "embedding")
+    # pin the delta-epoch set FIRST and read exactly that set: the old
+    # form read indexed_vectors, then re-listed the delta dir for the
+    # fold manifest — an epoch landed in between was marked folded
+    # (and deleted) without its rows ever entering the new generation
+    # (code-review r13; same listing-pinned discipline as
+    # compact_ivf_index_deltas)
+    if delta_dir is not None:
+        present = sorted(_delta_epochs_present(spark, delta_dir))
+        unfolded = [
+            e
+            for e in present
+            if e not in folded_epochs_of(spark, table_name)
+        ]
+    else:
+        present, unfolded = [], []
+    current = spark.table(table_name).select("vec_id", "embedding")
+    if unfolded:
+        current = current.unionByName(
+            spark.read.parquet(
+                *[f"{delta_dir}/epoch={e}" for e in unfolded]
+            ).select("vec_id", "embedding")
+        )
     # one count, reused for the sample rate AND the conservation audit
     n_pre = current.count()
     old_assigned, old_centroids = read_ivf_index(spark, table_name, path)
@@ -915,11 +959,7 @@ def refit_ivf_index(
         audits["probe_recall"] = lambda staged: _probe_recall(
             _ai.ivf_probe(staged, new_centroids, queries, cfg), exact
         ) >= floor - 1e-9
-    folded = (
-        sorted(_delta_epochs_present(spark, delta_dir))
-        if delta_dir is not None
-        else []
-    )
+    folded = present  # the pinned listing, not a fresh one
     gen_dir = publish_ivf_generation(
         spark,
         assigned,
@@ -1073,8 +1113,6 @@ def forget_keys(
     REPLAY of those epochs would re-land the postings, so takedown at
     the source (the landing zone) is part of the procedure, exactly as
     with any log-structured store."""
-    import json as _json
-
     key_set = keys.select(key_col).distinct()
     loc = _table_location(spark, table_name)
     if loc is None:
@@ -1089,12 +1127,9 @@ def forget_keys(
     if n_forget == 0:
         return {"removed_rows": 0, "kept_rows": n_base}
     survivors = base.join(F.broadcast(key_set), key_col, "left_anti")
-    props = table_properties(spark, table_name)
-    extra = {
-        k: v
-        for k, v in props.items()
-        if k not in (_PROP_GEN, _PROP_FOLDED) and k.startswith("idx.")
-    }
+    # folded-epoch manifest and idx.* side-artifact pointers (the IVF
+    # centroids) carry over through the publish by default (r13 — the
+    # same preservation every plain compaction gets)
     publish_bucketed_generation(
         spark,
         survivors,
@@ -1102,10 +1137,6 @@ def forget_keys(
         gen_dir_base,
         bucket_cols,
         n_buckets,
-        folded_epochs=sorted(
-            _json.loads(props.get(_PROP_FOLDED) or "[]")
-        ),
-        extra_props=extra or None,
         audits={
             "row_conservation": lambda staged: staged.count()
             == n_base - n_forget,
@@ -1220,13 +1251,40 @@ def forget_in_epoch_dir(
         .distinct()
         .collect()
     )
-    removed = 0
+    # resolve each inferred value back to its ON-DISK directory name:
+    # partition inference DECODES names (URL-escaping, zero-padding),
+    # so re-rendering f"{col}={value}" can name a directory that does
+    # not exist — and a miss must FAIL, never silently skip the
+    # partition's forgotten rows (code-review r13)
+    from urllib.parse import unquote
+
+    children = {
+        c
+        for c in _fs_listdir(spark, path)
+        if c.startswith(f"{partition_col}=")
+    }
+    rewritten, removed = [], 0
     for p in affected:
-        rep = _forget_in_flat_dir(
-            spark, f"{path}/{partition_col}={p}", key_set, key_col
-        )
+        name = f"{partition_col}={p}"
+        if name not in children:
+            matches = [
+                c
+                for c in children
+                if unquote(c.split("=", 1)[1]) == str(p)
+            ]
+            if len(matches) != 1:
+                raise ValueError(
+                    f"partition value {p!r} carries forgotten rows but"
+                    f" no unique directory under {path} spells it"
+                    f" (candidates: {sorted(matches)}) — erasure cannot"
+                    " silently skip it"
+                )
+            name = matches[0]
+        rep = _forget_in_flat_dir(spark, f"{path}/{name}", key_set, key_col)
         removed += rep["removed_rows"]
-    return {"partitions_rewritten": affected, "removed_rows": removed}
+        if rep["removed_rows"]:
+            rewritten.append(p)
+    return {"partitions_rewritten": rewritten, "removed_rows": removed}
 
 
 def forget_in_training_shards(
@@ -1519,16 +1577,21 @@ def verify_forgotten(
                 f"audit target {d!r} does not exist; remove retired"
                 " artifacts from the audit list explicitly"
             )
-        # a dot-tomb under the target means a rewrite crashed mid-swap:
-        # that partition's rows are on disk but INVISIBLE to the scan
-        # below, so certifying now could declare erased data clean.
-        # Fail loudly (the audit never mutates; re-running the deletion
-        # schedule performs the recovery) — code-review r13
+        # a dot-tomb means a rewrite crashed mid-swap: rows are on disk
+        # but INVISIBLE to the scan below, so certifying now could
+        # declare erased data clean. Two tomb locations (code-review
+        # r13): partition rewrites tomb INSIDE the target (epoch/shard
+        # roots); a flat-dir rewrite tombs the target's dot-SIBLING in
+        # the parent — check both. Fail loudly (the audit never
+        # mutates; re-running the deletion schedule performs the
+        # recovery).
         tombs = [
             n
             for n in _fs_listdir(spark, d)
             if n.startswith(".") and n.endswith(_TOMB_SUFFIX)
         ]
+        if _fs_isdir(spark, _swap_tomb_path(d)):
+            tombs.append(_swap_tomb_path(d))
         if tombs:
             raise ValueError(
                 f"audit target {d!r} holds crashed-publish tombs"
@@ -1630,11 +1693,25 @@ def retire_landing_zone(
     # fully-qualified form too (code-review r13)
     fs, jzone = _hdfs(spark, zone_norm)
     zone_qualified = fs.makeQualified(jzone).toString()
+
+    def _references_zone(desc: str) -> bool:
+        # path-BOUNDARY match: '/data/land' must not match an
+        # unrelated stream on '/data/landing2' (code-review r13) —
+        # the zone counts as referenced only when followed by a
+        # separator or the end of the path token
+        for z in (zone_norm, zone_qualified):
+            i = desc.find(z)
+            while i != -1:
+                j = i + len(z)
+                if j >= len(desc) or desc[j] in "/]} ,'\"":
+                    return True
+                i = desc.find(z, i + 1)
+        return False
+
     for q in spark.streams.active:
         for progress in q.recentProgress or []:
             for src in progress.get("sources") or []:
-                desc = src.get("description") or ""
-                if zone_norm in desc or zone_qualified in desc:
+                if _references_zone(src.get("description") or ""):
                     raise RuntimeError(
                         f"landing zone {zone_dir!r} is still read by the"
                         f" active stream {q.id}; stop it before retiring"

@@ -1359,3 +1359,62 @@ def test_erasure_fails_loudly_on_unresolvable_scheme(spark, tmp_path):
         M.forget_in_training_shards(spark, bad, _ids(spark, 1), "doc_id")
     with pytest.raises(Exception, match="[Nn]o FileSystem for scheme"):
         M.verify_forgotten(spark, _ids(spark, 1), flat_dirs=(bad,))
+
+
+def test_verify_refuses_sibling_tomb_of_flat_target(spark, tmp_path):
+    """Code-review r13: a flat-dir rewrite tombs the target's
+    dot-SIBLING (not a child), and a crash after rename-in but before
+    tomb deletion leaves the full pre-erasure copy there — the audit
+    must refuse to certify until the schedule's re-run drops it."""
+    from ai_ready_data_framework_spark.sources import maintenance as M
+
+    docs = spark.createDataFrame(
+        [(d, _text(f"s{d}_")) for d in range(1, 4)],
+        "doc_id long, text string",
+    )
+    flat = str(tmp_path / "flat")
+    docs.write.parquet(flat)
+    docs.write.parquet(M._swap_tomb_path(flat))  # crashed-swap leftover
+    with pytest.raises(ValueError, match="crashed-publish tombs"):
+        M.verify_forgotten(spark, _ids(spark, 1), flat_dirs=(flat,))
+    # the deletion schedule's re-run converges: recovery drops the
+    # leftover tomb, the forget rewrites, the audit certifies
+    M._forget_in_flat_dir(spark, flat, _ids(spark, 1), "doc_id")
+    after = M.verify_forgotten(spark, _ids(spark, 1), flat_dirs=(flat,))
+    assert after["clean"]
+
+
+def test_forget_in_epoch_dir_resolves_escaped_partition_spellings(
+    spark, tmp_path
+):
+    """Code-review r13: partition DIRECTORY names are escaped on disk
+    while inference hands back decoded values, so re-rendering
+    f'{col}={value}' can name a directory that does not exist. An
+    escaped spelling resolves via percent-decoding; an unresolvable
+    one (zero-padded int) fails loudly — erasure never silently skips
+    a partition that holds forgotten rows."""
+    from ai_ready_data_framework_spark.sources.maintenance import (
+        forget_in_epoch_dir,
+    )
+
+    # ':' is Hive-escaped in directory names (%3A); the value reads
+    # back decoded
+    docs = spark.createDataFrame(
+        [(1, "10:30"), (2, "11:00")], "doc_id long, slot string"
+    )
+    root = str(tmp_path / "byslot")
+    docs.write.partitionBy("slot").parquet(root)
+    assert any("%3A" in d for d in os.listdir(root)), os.listdir(root)
+    rep = forget_in_epoch_dir(
+        spark, root, _ids(spark, 1), partition_col="slot"
+    )
+    assert rep == {"partitions_rewritten": ["10:30"], "removed_rows": 1}
+    assert spark.read.parquet(root).filter("doc_id = 1").count() == 0
+
+    # zero-padded epoch dir: inferred int 5 has no dir spelling it
+    root2 = str(tmp_path / "padded")
+    spark.createDataFrame(
+        [(3, "x")], "doc_id long, text string"
+    ).write.parquet(f"{root2}/epoch=05")
+    with pytest.raises(ValueError, match="spells it"):
+        forget_in_epoch_dir(spark, root2, _ids(spark, 3))

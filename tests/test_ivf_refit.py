@@ -205,3 +205,94 @@ def test_recover_ivf_table_reissues_create(spark, sf_correctness, refit_env):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "vec_id" not in ln, ln
+
+
+def test_compaction_preserves_centroids_pointer_and_fold_manifest(
+    spark, refit_env, tmp_path
+):
+    """Code-review r13: a ROUTINE compaction after a refit must not
+    drop idx.centroids_path — read_ivf_index would silently fall back
+    to the stale build-time quantizer while serving refit cell
+    assignments, collapsing recall with no error — nor reset the
+    folded-epoch manifest. idx.* side-artifact props and the folded
+    set now carry over through publish_bucketed_generation by default,
+    for every publish that does not explicitly replace them."""
+    name, path, assigned, centroids = refit_env
+    delta_dir = str(tmp_path / "deltas")
+    SI.ingest_epoch(
+        spark, _displaced(assigned), centroids, name, delta_dir, epoch_id=0
+    )
+    M.refit_ivf_index(spark, name, path, delta_dir=delta_dir)
+    props = M.table_properties(spark, name)
+    cen_path = props["idx.centroids_path"]
+    assert "centroids_gen" in cen_path
+    assert M.folded_epochs_of(spark, name) == {0}
+    refit_cen = {
+        (r.cell, tuple(r.centroid)) for r in
+        spark.read.parquet(cen_path).collect()
+    }
+
+    # plain small-files compaction (passes neither pointer nor manifest)
+    M.compact_ivf_index(spark, name, path)
+    spark.catalog.refreshTable(name)
+    assert M.table_properties(spark, name)["idx.centroids_path"] == cen_path
+    assert M.folded_epochs_of(spark, name) == {0}
+    _, resolved = M.read_ivf_index(spark, name, path)
+    assert {
+        (r.cell, tuple(r.centroid)) for r in resolved.collect()
+    } == refit_cen
+
+    # delta compaction after the refit keeps the pointer too
+    new_cen = spark.read.parquet(cen_path)
+    SI.ingest_epoch(
+        spark,
+        _displaced(assigned, keep_mod=4),
+        new_cen,
+        name,
+        delta_dir,
+        epoch_id=1,
+    )
+    SI.compact_ivf_index_deltas(spark, name, path, delta_dir)
+    spark.catalog.refreshTable(name)
+    assert M.table_properties(spark, name)["idx.centroids_path"] == cen_path
+
+
+def test_refit_does_not_fold_epochs_landed_mid_run(
+    spark, refit_env, tmp_path, monkeypatch
+):
+    """Code-review r13 (TOCTOU): an ingest epoch that lands AFTER the
+    refit pinned its delta listing must be neither marked folded nor
+    deleted — its rows are not in the new generation, so folding it
+    would permanently lose them on the next cleanup."""
+    import os
+
+    name, path, assigned, centroids = refit_env
+    delta_dir = str(tmp_path / "deltas")
+    SI.ingest_epoch(
+        spark, _displaced(assigned), centroids, name, delta_dir, epoch_id=0
+    )
+
+    real = M._delta_epochs_present
+    state = {"landed": False}
+
+    def racy(spark_, d):
+        out = real(spark_, d)
+        if not state["landed"]:
+            state["landed"] = True
+            # simulate ingest racing the refit: epoch 1 lands right
+            # after the listing is taken
+            SI.ingest_epoch(
+                spark,
+                _displaced(assigned, keep_mod=4),
+                centroids,
+                name,
+                delta_dir,
+                epoch_id=1,
+            )
+        return out
+
+    monkeypatch.setattr(M, "_delta_epochs_present", racy)
+    rep = M.refit_ivf_index(spark, name, path, delta_dir=delta_dir)
+    assert rep["folded_epochs"] == [0]  # only the pinned epoch
+    assert os.path.isdir(f"{delta_dir}/epoch=1")  # the racer survived
+    assert M.folded_epochs_of(spark, name) == {0}
