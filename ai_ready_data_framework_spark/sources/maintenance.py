@@ -63,9 +63,9 @@ def write_training_shards(
 
 
 def _hdfs(spark: SparkSession, path_str: str):
-    """(FileSystem, Path) — any Hadoop scheme, same rationale as
-    streaming/dedup.py::_hadoop_fs (which imports THIS module, so the
-    helper lives here un-shared)."""
+    """(FileSystem, Path) — any Hadoop scheme (local, HDFS, s3a://,
+    abfss://); the one FS resolver in the repo (the streaming modules
+    import their path helpers from here)."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path_str)
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
@@ -992,6 +992,56 @@ def _delta_epochs_present(spark: SparkSession, delta_dir: str) -> set:
         for st in fs.listStatus(jpath)
         if st.getPath().getName().startswith("epoch=")
     }
+
+
+def has_epoch_deltas(spark: SparkSession, delta_dir: str) -> bool:
+    return bool(_delta_epochs_present(spark, delta_dir))
+
+
+def read_epoch_deltas(
+    spark: SparkSession,
+    delta_dir: str,
+    before_epoch: int | None = None,
+    exclude_epochs: "frozenset[int] | set[int]" = frozenset(),
+) -> DataFrame | None:
+    """Epoch-keyed delta rows with the ``epoch`` column dropped — the
+    ONE reader under the three index modules' delta logs (code-review
+    r13: streaming/{dedup,spans,ivf}.py carried three verbatim copies
+    that had to be kept in behavioral sync by hand). ``before_epoch``
+    hides the current epoch's own half-written delta from a failed
+    attempt's replay; ``exclude_epochs`` drops partitions the index
+    manifest already records as FOLDED into the base (the r10
+    crash-idempotence contract: a crash between the compaction publish
+    and the delta-log delete must not double those rows)."""
+    if not has_epoch_deltas(spark, delta_dir):
+        return None
+    deltas = spark.read.parquet(delta_dir)
+    if before_epoch is not None:
+        deltas = deltas.filter(F.col("epoch") < before_epoch)
+    if exclude_epochs:
+        deltas = deltas.filter(
+            ~F.col("epoch").isin([int(e) for e in exclude_epochs])
+        )
+    return deltas.drop("epoch")
+
+
+def read_epoch_deltas_pinned(
+    spark: SparkSession, delta_dir: str, epochs: "list[int]"
+) -> DataFrame | None:
+    """Read EXACTLY the listed delta epochs by explicit partition path
+    — the COMPACTORS' reader (code-review r13): a root-dir read races
+    concurrent ingest, folding an epoch that landed between the
+    listing and the read WITHOUT recording it in the manifest — its
+    rows would serve doubled and the next compaction would bake the
+    duplication into the base forever. Reading the pinned paths makes
+    the folded data and the folded manifest the same set by
+    construction (the listing-pinned discipline refit_ivf_index
+    applies)."""
+    if not epochs:
+        return None
+    return spark.read.parquet(
+        *[f"{delta_dir.rstrip('/')}/epoch={e}" for e in sorted(epochs)]
+    )
 
 
 def _exact_topk_sets(corpus: DataFrame, queries: DataFrame, cfg) -> dict:

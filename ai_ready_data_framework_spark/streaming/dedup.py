@@ -43,8 +43,11 @@ from ai_ready_data_framework_spark.sources.maintenance import (
     _fs_delete,
     _table_location,
     folded_epochs_of,
+    has_epoch_deltas as _has_epoch_deltas,
     publish_bucketed_generation,
     read_band_index,
+    read_epoch_deltas as _delta_bands,
+    read_epoch_deltas_pinned,
     write_band_index,
 )
 
@@ -68,56 +71,10 @@ def doc_bands(docs: DataFrame) -> DataFrame:
     return T.minhash_bands(T.minhash_signatures(sh, "doc_id", "s"), "doc_id")
 
 
-def _hadoop_fs(spark: SparkSession, path_str: str):
-    """(FileSystem, Path) for any Hadoop-supported scheme — local,
-    HDFS, s3a://, abfss:// — so the delta log works against the object
-    stores the module docstring promises, not just the driver's local
-    disk (ADVICE r4). Classic (JVM-backed) sessions only, like every
-    declared query here."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-
-def _has_epoch_deltas(spark: SparkSession, delta_dir: str) -> bool:
-    fs, jpath = _hadoop_fs(spark, delta_dir)
-    if not fs.exists(jpath):
-        return False
-    return any(
-        st.getPath().getName().startswith("epoch=")
-        for st in fs.listStatus(jpath)
-    )
-
-
-def _delete_recursive(spark: SparkSession, path_str: str) -> None:
-    fs, jpath = _hadoop_fs(spark, path_str)
-    if fs.exists(jpath):
-        fs.delete(jpath, True)
-
-
-def _delta_bands(
-    spark: SparkSession,
-    delta_dir: str,
-    before_epoch: int | None = None,
-    exclude_epochs: "frozenset[int] | set[int]" = frozenset(),
-) -> DataFrame | None:
-    """Bands landed by epochs strictly before ``before_epoch`` when
-    given (a failed attempt of the current epoch must not see its own
-    half delta). ``exclude_epochs`` drops partitions the index
-    manifest already records as FOLDED into the base (the r10
-    crash-idempotence contract shared with streaming/ivf.py: a crash
-    between the compaction publish and the delta-log delete must not
-    double those rows on the next read)."""
-    if not _has_epoch_deltas(spark, delta_dir):
-        return None
-    deltas = spark.read.parquet(delta_dir)
-    if before_epoch is not None:
-        deltas = deltas.filter(F.col("epoch") < before_epoch)
-    if exclude_epochs:
-        deltas = deltas.filter(
-            ~F.col("epoch").isin([int(e) for e in exclude_epochs])
-        )
-    return deltas.drop("epoch")
+# _delta_bands / _has_epoch_deltas are the shared readers from
+# sources/maintenance.py (r13 — three verbatim per-module copies
+# consolidated; the aliases keep this module's vocabulary and its
+# tests' monkeypatch points stable).
 
 
 def probe_and_fold(
@@ -144,7 +101,12 @@ def probe_and_fold(
     them toward the hot cap and distorting the pair set). The id set
     is batch-sized and broadcasts; the anti-join also makes
     re-ingesting an updated document safe."""
-    batch_bands = doc_bands(batch_docs)
+    # pin: the HOF shingle->minhash band build feeds the pair probe
+    # (which consumes it on both join sides plus the hot-bucket
+    # window) AND the delta write — without the pin it recomputes per
+    # action, ~4x per micro-batch on the ingestion hot path (the same
+    # rationale as probe_and_fold_spans' gram pin; code-review r13)
+    batch_bands = stage_pin(doc_bands(batch_docs))
     batch_ids = batch_docs.select("doc_id").distinct()
     idx = read_band_index(spark, index_table)
     earlier = _delta_bands(
@@ -190,7 +152,10 @@ def compact_band_index(
     to_fold = sorted(present - folded_prev)
     if to_fold:
         base = spark.read.parquet(_table_location(spark, index_table))
-        deltas = _delta_bands(spark, delta_dir, exclude_epochs=folded_prev)
+        # pinned to the listed epochs: a root-dir read here would fold
+        # an epoch that landed after the listing WITHOUT recording it
+        # as folded — served doubled, then re-folded (code-review r13)
+        deltas = read_epoch_deltas_pinned(spark, delta_dir, to_fold)
         merged = base if deltas is None else base.unionByName(deltas)
         publish_bucketed_generation(
             spark,

@@ -45,39 +45,22 @@ from ai_ready_data_framework_spark.sources.maintenance import (
     _fs_delete,
     assign_cells,
     folded_epochs_of,
+    has_epoch_deltas as _has_epoch_deltas,
     ivf_refit_needed,
     publish_ivf_generation,
+    read_epoch_deltas,
+    read_epoch_deltas_pinned,
 )
-from ai_ready_data_framework_spark.streaming.dedup import _has_epoch_deltas
 
 # Mirrors the embeddings table's declared schema (FIXTURES.md) minus
 # the label column — a production ingest stream carries id + vector.
 EMB_SCHEMA = "vec_id bigint, embedding array<float>"
 
 
-def _delta_cells(
-    spark: SparkSession,
-    delta_dir: str,
-    before_epoch: int | None = None,
-    exclude_epochs: "frozenset[int] | set[int]" = frozenset(),
-) -> DataFrame | None:
-    """(vec_id, embedding, cell) rows landed by earlier epochs —
-    strictly before ``before_epoch`` when given (a failed attempt of
-    the current epoch must not see its own half delta), else all.
-    ``exclude_epochs`` drops partitions the index manifest already
-    records as FOLDED into the base (ADVICE r9: a crash between the
-    compaction publish and the delta-log delete must not double those
-    rows on the next read)."""
-    if not _has_epoch_deltas(spark, delta_dir):
-        return None
-    deltas = spark.read.parquet(delta_dir)
-    if before_epoch is not None:
-        deltas = deltas.filter(F.col("epoch") < before_epoch)
-    if exclude_epochs:
-        deltas = deltas.filter(
-            ~F.col("epoch").isin([int(e) for e in exclude_epochs])
-        )
-    return deltas.drop("epoch")
+# _delta_cells is the shared epoch-delta reader from
+# sources/maintenance.py (r13 consolidation — the (vec_id, embedding,
+# cell) schema comes from the delta files themselves).
+_delta_cells = read_epoch_deltas
 
 
 def indexed_vectors(
@@ -160,7 +143,10 @@ def compact_ivf_index_deltas(
     to_fold = sorted(present - folded_prev)
     if to_fold:
         base = spark.table(table_name)
-        deltas = _delta_cells(spark, delta_dir, exclude_epochs=folded_prev)
+        # pinned to the listed epochs — a root-dir read would fold an
+        # epoch landed after the listing without recording it as
+        # folded: served doubled, then re-folded (code-review r13)
+        deltas = read_epoch_deltas_pinned(spark, delta_dir, to_fold)
         merged = base if deltas is None else base.unionByName(deltas)
         publish_ivf_generation(
             spark,

@@ -201,6 +201,7 @@ def run_stream(
     into a memory sink in complete/append mode as appropriate.
     Returns the final result DataFrame."""
     stage_dir = tempfile.mkdtemp(prefix="aird_stream_")
+    sink = None
     # A stateful stream materializes one state-store instance PER
     # shuffle partition PER micro-batch: under the driver's default 200
     # partitions this harness pays 200 store setups x n_files batches
@@ -219,11 +220,11 @@ def run_stream(
             .parquet(src)
         )
         result = transform(stream)
-        table = f"parity_{uuid.uuid4().hex[:8]}"
+        sink = f"parity_{uuid.uuid4().hex[:8]}"
         mode = "complete" if not result.isStreaming or _is_agg(result) else "append"
         q = (
             result.writeStream.format("memory")
-            .queryName(table)
+            .queryName(sink)
             .outputMode(mode)
             .option(
                 "checkpointLocation",
@@ -234,11 +235,16 @@ def run_stream(
         )
         q.awaitTermination()
         # memory sink rows live on the driver; copy before cleanup
-        out = spark.table(table)
+        out = spark.table(sink)
         out = spark.createDataFrame(out.collect(), out.schema)
         return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # drop the uuid-named memory sink: without this every stream
+        # run leaks a catalog-referenced driver-resident row copy for
+        # the session lifetime (code-review r13)
+        if sink is not None:
+            spark.catalog.dropTempView(sink)
         shutil.rmtree(stage_dir, ignore_errors=True)
 
 
@@ -250,18 +256,44 @@ def _is_agg(df: DataFrame) -> bool:
 def parity_fraction(
     spark: SparkSession, sf_dir: str, transform: Transform, table: str = "events"
 ) -> float:
-    """The actual check-25 measurement: fraction of batch rows whose
-    row-hash also appears in the streaming result (1.0 == identical)."""
+    """The actual check-25 measurement: MULTISET parity between the
+    batch and streaming results — 1.0 only when the two are identical
+    as bags of rows. Code-review r13 hardened both halves of the old
+    form: concat_ws silently SKIPS NULL columns (rows differing only
+    in WHICH column is NULL hashed equal), so each column now
+    serializes through an explicit NULL sentinel; and probing only
+    batch→stream made extra or duplicated stream rows invisible, so
+    the score is now matched-multiset / max(|batch|, |stream|) —
+    missing rows, extra rows, and multiplicity drift all lower it."""
     batch = run_batch(spark, sf_dir, transform, table)
     stream = run_stream(spark, sf_dir, transform, table=table)
     cols = sorted(batch.columns)
-    bh = batch.select(F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256).alias("h"))
-    sh = stream.select(F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256).alias("h"))
-    total = bh.count()
-    if total == 0:
+
+    def hashed_counts(df: DataFrame, alias: str) -> DataFrame:
+        h = F.sha2(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                    for c in cols
+                ],
+            ),
+            256,
+        )
+        return df.select(h.alias("h")).groupBy("h").agg(
+            F.count("*").alias(alias)
+        )
+
+    n_batch, n_stream = batch.count(), stream.count()
+    if n_batch == 0 and n_stream == 0:
         return 1.0
-    matched = bh.join(sh, "h", "left_semi").count()
-    return matched / total
+    matched = (
+        hashed_counts(batch, "nb")
+        .join(hashed_counts(stream, "ns"), "h")
+        .agg(F.sum(F.least("nb", "ns")))
+        .collect()[0][0]
+    ) or 0
+    return matched / max(n_batch, n_stream)
 
 
 def make_enriched_events(spark: SparkSession, sf_dir: str) -> Transform:

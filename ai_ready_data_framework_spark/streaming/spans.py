@@ -50,11 +50,10 @@ from ai_ready_data_framework_spark.sources.maintenance import (
     _table_location,
     folded_epochs_of,
     publish_bucketed_generation,
+    read_epoch_deltas as _delta_grams,
+    read_epoch_deltas_pinned,
 )
-from ai_ready_data_framework_spark.streaming.dedup import (
-    DOCS_SCHEMA,
-    _has_epoch_deltas,
-)
+from ai_ready_data_framework_spark.streaming.dedup import DOCS_SCHEMA
 
 GRAM_INDEX_BUCKETS = 32
 
@@ -81,25 +80,8 @@ def write_gram_index(
     )
 
 
-def _delta_grams(
-    spark: SparkSession,
-    delta_dir: str,
-    before_epoch: int | None = None,
-    exclude_epochs: "frozenset[int] | set[int]" = frozenset(),
-) -> DataFrame | None:
-    """Gram deltas landed by epochs strictly before ``before_epoch``,
-    skipping manifest-listed FOLDED epochs (the crash-idempotence
-    contract shared with streaming/dedup.py::_delta_bands)."""
-    if not _has_epoch_deltas(spark, delta_dir):
-        return None
-    deltas = spark.read.parquet(delta_dir)
-    if before_epoch is not None:
-        deltas = deltas.filter(F.col("epoch") < before_epoch)
-    if exclude_epochs:
-        deltas = deltas.filter(
-            ~F.col("epoch").isin([int(e) for e in exclude_epochs])
-        )
-    return deltas.drop("epoch")
+# _delta_grams is the shared epoch-delta reader from
+# sources/maintenance.py (r13 consolidation).
 
 
 def probe_and_fold_spans(
@@ -216,7 +198,10 @@ def compact_gram_index(
     to_fold = sorted(present - folded_prev)
     if to_fold:
         base = spark.read.parquet(_table_location(spark, index_table))
-        deltas = _delta_grams(spark, delta_dir, exclude_epochs=folded_prev)
+        # pinned to the listed epochs — a root-dir read would fold an
+        # epoch landed after the listing without recording it as
+        # folded: served doubled, then re-folded (code-review r13)
+        deltas = read_epoch_deltas_pinned(spark, delta_dir, to_fold)
         merged = base if deltas is None else base.unionByName(deltas)
         publish_bucketed_generation(
             spark,

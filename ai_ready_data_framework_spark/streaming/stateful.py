@@ -91,9 +91,21 @@ def run_stateful_stream(
     ``n_files`` parquet files (=> n micro-batches under
     ``maxFilesPerTrigger=1``), drain with ``availableNow``, and reduce
     the per-batch emits to the final snapshot per key (n_events is
-    monotone, so the max-count emit is the last one)."""
+    monotone, so the max-count emit is the last one).
+
+    The stream runs under a pinned small shuffle-partition count
+    (code-review r13): a stateful stream instantiates one state store
+    PER shuffle partition PER micro-batch, so a default-200-partition
+    driver session pays 200 store setups x n_files batches to
+    aggregate a test-sized table — the exact measured cost
+    parity.run_stream pins away for the same harness shape.
+    Partitioning never changes stateful-agg semantics, only layout;
+    the caller's conf is restored after."""
     stage_dir = tempfile.mkdtemp(prefix="aird_stateful_")
+    sink = None
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         events = load_table(spark, sf_dir, "events")
         src = os.path.join(stage_dir, "events_stream")
         events.repartition(n_files).write.mode("overwrite").parquet(src)
@@ -104,17 +116,17 @@ def run_stateful_stream(
             .parquet(src)
         )
         snapshots = user_activity_snapshots(stream)
-        table = f"stateful_{uuid.uuid4().hex[:8]}"
+        sink = f"stateful_{uuid.uuid4().hex[:8]}"
         q = (
             snapshots.writeStream.format("memory")
-            .queryName(table)
+            .queryName(sink)
             .outputMode("update")
             .option("checkpointLocation", os.path.join(stage_dir, "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        emits = spark.table(table)
+        emits = spark.table(sink)
         # memory-sink rows live on the driver; copy before cleanup
         emits = spark.createDataFrame(emits.collect(), emits.schema)
         final = emits.groupBy("user_id").agg(
@@ -129,6 +141,12 @@ def run_stateful_stream(
             F.round("s.sum_value", 4).alias("sum_value"),
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if sink is not None:
+            # drop the uuid-named memory sink — it holds a
+            # driver-resident row copy for the session lifetime
+            # otherwise (code-review r13)
+            spark.catalog.dropTempView(sink)
         shutil.rmtree(stage_dir, ignore_errors=True)
 
 

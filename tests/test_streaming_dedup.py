@@ -303,3 +303,73 @@ def test_maintain_band_index_crash_mid_compact_converges(
     assert not _glob.glob(f"{delta_dir}/epoch=*")
     spark.catalog.refreshTable(table)
     assert read_band_index(spark, table).count() == n_all
+
+
+def test_compactor_does_not_fold_epochs_landed_mid_run(
+    spark, tmp_path, monkeypatch
+):
+    """Code-review r13 (compactor twin of the refit TOCTOU): an epoch
+    that lands between the compactor's listing and its delta read must
+    be neither folded nor deleted — a root-dir read would fold it
+    WITHOUT recording it in the manifest, so its rows would serve
+    doubled and the next compaction would bake the duplication into
+    the base forever. The pinned-path read folds exactly the listed
+    set; the racer folds cleanly on the next pass."""
+    import os
+
+    from ai_ready_data_framework_spark.sources import maintenance as M
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"w{d}_{i}" for i in range(12))) for d in (1, 2)],
+        "doc_id long, text string",
+    )
+    late = spark.createDataFrame(
+        [(9, " ".join(f"z{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    table = "band_compact_race"
+    path = str(tmp_path / "index")
+    delta = str(tmp_path / "deltas")
+    pairs = str(tmp_path / "pairs")
+    try:
+        SD.write_band_index(SD.doc_bands(docs), table, path)
+        SD.probe_and_fold(
+            spark,
+            spark.createDataFrame(
+                [(5, " ".join(f"q{i}" for i in range(12)))],
+                "doc_id long, text string",
+            ),
+            table, delta, pairs, 0,
+        )
+        real = SD._delta_epochs_present
+        state = {"landed": False}
+
+        def racy(spark_, d):
+            out = real(spark_, d)
+            if not state["landed"]:
+                state["landed"] = True
+                SD.doc_bands(late).write.mode("overwrite").parquet(
+                    f"{delta}/epoch=1"
+                )
+            return out
+
+        monkeypatch.setattr(SD, "_delta_epochs_present", racy)
+        SD.compact_band_index(spark, table, path, delta)
+        spark.catalog.refreshTable(table)
+        # the racer was NOT folded, NOT deleted, NOT in the base
+        assert M.folded_epochs_of(spark, table) == {0}
+        assert os.path.isdir(f"{delta}/epoch=1")
+        base = spark.read.parquet(M._table_location(spark, table))
+        assert base.filter("doc_id = 9").count() == 0
+        assert base.filter("doc_id = 5").count() > 0  # epoch 0 folded
+        n_late_bands = SD.doc_bands(late).count()
+
+        # next maintenance pass folds the racer exactly once
+        SD.compact_band_index(spark, table, path, delta)
+        spark.catalog.refreshTable(table)
+        assert M.folded_epochs_of(spark, table) == {1}
+        base2 = spark.read.parquet(M._table_location(spark, table))
+        assert base2.filter("doc_id = 9").count() == n_late_bands
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__staging")
