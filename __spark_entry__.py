@@ -56,6 +56,13 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
     Also ships the package zip to Python workers (once per session)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # io.local_df's fast path (small driver-side tables as ONE Arrow
+    # LocalRelation instead of a pickled RDD that re-runs a Python
+    # worker per partition per evaluation) needs the Arrow bridge on;
+    # default-config driver sessions ship it off (Spark 4 default).
+    # Results are identical either way — this only picks the cheap
+    # construction path.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     key = id(spark)
     if key not in _SESSIONS_WITH_PKG:
         spark.sparkContext.addPyFile(_package_zip())

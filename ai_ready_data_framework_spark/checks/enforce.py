@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_ready_data_framework_spark.checks import registries as R
-from ai_ready_data_framework_spark.io import load_table
+from ai_ready_data_framework_spark.io import load_table, local_df
 from ai_ready_data_framework_spark.registry import query
 
 
@@ -63,7 +63,8 @@ def _log_access(
         return
     import time as _time
 
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(_time.time() * 1000), table, purpose, decision, n_masked)],
         ACCESS_AUDIT_SCHEMA,
     ).coalesce(1).write.mode("append").parquet(audit_dir)

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ai_ready_data_framework_spark.checks import registries as R
 from ai_ready_data_framework_spark.functions import vector as V
 from ai_ready_data_framework_spark.functions.cache import stage_pin
-from ai_ready_data_framework_spark.io import load_tables
+from ai_ready_data_framework_spark.io import load_tables, local_df
 from ai_ready_data_framework_spark.operators.temporal import as_of_join
 
 FACTORS = ("contextual", "consumable", "current", "correlated", "compliant")
@@ -713,8 +713,8 @@ def incremental_update_coverage(ctx: CheckContext) -> float:
 
 def _lineage_df(ctx: CheckContext) -> DataFrame:
     def build() -> DataFrame:
-        return ctx.spark.createDataFrame(
-            R.LINEAGE_EDGES, "src string, dst string, transform string"
+        return local_df(
+            ctx.spark, R.LINEAGE_EDGES, "src string, dst string, transform string"
         ).cache()
 
     return ctx.artifact("lineage_df", build)  # type: ignore[return-value]
@@ -722,8 +722,8 @@ def _lineage_df(ctx: CheckContext) -> DataFrame:
 
 def _assets_df(ctx: CheckContext) -> DataFrame:
     def build() -> DataFrame:
-        return ctx.spark.createDataFrame(
-            [(a,) for a in R.ASSETS], "asset string"
+        return local_df(
+            ctx.spark, [(a,) for a in R.ASSETS], "asset string"
         ).cache()
 
     return ctx.artifact("assets_df", build)  # type: ignore[return-value]
@@ -1129,8 +1129,9 @@ def run_assessment(
         row_by_key[chk.key] = record(chk, run_one(chk), "serial")
 
     rows = [row_by_key[chk.key] for chk in selected]
-    return spark.createDataFrame(
-        rows, "requirement string, factor string, workload string, kind string, value double"
+    return local_df(
+        spark, rows,
+        "requirement string, factor string, workload string, kind string, value double",
     )
 
 

@@ -82,6 +82,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Small driver-side table as a JVM LocalRelation (LocalTableScan).
+
+    ``spark.createDataFrame(<python list>)`` parallelizes PICKLED rows
+    into defaultParallelism partitions, and the resulting ExistingRDD
+    scan re-runs one Python worker PER PARTITION on EVERY evaluation —
+    including every broadcast rebuild. Measured on local[32]: forcing a
+    2048-row codebook frame burns ~10 CPU-s of pure worker start/IPC,
+    and a query holding three such relations (q_join_interval's
+    chain/offset maps) paid ~15 CPU-s per execution for a few hundred
+    rows (guide §4: the Python boundary; same failure schema_diff's
+    VALUES-literal comment documents). Routing the rows through a
+    pandas frame lets the Arrow path materialize the data ONCE at
+    construction into a LocalTableScan — execution and broadcasts
+    never touch Python again (measured: the same force drops to
+    ~0.8 CPU-s).
+
+    Values and schema are identical to the plain path (object-dtype
+    Series preserve ints/None exactly; the explicit ``schema`` is
+    applied the same way) — pinned in tests/test_localrel.py. Any
+    conversion surprise falls back to the plain path: correctness
+    never depends on the optimization.
+    """
+    rows = list(rows)
+    try:
+        import pandas as pd
+
+        from pyspark.sql.types import StructType
+
+        if isinstance(schema, StructType):
+            names = schema.names
+        else:
+            names = StructType.fromDDL(schema).names
+        data = {
+            name: pd.Series([r[i] for r in rows], dtype=object)
+            for i, name in enumerate(names)
+        }
+        pdf = pd.DataFrame(data, columns=names)
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every canonical table present in ``sf_dir``.
 

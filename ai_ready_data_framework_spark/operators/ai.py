@@ -35,7 +35,7 @@ from ai_ready_data_framework_spark.functions.fixedmath import (
     with_ln_ints,
 )
 from ai_ready_data_framework_spark.functions import vector as V
-from ai_ready_data_framework_spark.io import load_table
+from ai_ready_data_framework_spark.io import load_table, local_df
 from ai_ready_data_framework_spark.registry import query
 
 SHINGLE_K = 2
@@ -3612,7 +3612,11 @@ def fit_assign_vectors(
         km, vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(m)) == 0).select("v")
     )
     assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
-    centroids = spark.createDataFrame(
+    # local_df: the centroid table is broadcast into every probe — the
+    # pickled-RDD form re-ran Python workers per broadcast rebuild
+    # (io.local_df docstring; guide §4)
+    centroids = local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )
@@ -4670,7 +4674,11 @@ def q_vector_ann_pq(
             [], "query_id bigint, rank bigint, vec_id bigint, cosine double"
         )
     books = _pq_codebooks(sample, cfg)
-    cb = spark.createDataFrame(
+    # local_df: this 2048-row codebook is crossJoin-broadcast TWICE per
+    # run; the pickled-RDD form measured ~10 CPU-s per force on
+    # local[32] (io.local_df docstring; guide §4)
+    cb = local_df(
+        spark,
         [
             (m, k, [float(x) for x in books[m][k]])
             for m in range(cfg.pq_m)
@@ -5475,6 +5483,6 @@ def q_retrieval_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("index_cells", int(cfg.ivf_cells), None),
         ("probe", int(n_q), float(recall)),
     ]
-    return spark.createDataFrame(
-        report, "stage string, rows bigint, metric double"
+    return local_df(
+        spark, report, "stage string, rows bigint, metric double"
     ).coalesce(1).orderBy("stage")

@@ -38,7 +38,7 @@ from ai_ready_data_framework_spark.functions.fixedmath import (
     with_ln_pos,
 )
 from ai_ready_data_framework_spark.functions import text as T
-from ai_ready_data_framework_spark.io import load_table
+from ai_ready_data_framework_spark.io import load_table, local_df
 from ai_ready_data_framework_spark.registry import query
 
 # Temperature for mixture reweighting: alpha < 1 upsamples small
@@ -608,7 +608,8 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = bpe_word_histogram(docs).collect()
     vocab = {r.w: r.c for r in hist}
     merges = T.bpe_merges(vocab, BPE_N_MERGES)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(rank, l, r, l + r, c) for rank, l, r, c in merges],
         "rank long, left string, right string, merged string, pair_count long",
     )
@@ -658,7 +659,9 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_ready_data_framework_spark.functions.mlfit import fit_cached
 
     model = fit_cached(km, vecs.filter(F.col("vec_id") % m == 0).select("v"))
-    centroids = spark.createDataFrame(
+    # local_df: broadcast per action — see io.local_df (guide §4)
+    centroids = local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cluster_id int, centroid array<double>",
     )
@@ -723,7 +726,10 @@ def bpe_encode_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
     hist = bpe_word_histogram(docs).collect()
     vocab = {r.w: r.c for r in hist}
     merges = [(l, r) for _, l, r, _ in T.bpe_merges(vocab, BPE_N_MERGES)]
-    mapping = spark.createDataFrame(
+    # local_df: vocabulary-sized map table broadcast into the token
+    # join — pickled-RDD scan cost dominated q_bpe_encode (guide §4)
+    mapping = local_df(
+        spark,
         [(w, len(T.bpe_encode_word(w, merges)), len(w)) for w in vocab],
         "w string, n_pieces int, n_chars int",
     )

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from ai_ready_data_framework_spark.functions import text as T
 from ai_ready_data_framework_spark.functions.cache import stage_pin
-from ai_ready_data_framework_spark.io import load_table
+from ai_ready_data_framework_spark.io import load_table, local_df
 from ai_ready_data_framework_spark.operators.ai import (
     EVAL_FOLD_MOD,
     MAX_SHINGLE_DF_ABS,
@@ -224,8 +224,8 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             # sh_raw included: no-op under the default localCheckpoint
             # pin, required under the durable persist branch
             frame.unpersist()
-    return spark.createDataFrame(
-        counts, "stage string, rows_in long, rows_out long"
+    return local_df(
+        spark, counts, "stage string, rows_in long, rows_out long"
     ).select(
         "stage",
         "rows_in",

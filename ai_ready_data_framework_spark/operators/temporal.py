@@ -24,7 +24,7 @@ from ai_ready_data_framework_spark.functions.fixedmath import (
     ln_ints_sql,
     with_ln_ints,
 )
-from ai_ready_data_framework_spark.io import load_table
+from ai_ready_data_framework_spark.io import load_table, local_df
 from ai_ready_data_framework_spark.registry import query
 
 SESSION_GAP_MINUTES = 30
@@ -1491,11 +1491,16 @@ def _error_incidents_us(events: DataFrame) -> DataFrame:
         offs.append((cb, acc))
         acc += n_start[cb]
     spark = events.sparkSession
-    chain_map = spark.createDataFrame(
+    # local_df, not createDataFrame: these two relations are evaluated
+    # on every action over the incident frame, and the pickled-RDD form
+    # measured ~15 CPU-s of Python-worker restarts per execution on
+    # local[32] (io.local_df docstring; guide §4)
+    chain_map = local_df(
+        spark,
         [(cb, lb, c) for (cb, lb), c in chain_of.items()],
         "cb long, lb long, chain long",
     )
-    off_df = spark.createDataFrame(offs, "cb2 long, off long")
+    off_df = local_df(spark, offs, "cb2 long, off long")
     gkey = F.when(
         F.col("chain").isNotNull(), F.concat(F.lit("c"), F.col("chain"))
     ).otherwise(F.concat_ws(":", "cb", "lb"))
