@@ -322,6 +322,16 @@ def _gen_audio(mid: int) -> tuple[int, int]:
 
 ANIM_FRAMES = 3
 
+# ~100k rows (~50 MB of payload) per generator task: large enough that
+# the fixed Python-worker cost per task (~0.3 CPU-s) stays under ~25%
+# of the task's real work, small enough that a corpus-scale run still
+# fans out to thousands of tasks. See synth_real_media.
+SYNTH_ROWS_PER_TASK = 100_000
+
+
+def _synth_partitions(n: int) -> int:
+    return max(1, -(-n // SYNTH_ROWS_PER_TASK))
+
 
 def synth_real_media(spark: SparkSession, n: int) -> DataFrame:
     """DISTRIBUTED generation of real-format payloads: PPM and BMP
@@ -359,7 +369,19 @@ def synth_real_media(spark: SparkSession, n: int) -> DataFrame:
                 rows["content"].append(payload)
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+    # Scale-adaptive task sizing (guide §2/§4): spark.range(n) defaults
+    # to defaultParallelism partitions, and each generator/decoder task
+    # pays ~0.3 CPU-s of Python-worker start per chained mapInPandas
+    # stage while the per-row work is ~20 µs — at the smoke corpus
+    # (5k rows) 32 tasks x 2 stages burned ~18 CPU-s of pure worker
+    # churn for 0.1 s of decode (measured round 13). Size tasks by ROW
+    # BUDGET instead: >=SYNTH_ROWS_PER_TASK rows amortize the fixed
+    # cost below ~25% at every scale — 1 task on the smoke corpus,
+    # n/100k tasks (fully parallel) on a real binary-ingest corpus.
+    # Never derived from the local core count.
+    return spark.range(0, n, 1, _synth_partitions(n)).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
 
 
 DECODE_SCHEMA = Ty.StructType(
