@@ -125,6 +125,58 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
         return spark.createDataFrame(rows, schema)
 
 
+# Compressed input bytes per spread task. Sized by WORK budget, never
+# core count (the multimodal SYNTH_ROWS_PER_TASK principle): the chains
+# spread_scan feeds (tokenize/shingle/hash explodes) do ~10-30x the
+# input bytes of expression work, so a 64 KiB compressed slice is
+# ~100-300 ms of JVM work — the ~5-10 ms fixed task cost stays under
+# ~5%. Measured r13 at sf0.1 (594 KB documents table → ~9 tasks):
+# q_dedup_spans wall 2.63→1.16 s with CPU 5.5→4.8 s; forcing one task
+# per CORE instead (32) made wall WORSE (1.43 s) at 2x the CPU — the
+# exact "tuned for local core count" trap the round brief forbids.
+SPREAD_BYTES_PER_TASK = 64 << 10
+
+
+def spread_scan(df: DataFrame, key: str, target: int | None = None) -> DataFrame:
+    """Hash-spread a FEW-FILE table scan before a CPU-heavy map chain
+    (tokenize/shingle/hash explodes): a single-file corpus scans as ONE
+    task — guide §2.5's input-skew case — which serializes the
+    expensive per-row work no matter how many cores the host has
+    (measured r13: q_dedup_exact's gram build ran 2.1 s in one task at
+    sf0.1 while 31 cores idled).
+
+    Scale-adaptive, never a constant: the spread targets one task per
+    ``SPREAD_BYTES_PER_TASK`` of compressed input, capped at
+    ``defaultParallelism`` (total cluster cores), and it is a NO-OP
+    whenever the scan already has at least that many input files — the
+    100 TB layout — or the frame is streaming or file sizes are
+    unreadable, so at scale no extra exchange appears in the plan.
+    Partitioning is by hash of ``key`` (deterministic, task-retry-safe;
+    guide §2.5 warns against rand()-derived keys), and per-document row
+    order is preserved because each document is one input row until the
+    downstream explode — partition-order-sensitive results cannot
+    change.
+    """
+    try:
+        if df.isStreaming:
+            return df
+        sc = df.sparkSession.sparkContext
+        files = df.inputFiles()
+        if target is None:
+            bytes_in = 0
+            for f in files:
+                if f.startswith("file:"):
+                    f = f[len("file:"):]
+                bytes_in += os.path.getsize(f)
+            target = max(1, -(-bytes_in // SPREAD_BYTES_PER_TASK))
+        n = min(target, sc.defaultParallelism)
+        if n <= 1 or len(files) >= n:
+            return df
+    except Exception:  # pragma: no cover - defensive: never block a read
+        return df
+    return df.repartition(n, F.col(key))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every canonical table present in ``sf_dir``.
 

@@ -379,25 +379,45 @@ def _dedup_spans_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.size(T.tokens("text")).cast("long").alias("__n_toks")
     )
-    # two consumers (the per-doc accounting agg and the strip's removal
-    # explode) — pin the duplicated-postings-sized span frame so the
-    # stats groupBy + join-back + interval-merge window run once
-    spans = stage_pin(duplicated_spans(docs, min_run=SPAN_MIN_RUN, keep="first"))
-    per_doc = spans.groupBy("doc_id").agg(
-        F.sum("span_tokens").alias("__dup_tokens")
+    # ONE doc-keyed aggregate carries BOTH consumers' needs (r13): the
+    # strip's span arrays AND the accounting sum ride the same
+    # collect_list groupBy, so the span pipeline has a single consumer
+    # chain — no stage pin, no second join. (The r11 form pinned the
+    # span frame because the accounting agg and the strip's removal
+    # explode each re-ran it; the HOF strip rewrite collapsed the
+    # removal set into this same aggregate.)
+    spans = duplicated_spans(docs, min_run=SPAN_MIN_RUN, keep="first")
+    sp_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp"),
+        F.sum("span_tokens").alias("__dup_tokens"),
     )
-    cleaned = strip_duplicated_spans(docs, spans)
-    return cleaned.join(per_doc, "doc_id", "left").select(
-        F.lit("spans").alias("dedup_kind"),
-        F.col("doc_id").alias("keep_doc_id"),
-        F.lit(None).cast("long").alias("n_copies"),
-        F.lit(None).cast("long").alias("n_raw_variants"),
-        F.length("text_clean").cast("long").alias("n_chars"),
-        F.col("__n_toks").alias("n_blocks"),
-        (F.col("__n_toks") - F.coalesce("__dup_tokens", F.lit(0)))
-        .cast("long")
-        .alias("n_kept"),
-        F.sha2("text_clean", 256).alias("cleaned_sha"),
+    toks = T.tokens(F.col("text"))
+    sp = F.coalesce(F.col("__sp"), F.array())
+    kept = F.filter(
+        toks,
+        lambda tok, i: ~F.exists(
+            sp,
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    text_clean = F.when(
+        F.col("text").isNull(), F.lit(None).cast("string")
+    ).otherwise(F.array_join(kept, " "))
+    return (
+        docs.join(sp_doc, "doc_id", "left")
+        .withColumn("text_clean", text_clean)
+        .select(
+            F.lit("spans").alias("dedup_kind"),
+            F.col("doc_id").alias("keep_doc_id"),
+            F.lit(None).cast("long").alias("n_copies"),
+            F.lit(None).cast("long").alias("n_raw_variants"),
+            F.length("text_clean").cast("long").alias("n_chars"),
+            F.col("__n_toks").alias("n_blocks"),
+            (F.col("__n_toks") - F.coalesce("__dup_tokens", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.sha2("text_clean", 256).alias("cleaned_sha"),
+        )
     )
 
 
@@ -3005,13 +3025,22 @@ def gram_postings(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_run: int = SPAN_MIN_RUN,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, pos, h) — md5 of the ``min_run``-token gram starting at
     each 0-based token position. The shared posting layout under batch
     span dedup, cross-corpus decontamination, and the streaming gram
     index (streaming/spans.py), so the three can never drift. Only
     full-length grams: the shingle helper emits one truncated shingle
-    for docs shorter than min_run, so those docs are gated out."""
+    for docs shorter than min_run, so those docs are gated out.
+    ``spread=False`` skips the few-file scan spread (io.spread_scan)
+    for callers whose input is a small slice of the table — e.g. the
+    decontamination PROBE side, where the spread exchange costs more
+    than the serialized gram build it avoids."""
+    if spread:
+        from ai_ready_data_framework_spark.io import spread_scan
+
+        docs = spread_scan(docs, id_col)
     return (
         docs.filter(F.size(T.tokens(text_col)) >= min_run)
         .select(
@@ -3077,22 +3106,26 @@ def duplicated_spans(
         raise ValueError(
             f"keep must be 'first' or 'none', got {keep!r}"
         )
-    # stage-pin the postings: they feed BOTH the per-hash stats agg
-    # and the join-back probe side, and Catalyst does not reuse the
-    # subtree once AQE broadcasts the stats (measured: the HOF shingle
-    # build — the dominant cost — executed twice, Generate x2 in the
-    # executed plan; pinned, once). Same pattern as the funnel's
-    # shingle frame (pipeline.py).
-    h = stage_pin(gram_postings(docs, id_col, text_col, min_run))
-    stats = (
-        h.groupBy("h")
-        .agg(
-            F.count("*").alias("occ"),
-            F.min(F.struct(id_col, "pos")).alias("canon"),
-        )
+    # Per-hash stats as ONE window pass over the postings (r13, guide
+    # §2.4): occurrence count and the canonical (first) occurrence are
+    # whole-partition window aggregates over the gram hash — the same
+    # numbers the previous groupBy(h) + join-back computed, in ONE
+    # exchange of the postings with NO self-join and NO stage pin.
+    # The pin existed because the gram build fed two consumers (stats
+    # agg + probe side); with a single consumer chain it is gone, which
+    # also removes the pin's construction-time .rdd planning/codegen
+    # pass (measured: q_dedup_exact CONSTRUCTION alone cost ~3.7 s wall
+    # / ~9.5 CPU-s at sf0.1, dominated by the two eager-plan pins).
+    # At 100 TB this is strictly fewer shuffles too: the old join could
+    # not broadcast a web-scale duplicated-gram stats table, so both
+    # sides re-shuffled by h; the window shuffles the postings once.
+    h = gram_postings(docs, id_col, text_col, min_run)
+    w_h = Window.partitionBy("h")
+    dup = (
+        h.withColumn("occ", F.count("*").over(w_h))
+        .withColumn("canon", F.min(F.struct(id_col, "pos")).over(w_h))
         .filter(F.col("occ") >= 2)
     )
-    dup = h.join(stats, "h")
     if keep == "first":
         dup = dup.filter(
             ~(
@@ -3171,7 +3204,9 @@ def cross_duplicated_spans(
     """
 
     probe_hashes = (
-        gram_postings(probe, id_col, text_col, min_run).select("h").distinct()
+        gram_postings(probe, id_col, text_col, min_run, spread=False)
+        .select("h")
+        .distinct()
     )
     hits = gram_postings(corpus, id_col, text_col, min_run).join(
         probe_hashes, "h", "left_semi"
@@ -3229,30 +3264,36 @@ def strip_duplicated_spans(
     is kept — downstream length filters decide its fate, not this
     operator); a NULL-text document stays NULL (ADVICE r10: the
     empty-string fallback is reserved for fully-STRIPPED docs, not
-    never-tokenized ones)."""
-    removed = spans.select(
-        id_col,
-        F.explode(
-            F.sequence(F.col("span_start"), F.col("span_end"))
-        ).alias("pos"),
+    never-tokenized ones).
+
+    Shape (r13, guide §8): spans collapse to ONE doc-keyed array row
+    per flagged document (span-cardinality aggregate — tiny next to
+    the corpus) and the rebuild is a per-row higher-order filter over
+    the document's own token array: keep token i unless some span
+    covers i. The previous form exploded the corpus to token-level
+    rows, anti-joined them against an exploded removal set, and
+    re-assembled with a collect_list aggregate plus a second doc join
+    — three corpus-sized exchanges carrying token payloads. Now the
+    only join attaches the small span-array table to the documents
+    (broadcast locally; at scale one doc-keyed shuffle of spans, and
+    the text moves at most once), and the strip itself is a codegen'd
+    array filter, O(n_tokens x spans_in_doc) per row."""
+    sp_by_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
     )
-    toks = docs.select(
-        id_col, F.posexplode(T.tokens(text_col)).alias("pos", "tok")
+    toks = T.tokens(F.col(text_col))
+    sp = F.coalesce(F.col("__sp"), F.array())
+    kept = F.filter(
+        toks,
+        lambda tok, i: ~F.exists(
+            sp,
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
     )
-    kept = toks.join(removed, [id_col, "pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias("text_clean")
-    )
-    return docs.join(rebuilt, id_col, "left").select(
+    return docs.join(sp_by_doc, id_col, "left").select(
         *[c for c in docs.columns if c != text_col],
         F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-        .otherwise(F.coalesce("text_clean", F.lit("")))
+        .otherwise(F.array_join(kept, " "))
         .alias("text_clean"),
     )
 
