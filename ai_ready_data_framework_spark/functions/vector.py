@@ -114,12 +114,22 @@ def hashed_doc_vectors(
 
     # spread the tokenize+hash work across the cluster FIRST: the
     # fixture tables (and many real landing zones) arrive as one file,
-    # so without this the 7M-token explode runs in ONE task (measured
-    # 5.1s wall / ~1.7 cores busy at sf0.1; at 100 TB the scan is
-    # already parallel and this one small-row exchange is noise)
-    spread = docs.select(
-        F.col(doc_col).alias("doc_id"), F.col(text_col).alias("__text")
-    ).repartition(F.col("doc_id"))
+    # so without this the 7M-token explode runs in ONE task. r13: the
+    # keyless-N repartition here was AQE-coalescible — the 0.85 MB
+    # shuffle collapsed back to ONE post-shuffle task (measured: the
+    # two downstream stages ran 1.4 s + 1.5 s single-task at sf0.1).
+    # io.spread_scan repartitions with an explicit byte-budget-derived
+    # partition count (AQE leaves explicit-N repartitions alone) and is
+    # a NO-OP on multi-file (100 TB) layouts, where the old
+    # unconditional exchange shuffled the full text for nothing.
+    from ai_ready_data_framework_spark.io import spread_scan
+
+    spread = spread_scan(
+        docs.select(
+            F.col(doc_col).alias("doc_id"), F.col(text_col).alias("__text")
+        ),
+        "doc_id",
+    )
     toks = spread.select(
         "doc_id",
         F.explode(T.tokens("__text")).alias("tok"),

@@ -367,8 +367,14 @@ def perplexity_per_doc(docs: DataFrame) -> DataFrame:
     q_text_quality's hash-graded ``perplexity`` union leg. See
     q_perplexity's docstring for the plan shape and PPL_NANO for why
     the doc aggregate sums exact integers."""
+    from ai_ready_data_framework_spark.io import spread_scan
+
     words = T.tokens("text")
-    grams = docs.select(
+    # r13: the bigram explode + map-side tf aggregate ran as ONE task
+    # on the single-file corpus (measured 1.7 s / 4.2 MB shuffle write
+    # at sf0.1 inside q_text_quality); spread_scan parallelizes it on
+    # few-file layouts and is a no-op at scale.
+    grams = spread_scan(docs, "doc_id").select(
         "doc_id",
         F.explode(T.shingles(words, 2)).alias("bg"),
     ).filter(F.size(F.split("bg", " ")) == 2)  # drop the short-doc pad

@@ -51,6 +51,16 @@ def get_spark(
         )
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Generated-class cache (default 100 entries): this engine runs
+        # ~99 multi-stage queries per session, each compiling 10-40
+        # whole-stage-codegen fragments — at the default size the cache
+        # thrashes and every re-evaluation re-runs Janino + JIT.
+        # Thread-level profiling (r13) showed C1+C2 JIT threads burning
+        # 27 CPU-s against 10 CPU-s of task work on two q_token_bpe
+        # runs. Scale-neutral: a long-running cluster app re-plans the
+        # same operators for months; the cache is driver-memory-bounded
+        # (~KBs per entry). Static conf — set at session build.
+        .config("spark.sql.codegen.cache.maxEntries", "8192")
         .config("spark.sql.session.timeZone", "UTC")
         # events.ts is Parquet TIMESTAMP(NANOS), which Spark's µs
         # TimestampType rejects outright; read the raw int64 nanos and
