@@ -75,7 +75,12 @@ SPAN_MIN_RUN = 8
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ai_ready_data_framework_spark.io import spread_scan
+
+    # spread_scan: the tokenize+shingle explode otherwise runs as ONE
+    # task on the single-file corpus (measured 1.8 s inside
+    # q_pipeline_e2e's shingle pin at sf0.1); no-op at scale.
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         F.explode(F.array_distinct(T.shingles(T.tokens("text"), SHINGLE_K))).alias("s"),
@@ -1804,8 +1809,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["shard"] = pdf["shard"].iloc[0]
         return out[["source", "shard", "pack_id", "n_chunks", "n_tokens"]]
 
+    # Explicit-N repartition on the group key (r13): the packing
+    # exchange was AQE-coalescible (0.2 MB of token counts), so every
+    # (source, shard) group ran SEQUENTIALLY through one Python worker
+    # — 3.4 s of wall for ~0.1 s of JVM work at sf0.1. An explicit
+    # partition count is left alone by AQE and satisfies
+    # applyInPandas' clustering requirement, so the greedy packers run
+    # in parallel. PACK_SHARDS is the operator's own key-space
+    # constant (shard-local packing), not a core count; parallelism is
+    # inherently capped at sources x shards whatever the cluster size.
     return (
-        with_source.groupBy("source", "shard")
+        with_source.repartition(PACK_SHARDS, "source", "shard")
+        .groupBy("source", "shard")
         .applyInPandas(
             pack,
             "source string, shard bigint, pack_id bigint, n_chunks bigint, n_tokens bigint",

@@ -809,7 +809,11 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ai_ready_data_framework_spark.operators.ai import EVAL_FOLD_MOD
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ai_ready_data_framework_spark.io import spread_scan
+
+    # spread_scan: the uni+bigram feature explode ran as ONE 2.2 s task
+    # on the single-file corpus (r13 stage profile); no-op at scale.
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = T.tokens(F.col("text"))
     feats = docs.select(
         "doc_id",
