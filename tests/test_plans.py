@@ -957,16 +957,35 @@ def test_decontam_spans_semi_join_no_corpus_shuffle_shapes(spark, sf_smoke):
 
 
 def test_vectorize_hash_two_linear_keyed_exchanges(spark, sf_smoke):
-    """q_vectorize_hash (r11 pin, VERDICT r10 #5): the hashing-trick
-    vectorizer's scale claim is 'two linear keyed exchanges' — the
-    explicit repartition(doc_id) before the token explode (single-file
-    landing zones serialize the tokenize otherwise), whose
-    HashPartitioning(doc_id) then satisfies BOTH downstream
-    clusterings ((doc_id, bucket) sum and per-doc assembly — no
-    second keyed shuffle), plus the output-order range exchange.
-    Everything stays JVM-side: no Python evaluation anywhere."""
+    """q_vectorize_hash (r11 pin, VERDICT r10 #5; regime split r13):
+    the hashing-trick vectorizer's scale claim is 'linear keyed
+    exchanges only', in two regimes since io.spread_scan replaced the
+    unconditional repartition(doc_id):
+
+    - spread ACTIVE (few-file landing zone, REPARTITION_BY_NUM in the
+      plan — the sf0.1 bench shape): the byte-budget repartition's
+      HashPartitioning(doc_id) satisfies BOTH downstream clusterings
+      ((doc_id, bucket) sum and per-doc assembly), so it is the ONLY
+      hash exchange.
+    - spread NO-OP (multi-file 100 TB layouts, or inputs under one
+      task's byte budget like this smoke fixture): the aggregates
+      insert their own exchanges — but the first runs ABOVE a
+      map-side partial aggregate, so it carries <= dim compact
+      (doc_id, bucket, sums) rows per doc, never the text; the second
+      is the dim-bounded per-doc assembly. Two hash exchanges, both
+      linear in postings.
+
+    Plus the output-order range exchange in both regimes. Everything
+    stays JVM-side: no Python evaluation anywhere."""
     plan = final_plan(run("q_vectorize_hash", spark, sf_smoke))
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    n_hash = plan.count("Exchange hashpartitioning")
+    if "REPARTITION_BY_NUM" in plan:
+        assert n_hash == 1, plan
+    else:
+        assert n_hash == 2, plan
+        # the no-spread regime must combine map-side BEFORE its first
+        # exchange: a partial aggregate below the (doc_id, b) shuffle
+        assert "partial_sum" in plan, plan
     assert plan.count("Exchange rangepartitioning") == 1, plan
     n_scans = sum(
         1 for ln in plan.splitlines()
