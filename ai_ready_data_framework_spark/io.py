@@ -136,6 +136,19 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
 # exact "tuned for local core count" trap the round brief forbids.
 SPREAD_BYTES_PER_TASK = 64 << 10
 
+# Arrow/pandas stages carry a per-task fixed cost a JVM map chain does
+# not — a Python worker round-trip (spawn-or-attach + Arrow stream
+# setup, ~100-300 ms when workers are cold). Sizing pandas tasks by
+# the JVM budget quadrupled q_ewma's CPU for no wall gain (measured
+# r13: 32 tasks over 2 MB = 11.8 CPU-s vs 4.9 of actual recursion);
+# a 4x byte budget keeps the fixed cost under ~20% of task work.
+SPREAD_BYTES_PER_PANDAS_TASK = 256 << 10
+
+# spread_parts' last-resort width when even the SparkContext is
+# unreachable (mirrors session.DEFAULT_SHUFFLE_PARTITIONS' default
+# without importing session here).
+DEFAULT_SHUFFLE_PARTITIONS_FALLBACK = 32
+
 
 def spread_scan(df: DataFrame, key: str, target: int | None = None) -> DataFrame:
     """Hash-spread a FEW-FILE table scan before a CPU-heavy map chain
@@ -175,6 +188,38 @@ def spread_scan(df: DataFrame, key: str, target: int | None = None) -> DataFrame
     except Exception:  # pragma: no cover - defensive: never block a read
         return df
     return df.repartition(n, F.col(key))
+
+
+def spread_parts(
+    df: DataFrame, bytes_per_task: int = SPREAD_BYTES_PER_TASK
+) -> int:
+    """Byte-budget partition count for a MANDATORY keyed repartition
+    (e.g. the clustering shuffle a mapInPandas state machine needs for
+    correctness): same ``SPREAD_BYTES_PER_TASK`` work budget and
+    defaultParallelism cap as ``spread_scan``, but never a no-op — the
+    caller's repartition must happen regardless, this only picks an
+    EXPLICIT count so AQE cannot collapse the CPU-heavy Python stage
+    behind it to one or two post-shuffle tasks (the q_pack_sequences
+    lesson: a small-bytes exchange before heavy per-row work is
+    exactly what AQE's byte-based coalescing gets wrong). At scale the
+    budget saturates the defaultParallelism cap, which is the
+    production answer for a keyed shuffle feeding Python work."""
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - defensive: never block a read
+        return DEFAULT_SHUFFLE_PARTITIONS_FALLBACK
+    try:
+        if df.isStreaming:
+            return par
+        bytes_in = 0
+        for f in df.inputFiles():
+            if f.startswith("file:"):
+                f = f[len("file:"):]
+            bytes_in += os.path.getsize(f)
+        target = max(1, -(-bytes_in // bytes_per_task))
+        return min(target, par)
+    except Exception:  # pragma: no cover - unreadable sizes: stay wide
+        return par
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

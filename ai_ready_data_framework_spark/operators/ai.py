@@ -35,7 +35,7 @@ from ai_ready_data_framework_spark.functions.fixedmath import (
     with_ln_ints,
 )
 from ai_ready_data_framework_spark.functions import vector as V
-from ai_ready_data_framework_spark.io import load_table, local_df
+from ai_ready_data_framework_spark.io import load_table, local_df, spread_scan
 from ai_ready_data_framework_spark.registry import query
 
 SHINGLE_K = 2
@@ -318,7 +318,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel into one reducer). 3 scans for 3 legs total, plan pinned;
     the per-leg-rescan rule in the round protocol targets
     projection-style legs that COULD share a scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: the raw+normalized leg's sha2 + C4-normalization chain ran
+    # as ONE task on the one-file corpus (1.8 s serialized at sf0.1);
+    # spread by the compressed-byte work budget (no-op on multi-file
+    # 100 TB layouts — guide §2.5).
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars", "text"
+        ),
+        "doc_id",
+    )
     raw_h = F.sha2("text", 256)
     keyed = docs.select(
         "doc_id",
@@ -2000,7 +2009,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-/source-sized. The (source, hash) leg of the exchange
     carries 32-byte hashes, never text — the same dedup-aggregate
     shape as q_dedup_exact at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: the per-doc scoring pass (25 lang-marker replaces + sha2 +
+    # tokenize per row) ran as ONE task on the one-file corpus; spread
+    # by the compressed-byte budget (no-op on multi-file layouts).
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        ),
+        "doc_id",
+    )
     # bind each marker score ONCE, then argmax over the bound columns:
     # the inline lang_id() fold nests score expressions into every
     # later comparison (tree doubles per language -> the 25 replace()
@@ -2300,7 +2317,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_keep,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: the single-scan projection union (tokenize + shingles +
+    # gopher battery per row) serialized in ONE task on the one-file
+    # corpus (~1.6 s inside the final union stage at sf0.1); spread by
+    # the compressed-byte budget. The perplexity leg gets the RAW
+    # frame — perplexity_per_doc spreads its own scan internally, and
+    # handing it the spread frame would stack a second exchange.
+    docs_raw = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(docs_raw.select("doc_id", "text"), "doc_id")
     w = T.tokens("text")
     text = F.col("text")
     passes = [
@@ -2368,7 +2392,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         perplexity_per_doc,
     )
 
-    ppl_leg = perplexity_per_doc(docs).select(
+    ppl_leg = perplexity_per_doc(docs_raw).select(
         F.lit("perplexity").alias("quality_kind"),
         "doc_id",
         F.lit(None).cast("long").alias("n_tokens"),
@@ -2899,7 +2923,17 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the branches diverge canonically and the corpus is tokenized
     # and shuffled once PER LEG (measured; no ReusedExchange possible).
     # Plan pinned in tests/test_plans.py: one parquet scan.
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: the shingle+md5 explode ran as ONE task on the one-file
+    # corpus (1.8 s serialized at sf0.1, feeding 9 MB into the winnow
+    # window's doc_id exchange). Spreading the SCAN by doc_id moves the
+    # one keyed exchange BEFORE the explode — HashPartitioning(doc_id)
+    # satisfies the window's clustering, so the exchange count is
+    # unchanged and the explode parallelizes; no-op on multi-file
+    # layouts (guide §2.5).
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     h = docs.select(
         "doc_id",
         F.posexplode(T.shingles(T.tokens("text"), SHINGLE_K)).alias("pos", "s"),
@@ -4433,12 +4467,24 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id",
-        "embedding",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
-    )
+    # r13: the assignment scan (k distance evaluations per vector) ran
+    # as ONE task on the one-file embeddings table (1.2 s serialized
+    # at sf0.1); spread ONLY the corpus-sized transform — KMeans runs
+    # maxIter jobs over the cached ~4k-row SAMPLE, so spreading the
+    # sample multiplies per-iteration task overhead (measured: CPU
+    # 3.1→12 with no wall gain), and fitting on the unspread sample
+    # keeps the aggregation order, hence the fitted centroids, bitwise
+    # identical to the pre-spread operator. No-op on multi-file
+    # layouts either way.
+    emb_raw = load_table(spark, sf_dir, "embeddings")
+
+    def vecs_of(frame):
+        return frame.select(
+            "vec_id",
+            "embedding",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
+        )
+
     n = embeddings_count(spark, sf_dir)
     m = max(1, n // 4096)
     k = max(SEMDEDUP_MIN_K, min(SEMDEDUP_MAX_K, n // SEMDEDUP_TARGET_CLUSTER))
@@ -4453,9 +4499,14 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_ready_data_framework_spark.functions.mlfit import fit_cached
 
     model = fit_cached(
-        km, vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(m)) == 0).select("v")
+        km,
+        vecs_of(emb_raw)
+        .filter(F.pmod(F.xxhash64("vec_id"), F.lit(m)) == 0)
+        .select("v"),
     )
-    return model.transform(vecs).select("vec_id", "cluster_id", "embedding")
+    return model.transform(vecs_of(spread_scan(emb_raw, "vec_id"))).select(
+        "vec_id", "cluster_id", "embedding"
+    )
 
 
 @query("q_dedup_semantic")  # fitted k-means clustering → rows-only by
@@ -4481,8 +4532,14 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per vector — cluster, keep decision, dup-partner
     count. keep=false iff a smaller-id vector in the same cluster has
     cosine >= SEMDEDUP_TAU (the greedy smaller-id-wins rule shared with
-    the text funnel, q_pipeline_e2e)."""
-    return semantic_dup_flags(semantic_cluster_assign(spark, sf_dir))
+    the text funnel, q_pipeline_e2e).
+
+    r13: the assignment frame is stage-pinned — it feeds THREE
+    consumers (the hot-cluster aggregate, the pair join's build side,
+    and the keep-flag left join), each of which otherwise re-runs the
+    k-distance transform and its spread exchange (the perplexity
+    bg_counts precedent, functions/cache.py)."""
+    return semantic_dup_flags(stage_pin(semantic_cluster_assign(spark, sf_dir)))
 
 
 def semantic_dup_flags(
@@ -4591,7 +4648,15 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast: at 100 TB the block vocabulary is billions of rows);
     reassembly is one doc_id-keyed aggregate. No stage is quadratic,
     nothing collects to the driver."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: the block split+md5 explode ran as ONE task per consumer on
+    # the one-file corpus (1.1 s serialized at sf0.1); spread by the
+    # compressed-byte work budget. Both consumers (posting aggregate
+    # and reassembly join) share the identical spread subtree, so the
+    # exchange plans once and is reused.
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     toks = F.split(F.col("text"), " ")
     n_blocks = F.ceil(F.size(toks) / F.lit(DUP_LINE_BLOCK_TOKENS)).cast("int")
     blocks = docs.select(
@@ -4742,7 +4807,14 @@ def q_vector_ann_pq(
         ],
         "m int, k int, cw array<double>",
     )
-    corpus = emb.filter(F.col("vec_id") >= BATCH_QUERY_VECS)
+    # r13: the encode pass (PQ_M*PQ_K = 2048 subspace distances per
+    # vector) ran as ONE task on the one-file embeddings scan (2.3 s
+    # serialized at sf0.1); spread by the compressed-byte budget. The
+    # spread's HashPartitioning(vec_id) also satisfies the
+    # (vec_id, m) aggregate's clustering, so no new exchange appears.
+    corpus = spread_scan(
+        emb.filter(F.col("vec_id") >= BATCH_QUERY_VECS), "vec_id"
+    )
     # encode: nearest codeword per (vector, subspace); min_by over
     # struct(d, k) breaks distance ties toward the smaller code
     codes = (

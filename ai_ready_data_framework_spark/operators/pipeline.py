@@ -67,8 +67,16 @@ DECONTAM_SHINGLE_K = 8
 
 
 def doc_shingles(frame: DataFrame, k: int = DECONTAM_SHINGLE_K) -> DataFrame:
-    """Distinct k-gram shingles per document: (doc_id, s)."""
-    return frame.select(
+    """Distinct k-gram shingles per document: (doc_id, s).
+
+    The tokenize→shingle explode is the funnel's heaviest map chain and
+    ran as ONE task on the one-file corpus (2.4 s serialized at sf0.1
+    while 31 cores idled — guide §2.5 input skew); io.spread_scan
+    hash-spreads the scan by a compressed-byte work budget and is a
+    no-op on multi-file (100 TB) layouts."""
+    from ai_ready_data_framework_spark.io import spread_scan
+
+    return spread_scan(frame.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.explode(F.array_distinct(T.shingles(T.tokens("text"), k))).alias("s"),
     )

@@ -147,9 +147,17 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier k-gram in the SAME document (Gopher's duplicate-n-gram
     signal; high values mark boilerplate/spam). Computed entirely with
     array expressions (shingle list built per row, distinct counted per
-    row): no explode, no shuffle — the repetition profile of a 100 TB
-    corpus is one codegen'd scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    row): no explode, no shuffle beyond io.spread_scan's few-file
+    spread (a no-op on multi-file layouts) — the repetition profile of
+    a 100 TB corpus is one codegen'd scan. r13: without the spread the
+    per-row shingle+distinct work serialized in ONE task on the
+    one-file corpus (1.7 s at sf0.1 while 31 cores idled)."""
+    from ai_ready_data_framework_spark.io import spread_scan
+
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     words = T.tokens("text")
     grams = T.shingles(words, REP_NGRAM_K)
     n_total = F.size(grams)
@@ -563,16 +571,32 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF
     from pyspark.ml.functions import vector_to_array
 
+    from ai_ready_data_framework_spark.io import spread_scan
+
     docs = load_table(spark, sf_dir, "documents")
-    labeled = docs.select(
-        "doc_id",
-        F.split(F.lower("text"), " ").alias("words"),
-        gopher_keep(F.col("text")).cast("double").alias("label"),
-    )
+
+    # r13: the tokenize+hash feature pass ran as ONE task per consumer
+    # (fit sample and scoring, ~0.7 s each at sf0.1) on the one-file
+    # corpus. Spread ONLY the corpus-sized scoring pass: LBFGS runs
+    # ~QC_MAX_ITER gradient jobs over the cached SAMPLE frame, so
+    # spreading the sample multiplies per-iteration task overhead for
+    # a ~4k-row dataset (measured: CPU 3.5→7.2 with no wall gain) —
+    # and fitting on the unspread sample keeps the gradient
+    # accumulation order, hence the fitted coefficients, bitwise
+    # identical to the pre-spread operator.
+    def labeled_of(frame):
+        return frame.select(
+            "doc_id",
+            F.split(F.lower("text"), " ").alias("words"),
+            gopher_keep(F.col("text")).cast("double").alias("label"),
+        )
+
+    narrow = docs.select("doc_id", "text")
     tf = HashingTF(
         inputCol="words", outputCol="features", numFeatures=QC_HASH_FEATURES
     )
-    feats = tf.transform(labeled)
+    feats_fit = tf.transform(labeled_of(narrow))
+    feats = tf.transform(labeled_of(spread_scan(narrow, "doc_id")))
     lr = LogisticRegression(
         featuresCol="features",
         labelCol="label",
@@ -594,7 +618,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_ready_data_framework_spark.functions.mlfit import fit_cached
 
     model = fit_cached(
-        lr, feats.filter(F.pmod(F.xxhash64("doc_id"), F.lit(step)) == 0)
+        lr, feats_fit.filter(F.pmod(F.xxhash64("doc_id"), F.lit(step)) == 0)
     )
     scored = model.transform(feats)
     return scored.select(

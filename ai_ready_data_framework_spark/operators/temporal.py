@@ -698,9 +698,24 @@ def ewma_partition_batched(events: DataFrame) -> DataFrame:
                 outs.append(out)
             yield pd.concat(outs, ignore_index=True)
 
+    # The clustering repartition is CORRECTNESS-required (a user's rows
+    # must share a partition), but a count-less repartition("user_id")
+    # is AQE-coalescible: the ~2 MB of (user, ts, value) collapsed to
+    # TWO post-shuffle tasks at sf0.1 and the pandas recursion ran
+    # ~2.4 s serialized per task (measured r13) — the q_pack_sequences
+    # pathology. io.spread_parts picks an explicit byte-budget count
+    # (AQE leaves REPARTITION_BY_NUM alone), saturating at
+    # defaultParallelism on cluster-scale inputs.
+    from ai_ready_data_framework_spark.io import (
+        SPREAD_BYTES_PER_PANDAS_TASK,
+        spread_parts,
+    )
+
+    narrow = events.select("user_id", "event_id", "ts", "value")
     return (
-        events.select("user_id", "event_id", "ts", "value")
-        .repartition("user_id")
+        narrow.repartition(
+            spread_parts(narrow, SPREAD_BYTES_PER_PANDAS_TASK), "user_id"
+        )
         .sortWithinPartitions("user_id", "ts", "event_id")
         .mapInPandas(ewma_stream, schema=_ewma_schema())
     )
