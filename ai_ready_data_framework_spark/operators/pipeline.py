@@ -232,11 +232,21 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             # sh_raw included: no-op under the default localCheckpoint
             # pin, required under the durable persist branch
             frame.unpersist()
+    # keep_frac guards the empty-stage denominator (r13): a corpus
+    # whose quality gate drops EVERYTHING hands stage 3 rows_in = 0,
+    # and under ANSI 0/0 is an error, not NULL. The old pickled-RDD
+    # relation hid this — count() pruned the projection before it
+    # evaluated — but the LocalRelation form constant-folds the
+    # projection at optimization time, so the division runs for ANY
+    # action. NULL is the honest value for "no rows entered".
     return local_df(
         spark, counts, "stage string, rows_in long, rows_out long"
     ).select(
         "stage",
         "rows_in",
         "rows_out",
-        F.round(F.col("rows_out") / F.col("rows_in"), 4).alias("keep_frac"),
+        F.round(
+            F.when(F.col("rows_in") > 0, F.col("rows_out") / F.col("rows_in")),
+            4,
+        ).alias("keep_frac"),
     )

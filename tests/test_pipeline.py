@@ -200,3 +200,37 @@ def test_dup_drop_posting_cap_bounds_boilerplate(spark):
     # + filter (the cap cannot silently fall out of the plan)
     plan = P.dup_drop_ids(sh, n_docs)._jdf.queryExecution().optimizedPlan().toString()
     assert "count(1)" in plan and "df" in plan and "min(doc_id" in plan
+
+
+def test_funnel_empty_stage_yields_null_keep_frac(spark, tmp_path):
+    """r13 regression: a corpus whose quality gate drops EVERY document
+    hands the decontamination stage rows_in = 0, and keep_frac's 0/0
+    must be NULL, not an ANSI DIVIDE_BY_ZERO. Before the LocalRelation
+    return (io.local_df) this was latent — count() pruned the division
+    out of the pickled-RDD projection — but constant folding now
+    evaluates the projection for ANY action, which is how the sf1
+    scale smoke's synthetic corpus (no stopwords, so zero Gopher
+    passes) exposed it."""
+    from pyspark.sql import functions as F
+
+    # 40 docs of stopword-free tokens: every Gopher stop-hits rule
+    # fails, so stage 2 keeps nothing and stages 3-4 see rows_in = 0
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array(*[F.concat(F.lit("zq"), F.lit(i)) for i in range(30)]),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.lit(0).cast("long").alias("n_chars"),
+    )
+    out = str(tmp_path / "empty_corpus")
+    docs.write.parquet(f"{out}/documents.parquet")
+    rows = {r["stage"]: r for r in QUERIES["q_pipeline_e2e"](spark, out).collect()}
+    assert rows["2_quality"].rows_out == 0
+    assert rows["3_decontam"].rows_in == 0
+    assert rows["3_decontam"].keep_frac is None
+    assert rows["4_mix"].keep_frac is None
+    # the non-empty stage still reports a real fraction
+    assert rows["1_dedup_near"].keep_frac is not None
