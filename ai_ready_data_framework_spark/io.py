@@ -211,8 +211,15 @@ def spread_parts(
     try:
         if df.isStreaming:
             return par
+        files = df.inputFiles()
+        if not files:
+            # No file lineage (LocalRelation, createDataFrame,
+            # checkpointed/RDD-backed frames): 0 bytes would compute a
+            # 1-task count and serialize the caller's pandas stage
+            # through one worker (ADVICE r13). Unknown size ⇒ stay wide.
+            return par
         bytes_in = 0
-        for f in df.inputFiles():
+        for f in files:
             if f.startswith("file:"):
                 f = f[len("file:"):]
             bytes_in += os.path.getsize(f)

@@ -644,7 +644,13 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
     )
-    n = vecs.count()
+    # r14: the sample-modulus count is the same embeddings row count the
+    # IVF/PQ/SemDeDup fits memoize — one footer-served scan per session
+    # instead of a count job per evaluation (guide §1.2: fewer jobs; the
+    # fit path here is job-count-bound, ~8 sequential 1-task MLlib jobs).
+    from ai_ready_data_framework_spark.operators.ai import embeddings_count
+
+    n = embeddings_count(spark, sf_dir)
     m = max(1, n // 4096)
     # maxIter=5 like the IVF quantizer: coarse-cluster quality converges
     # fast and the profile is about composition, not centroid polish
@@ -659,20 +665,26 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_ready_data_framework_spark.functions.mlfit import fit_cached
 
     model = fit_cached(km, vecs.filter(F.col("vec_id") % m == 0).select("v"))
-    # local_df: broadcast per action — see io.local_df (guide §4)
-    centroids = local_df(
-        spark,
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cluster_id int, centroid array<double>",
+    # r14 (guide §1.2/§2.4): the centroid table is k=16 rows the driver
+    # already holds — attach it as a constant-folded literal array
+    # indexed by cluster_id instead of a broadcast join. Same doubles
+    # ([float(x)] both ways, dot() casts element-wise), one fewer
+    # BroadcastExchange build job per evaluation on a query whose wall
+    # is pure job-count overhead (task_runtime_sum 0.65 s of a 3 s
+    # wall, plans/r14/prof_cluster_before.txt).
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in model.clusterCenters()
+        ]
     )
-    assigned = (
-        model.transform(vecs)
-        .join(F.broadcast(centroids), "cluster_id")
-        .select(
-            "cluster_id",
-            "label",
-            V.cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
-        )
+    assigned = model.transform(vecs).select(
+        "cluster_id",
+        "label",
+        V.cosine(
+            F.col("embedding"),
+            F.element_at(cent_lit, F.col("cluster_id") + 1),
+        ).alias("cos"),
     )
     by_label = assigned.groupBy("cluster_id", "label").agg(
         F.count("*").alias("n"), F.sum("cos").alias("cos_sum")

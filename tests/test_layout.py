@@ -62,8 +62,13 @@ def test_zorder_layout_boxes_both_dimensions(spark, sf_correctness, tmp_path):
     assert rn == N_FILES and N_FILES - 1 <= zn <= N_FILES
     # hash layout: every file spans ~the full range of both columns
     assert ra > 0.95 and rb > 0.95, (ra, rb)
-    # z-order: each file boxes BOTH dims well below the full range
-    assert za < 0.6 and zb < 0.6, (za, zb)
+    # z-order: each file boxes BOTH dims well below the full range.
+    # Threshold carries a measured margin: repartitionByRange picks
+    # boundaries by SAMPLING with an RDD-id-derived seed, so per-file
+    # spans drift run to run — observed za up to 0.609 on an identical
+    # tree (VERIFY_r13), typical ~0.55/0.38. 0.65 keeps a wide gap to
+    # the hash layout's >0.95 while absorbing the sampler's scatter.
+    assert za < 0.65 and zb < 0.65, (za, zb)
     # and no rows were lost by the rewrite
     assert (
         spark.read.parquet(zpath).count()

@@ -53,3 +53,15 @@ def test_local_df_falls_back_on_unconvertible_input(spark):
     rows = [(1,)]
     fast = local_df(spark, rows, "n long")
     assert fast.collect() == spark.createDataFrame(rows, "n long").collect()
+
+
+def test_spread_parts_no_file_lineage_stays_wide(spark):
+    # ADVICE r13: a frame with no file lineage (LocalRelation,
+    # createDataFrame, checkpointed/RDD-backed) must NOT be treated as
+    # 0 bytes -> 1 task; unknown size falls back to defaultParallelism
+    # so a pandas stage behind the repartition is never serialized.
+    from ai_ready_data_framework_spark.io import spread_parts
+
+    df = local_df(spark, [(1, "a"), (2, "b")], "id long, s string")
+    assert df.inputFiles() == []
+    assert spread_parts(df) == spark.sparkContext.defaultParallelism
