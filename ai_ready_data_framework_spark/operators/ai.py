@@ -2736,7 +2736,8 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heavy-hitter triangle and the tfidf broadcast both reference it:
     # each consumer prunes it to K rows / a broadcast before any wide
     # reuse, and the pin's vocab-sized checkpoint write costs MORE
-    # than the saved recomputes (measured r7: 2.74s -> 2.91s pinned —
+    # than the saved recomputes (measured r7: 2.74s -> 2.91s pinned,
+    # re-confirmed r14: 5.3s/10.5 CPU pinned vs 3.5s/9.2 unpinned —
     # the opposite verdict from perplexity_per_doc's bg_counts, whose
     # unpinned form recomputed three FULL tf-sized aggregations)
     counts = tf.groupBy("term").agg(
@@ -3168,8 +3169,17 @@ def duplicated_spans(
     # At 100 TB this is strictly fewer shuffles too: the old join could
     # not broadcast a web-scale duplicated-gram stats table, so both
     # sides re-shuffled by h; the window shuffles the postings once.
-    h = gram_postings(docs, id_col, text_col, min_run)
-    w_h = Window.partitionBy("h")
+    # r14 (guide §2.3, shuffle fewer bytes): the window only uses the
+    # gram hash as a GROUPING key, so ship it as 16-byte binary
+    # (unhex) instead of the 32-char hex string — ~30% narrower
+    # postings exchange (the one corpus-sized shuffle here) and
+    # cheaper within-partition sort comparisons. unhex is injective on
+    # md5 hex, so groups, canon, and every downstream span are
+    # bit-identical (q_dedup_exact's spans leg stays hash-graded).
+    h = gram_postings(docs, id_col, text_col, min_run).select(
+        id_col, "pos", F.unhex("h").alias("hb")
+    )
+    w_h = Window.partitionBy("hb")
     dup = (
         h.withColumn("occ", F.count("*").over(w_h))
         .withColumn("canon", F.min(F.struct(id_col, "pos")).over(w_h))

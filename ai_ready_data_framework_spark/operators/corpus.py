@@ -127,7 +127,20 @@ def source_divergence_from_st(st: DataFrame) -> DataFrame:
     tf frame (sum(c) grouped (source, term)) instead of re-exploding
     the corpus; q_source_divergence feeds it the direct token
     aggregate. Everything below the input is vocabulary-sized (see
-    q_source_divergence's scale note)."""
+    q_source_divergence's scale note).
+
+    r14 (guide §2.4/§5): ``st`` is consumed FOUR times (src_tot, the
+    grid's term marginal and its totals cross, and the grid's st
+    join-back) and Catalyst re-executes shared subtrees — measured
+    zero ReusedExchange in the executed union plan, so the standalone
+    query re-ran the corpus explode+aggregate 4x and q_token_bpe's div
+    leg re-read the pinned tf frame 3x (plans/r14/
+    q_token_bpe_before.txt, prof_token_bpe_before.txt). Pinning the
+    vocabulary-sized st runs the corpus-sized work ONCE; every
+    downstream aggregate is vocab-sized. At 100 TB this removes three
+    full corpus explode passes — the perplexity bg_counts precedent.
+    Values unchanged: the pin only truncates lineage."""
+    st = stage_pin(st)
     src_tot = st.groupBy("source").agg(
         F.sum("c_st").alias("n_s"),
         F.count("*").alias("n_src_terms"),
