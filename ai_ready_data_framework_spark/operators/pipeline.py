@@ -159,7 +159,17 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subset of docs by construction), so the full-text "deduped"
     # frame is never materialized at all; the anti-join fuses straight
     # into the gopher filter in ONE uncached pass over the corpus.
-    dup_drop = dup_drop_ids(sh_raw, n_docs).cache()
+    # r14: the three stage caches are stage_pin (localCheckpoint), not
+    # .cache() — a cached plan is compiled WITHOUT AQE output
+    # coalescing (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+    # defaults false), so each id-list landed on the static 32 shuffle
+    # partitions and every count/broadcast over it scheduled 32
+    # near-empty tasks (three 32-task stages, ~0.2 cpu-s against
+    # ~1.3 s rt each — plans/r14 stage profile). localCheckpoint
+    # captures the AQE-coalesced output (1-2 partitions here,
+    # byte-sized at any scale); values and the unpersist discipline
+    # are unchanged.
+    dup_drop = stage_pin(dup_drop_ids(sh_raw, n_docs))
     n_dedup = n_docs - dup_drop.count()
 
     # stage 2 — quality: the Gopher battery's keep decision. Once the
@@ -168,11 +178,10 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source), and the funnel reports counts — so the cached survivor
     # frames hold only (doc_id, source). At 100 TB that is the
     # difference between caching the corpus and caching an id list.
-    quality = (
+    quality = stage_pin(
         docs.join(dup_drop, "doc_id", "left_anti")
         .filter(gopher_keep(F.col("text")))
         .select("doc_id", "source")
-        .cache()
     )
 
     # stage 3 — decontamination: the held-out fold leaves the corpus,
@@ -195,10 +204,9 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = (
+    clean = stage_pin(
         quality.filter(~is_eval)
         .join(leaked, "doc_id", "left_anti")
-        .cache()
     )
 
     # stage 4 — mixture freeze: per-source md5-threshold sampling at
