@@ -382,17 +382,36 @@ def perplexity_per_doc(docs: DataFrame) -> DataFrame:
     # on the single-file corpus (measured 1.7 s / 4.2 MB shuffle write
     # at sf0.1 inside q_text_quality); spread_scan parallelizes it on
     # few-file layouts and is a no-op at scale.
-    grams = spread_scan(docs, "doc_id").select(
+    #
+    # r14 (guide §1.2 per-task work): bigram keys are (w1, w2) COLUMN
+    # PAIRS, not concat_ws strings. The concat form built a new string
+    # per bigram occurrence only to re-split it per tf row (twice: the
+    # prefix derivation and the scoring join's w1). The pair form
+    # groups on the same injective key (tokens cannot contain the
+    # separator space), the prefix IS w1, and every downstream integer
+    # — tf, c_bg, c_prefix, v — is unchanged, so the ladder doubles
+    # and the per-doc output rows are bit-identical (the oracle keeps
+    # its string form and parity confirms).
+    toks2 = spread_scan(docs, "doc_id").select(
+        "doc_id", words.alias("__w")
+    )
+    pos = F.explode(
+        F.when(
+            F.size("__w") >= 2, F.sequence(F.lit(1), F.size("__w") - 1)
+        ).otherwise(F.expr("array()"))  # short docs emit no bigrams
+    ).alias("__i")
+    grams = toks2.select("doc_id", "__w", pos).select(
         "doc_id",
-        F.explode(T.shingles(words, 2)).alias("bg"),
-    ).filter(F.size(F.split("bg", " ")) == 2)  # drop the short-doc pad
+        F.element_at("__w", F.col("__i")).alias("w1"),
+        F.element_at("__w", F.col("__i") + 1).alias("w2"),
+    )
     # tf feeds BOTH the model derivation and the scoring join; without
     # materialization the explode+aggregate runs twice (Catalyst keeps
     # two scans — measured ~10% at sf0.1). Same checkpoint durability
     # tradeoff note as functions/text.py::banded_minhash_pairs; the
     # alternative at 100 TB is a second full corpus scan + shuffle.
     tf = (
-        grams.groupBy("doc_id", "bg")
+        grams.groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("tf"))
         .transform(stage_pin)
     )
@@ -401,11 +420,11 @@ def perplexity_per_doc(docs: DataFrame) -> DataFrame:
     # recomputes the tf-sized aggregate per reference (measured ~0.4s
     # of the slot at sf0.1); pinned, the corpus-scale work runs once
     # and the two model tables derive from the bigram-vocab-sized RDD
-    bg_counts = stage_pin(tf.groupBy("bg").agg(F.sum("tf").alias("c_bg")))
-    prefix_counts = (
-        bg_counts.withColumn("w1", F.split("bg", " ")[0])
-        .groupBy("w1")
-        .agg(F.sum("c_bg").alias("c_prefix"))
+    bg_counts = stage_pin(
+        tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c_bg"))
+    )
+    prefix_counts = bg_counts.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_prefix")
     )
     vocab = prefix_counts.agg(F.count("*").alias("v"))
     # r9 ladder restatement: with add-1 smoothing the bigram logp is a
@@ -421,10 +440,8 @@ def perplexity_per_doc(docs: DataFrame) -> DataFrame:
     pfx_l = with_ln_ints(
         prefix_counts.crossJoin(F.broadcast(vocab)), [PPL_LN_SPECS[1]]
     )
-    joined = (
-        tf.join(F.broadcast(bg_counts_l), "bg")
-        .withColumn("w1", F.split("bg", " ")[0])
-        .join(F.broadcast(pfx_l), "w1")
+    joined = tf.join(F.broadcast(bg_counts_l), ["w1", "w2"]).join(
+        F.broadcast(pfx_l), "w1"
     )
     logp = F.col("__pp_n_ln") - F.col("__pp_d_ln")
     contrib = F.floor(F.col("tf") * logp * F.lit(PPL_NANO)).cast("long")
